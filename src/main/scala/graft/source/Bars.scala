@@ -1,0 +1,59 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bar-source: normalize raw event rows into the canonical OHLCV bar frame.
+  *
+  * The reference ingests per-symbol OHLCV frames from a REST API and
+  * normalizes the datetime column / dtypes / sort order
+  * (reference: src/data/ingestion.py:63-104, 151-184). Our engine reads the
+  * shared `events` parquet and derives deterministic bars (FIXTURES.md §4):
+  * one DataFrame for ALL symbols with an explicit `symbol` column — the
+  * per-symbol driver loop of the reference (src/main.py:62-87) becomes
+  * `Window.partitionBy("symbol")`, which is what makes the pipeline scale
+  * out to many executors instead of many Python iterations.
+  *
+  * Scale notes: the only wide operation is the window's hash exchange on
+  * `symbol`; every downstream feature window reuses the same partitioning
+  * (single shuffle for the whole feature pipeline). Filters/projections
+  * stay above the parquet scan so Catalyst pushes them down.
+  */
+object Bars {
+
+  /** Number of synthetic symbols to fold `user_id` into (FIXTURES.md §4). */
+  val DefaultSymbols = 8
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** events → bars adapter. Deterministic, oracle-checkable (FIXTURES.md §4):
+    *   symbol   = cast(user_id % k as string)
+    *   datetime = ts
+    *   close    = value
+    *   open     = lag(value) over (partition by symbol order by ts, event_id),
+    *              coalesced to value on the first row
+    *   high     = greatest(open, close); low = least(open, close)
+    *   volume   = cast(event_id % 1000 as double)
+    * `event_id` is carried through as the tie-break for every downstream
+    * ORDER BY / window spec (bit-stable hash matching).
+    */
+  def fromEvents(events: DataFrame, k: Int = DefaultSymbols): DataFrame = {
+    val sym = (col("user_id") % k).cast("string")
+    val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
+    events
+      .withColumn("symbol", sym)
+      .withColumn("datetime", col("ts"))
+      .withColumn("open", coalesce(lag(col("value"), 1).over(w), col("value")))
+      .withColumn("close", col("value"))
+      .withColumn("high", greatest(col("open"), col("close")))
+      .withColumn("low", least(col("open"), col("close")))
+      .withColumn("volume", (col("event_id") % 1000).cast("double"))
+      .select("symbol", "event_id", "datetime", "open", "high", "low", "close", "volume")
+  }
+
+  /** Convenience: read + adapt in one call. */
+  def bars(spark: SparkSession, sfDir: String, k: Int = DefaultSymbols): DataFrame =
+    fromEvents(readEvents(spark, sfDir), k)
+}
