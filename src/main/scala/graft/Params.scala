@@ -1,0 +1,32 @@
+package graft
+
+/** Engine defaults, mirroring the reference's config
+  * (reference: src/config.py:41-56). Kept in one place so the Spark queries
+  * and the DuckDB oracle SQL builders interpolate identical constants.
+  */
+object Params {
+  val MomentumPeriods: Seq[Int] = Seq(5, 10, 20, 50)
+  val VolatilityWindows: Seq[Int] = Seq(10, 20, 60)
+  val RsiPeriod = 14
+  val MacdFast = 12
+  val MacdSlow = 26
+  val MacdSignal = 9
+  val BbPeriod = 20
+  val BbStd = 2.0
+  val PredictionHorizon = 1
+  val TestSize = 0.2
+
+  /** Reference divides with a literal epsilon, not nullif
+    * (src/features/engineering.py:96,105,114). Replicated verbatim. */
+  val Eps = "1e-10"
+  /** Truncated pi, verbatim from the reference (engineering.py:186-193). */
+  val Pi = "3.14159"
+
+  /** Synthetic symbol count for the events→bars adapter (FIXTURES.md §4). */
+  val Symbols = 8
+
+  /** Output doubles are round(x, 6) + 0.0 on both the Spark and oracle sides:
+    * 6-decimal rounding per FIXTURES.md §4; the `+ 0.0` collapses -0.0 to 0.0
+    * so the two engines hash identically at rounding boundaries. */
+  val Round = 6
+}

@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.oracle.OracleSql
+import graft.queries.Core
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
+  *
+  * Every operator from SURVEY.md §2 registers here as a named query; each
+  * SQL-expressible one carries a DuckDB oracle statement in [[oracleSql]]
+  * built to be bit-identical (see graft.oracle.OracleSql). EWMA-family
+  * queries (feat_rsi, feat_macd) are not SQL-expressible — they are covered
+  * by ScalaTest golden vectors and get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * 49-feature frame + classification target (the reference's Phase 2+3,
+    * src/main.py:63-128). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.features.Targets.withTarget(
+      graft.features.Features.computeAllFeatures(
+        graft.source.Bars.bars(spark, "/root/testdata/sf0.001")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_bars" -> (Core.ingestBars _),
+    "feat_momentum" -> (Core.featMomentum _),
+    "feat_volatility" -> (Core.featVolatility _),
+    "feat_temporal" -> (Core.featTemporal _),
+    "feat_bollinger" -> (Core.featBollinger _),
+    "feat_rsi" -> (Core.featRsi _),
+    "feat_macd" -> (Core.featMacd _),
+    "targets_classification" -> (Core.targetsClassification _),
+    "targets_regression" -> (Core.targetsRegression _),
+    "temporal_split" -> (Core.temporalSplit _),
+    "union_symbols" -> (Core.unionSymbols _),
+    "value_counts" -> (Core.valueCounts _),
+    "agg_stats" -> (Core.aggStats _),
+    "topk_events" -> (Core.topkEvents _),
+    "ml_matrix" -> (Core.mlMatrix _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ingest_bars" -> OracleSql.ingestBars,
+    "feat_momentum" -> OracleSql.featMomentum,
+    "feat_volatility" -> OracleSql.featVolatility,
+    "feat_temporal" -> OracleSql.featTemporal,
+    "feat_bollinger" -> OracleSql.featBollinger,
+    "targets_classification" -> OracleSql.targetsClassification,
+    "targets_regression" -> OracleSql.targetsRegression,
+    "temporal_split" -> OracleSql.temporalSplit,
+    "union_symbols" -> OracleSql.unionSymbols,
+    "value_counts" -> OracleSql.valueCounts,
+    "agg_stats" -> OracleSql.aggStats,
+    "topk_events" -> OracleSql.topkEvents,
+    "ml_matrix" -> OracleSql.mlMatrix,
+  )
 }

@@ -1,0 +1,31 @@
+package graft.features
+
+import graft.Params
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Momentum features: per-period return / momentum / ROC / SMA / SMA-distance
+  * (reference: src/features/engineering.py:73-117). 5 features × 4 periods.
+  *
+  * The `+ 1e-10` denominators replicate the reference's epsilon guards
+  * verbatim (engineering.py:96,105,114).
+  */
+object Momentum {
+
+  def withMomentum(df: DataFrame, periods: Seq[Int] = Params.MomentumPeriods): DataFrame = {
+    val w = Frames.bySymbol
+    val close = col("close")
+    val cols = periods.flatMap { p =>
+      val shifted = lag(close, p).over(w)
+      val ret = (close - shifted) / (shifted + 1e-10)
+      val sma = Frames.rollingMean(close, p)
+      Seq(
+        ret.as(s"return_$p"),
+        (close - shifted).as(s"momentum_$p"),
+        (ret * 100).as(s"roc_$p"),
+        sma.as(s"sma_$p"),
+        ((close - sma) / (sma + 1e-10) * 100).as(s"distance_sma_$p"))
+    }
+    df.select(col("*") +: cols: _*)
+  }
+}

@@ -1,0 +1,274 @@
+package graft.oracle
+
+import graft.Params
+
+/** DuckDB oracle SQL, one statement per entry in `SparkEntry.queries`.
+  *
+  * Every statement mirrors its Spark query's arithmetic tree exactly —
+  * identical constants ([[graft.Params]]), identical association order,
+  * identical null gates, `round(x, 6) + 0.0` on derived doubles, identical
+  * deterministic ORDER BY — so the driver's row-hash compare is bit-stable.
+  * The momentum/volatility blocks are generated from the same period lists
+  * the Spark side uses.
+  */
+object OracleSql {
+
+  private val P = Params.MomentumPeriods
+  private val V = Params.VolatilityWindows
+  private val eps = Params.Eps
+  private val pi = Params.Pi
+
+  private val W = "PARTITION BY symbol ORDER BY datetime, event_id"
+  private def frame(n: Int) =
+    s"PARTITION BY symbol ORDER BY datetime, event_id ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+  private def r(e: String) = s"round($e, ${Params.Round}) + 0.0"
+
+  /** events → bars adapter CTE (FIXTURES.md §4), shared by all bar queries. */
+  val barsCte: String =
+    s"""WITH bars0 AS (
+       |  SELECT CAST(user_id % ${Params.Symbols} AS VARCHAR) AS symbol, event_id, ts AS datetime, value
+       |  FROM events
+       |), bars1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         COALESCE(LAG(value, 1) OVER ($W), value) AS open,
+       |         value AS close,
+       |         CAST(event_id % 1000 AS DOUBLE) AS volume
+       |  FROM bars0
+       |), bars AS (
+       |  SELECT symbol, event_id, datetime, open, close, volume,
+       |         GREATEST(open, close) AS high, LEAST(open, close) AS low
+       |  FROM bars1
+       |)""".stripMargin
+
+  val ingestBars: String =
+    s"""$barsCte
+       |SELECT symbol, event_id, datetime,
+       |       ${r("open")} AS open, ${r("high")} AS high, ${r("low")} AS low,
+       |       ${r("close")} AS close, volume
+       |FROM bars ORDER BY event_id""".stripMargin
+
+  val featMomentum: String = {
+    val m1 = P.flatMap(p => Seq(
+      s"LAG(close, $p) OVER ($W) AS lag_$p",
+      s"COUNT(close) OVER (${frame(p)}) AS c_$p",
+      s"SUM(close) OVER (${frame(p)}) AS s_$p")).mkString(",\n         ")
+    val m2 = P.map(p =>
+      s"CASE WHEN c_$p = $p THEN s_$p / $p END AS sma_$p").mkString(",\n         ")
+    val out = P.flatMap(p => Seq(
+      s"${r(s"(close - lag_$p) / (lag_$p + $eps)")} AS return_$p",
+      s"${r(s"close - lag_$p")} AS momentum_$p",
+      s"${r(s"(close - lag_$p) / (lag_$p + $eps) * 100")} AS roc_$p",
+      s"${r(s"sma_$p")} AS sma_$p",
+      s"${r(s"(close - sma_$p) / (sma_$p + $eps) * 100")} AS distance_sma_$p"))
+      .mkString(",\n       ")
+    s"""$barsCte, m1 AS (
+       |  SELECT symbol, event_id, close,
+       |         $m1
+       |  FROM bars
+       |), m2 AS (
+       |  SELECT symbol, event_id, close,
+       |         ${P.map(p => s"lag_$p").mkString(", ")},
+       |         $m2
+       |  FROM m1
+       |)
+       |SELECT symbol, event_id,
+       |       $out
+       |FROM m2 ORDER BY event_id""".stripMargin
+  }
+
+  val featVolatility: String = {
+    val v2 = V.flatMap(n => Seq(
+      s"COUNT(returns) OVER (${frame(n)}) AS rc_$n",
+      s"SUM(returns) OVER (${frame(n)}) AS rs_$n",
+      s"SUM(returns * returns) OVER (${frame(n)}) AS rq_$n",
+      s"COUNT(hl_ratio) OVER (${frame(n)}) AS hc_$n",
+      s"SUM(hl_ratio) OVER (${frame(n)}) AS hs_$n")).mkString(",\n         ")
+    val out = V.flatMap(n => Seq(
+      s"${r(s"CASE WHEN rc_$n = $n THEN sqrt(greatest((rq_$n - rs_$n * rs_$n / $n) / ${n - 1}, 0.0)) END")} AS volatility_$n",
+      s"${r(s"CASE WHEN rc_$n = $n THEN rq_$n END")} AS realized_vol_$n",
+      s"${r(s"CASE WHEN hc_$n = $n THEN hs_$n / $n END")} AS hl_range_$n"))
+      .mkString(",\n       ")
+    s"""$barsCte, v1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS returns,
+       |         (high - low) / close AS hl_ratio
+       |  FROM bars
+       |), v2 AS (
+       |  SELECT symbol, event_id, returns,
+       |         $v2
+       |  FROM v1
+       |)
+       |SELECT symbol, event_id, ${r("returns")} AS returns,
+       |       $out
+       |FROM v2 ORDER BY event_id""".stripMargin
+  }
+
+  val featTemporal: String = {
+    def enc(field: String, name: String, modulo: Int): Seq[String] = Seq(
+      s"${r(s"sin(CAST(EXTRACT($field FROM ts) AS DOUBLE) * 2 * $pi / $modulo)")} AS ${name}_sin",
+      s"${r(s"cos(CAST(EXTRACT($field FROM ts) AS DOUBLE) * 2 * $pi / $modulo)")} AS ${name}_cos")
+    val encs = (enc("hour", "hour", 24) ++ enc("isodow", "day_of_week", 7) ++
+      enc("month", "month", 12)).mkString(",\n       ")
+    s"""SELECT event_id,
+       |       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       |       CAST(EXTRACT(minute FROM ts) AS BIGINT) AS minute,
+       |       CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS day_of_week,
+       |       CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+       |       CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+       |       $encs
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
+  val featBollinger: String = {
+    val n = Params.BbPeriod
+    val k = Params.BbStd
+    s"""$barsCte, b1 AS (
+       |  SELECT symbol, event_id, close,
+       |         COUNT(close) OVER (${frame(n)}) AS c_n,
+       |         SUM(close) OVER (${frame(n)}) AS s1,
+       |         SUM(close * close) OVER (${frame(n)}) AS s2
+       |  FROM bars
+       |), b2 AS (
+       |  SELECT symbol, event_id, close,
+       |         CASE WHEN c_n = $n THEN s1 / $n END AS mid,
+       |         CASE WHEN c_n = $n THEN sqrt(greatest((s2 - s1 * s1 / $n) / ${n - 1}, 0.0)) END AS sd
+       |  FROM b1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("mid")} AS bb_middle,
+       |       ${r(s"mid + sd * $k")} AS bb_upper,
+       |       ${r(s"mid - sd * $k")} AS bb_lower,
+       |       ${r(s"((mid + sd * $k) - (mid - sd * $k)) / mid")} AS bb_width
+       |FROM b2 ORDER BY event_id""".stripMargin
+  }
+
+  private def targetsCte: String =
+    s"""$barsCte, t AS (
+       |  SELECT symbol, event_id, (LEAD(close, ${Params.PredictionHorizon}) OVER ($W) - close) / close AS fwd
+       |  FROM bars
+       |)""".stripMargin
+
+  val targetsClassification: String =
+    s"""$targetsCte
+       |SELECT symbol, event_id, CAST(fwd > 0 AS TINYINT) AS target
+       |FROM t WHERE fwd IS NOT NULL ORDER BY event_id""".stripMargin
+
+  val targetsRegression: String =
+    s"""$targetsCte
+       |SELECT symbol, event_id, ${r("fwd")} AS target
+       |FROM t WHERE fwd IS NOT NULL ORDER BY event_id""".stripMargin
+
+  val temporalSplit: String =
+    s"""WITH s AS (
+       |  SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn, COUNT(*) OVER () AS n
+       |  FROM events
+       |)
+       |SELECT event_id,
+       |       CASE WHEN rn <= CAST(FLOOR(${1.0 - Params.TestSize} * n) AS BIGINT) THEN 'train' ELSE 'test' END AS split
+       |FROM s ORDER BY event_id""".stripMargin
+
+  val unionSymbols: String =
+    s"""$barsCte
+       |SELECT event_id, symbol, ${r("close")} AS close, branch FROM (
+       |  SELECT event_id, symbol, close, 'a' AS branch FROM bars WHERE CAST(symbol AS INT) % 2 = 0
+       |  UNION ALL
+       |  SELECT event_id, symbol, CAST(CAST(close AS REAL) AS DOUBLE) AS close, 'b' AS branch
+       |  FROM bars WHERE CAST(symbol AS INT) % 2 = 1
+       |) u ORDER BY event_id""".stripMargin
+
+  val valueCounts: String =
+    s"""$targetsCte
+       |SELECT CAST(fwd > 0 AS TINYINT) AS target, COUNT(*) AS cnt
+       |FROM t WHERE fwd IS NOT NULL GROUP BY 1 ORDER BY target""".stripMargin
+
+  val aggStats: String =
+    s"""$barsCte, g AS (
+       |  SELECT symbol, COUNT(*) AS n, SUM(close) AS s1, SUM(close * close) AS s2,
+       |         MIN(close) AS mn, MAX(close) AS mx
+       |  FROM bars GROUP BY symbol
+       |)
+       |SELECT symbol, n, ${r("mn")} AS close_min, ${r("mx")} AS close_max,
+       |       ${r("s1 / n")} AS close_avg,
+       |       ${r("sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0))")} AS close_std
+       |FROM g ORDER BY symbol""".stripMargin
+
+  val topkEvents: String =
+    s"""SELECT event_id, event_type, ${r("value")} AS value
+       |FROM events ORDER BY value DESC, event_id LIMIT 100""".stripMargin
+
+  val mlMatrix: String = {
+    // Same formula blocks as featMomentum / featVolatility / featBollinger /
+    // featTemporal, assembled into one frame, any-null rows dropped
+    // (reference src/ml/training.py:50-52), plus the classification target.
+    val m1 = P.flatMap(p => Seq(
+      s"LAG(close, $p) OVER ($W) AS lag_$p",
+      s"COUNT(close) OVER (${frame(p)}) AS mc_$p",
+      s"SUM(close) OVER (${frame(p)}) AS ms_$p")).mkString(",\n         ")
+    val bbN = Params.BbPeriod
+    val momCols = P.flatMap(p => Seq(
+      s"(close - lag_$p) / (lag_$p + $eps) AS return_$p",
+      s"close - lag_$p AS momentum_$p",
+      s"(close - lag_$p) / (lag_$p + $eps) * 100 AS roc_$p",
+      s"sma_$p",
+      s"(close - sma_$p) / (sma_$p + $eps) * 100 AS distance_sma_$p")).mkString(",\n         ")
+    val volAgg = V.flatMap(n => Seq(
+      s"COUNT(returns) OVER (${frame(n)}) AS rc_$n",
+      s"SUM(returns) OVER (${frame(n)}) AS rs_$n",
+      s"SUM(returns * returns) OVER (${frame(n)}) AS rq_$n",
+      s"COUNT(hl_ratio) OVER (${frame(n)}) AS hc_$n",
+      s"SUM(hl_ratio) OVER (${frame(n)}) AS hs_$n")).mkString(",\n         ")
+    val volCols = V.flatMap(n => Seq(
+      s"CASE WHEN rc_$n = $n THEN sqrt(greatest((rq_$n - rs_$n * rs_$n / $n) / ${n - 1}, 0.0)) END AS volatility_$n",
+      s"CASE WHEN rc_$n = $n THEN rq_$n END AS realized_vol_$n",
+      s"CASE WHEN hc_$n = $n THEN hs_$n / $n END AS hl_range_$n")).mkString(",\n         ")
+    val tempCols =
+      s"""CAST(EXTRACT(hour FROM datetime) AS BIGINT) AS hour,
+         |         CAST(EXTRACT(minute FROM datetime) AS BIGINT) AS minute,
+         |         CAST(EXTRACT(isodow FROM datetime) AS BIGINT) AS day_of_week,
+         |         CAST(EXTRACT(day FROM datetime) AS BIGINT) AS day,
+         |         CAST(EXTRACT(month FROM datetime) AS BIGINT) AS month,
+         |         sin(CAST(EXTRACT(hour FROM datetime) AS DOUBLE) * 2 * $pi / 24) AS hour_sin,
+         |         cos(CAST(EXTRACT(hour FROM datetime) AS DOUBLE) * 2 * $pi / 24) AS hour_cos,
+         |         sin(CAST(EXTRACT(isodow FROM datetime) AS DOUBLE) * 2 * $pi / 7) AS day_of_week_sin,
+         |         cos(CAST(EXTRACT(isodow FROM datetime) AS DOUBLE) * 2 * $pi / 7) AS day_of_week_cos,
+         |         sin(CAST(EXTRACT(month FROM datetime) AS DOUBLE) * 2 * $pi / 12) AS month_sin,
+         |         cos(CAST(EXTRACT(month FROM datetime) AS DOUBLE) * 2 * $pi / 12) AS month_cos""".stripMargin
+    val feats = graft.queries.Core.MlMatrixFeatures
+    val ints = Set("hour", "minute", "day_of_week", "day", "month")
+    val outCols = feats.map(n => if (ints(n)) n else s"${r(n)} AS $n").mkString(",\n       ")
+    val notNull = feats.map(n => s"$n IS NOT NULL").mkString(" AND ")
+    s"""$barsCte, f1 AS (
+       |  SELECT symbol, event_id, datetime, close, high, low,
+       |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS returns,
+       |         (high - low) / close AS hl_ratio,
+       |         LEAD(close, ${Params.PredictionHorizon}) OVER ($W) AS next_close,
+       |         $m1,
+       |         COUNT(close) OVER (${frame(bbN)}) AS bc_n,
+       |         SUM(close) OVER (${frame(bbN)}) AS bs1,
+       |         SUM(close * close) OVER (${frame(bbN)}) AS bs2
+       |  FROM bars
+       |), f2 AS (
+       |  SELECT *,
+       |         ${P.map(p => s"CASE WHEN mc_$p = $p THEN ms_$p / $p END AS sma_$p").mkString(",\n         ")},
+       |         CASE WHEN bc_n = $bbN THEN bs1 / $bbN END AS bb_mid,
+       |         CASE WHEN bc_n = $bbN THEN sqrt(greatest((bs2 - bs1 * bs1 / $bbN) / ${bbN - 1}, 0.0)) END AS bb_sd,
+       |         $volAgg
+       |  FROM f1
+       |), f3 AS (
+       |  SELECT symbol, event_id, returns,
+       |         (next_close - close) / close AS fwd,
+       |         $momCols,
+       |         $volCols,
+       |         bb_mid AS bb_middle,
+       |         bb_mid + bb_sd * ${Params.BbStd} AS bb_upper,
+       |         bb_mid - bb_sd * ${Params.BbStd} AS bb_lower,
+       |         ((bb_mid + bb_sd * ${Params.BbStd}) - (bb_mid - bb_sd * ${Params.BbStd})) / bb_mid AS bb_width,
+       |         $tempCols
+       |  FROM f2
+       |)
+       |SELECT event_id,
+       |       $outCols,
+       |       CAST(fwd > 0 AS TINYINT) AS target
+       |FROM f3 WHERE fwd IS NOT NULL AND $notNull ORDER BY event_id""".stripMargin
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Params
+import graft.features._
+import graft.source.Bars
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked core queries (SURVEY.md §2.2-2.5). Each returns a
+  * deterministically-ordered DataFrame whose derived doubles are
+  * `round(x, 6) + 0.0` (FIXTURES.md §4) so the driver's DuckDB hash compare
+  * is bit-stable.
+  */
+object Core {
+
+  /** round(x,6), with -0.0 collapsed to 0.0 (`+ 0.0`) — mirrored verbatim in
+    * the oracle SQL. */
+  def r6(c: Column): Column = round(c, Params.Round) + lit(0.0)
+
+  private def keyed(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.select(col("symbol") +: col("event_id") +: cols: _*).orderBy("event_id")
+
+  def bars(s: SparkSession, dir: String): DataFrame = Bars.bars(s, dir)
+
+  /** S1/S7/P1-P3: source normalization (events → canonical OHLCV bars). */
+  def ingestBars(s: SparkSession, dir: String): DataFrame =
+    bars(s, dir).select(
+      col("symbol"), col("event_id"),
+      // timestamp_ntz: parquet naive µs, matching DuckDB's TIMESTAMP
+      // (session tz is UTC, so the wall-clock value is unchanged)
+      col("datetime").cast("timestamp_ntz").as("datetime"),
+      r6(col("open")).as("open"), r6(col("high")).as("high"),
+      r6(col("low")).as("low"), r6(col("close")).as("close"),
+      col("volume"))
+      .orderBy("event_id")
+
+  /** W2/W7/W13/W14: per-period momentum block. */
+  def featMomentum(s: SparkSession, dir: String): DataFrame = {
+    val out = Params.MomentumPeriods.flatMap(p => Seq(
+      s"return_$p", s"momentum_$p", s"roc_$p", s"sma_$p", s"distance_sma_$p"))
+    keyed(Momentum.withMomentum(bars(s, dir)), out.map(n => r6(col(n)).as(n)))
+  }
+
+  /** W4/W8/W9/W15-W17: returns + volatility block. */
+  def featVolatility(s: SparkSession, dir: String): DataFrame = {
+    val out = "returns" +: Params.VolatilityWindows.flatMap(n => Seq(
+      s"volatility_$n", s"realized_vol_$n", s"hl_range_$n"))
+    keyed(Volatility.withVolatility(bars(s, dir)), out.map(n => r6(col(n)).as(n)))
+  }
+
+  /** F1-F3: calendar + cyclic encodings (narrow, no shuffle). */
+  def featTemporal(s: SparkSession, dir: String): DataFrame = {
+    val ints = Seq("hour", "minute", "day_of_week", "day", "month")
+    val dbls = Seq("hour_sin", "hour_cos", "day_of_week_sin", "day_of_week_cos",
+      "month_sin", "month_cos")
+    Temporal.withTemporal(bars(s, dir))
+      .select(col("event_id") +:
+        (ints.map(col) ++ dbls.map(n => r6(col(n)).as(n))): _*)
+      .orderBy("event_id")
+  }
+
+  /** W7/W8/W12: Bollinger bands. */
+  def featBollinger(s: SparkSession, dir: String): DataFrame =
+    keyed(Technical.withTechnical(bars(s, dir)),
+      Seq("bb_middle", "bb_upper", "bb_lower", "bb_width").map(n => r6(col(n)).as(n)))
+
+  /** W1/W5/W10: RSI (custom Ewma adjust=false). Not DuckDB-expressible —
+    * covered by ScalaTest golden vectors; driver records rows-only. */
+  def featRsi(s: SparkSession, dir: String): DataFrame =
+    keyed(Technical.withTechnical(bars(s, dir)), Seq(r6(col("rsi")).as("rsi")))
+
+  /** W6/W11: MACD (custom Ewma adjust=true, two window passes). */
+  def featMacd(s: SparkSession, dir: String): DataFrame =
+    keyed(Technical.withTechnical(bars(s, dir)),
+      Seq("macd", "macd_signal", "macd_histogram").map(n => r6(col(n)).as(n)))
+
+  /** W3/W18: forward-return classification target. */
+  def targetsClassification(s: SparkSession, dir: String): DataFrame =
+    keyed(Targets.withTarget(bars(s, dir), targetType = "classification"),
+      Seq(col("target")))
+
+  /** W18 (regression flavor). */
+  def targetsRegression(s: SparkSession, dir: String): DataFrame =
+    keyed(Targets.withTarget(bars(s, dir), targetType = "regression"),
+      Seq(r6(col("target")).as("target")))
+
+  /** W19: temporal ordered 80/20 split (shuffle=False,
+    * reference src/ml/training.py:60-62). Exact-parity form needs a global
+    * row_number (single-partition window) — fine at verify scale; the
+    * scale-out variant would threshold on a time quantile instead. The row
+    * count joins in via broadcast rather than a driver action. */
+  def temporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    ev.select(col("event_id"), row_number().over(w).as("rn"))
+      .crossJoin(broadcast(n))
+      .select(col("event_id"),
+        when(col("rn") <= floor(lit(1.0 - Params.TestSize) * col("n")).cast("long"), "train")
+          .otherwise("test").as("split"))
+      .orderBy("event_id")
+  }
+
+  /** P8: schema-normalizing vertical union (reference src/main.py:98-125):
+    * branch b arrives with scrambled column order and float32 close; the
+    * normalization pass re-orders + casts before unionByName. */
+  def unionSymbols(s: SparkSession, dir: String): DataFrame = {
+    val b = bars(s, dir)
+    val a = b.filter(col("symbol").cast("int") % 2 === 0)
+      .select(col("event_id"), col("symbol"), col("close"), lit("a").as("branch"))
+    val scrambled = b.filter(col("symbol").cast("int") % 2 === 1)
+      .select(lit("b").as("branch"), col("close").cast("float").as("close"),
+        col("symbol"), col("event_id"))
+    val normalized = scrambled.select(
+      col("event_id"), col("symbol"), col("close").cast("double").as("close"), col("branch"))
+    a.unionByName(normalized)
+      .select(col("event_id"), col("symbol"), r6(col("close")).as("close"), col("branch"))
+      .orderBy("event_id")
+  }
+
+  /** P11/A3: target distribution (value_counts). */
+  def valueCounts(s: SparkSession, dir: String): DataFrame =
+    Targets.withTarget(bars(s, dir), targetType = "classification")
+      .groupBy("target").agg(count(lit(1)).as("cnt"))
+      .orderBy("target")
+
+  /** A1/A2: per-symbol descriptive stats. avg/std via explicit sums so the
+    * oracle evaluates the identical arithmetic. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val c = col("close")
+    bars(s, dir).groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"),
+        min(c).as("mn"), max(c).as("mx"))
+      .select(col("symbol"), col("n"),
+        r6(col("mn")).as("close_min"), r6(col("mx")).as("close_max"),
+        r6(col("s1") / col("n")).as("close_avg"),
+        r6(sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+          lit(0.0)))).as("close_std"))
+      .orderBy("symbol")
+  }
+
+  /** P9/P10: top-k by value (plans as TakeOrderedAndProject — no global
+    * sort materialization, scales as a per-partition heap + driver merge). */
+  def topkEvents(s: SparkSession, dir: String): DataFrame =
+    Bars.readEvents(s, dir)
+      .select(col("event_id"), col("event_type"), r6(col("value")).as("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+
+  /** Columns of the SQL-expressible feature matrix (everything except the
+    * EWMA-family features, which have no DuckDB oracle). */
+  val MlMatrixFeatures: Seq[String] =
+    Params.MomentumPeriods.flatMap(p => Seq(
+      s"return_$p", s"momentum_$p", s"roc_$p", s"sma_$p", s"distance_sma_$p")) ++
+    ("returns" +: Params.VolatilityWindows.flatMap(n => Seq(
+      s"volatility_$n", s"realized_vol_$n", s"hl_range_$n"))) ++
+    Seq("bb_middle", "bb_upper", "bb_lower", "bb_width") ++
+    Seq("hour", "minute", "day_of_week", "day", "month",
+      "hour_sin", "hour_cos", "day_of_week_sin", "day_of_week_cos",
+      "month_sin", "month_cos")
+
+  /** M1/P4/P7: ML feature matrix — select features + target, drop any-null
+    * rows (reference src/ml/training.py:39-58). */
+  def mlMatrix(s: SparkSession, dir: String): DataFrame = {
+    val feats = Temporal.withTemporal(
+      Volatility.withVolatility(
+        Momentum.withMomentum(
+          Technical.withTechnical(bars(s, dir)))))
+    val withTarget = Targets.withTarget(feats, targetType = "classification")
+    val selected = withTarget.select(
+      col("event_id") +: (MlMatrixFeatures.map(col) :+ col("target")): _*)
+    val dropped = selected.na.drop("any", MlMatrixFeatures)
+    val ints = Set("hour", "minute", "day_of_week", "day", "month")
+    dropped.select(
+      col("event_id") +:
+      (MlMatrixFeatures.map(n => if (ints(n)) col(n) else r6(col(n)).as(n)) :+
+        col("target")): _*)
+      .orderBy("event_id")
+  }
+}

@@ -25,8 +25,25 @@ object Bars {
   /** Number of synthetic symbols to fold `user_id` into (FIXTURES.md §4). */
   val DefaultSymbols = 8
 
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+  /** Read the shared events table, normalizing its timestamp column.
+    *
+    * The driver-generated parquet stores `ts` as INT64 TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects by default; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long of
+    * nanoseconds, which we truncate to µs TimestampType — the same
+    * truncation DuckDB applies, so both engines see identical values.
+    * This mirrors the reference's defensive datetime normalization at the
+    * ingest edge (reference: src/data/ingestion.py:63-104, 177-180).
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   /** events → bars adapter. Deterministic, oracle-checkable (FIXTURES.md §4):
     *   symbol   = cast(user_id % k as string)
