@@ -1,7 +1,7 @@
 package graft
 
 import graft.oracle.OracleSql
-import graft.queries.Core
+import graft.queries.{Analytics, Core}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
@@ -38,6 +38,11 @@ object SparkEntry {
     "agg_stats" -> (Core.aggStats _),
     "topk_events" -> (Core.topkEvents _),
     "ml_matrix" -> (Core.mlMatrix _),
+    "join_star" -> (Analytics.joinStar _),
+    "join_asof" -> (Analytics.joinAsof _),
+    "window_tumbling" -> (Analytics.windowTumbling _),
+    "window_sliding" -> (Analytics.windowSliding _),
+    "sessionize" -> (Analytics.sessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -54,5 +59,10 @@ object SparkEntry {
     "agg_stats" -> OracleSql.aggStats,
     "topk_events" -> OracleSql.topkEvents,
     "ml_matrix" -> OracleSql.mlMatrix,
+    "join_star" -> OracleSql.joinStar,
+    "join_asof" -> OracleSql.joinAsof,
+    "window_tumbling" -> OracleSql.windowTumbling,
+    "window_sliding" -> OracleSql.windowSliding,
+    "sessionize" -> OracleSql.sessionize,
   )
 }

@@ -1,0 +1,97 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's surface (SURVEY.md §2.6/§7.6):
+  * star-schema equi-joins and a generic as-of join. Designed for the 100 TB
+  * path: dimensions broadcast, the fact table never leaves its partitioning,
+  * and the as-of join is a union + single window pass (no per-row probes, no
+  * range-join explosion).
+  */
+object Relational {
+
+  /** Star probe: revenue per nation over
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    *
+    * Scale shape: customer/nation/region are broadcast (no shuffle for the
+    * dimension side); only lineitem ⋈ orders shuffles, on the join key both
+    * sides already share. Aggregation is partial (map-side) + final.
+    */
+  def starRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = customer.as("c")
+      .join(broadcast(nation.as("n")), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(region.as("r")), col("n.n_regionkey") === col("r.r_regionkey"))
+      .select(col("c.c_custkey"), col("n.n_name"), col("r.r_name"))
+    lineitem.as("l")
+      .join(orders.as("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(broadcast(dims.as("d")), col("o.o_custkey") === col("d.c_custkey"))
+      .groupBy(col("d.n_name").as("n_name"))
+      .agg(
+        sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))).as("rev"),
+        count(lit(1)).as("n_items"))
+      // revenue rounded to 2 (not 6): a distributed sum of ~1e5-scale terms
+      // carries order-dependent fp error above 1e-6 — cents are bit-stable.
+      .select(col("n_name"), round(col("rev"), 2).as("revenue"), col("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Generic as-of join: for every left row, the most recent right row with
+    * `rightTime <= leftTime` on the same key.
+    *
+    * Implementation: tag + union both sides, one window pass per key ordered
+    * by (time, side, tie) with right rows sorting before left rows at equal
+    * timestamps (`<=` semantics), then `last(value, ignoreNulls)` over the
+    * running frame. One shuffle on the key, linear work — the classic
+    * scalable as-of shape (vs. a quadratic range join).
+    *
+    * @param valueCols right-side columns to carry (null when no match yet)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, tie: String,
+      valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lSide = left.select(
+      Seq(col(key).as("_k"), col(leftTime).as("_t"), col(tie).as("_tie"),
+        lit(1).as("_is_left")) ++
+      lCols.map(c => col(c).as(s"_l_$c")) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rSide = right.select(
+      Seq(col(key).as("_k"), col(rightTime).as("_t"), col(tie).as("_tie"),
+        lit(0).as("_is_left")) ++
+      lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
+      valueCols.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_is_left"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(lSide.unionByName(rSide))((df, c) =>
+      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("_is_left") === 1)
+      .select(lCols.map(c => col(s"_l_$c").as(c)) ++
+        valueCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Gap-based sessionization (30-min default): per key, a new session starts
+    * when the gap to the previous event exceeds `gapMinutes`. Batch analogue
+    * of a streaming session window; one shuffle on the key, two window
+    * passes (flag, then running sum), then a grouped rollup.
+    */
+  def sessionize(events: DataFrame, key: String = "user_id", time: String = "ts",
+      tie: String = "event_id", gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(time), col(tie))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val flagged = events.withColumn("_new_s",
+      when(lag(col(time), 1).over(w).isNull ||
+        unix_micros(col(time)) - unix_micros(lag(col(time), 1).over(w)) > gapUs, 1L)
+        .otherwise(0L))
+    flagged
+      .withColumn("session_idx",
+        sum(col("_new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(time)).as("session_start"),
+        max(col(time)).as("session_end"))
+  }
+}

@@ -196,6 +196,66 @@ object OracleSql {
     s"""SELECT event_id, event_type, ${r("value")} AS value
        |FROM events ORDER BY value DESC, event_id LIMIT 100""".stripMargin
 
+  val joinStar: String =
+    s"""WITH j AS (
+       |  SELECT n.n_name, l.l_extendedprice * (1 - l.l_discount) AS amt
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |)
+       |SELECT n_name, round(SUM(amt), 2) + 0.0 AS revenue, COUNT(*) AS n_items
+       |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val joinAsof: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, event_id AS tie, 1 AS is_left,
+      |         event_id, CAST(NULL AS BIGINT) AS r_event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 0, CAST(NULL AS BIGINT), event_id
+      |  FROM events WHERE event_type = 'error'
+      |), m AS (
+      |  SELECT is_left, event_id, k AS user_id,
+      |         LAST_VALUE(r_event_id IGNORE NULLS) OVER (
+      |           PARTITION BY k ORDER BY t, is_left, tie
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_id
+      |  FROM u
+      |)
+      |SELECT event_id, user_id, last_error_id FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
+
+  val windowTumbling: String =
+    s"""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
+       |       ${r("SUM(value)")} AS value_sum
+       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  val windowSliding: String =
+    s"""WITH e AS (
+       |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS w_start,
+       |         event_type, value
+       |  FROM events, (SELECT UNNEST(range(4)) AS k) k
+       |)
+       |SELECT w_start, event_type, COUNT(*) AS n, ${r("SUM(value)")} AS value_sum
+       |FROM e GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  val sessionize: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM o
+      |)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+
   val mlMatrix: String = {
     // Same formula blocks as featMomentum / featVolatility / featBollinger /
     // featTemporal, assembled into one frame, any-null rows dropped
