@@ -1,7 +1,7 @@
 package graft
 
-import graft.oracle.OracleSql
-import graft.queries.{Analytics, Core}
+import graft.oracle.{OracleSql, TextSimSql}
+import graft.queries.{Analytics, Core, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
@@ -43,6 +43,20 @@ object SparkEntry {
     "window_tumbling" -> (Analytics.windowTumbling _),
     "window_sliding" -> (Analytics.windowSliding _),
     "sessionize" -> (Analytics.sessionize _),
+    "text_stats" -> (TextSim.textStats _),
+    "text_langid" -> (TextSim.textLangid _),
+    "text_fingerprint" -> (TextSim.textFingerprint _),
+    "dedup_exact" -> (TextSim.dedupExact _),
+    "dedup_minhash" -> (TextSim.dedupMinhash _),
+    "dedup_minhash_pairs" -> (TextSim.dedupMinhashPairs _),
+    "dedup_simhash" -> (TextSim.dedupSimhash _),
+    "dedup_simhash_pairs" -> (TextSim.dedupSimhashPairs _),
+    "dedup_ngram_jaccard" -> (TextSim.dedupNgramJaccard _),
+    "sim_topk" -> (TextSim.simTopk _),
+    "sim_ann_ivf" -> (TextSim.simAnnIvf _),
+    "sim_neardup" -> (TextSim.simNeardup _),
+    "multimodal_meta" -> (TextSim.multimodalMeta _),
+    "multimodal_decode" -> (TextSim.multimodalDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -64,5 +78,18 @@ object SparkEntry {
     "window_tumbling" -> OracleSql.windowTumbling,
     "window_sliding" -> OracleSql.windowSliding,
     "sessionize" -> OracleSql.sessionize,
+    "text_stats" -> TextSimSql.textStats,
+    "text_langid" -> TextSimSql.textLangid,
+    "text_fingerprint" -> TextSimSql.textFingerprint,
+    "dedup_exact" -> TextSimSql.dedupExact,
+    "dedup_minhash" -> TextSimSql.dedupMinhash,
+    "dedup_minhash_pairs" -> TextSimSql.dedupMinhashPairs,
+    "dedup_simhash" -> TextSimSql.dedupSimhash,
+    "dedup_simhash_pairs" -> TextSimSql.dedupSimhashPairs,
+    "dedup_ngram_jaccard" -> TextSimSql.dedupNgramJaccard,
+    "sim_topk" -> TextSimSql.simTopk,
+    "sim_ann_ivf" -> TextSimSql.simAnnIvf,
+    "sim_neardup" -> TextSimSql.simNeardup,
+    "multimodal_meta" -> TextSimSql.multimodalMeta,
   )
 }

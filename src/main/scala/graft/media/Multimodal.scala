@@ -1,0 +1,62 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north star): treat media as opaque `binary`
+  * payloads with typed metadata, decode/feature-extract via a batched
+  * per-partition pass over a typed Dataset — the Scala analogue of a Pandas
+  * `mapInPandas` batch UDF: one decoder instantiation per partition, not per
+  * row, and the exchange-free narrow plan keeps the scan streaming.
+  *
+  * The container has no image/audio codecs, so the decode step is STUBBED
+  * behind [[MediaDecoder]] with a deterministic fake ([[FakeDecoder]]); the
+  * Spark-side plumbing — schema, binary payload handling, partition-batched
+  * UDF shape — is real and tested. Swap in a real JPEG/PNG/PCM decoder per
+  * `kind` to productionize.
+  */
+object Multimodal {
+
+  case class MediaRecord(event_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(event_id: Long, kind: String, byte_len: Int,
+    checksum: Long, width: Int, height: Int, frames: Int)
+
+  trait MediaDecoder extends Serializable {
+    /** payload → (width, height, frames). */
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int)
+  }
+
+  /** Deterministic stand-in: dimensions derived from payload bytes.
+    * A real implementation would dispatch on `kind` to javax.imageio /
+    * an audio frame parser — unavailable in this offline container. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+      val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+      val w = (math.abs(h) % 64 + 1).toInt * 16
+      val ht = (math.abs(h >> 8) % 64 + 1).toInt * 16
+      val fr = if (kind == "view") (math.abs(h >> 16) % 30 + 1).toInt else 1
+      (w, ht, fr)
+    }
+  }
+
+  /** events → typed media records (props stands in for the media payload). */
+  def mediaRecords(events: DataFrame): Dataset[MediaRecord] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("event_type").as("kind"),
+      col("props").cast("binary").as("payload")).as[MediaRecord]
+  }
+
+  /** Partition-batched decode + feature extraction. */
+  def extractFeatures(events: DataFrame,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import events.sparkSession.implicits._
+    mediaRecords(events).mapPartitions { it =>
+      // per-partition init point (real decoders allocate here, once)
+      it.map { r =>
+        val (w, h, f) = decoder.decode(r.kind, r.payload)
+        val checksum = r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+        MediaFeatures(r.event_id, r.kind, r.payload.length, checksum, w, h, f)
+      }
+    }
+  }
+}

@@ -1,0 +1,254 @@
+package graft.oracle
+
+import graft.Params
+import graft.text.{Dedup, TextStats}
+
+/** DuckDB oracle SQL for the text / dedup / similarity / multimodal queries.
+  * Mirrors graft.text.* / graft.sim.* arithmetic exactly; md5-based hashing
+  * and sequential-fold dot products are engine-portable by construction.
+  */
+object TextSimSql {
+
+  private def r(e: String) = s"round($e, ${Params.Round}) + 0.0"
+  private def list(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val textStats: String = {
+    val stop = list(TextStats.Stopwords)
+    s"""WITH s AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), s2 AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS ws_tokens,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS re_tokens,
+       |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks) AS stopword_ratio,
+       |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len
+       |  FROM s
+       |)
+       |SELECT doc_id, ws_tokens, re_tokens,
+       |  ${r("punct_ratio")} AS punct_ratio,
+       |  ${r("stopword_ratio")} AS stopword_ratio,
+       |  ${r("avg_token_len")} AS avg_token_len,
+       |  ${r("(1.0 - punct_ratio) * 0.4 + stopword_ratio * 0.3 + CAST(least(ws_tokens, 100) AS DOUBLE) / 100 * 0.3")} AS quality_score
+       |FROM s2 ORDER BY doc_id""".stripMargin
+  }
+
+  val textLangid: String = {
+    val scores = TextStats.LangMarkers.map { case (l, ms) =>
+      s"CAST(len(list_filter(toks, t -> list_contains(${list(ms)}, t))) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = TextStats.LangMarkers.map(_._1)
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.init.map(l => s"WHEN score_$l = m THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM s
+       |), m AS (
+       |  SELECT *, $best AS m FROM sc
+       |)
+       |SELECT doc_id, $pred AS predicted_lang, lang,
+       |       CAST(($pred) = lang AS INT) AS is_correct
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  val textFingerprint: String =
+    """SELECT doc_id,
+      |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> md5(substring(text, i, 8)))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String =
+    """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  /** Shared shingle CTE: distinct word-3-grams per doc. */
+  private val shinglesCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle
+      |  FROM t, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) u(i)
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM sh0
+      |)""".stripMargin
+
+  private val sigSelect: String =
+    (0 until Dedup.NumHashes).map(k =>
+      s"MIN(md5('${k}_' || shingle)) AS mh_$k").mkString(",\n         ")
+
+  val dedupMinhash: String =
+    s"""$shinglesCte
+       |SELECT doc_id,
+       |         $sigSelect
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val dedupMinhashPairs: String = {
+    val bands = (0 until Dedup.Bands).map { b =>
+      val hs = (0 until Dedup.RowsPerBand).map(rr => s"mh_${b * Dedup.RowsPerBand + rr}")
+      s"SELECT doc_id, $b AS band_idx, concat_ws('|', ${hs.mkString(", ")}) AS band_val FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$shinglesCte, sig AS (
+       |  SELECT doc_id,
+       |         $sigSelect
+       |  FROM sh GROUP BY doc_id
+       |), banded AS (
+       |  $bands
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+       |  GROUP BY doc_a, doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |       ${r("CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter)")} AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashCte: String = {
+    val digits = (1 to 4).map(k =>
+      s"(instr('0123456789abcdef', substring(h, $k, 1)) - 1) AS d_$k").mkString(",\n         ")
+    val sums = (0 until 16).map { b =>
+      val k = b / 4 + 1
+      val j = 1 << (b % 4)
+      s"SUM(2 * ((d_$k // $j) % 2) - 1) AS s_$b"
+    }.mkString(",\n         ")
+    val value = (0 until 16).map(b =>
+      s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+       |), h AS (
+       |  SELECT doc_id, md5(tok) AS h FROM tok
+       |), d AS (
+       |  SELECT doc_id,
+       |         $digits
+       |  FROM h
+       |), sm AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM d GROUP BY doc_id
+       |), sh2 AS (
+       |  SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM sm
+       |)""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    s"""$simhashCte
+       |SELECT doc_id, simhash FROM sh2 ORDER BY doc_id""".stripMargin
+
+  val dedupSimhashPairs: String =
+    s"""$simhashCte, ch AS (
+       |  SELECT doc_id, simhash, c AS chunk_idx,
+       |         (simhash // CAST(pow(16, c) AS BIGINT)) % 16 AS chunk_val
+       |  FROM sh2, UNNEST(range(4)) u(c)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.simhash AS sh_a, y.simhash AS sh_b
+       |  FROM ch x JOIN ch y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupNgramJaccard: String =
+    s"""WITH g0 AS (
+       |  SELECT doc_id, substring(text, i, 4) AS g
+       |  FROM documents, UNNEST(range(1, greatest(length(text) - 3, 1) + 1)) u(i)
+       |), g AS (
+       |  SELECT DISTINCT doc_id, g FROM g0
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM g a JOIN g b
+       |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 AND a.g = b.g
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       ${r("CAST(n_inter AS DOUBLE) / (za.n_g + zb.n_g - n_inter)")} AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Sequential-fold dot product — bit-identical to Spark's
+    * aggregate(zip_with(...), 0D, +). */
+  private def dot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+  private def cos(a: String, b: String) =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  private val embCte =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |)""".stripMargin
+
+  val simTopk: String =
+    s"""$embCte, p AS (
+       |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10
+       |), j AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id, ${cos("pv", "v")} AS cos
+       |  FROM e, p WHERE e.vec_id != probe_id
+       |), rr AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM j
+       |)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("cos")} AS cos
+       |FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  private val ivfCte: String =
+    s"""$embCte, c AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+       |), a0 AS (
+       |  SELECT e.vec_id, v, cent_id, ${cos("cv", "v")} AS ccos FROM e, c
+       |), a1 AS (
+       |  SELECT vec_id, v, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+       |  FROM a0
+       |), asg AS (
+       |  SELECT vec_id, v, cent_id AS bucket FROM a1 WHERE crank = 1
+       |)""".stripMargin
+
+  val simAnnIvf: String =
+    s"""$ivfCte, p AS (
+       |  SELECT vec_id AS probe_id, v AS pv, bucket FROM asg WHERE vec_id < 10
+       |), j AS (
+       |  SELECT probe_id, asg.vec_id AS neighbor_id, ${cos("pv", "v")} AS cos
+       |  FROM asg JOIN p USING (bucket) WHERE asg.vec_id != probe_id
+       |), rr AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM j
+       |)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("cos")} AS cos
+       |FROM rr WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  val simNeardup: String =
+    s"""$ivfCte
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, ${r(cos("x.v", "y.v"))} AS cos
+       |FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE ${cos("x.v", "y.v")} >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val multimodalMeta: String =
+    """SELECT event_id,
+      |       CAST(length(props) AS BIGINT) AS payload_len,
+      |       md5(props) AS payload_md5,
+      |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value
+      |FROM events ORDER BY event_id""".stripMargin
+}

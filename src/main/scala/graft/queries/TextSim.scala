@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.media.Multimodal
+import graft.sim.Similarity
+import graft.source.{Bars, Tables}
+import graft.text.{Dedup, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Core.r6
+
+/** Oracle-checked text-analysis / dedup / similarity / multimodal queries
+  * (training-data-pipeline north star). */
+object TextSim {
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextStats.withStats(Tables.documents(s, dir))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+        r6(col("punct_ratio")).as("punct_ratio"),
+        r6(col("stopword_ratio")).as("stopword_ratio"),
+        r6(col("avg_token_len")).as("avg_token_len"),
+        r6(col("quality_score")).as("quality_score"))
+      .orderBy("doc_id")
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextStats.withLangId(Tables.documents(s, dir))
+      .select(col("doc_id"), col("predicted_lang"), col("lang"), col("is_correct"))
+      .orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextStats.withFingerprint(Tables.documents(s, dir))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy("doc_id")
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir))
+      .orderBy("canonical_id")
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, dir))
+      .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir))
+      .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  def simTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(Tables.embeddings(s, dir))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
+      .orderBy("probe_id", "rank")
+
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
+      .orderBy("probe_id", "rank")
+
+  def simNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir))
+      .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+
+  /** Multimodal metadata (oracle-checkable subset: payload length, md5,
+    * extracted numeric field). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Bars.readEvents(s, dir).select(
+        col("event_id"),
+        length(col("props")).cast("long").as("payload_len"),
+        md5(col("props").cast("binary")).as("payload_md5"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k_value"))
+      .orderBy("event_id")
+
+  /** Partition-batched stub decode over typed media records — not
+    * SQL-expressible (rows-only driver check; covered by MultimodalSpec). */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Bars.readEvents(s, dir)).toDF()
+      .orderBy("event_id")
+}

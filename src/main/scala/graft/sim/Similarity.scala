@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (`embedding: array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * bucketed variant as the scale path (probe only your coarse cell instead
+  * of the full corpus).
+  *
+  * The dot product is a sequential left-to-right fold over exact
+  * float×float products (`aggregate(zip_with(...))`), which the DuckDB
+  * oracle reproduces bit-for-bit with `list_sum(list_transform(...))`.
+  * No UDFs — higher-order built-ins only.
+  *
+  * Scale shape: probes/centroids are broadcast; candidates never shuffle
+  * until the per-probe top-k window (keyed by probe — at 100 TB, replace the
+  * window with a partial top-k aggregate per partition + merge).
+  */
+object Similarity {
+
+  /** Sequential-fold cosine between two array<double> columns (cast from
+    * float upstream). */
+  def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col("vec_id").as(idCol),
+      col("embedding").cast("array<double>").as(vecCol))
+
+  /** Exact brute-force top-k: broadcast the probe set, scan the corpus once,
+    * rank per probe. */
+  def bruteTopK(embeddings: DataFrame, numProbes: Int = 10, k: Int = 5): DataFrame = {
+    val probes = asDouble(embeddings.filter(col("vec_id") < numProbes), "probe_id", "p")
+    val cand = asDouble(embeddings, "neighbor_id", "v")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", cosine("p", "v"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /** Coarse IVF assignment: nearest of the first `numCentroids` vectors
+    * (deterministic stand-in for trained centroids). */
+  def ivfAssign(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
+    val cents = asDouble(embeddings.filter(col("vec_id") < numCentroids), "cent_id", "c")
+    val vecs = asDouble(embeddings, "vec_id", "v")
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine("c", "v"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+  }
+
+  /** ANN top-k: probes search only their own IVF bucket. */
+  def ivfTopK(embeddings: DataFrame, numProbes: Int = 10, k: Int = 3,
+      numCentroids: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, numCentroids)
+    val probes = assigned.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"), col("bucket"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", cosine("p", "v"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: same IVF bucket, cosine >= threshold. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.25,
+      numCentroids: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, numCentroids)
+    assigned.as("x").join(assigned.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", cosine("x.v", "y.v"))
+      .filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table (training-data-pipeline
+  * north star): token counting (whitespace + regex), punctuation/stopword
+  * ratios, quality scoring, marker-based language ID, and min-hash document
+  * fingerprinting. All narrow per-row projections (no shuffle) built from
+  * codegen-friendly built-ins + higher-order array functions — no UDFs.
+  */
+object TextStats {
+
+  /** Stopword markers per language for the heuristic language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "is", "in")
+
+  /** Tokenization, length/punctuation/stopword stats and a composite quality
+    * score. Formula mirrored verbatim in the DuckDB oracle. */
+  def withStats(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stoplist = array(Stopwords.map(lit): _*)
+    val wsTokens = size(toks).cast("long")
+    val reTokens = expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)")
+    val punct = expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE)") / length(col("text"))
+    val stopRatio = size(filter(toks, t => array_contains(stoplist, t))).cast("double") / size(toks)
+    val avgLen = length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double") / size(toks)
+    docs.select(col("*"),
+      wsTokens.as("ws_tokens"),
+      reTokens.as("re_tokens"),
+      punct.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      avgLen.as("avg_token_len"),
+      ((lit(1.0) - punct) * 0.4 + stopRatio * 0.3 +
+        least(wsTokens, lit(100)).cast("double") / 100 * 0.3).as("quality_score"))
+  }
+
+  /** Marker-count language ID: per language, count tokens hitting its marker
+    * list; predict the argmax (ties broken alphabetically). */
+  def withLangId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = docs.select(col("*") +: LangMarkers.map { case (l, ms) =>
+      size(filter(toks, t => array_contains(array(ms.map(lit): _*), t)))
+        .cast("long").as(s"score_$l")
+    }: _*)
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit("zh"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted_lang", pred)
+      .withColumn("is_correct", (col("predicted_lang") === col("lang")).cast("int"))
+  }
+
+  /** Document fingerprint: lexicographic min of md5 over all char 8-grams —
+    * a winnowing-style content fingerprint, identical in Spark and DuckDB
+    * because both take a string-min over the same md5 hex strings. */
+  def withFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint",
+      expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8))))"))
+}
