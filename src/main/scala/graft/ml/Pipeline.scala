@@ -1,0 +1,93 @@
+package graft.ml
+
+import graft.Params
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML surface (SURVEY.md §2.7): feature-matrix prep, temporal split,
+  * gradient-boosted-tree train/score/evaluate, feature importances.
+  *
+  * The reference trains XGBoost (src/ml/training.py:72-126; params
+  * src/config.py:51-55). xgboost4j is not on the offline classpath — MLlib's
+  * GBTClassifier/GBTRegressor is the Spark-native equivalent capability,
+  * with matching maxIter/maxDepth/stepSize/subsamplingRate and a fractional
+  * featureSubsetStrategy standing in for colsample_bytree.
+  *
+  * Everything stays in DataFrames (no driver-side numpy materialization,
+  * unlike the reference's training.py:57-58) — the assembler + GBT scale out
+  * with the cluster.
+  */
+object MlPipeline {
+
+  /** Temporal 80/20 split, shuffle=False (reference src/ml/training.py:60-62). */
+  def temporalSplit(df: DataFrame, timeCol: String = "datetime",
+      testSize: Double = Params.TestSize): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(col(timeCol), col("event_id"))
+    val n = df.count()
+    val cut = math.floor((1.0 - testSize) * n).toLong
+    val idx = df.withColumn("_rn", row_number().over(w))
+    (idx.filter(col("_rn") <= cut).drop("_rn"),
+      idx.filter(col("_rn") > cut).drop("_rn"))
+  }
+
+  def assemble(df: DataFrame, features: Seq[String],
+      labelCol: String = "target"): DataFrame = {
+    val cleaned = df.na.drop("any", features :+ labelCol)
+    new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .transform(cleaned)
+      .withColumn("label", col(labelCol).cast("double"))
+  }
+
+  def classifier(maxIter: Int = 100): GBTClassifier =
+    new GBTClassifier()
+      .setMaxIter(maxIter).setMaxDepth(6).setStepSize(0.1)
+      .setSubsamplingRate(0.8).setFeatureSubsetStrategy("0.8")
+      .setSeed(42)
+
+  def regressor(maxIter: Int = 100): GBTRegressor =
+    new GBTRegressor()
+      .setMaxIter(maxIter).setMaxDepth(6).setStepSize(0.1)
+      .setSubsamplingRate(0.8).setFeatureSubsetStrategy("0.8")
+      .setSeed(42)
+
+  /** Classification metrics (reference src/ml/evaluation.py:25-60). */
+  def evaluateClassifier(scored: DataFrame): Map[String, Double] = {
+    def m(metric: String) = new MulticlassClassificationEvaluator()
+      .setMetricName(metric).evaluate(scored)
+    Map(
+      "accuracy" -> m("accuracy"),
+      "precision" -> m("weightedPrecision"),
+      "recall" -> m("weightedRecall"),
+      "f1" -> m("f1"),
+      "roc_auc" -> new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderROC").evaluate(scored))
+  }
+
+  /** Regression metrics (reference src/ml/evaluation.py:62-82). */
+  def evaluateRegressor(scored: DataFrame): Map[String, Double] = {
+    def m(metric: String) = new RegressionEvaluator()
+      .setMetricName(metric).evaluate(scored)
+    Map("rmse" -> m("rmse"), "mse" -> m("mse"), "mae" -> m("mae"), "r2" -> m("r2"))
+  }
+
+  /** Confusion matrix as a DataFrame (evaluation.py:52-57). */
+  def confusionMatrix(scored: DataFrame): DataFrame =
+    scored.groupBy(col("label"), col("prediction")).count()
+      .orderBy("label", "prediction")
+
+  /** Top-k feature importances (reference src/ml/evaluation.py:85-130). */
+  def topImportances(model: GBTClassificationModel, features: Seq[String],
+      k: Int = 20): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val imp = model.featureImportances.toArray
+    features.zip(imp).toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature")).limit(k)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ml.MlPipeline
+import graft.queries.Core
+import org.apache.spark.ml.classification.GBTClassificationModel
+import org.apache.spark.sql.functions._
+
+/** End-to-end ML pipeline on the shared sf0.001 tables: matrix → temporal
+  * split → GBT train → score → metrics/importances → save/load roundtrip.
+  * Small maxIter keeps the suite fast; invariants (not exact metrics) are
+  * asserted, per SURVEY.md §2.7 (ML is not DuckDB-oracle-checkable).
+  */
+class MlSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("GBT classifier trains, scores, and round-trips through save/load") {
+    val bars = graft.source.Bars.bars(spark, dir)
+    val feats = graft.features.Targets.withTarget(
+      graft.features.Features.computeAllFeatures(bars))
+    val (train, test) = MlPipeline.temporalSplit(feats)
+    assert(train.count() > test.count() && test.count() > 0)
+
+    val fcols = graft.features.Features.FeatureCols
+    val trainM = MlPipeline.assemble(train, fcols)
+    val testM = MlPipeline.assemble(test, fcols)
+    val model = MlPipeline.classifier(maxIter = 10).fit(trainM)
+    val scored = model.transform(testM)
+
+    val metrics = MlPipeline.evaluateClassifier(scored)
+    Seq("accuracy", "precision", "recall", "f1", "roc_auc").foreach { k =>
+      assert(metrics(k) >= 0.0 && metrics(k) <= 1.0, s"$k=${metrics(k)}")
+    }
+    assert(metrics("accuracy") > 0.3) // better than degenerate
+
+    val preds = scored.select("prediction").distinct().collect().map(_.getDouble(0)).toSet
+    assert(preds.subsetOf(Set(0.0, 1.0)))
+
+    val imp = MlPipeline.topImportances(model, fcols)
+    assert(imp.count() == 20)
+    val total = model.featureImportances.toArray.sum
+    assert(math.abs(total - 1.0) < 1e-6)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-gbt").toString + "/model"
+    model.write.overwrite().save(path)
+    val loaded = GBTClassificationModel.load(path)
+    val a = scored.agg(sum("prediction")).collect()(0).getDouble(0)
+    val b = loaded.transform(testM).agg(sum("prediction")).collect()(0).getDouble(0)
+    assert(a == b)
+  }
+
+  test("GBT regressor trains on forward-return target with sane metrics") {
+    val bars = graft.source.Bars.bars(spark, dir)
+    val feats = graft.features.Targets.withTarget(
+      graft.features.Features.computeAllFeatures(bars), targetType = "regression")
+    val (train, test) = MlPipeline.temporalSplit(feats)
+    val fcols = graft.features.Features.FeatureCols
+    val model = MlPipeline.regressor(maxIter = 5).fit(MlPipeline.assemble(train, fcols))
+    val m = MlPipeline.evaluateRegressor(model.transform(MlPipeline.assemble(test, fcols)))
+    assert(m("rmse") >= 0 && m("mae") >= 0 && m("mse") >= 0)
+    assert(m("r2") <= 1.0)
+  }
+
+  test("confusion matrix cells sum to the scored row count") {
+    val bars = graft.source.Bars.bars(spark, dir)
+    val feats = graft.features.Targets.withTarget(
+      graft.features.Features.computeAllFeatures(bars))
+    val fcols = graft.features.Features.FeatureCols
+    val m = MlPipeline.assemble(feats, fcols)
+    val model = MlPipeline.classifier(maxIter = 3).fit(m)
+    val scored = model.transform(m)
+    val cm = MlPipeline.confusionMatrix(scored)
+    assert(cm.agg(sum("count")).collect()(0).getLong(0) == scored.count())
+  }
+}

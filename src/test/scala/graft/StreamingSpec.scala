@@ -1,0 +1,48 @@
+package graft
+
+import graft.analytics.{Relational, TimeWindows}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming parity: the streaming transforms must agree with
+  * their batch twins when the whole file is replayed (Trigger.AvailableNow →
+  * memory sink, complete/update modes). */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling window counts equal the batch window aggregation") {
+    val stream = Streams.tumblingCounts(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("stream_tumbling")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_tumbling")
+    val want = TimeWindows.tumbling(graft.source.Bars.readEvents(spark, dir))
+    assert(got.count() == want.count())
+    val gSum = got.agg(sum("n")).collect()(0).getLong(0)
+    val wSum = want.agg(sum("n")).collect()(0).getLong(0)
+    assert(gSum == wSum && gSum == 1000)
+    // spot-check one bucket
+    val g = got.orderBy("w_start", "event_type").limit(3).collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val w = want.orderBy("w_start", "event_type").limit(3).collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(g.sameElements(w))
+  }
+
+  test("stateful streaming sessionization matches batch session counts") {
+    val stream = Streams.sessionCounts(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // latest state per user (update mode may emit once per micro-batch)
+    val got = spark.table("stream_sessions")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+    val want = Relational.sessionize(graft.source.Bars.readEvents(spark, dir))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val joined = got.as("g").join(want.as("w"), Seq("user_id"))
+      .filter(col("g.n_sessions") =!= col("w.n_sessions") ||
+        col("g.n_events") =!= col("w.n_events"))
+    assert(got.count() == want.count())
+    assert(joined.count() == 0, "streaming and batch session counts diverge")
+  }
+}
