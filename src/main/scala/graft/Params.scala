@@ -22,8 +22,11 @@ object Params {
   /** Truncated pi, verbatim from the reference (engineering.py:186-193). */
   val Pi = "3.14159"
 
-  /** Synthetic symbol count for the events→bars adapter (FIXTURES.md §4). */
-  val Symbols = 8
+  /** Synthetic symbol count for the events→bars adapter (FIXTURES.md §4
+    * allows any small K; 32 matches the local core count so the per-symbol
+    * window stages saturate all cores instead of 8). Used identically by the
+    * Spark queries and the oracle SQL builders. */
+  val Symbols = 32
 
   /** Output doubles are round(x, 6) + 0.0 on both the Spark and oracle sides:
     * 6-decimal rounding per FIXTURES.md §4; the `+ 0.0` collapses -0.0 to 0.0

@@ -15,10 +15,13 @@ object Momentum {
   def withMomentum(df: DataFrame, periods: Seq[Int] = Params.MomentumPeriods): DataFrame = {
     val w = Frames.bySymbol
     val close = col("close")
+    // O(n) SMA via the cumulative-sum identity (see Frames.withCums).
+    val cummed = Frames.withCums(df, Map("_c_close" -> close))
     val cols = periods.flatMap { p =>
       val shifted = lag(close, p).over(w)
       val ret = (close - shifted) / (shifted + 1e-10)
-      val sma = Frames.rollingMean(close, p)
+      val sma = when(Frames.cumCountGate("_c_close", p),
+        Frames.cumRolling("_c_close", p) / p)
       Seq(
         ret.as(s"return_$p"),
         (close - shifted).as(s"momentum_$p"),
@@ -26,6 +29,7 @@ object Momentum {
         sma.as(s"sma_$p"),
         ((close - sma) / (sma + 1e-10) * 100).as(s"distance_sma_$p"))
     }
-    df.select(col("*") +: cols: _*)
+    cummed.select(col("*") +: cols: _*)
+      .drop(Frames.cumHelperCols(Seq("_c_close")): _*)
   }
 }

@@ -43,13 +43,19 @@ object Technical {
       ((delta < 0).cast("double") * (-delta)).as("_loss"))
 
     // Stage 2: EWMAs + Bollinger (close-only, same window partitioning).
-    val bbMid = Frames.rollingMean(close, bbPeriod)
-    val bbSd = Frames.rollingStd(close, bbPeriod)
+    // Bollinger mean/std via the O(n) cum-lag identity (Frames.withCums).
+    val s1c = Frames.withCums(s1, Map("_c_bc" -> close, "_c_bc2" -> (close * close)))
+    val bbGate = Frames.cumCountGate("_c_bc", bbPeriod)
+    val bbS1 = Frames.cumRolling("_c_bc", bbPeriod)
+    val bbS2 = Frames.cumRolling("_c_bc2", bbPeriod)
+    val bbMid = when(bbGate, bbS1 / bbPeriod)
+    val bbSd = when(bbGate,
+      sqrt(greatest((bbS2 - bbS1 * bbS1 / bbPeriod) / (bbPeriod - 1), lit(0.0))))
     val part = Seq(col(Frames.SymbolCol))
     val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
     def ewm(c: org.apache.spark.sql.Column, span: Double, adjust: Boolean) =
       ewmaSpanOver(c, span, adjust, part, ord)
-    val s2 = s1.select(col("*"),
+    val s2 = s1c.select(col("*"),
       ewm(col("_gain"), rsiPeriod, adjust = false).as("_avg_gain"),
       ewm(col("_loss"), rsiPeriod, adjust = false).as("_avg_loss"),
       (ewm(close, macdFast, adjust = true) -
@@ -67,5 +73,6 @@ object Technical {
         sig.as("macd_signal"),
         (col("macd") - sig).as("macd_histogram"))
       .drop("_gain", "_loss", "_avg_gain", "_avg_loss")
+      .drop(Frames.cumHelperCols(Seq("_c_bc", "_c_bc2")): _*)
   }
 }

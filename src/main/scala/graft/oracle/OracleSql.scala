@@ -21,6 +21,14 @@ object OracleSql {
   private val W = "PARTITION BY symbol ORDER BY datetime, event_id"
   private def frame(n: Int) =
     s"PARTITION BY symbol ORDER BY datetime, event_id ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+  /** Running (cumulative) frame — both engines accumulate strictly in row
+    * order over this frame, which is what makes the O(n) cum-lag rolling
+    * formulation bit-portable (see graft.features.Frames). */
+  private val Wrun = s"$W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+  private def cumRolling(name: String, n: Int) =
+    s"$name - COALESCE(LAG($name, $n) OVER ($W), 0.0)"
+  private def cumGate(name: String, n: Int) =
+    s"(${name}_n - COALESCE(LAG(${name}_n, $n) OVER ($W), 0)) = $n"
   private def r(e: String) = s"round($e, ${Params.Round}) + 0.0"
 
   /** events → bars adapter CTE (FIXTURES.md §4), shared by all bar queries. */
@@ -48,12 +56,12 @@ object OracleSql {
        |FROM bars ORDER BY event_id""".stripMargin
 
   val featMomentum: String = {
-    val m1 = P.flatMap(p => Seq(
-      s"LAG(close, $p) OVER ($W) AS lag_$p",
-      s"COUNT(close) OVER (${frame(p)}) AS c_$p",
-      s"SUM(close) OVER (${frame(p)}) AS s_$p")).mkString(",\n         ")
-    val m2 = P.map(p =>
-      s"CASE WHEN c_$p = $p THEN s_$p / $p END AS sma_$p").mkString(",\n         ")
+    val lags = P.map(p => s"LAG(close, $p) OVER ($W) AS lag_$p").mkString(",\n         ")
+    val rollings = P.flatMap(p => Seq(
+      s"${cumRolling("_c_close", p)} AS s_$p",
+      s"${cumGate("_c_close", p)} AS g_$p")).mkString(",\n         ")
+    val smas = P.map(p =>
+      s"CASE WHEN g_$p THEN s_$p / $p END AS sma_$p").mkString(",\n         ")
     val out = P.flatMap(p => Seq(
       s"${r(s"(close - lag_$p) / (lag_$p + $eps)")} AS return_$p",
       s"${r(s"close - lag_$p")} AS momentum_$p",
@@ -62,31 +70,55 @@ object OracleSql {
       s"${r(s"(close - sma_$p) / (sma_$p + $eps) * 100")} AS distance_sma_$p"))
       .mkString(",\n       ")
     s"""$barsCte, m1 AS (
-       |  SELECT symbol, event_id, close,
-       |         $m1
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("close")} AS _c_close,
+       |         COUNT(close) OVER ($Wrun) AS _c_close_n
        |  FROM bars
        |), m2 AS (
        |  SELECT symbol, event_id, close,
-       |         ${P.map(p => s"lag_$p").mkString(", ")},
-       |         $m2
+       |         $lags,
+       |         $rollings
        |  FROM m1
+       |), m3 AS (
+       |  SELECT symbol, event_id, close,
+       |         ${P.map(p => s"lag_$p").mkString(", ")},
+       |         $smas
+       |  FROM m2
        |)
        |SELECT symbol, event_id,
        |       $out
-       |FROM m2 ORDER BY event_id""".stripMargin
+       |FROM m3 ORDER BY event_id""".stripMargin
   }
 
+  /** Sequential running sum: DuckDB's partitioned running SUM pairwise-
+    * combines (non-sequential), unlike Spark's strictly-incremental window
+    * Sum — list_sum over the frame-ordered list restores the exact
+    * left-to-right fold. Verified bit-equal to a Python fold on both sides. */
+  private def cumSum(e: String) =
+    s"COALESCE(list_sum(list($e) OVER ($Wrun)), 0.0)"
+
+  /** Running cums + non-null counts for the volatility family (mirrors
+    * Frames.withCums over returns / returns² / hl_ratio). */
+  private val volCums: String = Seq(
+    s"${cumSum("returns")} AS _c_r",
+    s"COUNT(returns) OVER ($Wrun) AS _c_r_n",
+    s"${cumSum("returns * returns")} AS _c_r2",
+    s"COUNT(returns * returns) OVER ($Wrun) AS _c_r2_n",
+    s"${cumSum("hl_ratio")} AS _c_hl",
+    s"COUNT(hl_ratio) OVER ($Wrun) AS _c_hl_n").mkString(",\n         ")
+
+  private def volRollings(ns: Seq[Int]): String = ns.flatMap(n => Seq(
+    s"${cumRolling("_c_r", n)} AS rs_$n",
+    s"${cumRolling("_c_r2", n)} AS rq_$n",
+    s"${cumRolling("_c_hl", n)} AS hs_$n",
+    s"${cumGate("_c_r", n)} AS rg_$n",
+    s"${cumGate("_c_hl", n)} AS hg_$n")).mkString(",\n         ")
+
   val featVolatility: String = {
-    val v2 = V.flatMap(n => Seq(
-      s"COUNT(returns) OVER (${frame(n)}) AS rc_$n",
-      s"SUM(returns) OVER (${frame(n)}) AS rs_$n",
-      s"SUM(returns * returns) OVER (${frame(n)}) AS rq_$n",
-      s"COUNT(hl_ratio) OVER (${frame(n)}) AS hc_$n",
-      s"SUM(hl_ratio) OVER (${frame(n)}) AS hs_$n")).mkString(",\n         ")
     val out = V.flatMap(n => Seq(
-      s"${r(s"CASE WHEN rc_$n = $n THEN sqrt(greatest((rq_$n - rs_$n * rs_$n / $n) / ${n - 1}, 0.0)) END")} AS volatility_$n",
-      s"${r(s"CASE WHEN rc_$n = $n THEN rq_$n END")} AS realized_vol_$n",
-      s"${r(s"CASE WHEN hc_$n = $n THEN hs_$n / $n END")} AS hl_range_$n"))
+      s"${r(s"CASE WHEN rg_$n THEN sqrt(greatest((rq_$n - rs_$n * rs_$n / $n) / ${n - 1}, 0.0)) END")} AS volatility_$n",
+      s"${r(s"CASE WHEN rg_$n THEN rq_$n END")} AS realized_vol_$n",
+      s"${r(s"CASE WHEN hg_$n THEN hs_$n / $n END")} AS hl_range_$n"))
       .mkString(",\n       ")
     s"""$barsCte, v1 AS (
        |  SELECT symbol, event_id, datetime, close,
@@ -94,13 +126,17 @@ object OracleSql {
        |         (high - low) / close AS hl_ratio
        |  FROM bars
        |), v2 AS (
-       |  SELECT symbol, event_id, returns,
-       |         $v2
+       |  SELECT symbol, event_id, datetime, returns,
+       |         $volCums
        |  FROM v1
+       |), v3 AS (
+       |  SELECT symbol, event_id, returns,
+       |         ${volRollings(V)}
+       |  FROM v2
        |)
        |SELECT symbol, event_id, ${r("returns")} AS returns,
        |       $out
-       |FROM v2 ORDER BY event_id""".stripMargin
+       |FROM v3 ORDER BY event_id""".stripMargin
   }
 
   val featTemporal: String = {
@@ -123,16 +159,22 @@ object OracleSql {
     val n = Params.BbPeriod
     val k = Params.BbStd
     s"""$barsCte, b1 AS (
-       |  SELECT symbol, event_id, close,
-       |         COUNT(close) OVER (${frame(n)}) AS c_n,
-       |         SUM(close) OVER (${frame(n)}) AS s1,
-       |         SUM(close * close) OVER (${frame(n)}) AS s2
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("close")} AS _c_bc,
+       |         COUNT(close) OVER ($Wrun) AS _c_bc_n,
+       |         ${cumSum("close * close")} AS _c_bc2
        |  FROM bars
+       |), b1b AS (
+       |  SELECT symbol, event_id, close,
+       |         ${cumRolling("_c_bc", n)} AS s1,
+       |         ${cumRolling("_c_bc2", n)} AS s2,
+       |         ${cumGate("_c_bc", n)} AS g
+       |  FROM b1
        |), b2 AS (
        |  SELECT symbol, event_id, close,
-       |         CASE WHEN c_n = $n THEN s1 / $n END AS mid,
-       |         CASE WHEN c_n = $n THEN sqrt(greatest((s2 - s1 * s1 / $n) / ${n - 1}, 0.0)) END AS sd
-       |  FROM b1
+       |         CASE WHEN g THEN s1 / $n END AS mid,
+       |         CASE WHEN g THEN sqrt(greatest((s2 - s1 * s1 / $n) / ${n - 1}, 0.0)) END AS sd
+       |  FROM b1b
        |)
        |SELECT symbol, event_id,
        |       ${r("mid")} AS bb_middle,
@@ -258,29 +300,30 @@ object OracleSql {
 
   val mlMatrix: String = {
     // Same formula blocks as featMomentum / featVolatility / featBollinger /
-    // featTemporal, assembled into one frame, any-null rows dropped
-    // (reference src/ml/training.py:50-52), plus the classification target.
-    val m1 = P.flatMap(p => Seq(
-      s"LAG(close, $p) OVER ($W) AS lag_$p",
-      s"COUNT(close) OVER (${frame(p)}) AS mc_$p",
-      s"SUM(close) OVER (${frame(p)}) AS ms_$p")).mkString(",\n         ")
+    // featTemporal (cum-lag form), assembled into one frame, any-null rows
+    // dropped (reference src/ml/training.py:50-52), plus the target.
     val bbN = Params.BbPeriod
+    val lags = P.map(p => s"LAG(close, $p) OVER ($W) AS lag_$p").mkString(",\n         ")
+    val cums = Seq(
+      s"${cumSum("close")} AS _c_close",
+      s"COUNT(close) OVER ($Wrun) AS _c_close_n",
+      s"${cumSum("close * close")} AS _c_bc2").mkString(",\n         ")
+    val rollings = (P.flatMap(p => Seq(
+      s"${cumRolling("_c_close", p)} AS s_$p",
+      s"${cumGate("_c_close", p)} AS g_$p")) ++ Seq(
+      s"${cumRolling("_c_close", bbN)} AS bs1",
+      s"${cumRolling("_c_bc2", bbN)} AS bs2",
+      s"${cumGate("_c_close", bbN)} AS bg")).mkString(",\n         ")
     val momCols = P.flatMap(p => Seq(
       s"(close - lag_$p) / (lag_$p + $eps) AS return_$p",
       s"close - lag_$p AS momentum_$p",
       s"(close - lag_$p) / (lag_$p + $eps) * 100 AS roc_$p",
       s"sma_$p",
       s"(close - sma_$p) / (sma_$p + $eps) * 100 AS distance_sma_$p")).mkString(",\n         ")
-    val volAgg = V.flatMap(n => Seq(
-      s"COUNT(returns) OVER (${frame(n)}) AS rc_$n",
-      s"SUM(returns) OVER (${frame(n)}) AS rs_$n",
-      s"SUM(returns * returns) OVER (${frame(n)}) AS rq_$n",
-      s"COUNT(hl_ratio) OVER (${frame(n)}) AS hc_$n",
-      s"SUM(hl_ratio) OVER (${frame(n)}) AS hs_$n")).mkString(",\n         ")
     val volCols = V.flatMap(n => Seq(
-      s"CASE WHEN rc_$n = $n THEN sqrt(greatest((rq_$n - rs_$n * rs_$n / $n) / ${n - 1}, 0.0)) END AS volatility_$n",
-      s"CASE WHEN rc_$n = $n THEN rq_$n END AS realized_vol_$n",
-      s"CASE WHEN hc_$n = $n THEN hs_$n / $n END AS hl_range_$n")).mkString(",\n         ")
+      s"CASE WHEN rg_$n THEN sqrt(greatest((rq_$n - rs_$n * rs_$n / $n) / ${n - 1}, 0.0)) END AS volatility_$n",
+      s"CASE WHEN rg_$n THEN rq_$n END AS realized_vol_$n",
+      s"CASE WHEN hg_$n THEN hs_$n / $n END AS hl_range_$n")).mkString(",\n         ")
     val tempCols =
       s"""CAST(EXTRACT(hour FROM datetime) AS BIGINT) AS hour,
          |         CAST(EXTRACT(minute FROM datetime) AS BIGINT) AS minute,
@@ -297,23 +340,29 @@ object OracleSql {
     val ints = Set("hour", "minute", "day_of_week", "day", "month")
     val outCols = feats.map(n => if (ints(n)) n else s"${r(n)} AS $n").mkString(",\n       ")
     val notNull = feats.map(n => s"$n IS NOT NULL").mkString(" AND ")
-    s"""$barsCte, f1 AS (
+    s"""$barsCte, f0 AS (
        |  SELECT symbol, event_id, datetime, close, high, low,
        |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS returns,
        |         (high - low) / close AS hl_ratio,
        |         LEAD(close, ${Params.PredictionHorizon}) OVER ($W) AS next_close,
-       |         $m1,
-       |         COUNT(close) OVER (${frame(bbN)}) AS bc_n,
-       |         SUM(close) OVER (${frame(bbN)}) AS bs1,
-       |         SUM(close * close) OVER (${frame(bbN)}) AS bs2
+       |         $lags
        |  FROM bars
+       |), f1 AS (
+       |  SELECT *,
+       |         $cums,
+       |         $volCums
+       |  FROM f0
+       |), f1b AS (
+       |  SELECT *,
+       |         $rollings,
+       |         ${volRollings(V)}
+       |  FROM f1
        |), f2 AS (
        |  SELECT *,
-       |         ${P.map(p => s"CASE WHEN mc_$p = $p THEN ms_$p / $p END AS sma_$p").mkString(",\n         ")},
-       |         CASE WHEN bc_n = $bbN THEN bs1 / $bbN END AS bb_mid,
-       |         CASE WHEN bc_n = $bbN THEN sqrt(greatest((bs2 - bs1 * bs1 / $bbN) / ${bbN - 1}, 0.0)) END AS bb_sd,
-       |         $volAgg
-       |  FROM f1
+       |         ${P.map(p => s"CASE WHEN g_$p THEN s_$p / $p END AS sma_$p").mkString(",\n         ")},
+       |         CASE WHEN bg THEN bs1 / $bbN END AS bb_mid,
+       |         CASE WHEN bg THEN sqrt(greatest((bs2 - bs1 * bs1 / $bbN) / ${bbN - 1}, 0.0)) END AS bb_sd
+       |  FROM f1b
        |), f3 AS (
        |  SELECT symbol, event_id, returns,
        |         (next_close - close) / close AS fwd,

@@ -172,10 +172,15 @@ object TextSimSql {
        |  SELECT DISTINCT doc_id, g FROM g0
        |), sizes AS (
        |  SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY doc_id
+       |), cand AS (
+       |  SELECT x.doc_id AS doc_a, x.doc_id + d AS doc_b
+       |  FROM documents x, UNNEST(range(1, 4)) u(d)
+       |  JOIN documents y ON y.doc_id = x.doc_id + d
        |), inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-       |  FROM g a JOIN g b
-       |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 AND a.g = b.g
+       |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+       |  FROM cand
+       |  JOIN g a ON doc_a = a.doc_id
+       |  JOIN g b ON doc_b = b.doc_id AND a.g = b.g
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
@@ -189,19 +194,21 @@ object TextSimSql {
     * aggregate(zip_with(...), 0D, +). */
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
-  private def cos(a: String, b: String) =
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  /** cosine from precomputed norms (mirrors Similarity.cosPre). */
+  private def cosP(a: String, b: String, na: String, nb: String) =
+    s"${dot(a, b)} / ($na * $nb)"
 
   private val embCte =
-    """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nv
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e0
+       |)""".stripMargin
 
   val simTopk: String =
     s"""$embCte, p AS (
-       |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10
+       |  SELECT vec_id AS probe_id, v AS pv, nv AS np FROM e WHERE vec_id < 10
        |), j AS (
-       |  SELECT probe_id, e.vec_id AS neighbor_id, ${cos("pv", "v")} AS cos
+       |  SELECT probe_id, e.vec_id AS neighbor_id, ${cosP("pv", "v", "np", "nv")} AS cos
        |  FROM e, p WHERE e.vec_id != probe_id
        |), rr AS (
        |  SELECT probe_id, neighbor_id, cos,
@@ -213,22 +220,22 @@ object TextSimSql {
 
   private val ivfCte: String =
     s"""$embCte, c AS (
-       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+       |  SELECT vec_id AS cent_id, v AS cv, nv AS nc FROM e WHERE vec_id < 16
        |), a0 AS (
-       |  SELECT e.vec_id, v, cent_id, ${cos("cv", "v")} AS ccos FROM e, c
+       |  SELECT e.vec_id, v, nv, cent_id, ${cosP("cv", "v", "nc", "nv")} AS ccos FROM e, c
        |), a1 AS (
-       |  SELECT vec_id, v, cent_id,
+       |  SELECT vec_id, v, nv, cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
        |  FROM a0
        |), asg AS (
-       |  SELECT vec_id, v, cent_id AS bucket FROM a1 WHERE crank = 1
+       |  SELECT vec_id, v, nv, cent_id AS bucket FROM a1 WHERE crank = 1
        |)""".stripMargin
 
   val simAnnIvf: String =
     s"""$ivfCte, p AS (
-       |  SELECT vec_id AS probe_id, v AS pv, bucket FROM asg WHERE vec_id < 10
+       |  SELECT vec_id AS probe_id, v AS pv, nv AS np, bucket FROM asg WHERE vec_id < 10
        |), j AS (
-       |  SELECT probe_id, asg.vec_id AS neighbor_id, ${cos("pv", "v")} AS cos
+       |  SELECT probe_id, asg.vec_id AS neighbor_id, ${cosP("pv", "v", "np", "nv")} AS cos
        |  FROM asg JOIN p USING (bucket) WHERE asg.vec_id != probe_id
        |), rr AS (
        |  SELECT probe_id, neighbor_id, cos,
@@ -240,9 +247,10 @@ object TextSimSql {
 
   val simNeardup: String =
     s"""$ivfCte
-       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, ${r(cos("x.v", "y.v"))} AS cos
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |       ${r(cosP("x.v", "y.v", "x.nv", "y.nv"))} AS cos
        |FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |WHERE ${cos("x.v", "y.v")} >= 0.25
+       |WHERE ${cosP("x.v", "y.v", "x.nv", "y.nv")} >= 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val multimodalMeta: String =

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * The dot product is a sequential left-to-right fold over exact
   * float×float products (`aggregate(zip_with(...))`), which the DuckDB
   * oracle reproduces bit-for-bit with `list_sum(list_transform(...))`.
-  * No UDFs — higher-order built-ins only.
+  * Vector norms are computed ONCE per vector and joined into pair scoring
+  * (3× fewer fold evaluations than naive per-pair cosine). No UDFs —
+  * higher-order built-ins only.
   *
   * Scale shape: probes/centroids are broadcast; candidates never shuffle
   * until the per-probe top-k window (keyed by probe — at 100 TB, replace the
@@ -20,26 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold cosine between two array<double> columns (cast from
-    * float upstream). */
-  def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) = expr(
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  private def dot(x: String, y: String): Column = expr(
+    s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
 
-  private def asDouble(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** cosine from a precomputed-norm pair: dot / (normA * normB). */
+  private def cosPre(a: String, b: String, na: String, nb: String): Column =
+    dot(a, b) / (col(na) * col(nb))
+
+  /** (id, v: array<double>, n: norm) projection of the embeddings table. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      normCol: String): DataFrame =
     df.select(col("vec_id").as(idCol),
-      col("embedding").cast("array<double>").as(vecCol))
+        col("embedding").cast("array<double>").as(vecCol))
+      .withColumn(normCol, sqrt(dot(vecCol, vecCol)))
 
   /** Exact brute-force top-k: broadcast the probe set, scan the corpus once,
     * rank per probe. */
   def bruteTopK(embeddings: DataFrame, numProbes: Int = 10, k: Int = 5): DataFrame = {
-    val probes = asDouble(embeddings.filter(col("vec_id") < numProbes), "probe_id", "p")
-    val cand = asDouble(embeddings, "neighbor_id", "v")
+    val probes = withNorm(embeddings.filter(col("vec_id") < numProbes), "probe_id", "p", "np")
+    val cand = withNorm(embeddings, "neighbor_id", "v", "nv")
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos", cosine("p", "v"))
+      .withColumn("cos", cosPre("p", "v", "np", "nv"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
@@ -47,16 +51,17 @@ object Similarity {
   }
 
   /** Coarse IVF assignment: nearest of the first `numCentroids` vectors
-    * (deterministic stand-in for trained centroids). */
+    * (deterministic stand-in for trained centroids). Output keeps the
+    * per-vector norm for downstream pair scoring. */
   def ivfAssign(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
-    val cents = asDouble(embeddings.filter(col("vec_id") < numCentroids), "cent_id", "c")
-    val vecs = asDouble(embeddings, "vec_id", "v")
+    val cents = withNorm(embeddings.filter(col("vec_id") < numCentroids), "cent_id", "c", "nc")
+    val vecs = withNorm(embeddings, "vec_id", "v", "nv")
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine("c", "v"))
+      .withColumn("ccos", cosPre("c", "v", "nc", "nv"))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+      .select(col("vec_id"), col("v"), col("nv"), col("cent_id").as("bucket"))
   }
 
   /** ANN top-k: probes search only their own IVF bucket. */
@@ -64,12 +69,13 @@ object Similarity {
       numCentroids: Int = 16): DataFrame = {
     val assigned = ivfAssign(embeddings, numCentroids)
     val probes = assigned.filter(col("vec_id") < numProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("p"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("v").as("p"),
+        col("nv").as("np"), col("bucket"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("nv"), col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos", cosine("p", "v"))
+      .withColumn("cos", cosPre("p", "v", "np", "nv"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
@@ -83,7 +89,7 @@ object Similarity {
     assigned.as("x").join(assigned.as("y"),
         col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", cosine("x.v", "y.v"))
+      .withColumn("cos", cosPre("x.v", "y.v", "x.nv", "y.nv"))
       .filter(col("cos") >= threshold)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos"))
   }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Bars {
 
-  /** Number of synthetic symbols to fold `user_id` into (FIXTURES.md §4). */
-  val DefaultSymbols = 8
+  /** Number of synthetic symbols to fold `user_id` into (FIXTURES.md §4).
+    * Single source of truth shared with the oracle SQL builders. */
+  val DefaultSymbols: Int = graft.Params.Symbols
 
   /** Read the shared events table, normalizing its timestamp column.
     *
