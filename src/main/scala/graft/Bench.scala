@@ -23,6 +23,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // Window buffers stay on-heap (default spills to an external sorter
+      // after 4096 rows/partition; our per-symbol windows are far larger).
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "2097152")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,10 +46,36 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> runOne(fn)
     }
+
+    // Apples-to-apples with BASELINE.md: the reference benchmarks
+    // compute_all_features (49 features) over a frame tiled to 1M rows
+    // (notebooks/scaling_analysis.ipynb cell 3's create_scaled_dataset).
+    // Same methodology: tile the bars frame to ~1M rows, time the full
+    // 49-feature pipeline into a noop sink, report rows/sec.
+    val throughput = {
+      import org.apache.spark.sql.functions._
+      val bars = graft.source.Bars.bars(spark, sfDir)
+      val n = bars.count()
+      val copies = math.max(1L, 1000000L / math.max(n, 1L)).toInt
+      val tiled = bars
+        .crossJoin(spark.range(copies).select(col("id").as("_copy")))
+        .withColumn("symbol", concat_ws("_", col("symbol"), col("_copy")))
+        .drop("_copy")
+      val rows = n * copies
+      val pipeline = graft.features.Features.computeAllFeatures(tiled)
+      pipeline.write.format("noop").mode("overwrite").save() // untimed warm run
+      val t0 = System.nanoTime()
+      pipeline.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (rows, sec, rows / sec)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""feature_pipeline_rows":${throughput._1},"feature_pipeline_sec":${throughput._2},""" +
+      s""""feature_pipeline_rows_per_sec":${throughput._3.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

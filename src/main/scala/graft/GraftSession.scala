@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // Window buffers stay on-heap (default spills to an external sorter
+      // after 4096 rows/partition; our per-symbol windows are far larger).
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "2097152")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

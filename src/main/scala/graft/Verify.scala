@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // Non-ANSI: div-by-zero → null, matching both Polars and DuckDB.
       .config("spark.sql.ansi.enabled", "false")
+      // Window buffers stay on-heap (default spills to an external sorter
+      // after 4096 rows/partition; our per-symbol windows are far larger).
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "2097152")
       // µs parquet timestamps: bit-stable vs DuckDB's TIMESTAMP.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -162,10 +162,9 @@ object Core {
   /** M1/P4/P7: ML feature matrix — select features + target, drop any-null
     * rows (reference src/ml/training.py:39-58). */
   def mlMatrix(s: SparkSession, dir: String): DataFrame = {
-    val feats = Temporal.withTemporal(
-      Volatility.withVolatility(
-        Momentum.withMomentum(
-          Technical.withTechnical(bars(s, dir)))))
+    // Fused 4-window pipeline — identical expression trees (and oracle) as
+    // the per-family composition, half the window passes.
+    val feats = Features.computeAllFeatures(bars(s, dir))
     val withTarget = Targets.withTarget(feats, targetType = "classification")
     val selected = withTarget.select(
       col("event_id") +: (MlMatrixFeatures.map(col) :+ col("target")): _*)
