@@ -24,6 +24,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_bars" -> (Core.ingestBars _),
+    "ingest_bars_csv" -> (Core.ingestBarsCsv _),
+    "topk_importance" -> (Core.topkImportance _),
     "feat_momentum" -> (Core.featMomentum _),
     "feat_volatility" -> (Core.featVolatility _),
     "feat_temporal" -> (Core.featTemporal _),
@@ -61,6 +63,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ingest_bars" -> OracleSql.ingestBars,
+    "ingest_bars_csv" -> OracleSql.ingestBars,
     "feat_momentum" -> OracleSql.featMomentum,
     "feat_volatility" -> OracleSql.featVolatility,
     "feat_temporal" -> OracleSql.featTemporal,

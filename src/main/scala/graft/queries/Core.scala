@@ -34,6 +34,39 @@ object Core {
       col("volume"))
       .orderBy("event_id")
 
+  /** S6/S8: CSV sink + source roundtrip — bars written to CSV (header,
+    * µs timestamp format), read back with an explicit schema, then the same
+    * projection as ingest_bars. Shares ingest_bars' oracle: the roundtrip
+    * must be value-preserving. */
+  def ingestBarsCsv(s: SparkSession, dir: String): DataFrame = {
+    val b = bars(s, dir).select("symbol", "event_id", "datetime",
+      "open", "high", "low", "close", "volume")
+    val path = s"/tmp/graft-csv-${Integer.toHexString(dir.hashCode)}"
+    graft.source.Storage.save(b, path, "csv")
+    val back = graft.source.Storage.load(s, path, "csv", Some(b.schema))
+    back.select(
+      col("symbol"), col("event_id"),
+      col("datetime").cast("timestamp_ntz").as("datetime"),
+      r6(col("open")).as("open"), r6(col("high")).as("high"),
+      r6(col("low")).as("low"), r6(col("close")).as("close"),
+      col("volume"))
+      .orderBy("event_id")
+  }
+
+  /** M6/P10: top-20 GBT feature importances (rows-only — tree training is
+    * not oracle-reproducible; invariants covered by MlSpec). Trains a small
+    * model on a bounded, deterministic slice. */
+  def topkImportance(s: SparkSession, dir: String): DataFrame = {
+    import graft.features.{Features, Targets}
+    import graft.ml.MlPipeline
+    val feats = Targets.withTarget(Features.computeAllFeatures(bars(s, dir)))
+      .filter(col("event_id") < 20000)
+    val fcols = Features.FeatureCols
+    val model = MlPipeline.classifier(maxIter = 2).setMaxDepth(3)
+      .fit(MlPipeline.assemble(feats, fcols))
+    MlPipeline.topImportances(model, fcols, 20)
+  }
+
   /** W2/W7/W13/W14: per-period momentum block. */
   def featMomentum(s: SparkSession, dir: String): DataFrame = {
     val out = Params.MomentumPeriods.flatMap(p => Seq(

@@ -74,4 +74,26 @@ object Bars {
   /** Convenience: read + adapt in one call. */
   def bars(spark: SparkSession, sfDir: String, k: Int = DefaultSymbols): DataFrame =
     fromEvents(readEvents(spark, sfDir), k)
+
+  /** Candidate names probed for the time column, mirroring the reference's
+    * normalize_datetime_column (src/data/ingestion.py:63-104). */
+  val DatetimeCandidates: Seq[String] =
+    Seq("datetime", "date", "timestamp", "time", "ts", "index")
+
+  /** Generic defensive datetime normalization: find the time column by
+    * candidate name (case-insensitive) or, failing that, by dtype scan for
+    * the first timestamp column; rename to `datetime` and cast to
+    * TimestampType. Throws if no viable column exists — the reference raises
+    * ValueError the same way (ingestion.py:96-99). */
+  def normalizeDatetime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, DateType}
+    val byName = df.schema.fields.find(f =>
+      DatetimeCandidates.contains(f.name.toLowerCase))
+    val byType = df.schema.fields.find(f =>
+      f.dataType == TimestampType || f.dataType == DateType)
+    val src = byName.orElse(byType).getOrElse(throw new IllegalArgumentException(
+      s"No datetime column found among ${df.columns.mkString(", ")}"))
+    df.withColumnRenamed(src.name, "datetime")
+      .withColumn("datetime", col("datetime").cast(TimestampType))
+  }
 }

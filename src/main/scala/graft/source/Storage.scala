@@ -1,0 +1,55 @@
+package graft.source
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Storage utilities mirroring the reference's save/load + cache layer
+  * (reference: src/data/storage.py):
+  *  - path templating `{symbol}_{interval}_{timestamp}.{format}`
+  *    (storage.py:11-57)           — S10
+  *  - parquet/CSV save + load (storage.py:60-111) — S5/S6/S7/S8
+  *  - newest-cache-file resolution by mtime (storage.py:114-152) — S9
+  */
+object Storage {
+
+  def rawPath(baseDir: String, symbol: String, interval: String,
+      timestamp: String, format: String = "parquet"): String =
+    s"$baseDir/raw/${symbol}_${interval}_$timestamp.$format"
+
+  def processedPath(baseDir: String, name: String, format: String = "parquet"): String =
+    s"$baseDir/processed/$name.$format"
+
+  def save(df: DataFrame, path: String, format: String = "parquet"): Unit = format match {
+    case "parquet" => df.write.mode("overwrite").parquet(path)
+    case "csv" => df.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+    case other => throw new IllegalArgumentException(s"Unsupported format: $other")
+  }
+
+  def load(spark: SparkSession, path: String, format: String = "parquet",
+      schema: Option[StructType] = None): DataFrame = format match {
+    case "parquet" => spark.read.parquet(path)
+    case "csv" =>
+      val r = spark.read.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+    case other => throw new IllegalArgumentException(s"Unsupported format: $other")
+  }
+
+  /** Newest file matching `{symbol}_{interval}_*.{format}` by modification
+    * time (the reference's cache probe, storage.py:114-137). */
+  def latestCached(dir: String, symbol: String, interval: String,
+      format: String = "parquet"): Option[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return None
+    val prefix = s"${symbol}_${interval}_"
+    Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix) &&
+        p.getFileName.toString.endsWith(s".$format"))
+      .toSeq
+      .sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      .lastOption
+  }
+}
