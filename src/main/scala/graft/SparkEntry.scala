@@ -68,6 +68,8 @@ object SparkEntry {
     "feat_volatility" -> OracleSql.featVolatility,
     "feat_temporal" -> OracleSql.featTemporal,
     "feat_bollinger" -> OracleSql.featBollinger,
+    "feat_rsi" -> OracleSql.featRsi,
+    "feat_macd" -> OracleSql.featMacd,
     "targets_classification" -> OracleSql.targetsClassification,
     "targets_regression" -> OracleSql.targetsRegression,
     "temporal_split" -> OracleSql.temporalSplit,

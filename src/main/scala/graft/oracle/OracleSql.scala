@@ -184,6 +184,128 @@ object OracleSql {
        |FROM b2 ORDER BY event_id""".stripMargin
   }
 
+  /** EWMA oracles: DuckDB recursive CTEs replaying the EXACT recurrence the
+    * Catalyst Ewma expression evaluates (same seeding, same per-step
+    * arithmetic tree) — the only formulation that is bit-identical to a
+    * stateful recurrence. Alpha/decay literals are emitted via Double.toString
+    * (shortest round-trip repr) so both engines parse the same doubles. */
+  private def a(span: Int): String = (2.0 / (span + 1)).toString
+  private def d(span: Int): String = (1.0 - 2.0 / (span + 1)).toString
+
+  val featRsi: String = {
+    val p = Params.RsiPeriod
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         close - LAG(close, 1) OVER ($W) AS delta
+       |  FROM bars
+       |), g AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn - 1 AS rn2,
+       |         CAST(delta > 0 AS DOUBLE) * delta AS gain,
+       |         CAST(delta < 0 AS DOUBLE) * (-delta) AS loss
+       |  FROM b2 WHERE delta IS NOT NULL
+       |), ew AS (
+       |  SELECT symbol, rn2, gain AS ag, loss AS al FROM g WHERE rn2 = 1
+       |  UNION ALL
+       |  SELECT g.symbol, g.rn2,
+       |         ew.ag * ${d(p)} + ${a(p)} * g.gain,
+       |         ew.al * ${d(p)} + ${a(p)} * g.loss
+       |  FROM ew JOIN g ON g.symbol = ew.symbol AND g.rn2 = ew.rn2 + 1
+       |)
+       |SELECT b2.symbol, b2.event_id,
+       |       ${r("100 - (100 / (1 + ew.ag / (ew.al + 1e-10)))")} AS rsi
+       |FROM b2
+       |LEFT JOIN g ON g.symbol = b2.symbol AND g.event_id = b2.event_id
+       |LEFT JOIN ew ON ew.symbol = g.symbol AND ew.rn2 = g.rn2
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
+  val featMacd: String = {
+    val f = Params.MacdFast
+    val sl = Params.MacdSlow
+    val sg = Params.MacdSignal
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), emas AS (
+       |  SELECT symbol, rn, close AS nf, CAST(1.0 AS DOUBLE) AS df, close AS ns, CAST(1.0 AS DOUBLE) AS ds
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         emas.nf * ${d(f)} + b2.close,  emas.df * ${d(f)} + 1.0,
+       |         emas.ns * ${d(sl)} + b2.close, emas.ds * ${d(sl)} + 1.0
+       |  FROM emas JOIN b2 ON b2.symbol = emas.symbol AND b2.rn = emas.rn + 1
+       |), m AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df - ns / ds AS macd FROM emas
+       |), sig AS (
+       |  SELECT symbol, rn, macd, macd AS sn, CAST(1.0 AS DOUBLE) AS sd FROM m WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m.symbol, m.rn, m.macd,
+       |         sig.sn * ${d(sg)} + m.macd, sig.sd * ${d(sg)} + 1.0
+       |  FROM sig JOIN m ON m.symbol = sig.symbol AND m.rn = sig.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id,
+       |       ${r("sig.macd")} AS macd,
+       |       ${r("sig.sn / sig.sd")} AS macd_signal,
+       |       ${r("sig.macd - sig.sn / sig.sd")} AS macd_histogram
+       |FROM b2 JOIN sig ON sig.symbol = b2.symbol AND sig.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
+  /** Self-contained RSI+MACD CTE chain for mlMatrix (names prefixed t* to
+    * avoid clashing with the f* feature chain). Produces `tech(symbol,
+    * event_id, rsi, macd, macd_signal, macd_histogram)`. */
+  private val techCtes: String = {
+    val p = Params.RsiPeriod
+    val f = Params.MacdFast
+    val sl = Params.MacdSlow
+    val sg = Params.MacdSignal
+    s""", tb AS MATERIALIZED (
+       |  SELECT symbol, event_id, close,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         close - LAG(close, 1) OVER ($W) AS delta
+       |  FROM bars
+       |), tg AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn - 1 AS rn2,
+       |         CAST(delta > 0 AS DOUBLE) * delta AS gain,
+       |         CAST(delta < 0 AS DOUBLE) * (-delta) AS loss
+       |  FROM tb WHERE delta IS NOT NULL
+       |), tew AS (
+       |  SELECT symbol, rn2, gain AS ag, loss AS al FROM tg WHERE rn2 = 1
+       |  UNION ALL
+       |  SELECT tg.symbol, tg.rn2,
+       |         tew.ag * ${d(p)} + ${a(p)} * tg.gain,
+       |         tew.al * ${d(p)} + ${a(p)} * tg.loss
+       |  FROM tew JOIN tg ON tg.symbol = tew.symbol AND tg.rn2 = tew.rn2 + 1
+       |), temas AS (
+       |  SELECT symbol, rn, close AS nf, CAST(1.0 AS DOUBLE) AS df, close AS ns, CAST(1.0 AS DOUBLE) AS ds
+       |  FROM tb WHERE rn = 1
+       |  UNION ALL
+       |  SELECT tb.symbol, tb.rn,
+       |         temas.nf * ${d(f)} + tb.close,  temas.df * ${d(f)} + 1.0,
+       |         temas.ns * ${d(sl)} + tb.close, temas.ds * ${d(sl)} + 1.0
+       |  FROM temas JOIN tb ON tb.symbol = temas.symbol AND tb.rn = temas.rn + 1
+       |), tmm AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df - ns / ds AS macd FROM temas
+       |), tsig AS (
+       |  SELECT symbol, rn, macd, macd AS sn, CAST(1.0 AS DOUBLE) AS sd FROM tmm WHERE rn = 1
+       |  UNION ALL
+       |  SELECT tmm.symbol, tmm.rn, tmm.macd,
+       |         tsig.sn * ${d(sg)} + tmm.macd, tsig.sd * ${d(sg)} + 1.0
+       |  FROM tsig JOIN tmm ON tmm.symbol = tsig.symbol AND tmm.rn = tsig.rn + 1
+       |), tech AS MATERIALIZED (
+       |  SELECT tb.symbol, tb.event_id,
+       |         100 - (100 / (1 + tew.ag / (tew.al + 1e-10))) AS rsi,
+       |         tsig.macd AS macd,
+       |         tsig.sn / tsig.sd AS macd_signal,
+       |         tsig.macd - tsig.sn / tsig.sd AS macd_histogram
+       |  FROM tb
+       |  LEFT JOIN tg ON tg.symbol = tb.symbol AND tg.event_id = tb.event_id
+       |  LEFT JOIN tew ON tew.symbol = tg.symbol AND tew.rn2 = tg.rn2
+       |  JOIN tsig ON tsig.symbol = tb.symbol AND tsig.rn = tb.rn
+       |)""".stripMargin
+  }
+
   private def targetsCte: String =
     s"""$barsCte, t AS (
        |  SELECT symbol, event_id, (LEAD(close, ${Params.PredictionHorizon}) OVER ($W) - close) / close AS fwd
@@ -340,7 +462,7 @@ object OracleSql {
     val ints = Set("hour", "minute", "day_of_week", "day", "month")
     val outCols = feats.map(n => if (ints(n)) n else s"${r(n)} AS $n").mkString(",\n       ")
     val notNull = feats.map(n => s"$n IS NOT NULL").mkString(" AND ")
-    s"""$barsCte, f0 AS (
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$techCtes, f0 AS (
        |  SELECT symbol, event_id, datetime, close, high, low,
        |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS returns,
        |         (high - low) / close AS hl_ratio,
@@ -375,9 +497,10 @@ object OracleSql {
        |         $tempCols
        |  FROM f2
        |)
-       |SELECT event_id,
+       |SELECT f3.event_id AS event_id,
        |       $outCols,
        |       CAST(fwd > 0 AS TINYINT) AS target
-       |FROM f3 WHERE fwd IS NOT NULL AND $notNull ORDER BY event_id""".stripMargin
+       |FROM f3 JOIN tech ON tech.event_id = f3.event_id
+       |WHERE fwd IS NOT NULL AND $notNull ORDER BY event_id""".stripMargin
   }
 }

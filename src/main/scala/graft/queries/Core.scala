@@ -180,9 +180,11 @@ object Core {
       .orderBy(col("value").desc, col("event_id"))
       .limit(100)
 
-  /** Columns of the SQL-expressible feature matrix (everything except the
-    * EWMA-family features, which have no DuckDB oracle). */
+  /** All 49 reference feature columns — the full training matrix
+    * (src/ml/training.py:39-41). The EWMA family is oracle-checked via
+    * DuckDB recursive CTEs replaying the exact recurrence. */
   val MlMatrixFeatures: Seq[String] =
+    Seq("rsi", "macd", "macd_signal", "macd_histogram") ++
     Params.MomentumPeriods.flatMap(p => Seq(
       s"return_$p", s"momentum_$p", s"roc_$p", s"sma_$p", s"distance_sma_$p")) ++
     ("returns" +: Params.VolatilityWindows.flatMap(n => Seq(
