@@ -73,6 +73,23 @@ object Relational {
         valueCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
   }
 
+  /** Skew-safe equi-join: salt the skewed (left) side's key into
+    * `saltFactor` sub-keys and explode the build (right) side across all
+    * salts, so one hot key spreads over `saltFactor` reducers instead of
+    * one straggler task. AQE's skew-join handles moderate skew at runtime;
+    * explicit salting is for the pathological keys a 100 TB pipeline meets
+    * (null-heavy user ids, one dominant symbol). Deterministic salt
+    * (hash of the tie column) keeps results reproducible.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int = 8, tie: String = "event_id"): DataFrame = {
+    val salted = left.withColumn("_salt",
+      pmod(hash(col(tie)), lit(saltFactor)))
+    val exploded = right.withColumn("_salt",
+      explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Gap-based sessionization (30-min default): per key, a new session starts
     * when the gap to the previous event exceeds `gapMinutes`. Batch analogue
     * of a streaming session window; one shuffle on the key, two window

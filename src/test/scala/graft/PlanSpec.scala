@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.{Analytics, Core}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards for the scale properties the engine is
+  * designed around — if a refactor adds a shuffle or unfuses the feature
+  * pipeline, these fail before any benchmark notices.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def countOp(df: DataFrame, op: String): Int =
+    plan(df).linesIterator.count(_.contains(op))
+
+  test("fused 49-feature pipeline: <=5 window passes, one hash exchange") {
+    val feats = graft.features.Features.computeAllFeatures(
+      graft.source.Bars.bars(spark, dir))
+    val windows = plan(feats).linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows > 0 && windows <= 5,
+      s"feature pipeline regressed to $windows window passes")
+    val hashEx = countOp(feats, "Exchange hashpartitioning")
+    assert(hashEx == 1, s"feature pipeline has $hashEx hash exchanges (want 1)")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val df = Analytics.joinStar(spark, dir)
+    assert(countOp(df, "BroadcastExchange") >= 1)
+    assert(countOp(df, "BroadcastHashJoin") >= 1)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = Core.topkEvents(spark, dir)
+    assert(countOp(df, "TakeOrderedAndProject") == 1)
+  }
+
+  test("scan-level pruning: projection reaches the parquet reader") {
+    val two = graft.source.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+    val scanLine = plan(two).linesIterator.find(_.contains("ReadSchema"))
+    assert(scanLine.exists(l => l.contains("l_orderkey") && l.contains("l_quantity")
+      && !l.contains("l_extendedprice")), s"column pruning missing: $scanLine")
+    val filtered = graft.source.Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 10).select("l_orderkey")
+    assert(plan(filtered).contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"),
+      "predicate not pushed to scan")
+  }
+
+  test("salted join spreads a hot key and preserves results") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 1000L).map(i => (1L, i)).toDF("k", "event_id") // one hot key
+    val right = Seq((1L, "dim")).toDF("k", "name")
+    val out = graft.analytics.Relational.saltedJoin(left, right, "k")
+    assert(out.count() == 1000)
+    assert(out.columns.toSet == Set("k", "event_id", "name"))
+  }
+}
