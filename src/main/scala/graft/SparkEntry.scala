@@ -7,10 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
   *
   * Every operator from SURVEY.md §2 registers here as a named query; each
-  * SQL-expressible one carries a DuckDB oracle statement in [[oracleSql]]
-  * built to be bit-identical (see graft.oracle.OracleSql). EWMA-family
-  * queries (feat_rsi, feat_macd) are not SQL-expressible — they are covered
-  * by ScalaTest golden vectors and get the driver's rows-only check.
+  * carries a DuckDB oracle statement in [[oracleSql]] built to be
+  * bit-identical (see graft.oracle.*), including the EWMA family, whose
+  * oracle replays the exact recurrence via recursive CTEs. The only
+  * rows-only queries are topk_importance (tree training is not
+  * oracle-reproducible) and multimodal_decode (stubbed decoder) — both
+  * covered by ScalaTest invariants instead.
   */
 object SparkEntry {
 
@@ -41,6 +43,8 @@ object SparkEntry {
     "topk_events" -> (Core.topkEvents _),
     "ml_matrix" -> (Core.mlMatrix _),
     "join_star" -> (Analytics.joinStar _),
+    "q1_pricing" -> (Analytics.q1Pricing _),
+    "q3_shipping" -> (Analytics.q3Shipping _),
     "join_asof" -> (Analytics.joinAsof _),
     "window_tumbling" -> (Analytics.windowTumbling _),
     "window_sliding" -> (Analytics.windowSliding _),
@@ -79,6 +83,8 @@ object SparkEntry {
     "topk_events" -> OracleSql.topkEvents,
     "ml_matrix" -> OracleSql.mlMatrix,
     "join_star" -> OracleSql.joinStar,
+    "q1_pricing" -> OracleSql.q1Pricing,
+    "q3_shipping" -> OracleSql.q3Shipping,
     "join_asof" -> OracleSql.joinAsof,
     "window_tumbling" -> OracleSql.windowTumbling,
     "window_sliding" -> OracleSql.windowSliding,

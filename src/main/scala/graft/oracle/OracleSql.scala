@@ -372,6 +372,25 @@ object OracleSql {
        |SELECT n_name, round(SUM(amt), 2) + 0.0 AS revenue, COUNT(*) AS n_items
        |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  val q1Pricing: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(SUM(l_quantity), 0) + 0.0 AS sum_qty,
+      |       round(SUM(l_extendedprice), 0) + 0.0 AS sum_base,
+      |       round(SUM(l_extendedprice * (1 - l_discount)), 0) + 0.0 AS sum_disc,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q3Shipping: String =
+    """SELECT l.l_orderkey, o.o_orderdate,
+      |       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   val joinAsof: String =
     """WITH u AS (
       |  SELECT user_id AS k, ts AS t, event_id AS tie, 1 AS is_left,

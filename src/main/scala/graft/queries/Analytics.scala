@@ -49,6 +49,42 @@ object Analytics {
         col("event_type"), col("n"), r6(col("value_sum")).as("value_sum"))
       .orderBy("w_start", "event_type")
 
+  /** TPC-H Q1-style pricing summary: multi-aggregate rollup per
+    * (returnflag, linestatus) — partial+final hash agg, no join. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        // whole-dollar rounding: 1e8-scale distributed sums carry ~1e-3
+        // order-dependent fp error — cents would not be bit-stable
+        (round(col("sum_qty"), 0) + lit(0.0)).as("sum_qty"),
+        (round(col("sum_base"), 0) + lit(0.0)).as("sum_base"),
+        (round(col("sum_disc"), 0) + lit(0.0)).as("sum_disc"),
+        col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: join + agg + top-k
+    * (TakeOrderedAndProject). */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).as("l")
+      .join(Tables.orders(s, dir).as("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).as("c")),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .filter(col("c.c_mktsegment") === "BUILDING")
+      .groupBy(col("l.l_orderkey").as("l_orderkey"),
+        col("o.o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+      .agg(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))).as("rev"))
+      .select(col("l_orderkey"), col("o_orderdate"),
+        (round(col("rev"), 2) + lit(0.0)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
   /** Gap-based sessionization (30 min) per user. */
   def sessionize(s: SparkSession, dir: String): DataFrame =
     Relational.sessionize(Bars.readEvents(s, dir))
