@@ -37,8 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(child, alpha, adjust) =>
           Ewma(child, doubleLit(alpha, "alpha"), boolLit(adjust, "adjust"))
+        case Seq(child, alpha, adjust, ignoreNulls) =>
+          Ewma(child, doubleLit(alpha, "alpha"), boolLit(adjust, "adjust"),
+            boolLit(ignoreNulls, "ignoreNulls"))
         case _ => throw new IllegalArgumentException(
-          "usage: ewma(col, alpha, adjust)")
+          "usage: ewma(col, alpha, adjust[, ignoreNulls])")
       }))
   }
 }

@@ -31,10 +31,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * For `adjust = false` the buffer is reused as: num = running mean,
   * den = started flag (0.0/1.0) — evaluate num/den is then num/1 = num.
   */
-case class Ewma(child: Expression, alpha: Double, adjust: Boolean)
+case class Ewma(child: Expression, alpha: Double, adjust: Boolean,
+    ignoreNulls: Boolean = true)
     extends AggregateWindowFunction with UnaryLike[Expression] {
 
   require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+  require(adjust || ignoreNulls,
+    "ignoreNulls=false (position-based weight decay) is only defined for adjust=true")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -52,9 +55,15 @@ case class Ewma(child: Expression, alpha: Double, adjust: Boolean)
   override lazy val updateExpressions: Seq[Expression] = {
     val decay = Literal(1.0 - alpha)
     if (adjust) {
+      // ignoreNulls=false: a null still ages existing observations (weights
+      // keyed to absolute position — pandas ewm ignore_na=False); both
+      // accumulators decay, so the current mean is unchanged until the next
+      // value arrives with a larger relative weight.
+      val onNullNum = if (ignoreNulls) num else Multiply(num, decay)
+      val onNullDen = if (ignoreNulls) den else Multiply(den, decay)
       Seq(
-        If(IsNull(x), num, Add(Multiply(num, decay), x)),
-        If(IsNull(x), den, Add(Multiply(den, decay), Literal(1.0))))
+        If(IsNull(x), onNullNum, Add(Multiply(num, decay), x)),
+        If(IsNull(x), onNullDen, Add(Multiply(den, decay), Literal(1.0))))
     } else {
       Seq(
         If(IsNull(x), num,
@@ -77,8 +86,9 @@ object Ewma {
     * directly in Catalyst ([[WindowExpression]]) — Spark 4's ColumnNode
     * `.over` round-trip does not recognize foreign expressions. */
   def ewmaOver(c: Column, alpha: Double, adjust: Boolean,
-      partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
-    val fn = Ewma(ColumnBridge.expression(c), alpha, adjust)
+      partitionBy: Seq[Column], orderBy: Seq[Column],
+      ignoreNulls: Boolean = true): Column = {
+    val fn = Ewma(ColumnBridge.expression(c), alpha, adjust, ignoreNulls)
     val spec = WindowSpecDefinition(
       partitionBy.map(ColumnBridge.expression),
       orderBy.map(o => SortOrder(ColumnBridge.expression(o), Ascending)),

@@ -38,6 +38,30 @@ object Storage {
     case other => throw new IllegalArgumentException(s"Unsupported format: $other")
   }
 
+  /** Write a bucketed + sorted table: co-locates rows by join key so that
+    * repeated joins/aggregations on `key` run exchange-free (Spark reads the
+    * bucket layout and skips the shuffle). The 100 TB pattern for fact
+    * tables that are joined on the same key many times — pay one shuffle at
+    * write time, never again. Requires a table (metastore) rather than a
+    * bare path; pair with `spark.table(name)`.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // idempotent: drop any previous table AND its orphaned warehouse dir
+    // (a dropped catalog entry can leave the location behind across
+    // sessions, which saveAsTable then refuses to reuse)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Newest file matching `{symbol}_{interval}_*.{format}` by modification
     * time (the reference's cache probe, storage.py:114-137). */
   def latestCached(dir: String, symbol: String, interval: String,

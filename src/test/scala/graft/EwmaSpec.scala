@@ -77,6 +77,27 @@ class EwmaSpec extends SparkSpec {
     }
   }
 
+  test("interior nulls: ignoreNulls=true freezes weights, =false ages them (pandas parity)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[Double])](
+      (0L, Some(10.0)), (1L, None), (2L, Some(12.0)), (3L, None), (4L, None),
+      (5L, Some(14.0)), (6L, Some(13.0)))
+      .toDF("event_id", "x")
+      .withColumn("symbol", lit("A"))
+      .withColumn("datetime", timestamp_micros(col("event_id")))
+    def run(ignoreNulls: Boolean) = column(
+      df.select(col("symbol"), col("event_id"),
+        Ewma.ewmaOver(col("x"), 2.0 / 6.0, adjust = true,
+          Seq(col("symbol")), Seq(col("datetime"), col("event_id")),
+          ignoreNulls = ignoreNulls).as("y")), "y")
+    // pandas Series.ewm(span=5, adjust=True, ignore_na=...).mean()
+    assertSeq(run(true), Seq(10.0, 10.0, 11.200000000000001, 11.200000000000001,
+      11.200000000000001, 12.526315789473683, 12.723076923076922))
+    assertSeq(run(false), Seq(10.0, 10.0, 11.384615384615385, 11.384615384615385,
+      11.384615384615385, 13.216138328530258, 13.105411103302881))
+  }
+
   test("ewma is usable from SQL via GraftExtensions") {
     barsOf(close).createOrReplaceTempView("ewma_bars")
     val out = spark.sql(

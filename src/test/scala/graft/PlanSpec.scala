@@ -50,6 +50,22 @@ class PlanSpec extends SparkSpec {
       "predicate not pushed to scan")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val li = graft.source.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.source.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+    graft.source.Storage.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    graft.source.Storage.writeBucketed(ord, "b_orders", "o_orderkey", 8)
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    // co-located bucket layout: no Exchange on either join side
+    assert(countOp(joined, "Exchange hashpartitioning") == 0,
+      s"bucketed join still shuffles:\n${plan(joined)}")
+    assert(joined.count() == li.count()) // every lineitem has its order
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
