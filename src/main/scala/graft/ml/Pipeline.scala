@@ -35,6 +35,24 @@ object MlPipeline {
       idx.filter(col("_rn") > cut).drop("_rn"))
   }
 
+  /** Scale-out variant of the temporal split: threshold on an approximate
+    * time quantile instead of a global row_number — no single-partition
+    * window, two narrow passes. The cut lands within `relativeError` of the
+    * exact 80/20 row split (good enough when the split itself is a modeling
+    * choice, not an oracle-checked quantity). */
+  def temporalSplitByTime(df: DataFrame, timeCol: String = "datetime",
+      testSize: Double = Params.TestSize,
+      relativeError: Double = 0.001): (DataFrame, DataFrame) = {
+    val withUs = df.withColumn("_t_us", unix_micros(col(timeCol)).cast("double"))
+    val cut = withUs.stat.approxQuantile("_t_us",
+      Array(1.0 - testSize), relativeError) match {
+      case arr if arr.nonEmpty => arr(0)
+      case _ => throw new IllegalStateException("empty dataset")
+    }
+    (df.filter(unix_micros(col(timeCol)) <= cut),
+      df.filter(unix_micros(col(timeCol)) > cut))
+  }
+
   def assemble(df: DataFrame, features: Seq[String],
       labelCol: String = "target"): DataFrame = {
     val cleaned = df.na.drop("any", features :+ labelCol)

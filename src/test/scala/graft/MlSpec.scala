@@ -49,6 +49,18 @@ class MlSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("quantile-based temporal split approximates 80/20 without a global sort") {
+    val bars = graft.source.Bars.bars(spark, dir)
+    val (train, test) = MlPipeline.temporalSplitByTime(bars)
+    val n = bars.count().toDouble
+    val frac = train.count() / n
+    assert(frac > 0.75 && frac < 0.85, s"train fraction $frac")
+    // split is by time: max train time <= min test time
+    val maxTrain = train.agg(max("datetime")).collect()(0).getTimestamp(0)
+    val minTest = test.agg(min("datetime")).collect()(0).getTimestamp(0)
+    assert(!maxTrain.after(minTest))
+  }
+
   test("GBT regressor trains on forward-return target with sane metrics") {
     val bars = graft.source.Bars.bars(spark, dir)
     val feats = graft.features.Targets.withTarget(
