@@ -36,6 +36,9 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = only or sorted(oracle.keys())
 fails = 0
 for name in names:
+    if name not in oracle:
+        print(f"[skip] {name}: no oracle entry (rows-only or unknown name)")
+        continue
     sql = oracle[name]
     path = f"{outdir}/{name}"
     if not os.path.isdir(path):
@@ -59,8 +62,6 @@ for name in names:
             continue
         if a.dtype == object:
             neq = (a.astype(str) != b.astype(str))
-        elif np.issubdtype(a.dtype, np.floating):
-            neq = ~((a.isna() & b.isna()) | (a == b))
         else:
             neq = ~((a.isna() & b.isna()) | (a == b))
         n = int(neq.sum())
@@ -75,7 +76,6 @@ for name in names:
     else:
         print(f"[ ok ] {name}: {len(got)} rows x {len(gc)} cols")
 
-rowsonly = set(json.load(open(f"{outdir}/oracle_sql.json")))
 for d in sorted(glob.glob(f"{outdir}/*/")):
     q = os.path.basename(d.rstrip("/"))
     if q not in oracle:

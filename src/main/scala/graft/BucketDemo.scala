@@ -19,7 +19,7 @@ object BucketDemo {
     spark.sql("SELECT 1").createOrReplaceTempView("dual")
     graft.source.Bars.bars(spark, dir).createOrReplaceTempView("demo_bars")
     val e = spark.sql("""
-      SELECT round(ewma(close, 0.2D, true, false)
+      SELECT round(ewma(close, 0.2, true, false)
         OVER (PARTITION BY symbol ORDER BY datetime, event_id), 4) AS y
       FROM demo_bars LIMIT 3""").collect().map(_.getDouble(0)).toSeq
     println(s"[demo] sql ewma(ignoreNulls=false) sample=$e")

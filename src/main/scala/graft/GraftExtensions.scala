@@ -18,8 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def doubleLit(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
+    // SQL decimal literals (e.g. `0.2`) arrive as Catalyst Decimal
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
     case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"ewma $what must be a literal number, got $other")
   }

@@ -25,31 +25,6 @@ object Frames {
   def bySymbol: WindowSpec =
     Window.partitionBy(SymbolCol).orderBy(col(TimeCol), col(TieCol))
 
-  /** Fixed row frame of the trailing `n` rows (inclusive of current). */
-  def rolling(n: Int): WindowSpec = bySymbol.rowsBetween(-(n - 1), 0)
-
-  /** Rolling mean with Polars `min_samples = window_size` semantics
-    * (null until `n` non-null values fill the frame): gate on the non-null
-    * count, compute the mean as sum/n so the Spark plan and the DuckDB
-    * oracle evaluate the identical arithmetic tree. */
-  def rollingMean(c: Column, n: Int): Column =
-    when(count(c).over(rolling(n)) === n, sum(c).over(rolling(n)) / n)
-
-  /** Rolling sample std-dev (ddof=1) via explicit sum/sum-of-squares, gated
-    * like [[rollingMean]]. The explicit formula (rather than `stddev_samp`)
-    * keeps the floating-point expression tree identical to the oracle's. */
-  def rollingStd(c: Column, n: Int): Column = {
-    val f = rolling(n)
-    val s1 = sum(c).over(f)
-    val s2 = sum(c * c).over(f)
-    when(count(c).over(f) === n,
-      sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))))
-  }
-
-  /** Rolling sum gated on `n` non-null values in the frame. */
-  def rollingSum(c: Column, n: Int): Column =
-    when(count(c).over(rolling(n)) === n, sum(c).over(rolling(n)))
-
   // ---- O(n) cumulative-sum rolling (the 100 TB formulation) ----
   //
   // Spark's sliding WindowFunctionFrame re-aggregates each frame from

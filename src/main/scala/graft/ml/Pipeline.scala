@@ -26,8 +26,9 @@ object MlPipeline {
 
   /** Temporal 80/20 split, shuffle=False (reference src/ml/training.py:60-62). */
   def temporalSplit(df: DataFrame, timeCol: String = "datetime",
-      testSize: Double = Params.TestSize): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col(timeCol), col("event_id"))
+      testSize: Double = Params.TestSize,
+      tieCol: String = "event_id"): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(col(timeCol), col(tieCol))
     val n = df.count()
     val cut = math.floor((1.0 - testSize) * n).toLong
     val idx = df.withColumn("_rn", row_number().over(w))

@@ -41,7 +41,10 @@ object Core {
   def ingestBarsCsv(s: SparkSession, dir: String): DataFrame = {
     val b = bars(s, dir).select("symbol", "event_id", "datetime",
       "open", "high", "low", "close", "volume")
-    val path = s"/tmp/graft-csv-${Integer.toHexString(dir.hashCode)}"
+    // per-process staging path: a fixed hash-only path would race
+    // concurrent sessions verifying the same sfDir
+    val path = s"/tmp/graft-csv-${Integer.toHexString(dir.hashCode)}-" +
+      ProcessHandle.current().pid()
     graft.source.Storage.save(b, path, "csv")
     val back = graft.source.Storage.load(s, path, "csv", Some(b.schema))
     back.select(
@@ -97,12 +100,13 @@ object Core {
     keyed(Technical.withTechnical(bars(s, dir)),
       Seq("bb_middle", "bb_upper", "bb_lower", "bb_width").map(n => r6(col(n)).as(n)))
 
-  /** W1/W5/W10: RSI (custom Ewma adjust=false). Not DuckDB-expressible —
-    * covered by ScalaTest golden vectors; driver records rows-only. */
+  /** W1/W5/W10: RSI (custom Ewma adjust=false). Oracle: recursive-CTE
+    * recurrence replay (OracleSql.featRsi) + EwmaSpec golden vectors. */
   def featRsi(s: SparkSession, dir: String): DataFrame =
     keyed(Technical.withTechnical(bars(s, dir)), Seq(r6(col("rsi")).as("rsi")))
 
-  /** W6/W11: MACD (custom Ewma adjust=true, two window passes). */
+  /** W6/W11: MACD (custom Ewma adjust=true, two window passes). Oracle:
+    * recursive-CTE recurrence replay (OracleSql.featMacd). */
   def featMacd(s: SparkSession, dir: String): DataFrame =
     keyed(Technical.withTechnical(bars(s, dir)),
       Seq("macd", "macd_signal", "macd_histogram").map(n => r6(col(n)).as(n)))

@@ -69,11 +69,14 @@ object Storage {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return None
     val prefix = s"${symbol}_${interval}_"
-    Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(prefix) &&
-        p.getFileName.toString.endsWith(s".$format"))
-      .toSeq
-      .sortBy(p => Files.getLastModifiedTime(p).toMillis)
-      .lastOption
+    val stream = Files.list(d)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+          p.getFileName.toString.endsWith(s".$format"))
+        .toSeq
+        .sortBy(p => Files.getLastModifiedTime(p).toMillis)
+        .lastOption
+    } finally stream.close()
   }
 }

@@ -35,8 +35,15 @@ object Streams {
       s"graft-stream-${Integer.toHexString(target.toString.hashCode)}")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createSymbolicLink(link, target)
+    // NOFOLLOW: a dangling link (target regenerated elsewhere) must be
+    // detected and replaced, not silently treated as absent
+    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.delete(link)
+    }
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent creator won
     }
     dir.toString
   }
@@ -75,10 +82,14 @@ object Streams {
       .flatMapGroupsWithState[SessState, SessionSummary](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state: GroupState[SessState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full µs precision: getTime() alone truncates to ms, which would
+          // disagree with the batch twin's unix_micros gap arithmetic
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
           sorted.foreach { e =>
-            val t = e.ts.getTime * 1000L
+            val t = micros(e.ts)
             val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapUs
             st = SessState(t, st.sessions + (if (newSession) 1 else 0), st.events + 1)
           }

@@ -100,8 +100,10 @@ class EwmaSpec extends SparkSpec {
 
   test("ewma is usable from SQL via GraftExtensions") {
     barsOf(close).createOrReplaceTempView("ewma_bars")
+    // plain decimal literal (`0.2`, not `0.2D`) — the documented spelling;
+    // regression for the Catalyst Decimal literal-unwrap path
     val out = spark.sql(
-      """SELECT ewma(close, 0.2D, false)
+      """SELECT ewma(close, 0.2, false)
         |  OVER (PARTITION BY symbol ORDER BY datetime, event_id) AS y
         |FROM ewma_bars""".stripMargin)
     assert(out.count() == close.length)
