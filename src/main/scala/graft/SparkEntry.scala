@@ -52,6 +52,8 @@ object SparkEntry {
     "text_stats" -> (TextSim.textStats _),
     "text_langid" -> (TextSim.textLangid _),
     "text_fingerprint" -> (TextSim.textFingerprint _),
+    "text_tfidf" -> (TextSim.textTfidf _),
+    "sim_label_centroids" -> (TextSim.simLabelCentroids _),
     "dedup_exact" -> (TextSim.dedupExact _),
     "dedup_minhash" -> (TextSim.dedupMinhash _),
     "dedup_minhash_pairs" -> (TextSim.dedupMinhashPairs _),
@@ -92,6 +94,8 @@ object SparkEntry {
     "text_stats" -> TextSimSql.textStats,
     "text_langid" -> TextSimSql.textLangid,
     "text_fingerprint" -> TextSimSql.textFingerprint,
+    "text_tfidf" -> TextSimSql.textTfidf,
+    "sim_label_centroids" -> TextSimSql.simLabelCentroids,
     "dedup_exact" -> TextSimSql.dedupExact,
     "dedup_minhash" -> TextSimSql.dedupMinhash,
     "dedup_minhash_pairs" -> TextSimSql.dedupMinhashPairs,

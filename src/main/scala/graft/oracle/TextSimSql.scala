@@ -55,6 +55,38 @@ object TextSimSql {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  val textTfidf: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS n_occ FROM toks GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+       |), nd AS (
+       |  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+       |)
+       |SELECT doc_id, term,
+       |       ${r("CAST(n_occ AS DOUBLE) / n_toks * ln(CAST(n_docs AS DOUBLE) / doc_freq)")} AS tfidf
+       |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
+       |ORDER BY doc_id, term""".stripMargin
+
+  val simLabelCentroids: String =
+    s"""WITH comps AS (
+       |  SELECT label, i AS idx, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+       |  GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label, list(m ORDER BY idx) AS c FROM comps GROUP BY 1
+       |), cn AS (
+       |  SELECT label, c, sqrt(${dot("c", "c")}) AS nc FROM cents
+       |)
+       |SELECT x.label AS label_a, y.label AS label_b,
+       |       ${r(s"${dot("x.c", "y.c")} / (x.nc * y.nc)")} AS cos
+       |FROM cn x JOIN cn y ON x.label < y.label
+       |ORDER BY label_a, label_b""".stripMargin
+
   val textFingerprint: String =
     """SELECT doc_id,
       |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),

@@ -26,6 +26,16 @@ object TextSim {
       .select(col("doc_id"), col("predicted_lang"), col("lang"), col("is_correct"))
       .orderBy("doc_id")
 
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextStats.tfidf(Tables.documents(s, dir))
+      .select(col("doc_id"), col("term"), r6(col("tfidf")).as("tfidf"))
+      .orderBy("doc_id", "term")
+
+  def simLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidCosines(Tables.embeddings(s, dir))
+      .select(col("label_a"), col("label_b"), r6(col("cos")).as("cos"))
+      .orderBy("label_a", "label_b")
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.withFingerprint(Tables.documents(s, dir))
       .select(col("doc_id"), col("fingerprint"))

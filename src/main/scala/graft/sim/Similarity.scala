@@ -82,6 +82,23 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Per-label centroids + their pairwise cosine matrix — the "how separable
+    * are my classes" diagnostic. Element-wise mean via posexplode + grouped
+    * scalar sums (shuffle-partitioned; no driver-side vectors), then the
+    * same sequential-fold cosine as everywhere else. */
+  def labelCentroidCosines(embeddings: DataFrame): DataFrame = {
+    val comps = embeddings.select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "v")))
+      .groupBy("label", "idx").agg(avg(col("v")).as("m"))
+    val cents = comps.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("s"))
+      .select(col("label"), expr("transform(s, x -> x.m)").as("c"))
+      .withColumn("nc", sqrt(dot("c", "c")))
+    cents.as("x").join(cents.as("y"), col("x.label") < col("y.label"))
+      .select(col("x.label").as("label_a"), col("y.label").as("label_b"),
+        cosPre("x.c", "y.c", "x.nc", "y.nc").as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: same IVF bucket, cosine >= threshold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.25,
       numCentroids: Int = 16): DataFrame = {

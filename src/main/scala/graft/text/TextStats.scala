@@ -57,6 +57,25 @@ object TextStats {
       .withColumn("is_correct", (col("predicted_lang") === col("lang")).cast("int"))
   }
 
+  /** TF-IDF: per (doc, term), tf = occurrences / doc token count,
+    * idf = ln(N / docfreq), score = tf · idf. Classic shuffle-partitioned
+    * shape: explode → two grouped aggregations keyed by term/doc — no
+    * driver-side vocabulary. Returns one row per (doc_id, term). */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(docLen, Seq("doc_id"))
+      .join(df_, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("n_occ").cast("double") / col("n_toks") *
+          log(col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
+  }
+
   /** Document fingerprint: lexicographic min of md5 over all char 8-grams —
     * a winnowing-style content fingerprint, identical in Spark and DuckDB
     * because both take a string-min over the same md5 hex strings. */
