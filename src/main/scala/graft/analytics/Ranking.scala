@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ordering without a single-partition window.
+  *
+  * `row_number() OVER (ORDER BY ...)` forces every row through ONE task
+  * (Spark warns "No Partition Defined for Window operation") — fine at 10k
+  * rows, fatal at 100 TB. This computes the identical numbering in three
+  * scalable steps:
+  *
+  *   1. bucket each row by value-range of a numeric sort key (boundaries from
+  *      `approxQuantile`; the bucket is a pure function of the ROW, not of
+  *      physical partitioning, so it is deterministic across runs and
+  *      re-shuffles);
+  *   2. count rows per bucket (tiny aggregate) and turn the counts into
+  *      per-bucket starting offsets on the driver — O(buckets) state, not
+  *      O(rows);
+  *   3. `row_number()` within each bucket (parallel windows) + the bucket's
+  *      offset.
+  *
+  * The output is invariant to the boundary placement — any monotone
+  * bucketing yields the same global numbering, so approxQuantile's
+  * approximation error only affects balance, never values. Rows whose sort
+  * key equals a boundary all land in the lower bucket (`>`-comparison), so
+  * ties never straddle buckets; the tie columns then give a total order
+  * inside each bucket.
+  */
+object Ranking {
+
+  /** Append a 1-based global row-number column `rn` ordered by `orderCols`.
+    *
+    * @param sortKey   numeric (castable-to-double, non-null) expression that
+    *                  is coarser-or-equal to `orderCols.head` — rows that
+    *                  compare equal on `orderCols.head` must share a key
+    * @param orderCols total ordering (ties broken by trailing columns)
+    * @return (frame + `rn`, total row count — free from the bucket counts)
+    */
+  def withGlobalRowNumber(df: DataFrame, sortKey: Column,
+      orderCols: Seq[Column], rnCol: String = "rn",
+      buckets: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df.withColumn("_grn_key", sortKey.cast("double"))
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else keyed.stat.approxQuantile("_grn_key", probs, 0.001).distinct.sorted
+    val bucket = boundaries
+      .map(b => when(col("_grn_key") > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val bucketed = keyed.withColumn("_grn_bucket", bucket)
+    val counts = bucketed.groupBy("_grn_bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val w = Window.partitionBy("_grn_bucket").orderBy(orderCols: _*)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("_grn_bucket")), lit(0L))
+    (bucketed
+      .withColumn(rnCol, offsetCol + row_number().over(w).cast("long"))
+      .drop("_grn_key", "_grn_bucket"), total)
+  }
+}

@@ -6,7 +6,6 @@ import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, Multiclass
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ML surface (SURVEY.md §2.7): feature-matrix prep, temporal split,
@@ -24,14 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object MlPipeline {
 
-  /** Temporal 80/20 split, shuffle=False (reference src/ml/training.py:60-62). */
+  /** Temporal 80/20 split, shuffle=False (reference src/ml/training.py:60-62).
+    * Exact row split via the scalable global row numbering (range-bucketed,
+    * no single-partition window — see graft.analytics.Ranking). */
   def temporalSplit(df: DataFrame, timeCol: String = "datetime",
       testSize: Double = Params.TestSize,
       tieCol: String = "event_id"): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col(timeCol), col(tieCol))
-    val n = df.count()
+    val (idx, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      df, unix_micros(col(timeCol)), Seq(col(timeCol), col(tieCol)), "_rn")
     val cut = math.floor((1.0 - testSize) * n).toLong
-    val idx = df.withColumn("_rn", row_number().over(w))
     (idx.filter(col("_rn") <= cut).drop("_rn"),
       idx.filter(col("_rn") > cut).drop("_rn"))
   }

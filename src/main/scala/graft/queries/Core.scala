@@ -122,19 +122,18 @@ object Core {
       Seq(r6(col("target")).as("target")))
 
   /** W19: temporal ordered 80/20 split (shuffle=False,
-    * reference src/ml/training.py:60-62). Exact-parity form needs a global
-    * row_number (single-partition window) — fine at verify scale; the
-    * scale-out variant would threshold on a time quantile instead. The row
-    * count joins in via broadcast rather than a driver action. */
+    * reference src/ml/training.py:60-62). The global row numbering comes
+    * from Ranking.withGlobalRowNumber — range-bucket + per-bucket offsets —
+    * so no row ever passes through a single-partition window; the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY ts, event_id)` still matches exactly
+    * because the numbering is identical, only the plan differs. */
   def temporalSplit(s: SparkSession, dir: String): DataFrame = {
-    val ev = Bars.readEvents(s, dir)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-    val n = ev.agg(count(lit(1)).as("n"))
-    ev.select(col("event_id"), row_number().over(w).as("rn"))
-      .crossJoin(broadcast(n))
-      .select(col("event_id"),
-        when(col("rn") <= floor(lit(1.0 - Params.TestSize) * col("n")).cast("long"), "train")
-          .otherwise("test").as("split"))
+    val ev = Bars.readEvents(s, dir).select(col("event_id"), col("ts"))
+    val (withRn, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")))
+    val cut = math.floor((1.0 - Params.TestSize) * n).toLong
+    withRn.select(col("event_id"),
+        when(col("rn") <= cut, "train").otherwise("test").as("split"))
       .orderBy("event_id")
   }
 
