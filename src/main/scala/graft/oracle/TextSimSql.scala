@@ -152,14 +152,14 @@ object TextSimSql {
   }
 
   private val simhashCte: String = {
-    val digits = (1 to 4).map(k =>
+    val digits = (1 to Dedup.SimhashBits / 4).map(k =>
       s"(instr('0123456789abcdef', substring(h, $k, 1)) - 1) AS d_$k").mkString(",\n         ")
-    val sums = (0 until 16).map { b =>
+    val sums = (0 until Dedup.SimhashBits).map { b =>
       val k = b / 4 + 1
       val j = 1 << (b % 4)
       s"SUM(2 * ((d_$k // $j) % 2) - 1) AS s_$b"
     }.mkString(",\n         ")
-    val value = (0 until 16).map(b =>
+    val value = (0 until Dedup.SimhashBits).map(b =>
       s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
@@ -185,8 +185,8 @@ object TextSimSql {
   val dedupSimhashPairs: String =
     s"""$simhashCte, ch AS (
        |  SELECT doc_id, simhash, c AS chunk_idx,
-       |         (simhash // CAST(pow(16, c) AS BIGINT)) % 16 AS chunk_val
-       |  FROM sh2, UNNEST(range(4)) u(c)
+       |         (simhash // CAST(pow(256, c) AS BIGINT)) % 256 AS chunk_val
+       |  FROM sh2, UNNEST(range(${Dedup.SimhashChunks})) u(c)
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |         x.simhash AS sh_a, y.simhash AS sh_b
@@ -194,7 +194,8 @@ object TextSimSql {
        |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id
        |)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= ${Dedup.SimhashMaxDist}
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val dedupNgramJaccard: String =
     s"""WITH g0 AS (

@@ -1,7 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the documents table: exact, MinHash+LSH
@@ -13,16 +12,27 @@ import org.apache.spark.sql.functions._
   * identically everywhere — no engine-specific hash (xxhash64/murmur) that
   * the oracle couldn't reproduce.
   *
-  * Scale shape: everything is shuffle-partitioned group-by/join on
-  * (shingle|band|chunk) keys; candidate pairs are generated by LSH banding /
-  * pigeonhole chunks rather than all-pairs, so the quadratic blowup is
-  * bounded by bucket sizes (at 100 TB: salt hot buckets, cap bucket width).
+  * Scale shape: per-document work (shingling, signatures, fingerprints) is
+  * NARROW — higher-order array functions over the row's own text, zero
+  * shuffle (document length is bounded upstream, so per-row arrays are too).
+  * Only candidate generation shuffles, on (band|chunk) keys, and candidate
+  * pairs are verified with a per-pair `array_intersect` instead of an
+  * exploded gram join — the quadratic blowup is bounded by bucket sizes
+  * (at 100 TB: salt hot buckets, cap bucket width).
   */
 object Dedup {
 
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4 // NumHashes / Bands
+
+  /** SimHash width in bits (8 md5 hex digits) and pigeonhole chunking: any
+    * pair within Hamming distance MaxDist=3 agrees on >= 1 of the 4 8-bit
+    * chunks. 32 bits keeps 5k+ docs from saturating the space the way a
+    * 16-bit hash does (where everything collides with everything). */
+  val SimhashBits = 32
+  val SimhashChunks = 4
+  val SimhashMaxDist = 3
 
   /** Exact dedup: canonical (min) doc per identical text. Deterministic —
     * unlike dropDuplicates, which keeps an arbitrary row. */
@@ -31,83 +41,95 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text")).as("text_md5"), col("canonical_id"), col("n_copies"))
 
-  /** Distinct word-3-gram shingles per doc. */
-  def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(expr("transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("shingle"))
-      .distinct()
+  /** Distinct word-3-gram shingles of `text`, as a per-row array column —
+    * narrow, no explode/shuffle. */
+  def shingleArray: Column =
+    expr("array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")
 
-  /** MinHash signature: per seed k, min(md5(k || '_' || shingle)). */
+  /** Exploded (doc_id, shingle) view — for callers that need the relational
+    * shape; the operators below stay on the array form. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray).as("shingle"))
+
+  /** MinHash signature: per seed k, min(md5(k || '_' || shingle)) — computed
+    * as array_min over the per-row shingle array. Zero shuffle: every
+    * signature is a projection of its own row. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sigs = (0 until NumHashes).map(k =>
-      min(md5(concat(lit(s"${k}_"), col("shingle")))).as(s"mh_$k"))
-    shingles(docs).groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+      array_min(transform(col("_sh"), s => md5(concat(lit(s"${k}_"), s)))).as(s"mh_$k"))
+    docs.withColumn("_sh", shingleArray).select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH banding: candidate pairs share at least one of the 4 bands of 4
-    * hashes; candidates are then verified with exact shingle Jaccard and
-    * kept above `threshold`. Returns (doc_a, doc_b, jaccard). */
+    * hashes; candidates are then verified with exact shingle Jaccard
+    * (per-pair array_intersect) and kept above `threshold`.
+    * Returns (doc_a, doc_b, jaccard). */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs)
+    val sized = docs.select(col("doc_id"), shingleArray.as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val jac = candidatePairs(minhashSignatures(docs))
+      .join(sized.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sized.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("za.sh"), col("zb.sh"))).cast("long").as("n_inter"),
+        col("za.n_sh").as("na"), col("zb.n_sh").as("nb"))
+      // the oracle's intersection join only yields overlapping pairs
+      .filter(col("n_inter") >= 1)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+    jac.filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH band join: (doc_a, doc_b) sharing >= 1 band of the signature. */
+  def candidatePairs(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val hs = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
       struct(lit(b).as("band_idx"), concat_ws("|", hs: _*).as("band_val"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash over the token multiset: bit b of md5's first 4 hex
+  /** 32-bit SimHash over the token multiset: bit b of md5's first 8 hex
     * digits votes +1/-1 per token occurrence; the sign of the vote sum sets
     * the output bit. Pure integer arithmetic → bit-identical in the oracle. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val withDigits = (1 to 4).foldLeft(toks)((df, k) =>
+    val withDigits = (1 to SimhashBits / 4).foldLeft(toks)((df, k) =>
       df.withColumn(s"d_$k",
         (instr(lit("0123456789abcdef"), substring(col("h"), k, 1)) - 1).cast("long")))
-    val bitSigns = (0 until 16).map { b =>
+    val bitSigns = (0 until SimhashBits).map { b =>
       val k = b / 4 + 1
       val j = b % 4
       sum(expr(s"2 * ((d_$k div ${1 << j}) % 2) - 1")).as(s"s_$b")
     }
     val summed = withDigits.groupBy("doc_id").agg(bitSigns.head, bitSigns.tail: _*)
-    val value = (0 until 16).map(b =>
+    val value = (0 until SimhashBits).map(b =>
       when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     summed.select(col("doc_id"), value.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, generated by
-    * the pigeonhole trick: split 16 bits into 4 chunks — any pair within
-    * distance 3 must agree on >= 1 full chunk, so candidates come from an
-    * equi-join on (chunk_idx, chunk_val) instead of all-pairs. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * the pigeonhole trick: split 32 bits into 4 chunks of 8 — any pair
+    * within distance 3 must agree on >= 1 full chunk, so candidates come
+    * from an equi-join on (chunk_idx, chunk_val) instead of all-pairs. 8-bit
+    * chunks (256 values) keep the per-bucket width — and thus the quadratic
+    * verify cost — two orders of magnitude below the 4-bit version's. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = SimhashMaxDist): DataFrame = {
     val sh = simhash(docs)
     val chunks = sh.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk_idx, " +
-          "(simhash div CAST(pow(16, c) AS BIGINT)) % 16 AS chunk_val))")).as("c"))
+        explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), c -> struct(c AS chunk_idx, " +
+          "(simhash div CAST(pow(256, c) AS BIGINT)) % 256 AS chunk_val))")).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
@@ -123,32 +145,28 @@ object Dedup {
 
   /** Exact char-4-gram Jaccard over a bounded sliding candidate window
     * (doc_id, doc_id + d for d <= span) — the n-gram similarity operator
-    * isolated from LSH candidate generation. */
+    * isolated from LSH candidate generation. Per-doc gram sets are narrow
+    * per-row arrays; each candidate pair is verified with one
+    * array_intersect — no exploded gram join, no per-pair re-aggregation. */
   def ngramJaccard(docs: DataFrame, span: Int = 3): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-        explode(expr("transform(sequence(1, greatest(length(text) - 3, 1)), " +
-          "i -> substring(text, i, 4))")).as("g"))
-      .distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
-    // Enumerate candidate pairs FIRST, then intersect per-pair with a
-    // composite (doc, gram) join key. Joining gram-to-gram directly would
-    // blow up as sum over grams of count^2 — catastrophic on a small
-    // vocabulary where every gram appears in thousands of docs.
+    val gramArr = expr("array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), " +
+      "i -> substring(text, i, 4)))")
+    val g = docs.select(col("doc_id"), gramArr.as("g"))
+      .withColumn("n_g", size(col("g")).cast("long"))
     val cand = docs.select(col("doc_id").as("doc_a"),
         explode(expr(s"sequence(1, $span)")).as("_d"))
       .select(col("doc_a"), (col("doc_a") + col("_d")).as("doc_b"))
       .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"))
-    val inter = cand
-      .join(grams.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(grams.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.g") === col("b.g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+    cand
+      .join(g.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(g.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a.g"), col("b.g"))).cast("long").as("n_inter"),
+        col("a.n_g").as("na"), col("b.n_g").as("nb"))
+      // parity with the oracle's intersection join: zero-overlap pairs drop
+      .filter(col("n_inter") >= 1)
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
-          (col("za.n_g") + col("zb.n_g") - col("n_inter"))).as("jaccard"))
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
   }
 }
