@@ -49,6 +49,11 @@ object SparkEntry {
     "window_tumbling" -> (Analytics.windowTumbling _),
     "window_sliding" -> (Analytics.windowSliding _),
     "sessionize" -> (Analytics.sessionize _),
+    "window_rank" -> (Analytics.windowRank _),
+    "agg_rollup" -> (Analytics.aggRollup _),
+    "agg_quantiles" -> (Analytics.aggQuantiles _),
+    "sample_bernoulli" -> (Analytics.sampleBernoulli _),
+    "sample_stratified" -> (Analytics.sampleStratified _),
     "text_stats" -> (TextSim.textStats _),
     "text_langid" -> (TextSim.textLangid _),
     "text_fingerprint" -> (TextSim.textFingerprint _),
@@ -65,6 +70,8 @@ object SparkEntry {
     "sim_neardup" -> (TextSim.simNeardup _),
     "multimodal_meta" -> (TextSim.multimodalMeta _),
     "multimodal_decode" -> (TextSim.multimodalDecode _),
+    "multimodal_frames" -> (TextSim.multimodalFrames _),
+    "dedup_clusters" -> (TextSim.dedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -91,6 +98,11 @@ object SparkEntry {
     "window_tumbling" -> OracleSql.windowTumbling,
     "window_sliding" -> OracleSql.windowSliding,
     "sessionize" -> OracleSql.sessionize,
+    "window_rank" -> OracleSql.windowRank,
+    "agg_rollup" -> OracleSql.aggRollup,
+    "agg_quantiles" -> OracleSql.aggQuantiles,
+    "sample_bernoulli" -> OracleSql.sampleBernoulli,
+    "sample_stratified" -> OracleSql.sampleStratified,
     "text_stats" -> TextSimSql.textStats,
     "text_langid" -> TextSimSql.textLangid,
     "text_fingerprint" -> TextSimSql.textFingerprint,
@@ -106,5 +118,7 @@ object SparkEntry {
     "sim_ann_ivf" -> TextSimSql.simAnnIvf,
     "sim_neardup" -> TextSimSql.simNeardup,
     "multimodal_meta" -> TextSimSql.multimodalMeta,
+    "multimodal_frames" -> TextSimSql.multimodalFrames,
+    "dedup_clusters" -> TextSimSql.dedupClusters,
   )
 }

@@ -1,0 +1,36 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Both operators key the sampling decision on a HASH of a stable row key —
+  * never on `rand()` or physical row position — so a sample is reproducible
+  * across runs, partitionings, and engines (md5 is the same everywhere,
+  * which is also what makes the DuckDB oracle able to replay it). That
+  * reproducibility is what a 100 TB pipeline needs: re-running a stage after
+  * a failure must select the same rows.
+  */
+object Sampling {
+
+  /** Hash-Bernoulli sample: keep rows whose md5(key) hex prefix sorts below
+    * `hexPrefixLt` — e.g. "2" keeps 2/16 ≈ 12.5%, "0a" keeps 10/256.
+    * Narrow (no shuffle, no state): each row decides for itself, so the
+    * filter composes with pushdown and scales linearly. */
+  def bernoulliByHash(df: DataFrame, key: Column, hexPrefixLt: String): DataFrame =
+    df.filter(substring(md5(key.cast("string")), 1, hexPrefixLt.length) < lit(hexPrefixLt))
+
+  /** Stratified exact-quota sample: per stratum, the `quota` rows with the
+    * smallest md5(key) — a deterministic uniform draw without replacement.
+    * One shuffle on the stratum key; rank ties broken by the key itself.
+    * At scale, pre-filter with [[bernoulliByHash]] at a few times the
+    * target rate so the per-stratum sort sees a sliver of the data. */
+  def stratifiedByHash(df: DataFrame, stratum: Column, key: Column,
+      quota: Int, rnCol: String = "strat_rn"): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)
+    df.withColumn(rnCol, row_number().over(w).cast("long"))
+      .filter(col(rnCol) <= quota)
+  }
+}

@@ -46,6 +46,29 @@ object Multimodal {
       col("props").cast("binary").as("payload")).as[MediaRecord]
   }
 
+  /** Frame sampling over an opaque payload: chop the payload into
+    * fixed-width frames and keep every `stride`-th one, emitting a checksum
+    * per sampled frame — the Spark-side plumbing of video frame-sampling
+    * (schema, explode shape, per-frame work), with the codec stubbed as a
+    * deterministic md5 so the operator is fully oracle-checkable. The short
+    * `props` string stands in for the payload, tiled `repeatN` times to give
+    * each event a multi-frame body. Narrow: sequence + explode over the
+    * row's own payload, no shuffle. */
+  def frameSample(events: DataFrame, repeatN: Int = 64, frameChars: Int = 16,
+      stride: Int = 4): DataFrame = {
+    val nFrames = floor(length(col("_payload")) / frameChars)
+    events
+      .select(col("event_id"), expr(s"repeat(props, $repeatN)").as("_payload"))
+      .withColumn("_n_frames", nFrames)
+      .select(col("event_id"), col("_payload"), col("_n_frames"),
+        explode(when(col("_n_frames") >= 1,
+            sequence(lit(0L), col("_n_frames") - 1, lit(stride.toLong)))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("frame_idx"))
+      .select(col("event_id"), col("frame_idx"), col("_n_frames").as("n_frames"),
+        md5(expr(s"substring(_payload, CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)"))
+          .as("frame_md5"))
+  }
+
   /** Partition-batched decode + feature extraction. */
   def extractFeatures(events: DataFrame,
       decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {

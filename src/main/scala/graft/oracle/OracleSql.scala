@@ -522,4 +522,51 @@ object OracleSql {
        |FROM f3 JOIN tech ON tech.event_id = f3.event_id
        |WHERE fwd IS NOT NULL AND $notNull ORDER BY event_id""".stripMargin
   }
+
+  val windowRank: String =
+    s"""$barsCte
+       |SELECT symbol, event_id, volume,
+       |       RANK() OVER (PARTITION BY symbol ORDER BY volume) AS rnk,
+       |       DENSE_RANK() OVER (PARTITION BY symbol ORDER BY volume) AS drnk,
+       |       ${r("PERCENT_RANK() OVER (PARTITION BY symbol ORDER BY volume)")} AS prnk,
+       |       ${r("CUME_DIST() OVER (PARTITION BY symbol ORDER BY volume)")} AS cdist,
+       |       ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY volume, event_id) AS rn,
+       |       NTILE(4) OVER (PARTITION BY symbol ORDER BY volume, event_id) AS tile
+       |FROM bars ORDER BY event_id""".stripMargin
+
+  val aggRollup: String =
+    s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       |       COALESCE(l_linestatus, '(all)') AS linestatus,
+       |       COUNT(*) AS n,
+       |       SUM(l_quantity) AS sum_qty,
+       |       round(SUM(l_extendedprice), 0) + 0.0 AS sum_price,
+       |       ${r("AVG(l_discount)")} AS avg_disc
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  val aggQuantiles: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |       ${r("MIN(value)")} AS v_min,
+       |       ${r("quantile_cont(value, 0.25)")} AS v_p25,
+       |       ${r("quantile_cont(value, 0.5)")} AS v_p50,
+       |       ${r("quantile_cont(value, 0.75)")} AS v_p75,
+       |       ${r("MAX(value)")} AS v_max
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val sampleBernoulli: String =
+    s"""SELECT event_id, event_type, ${r("value")} AS value
+       |FROM events
+       |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
+       |ORDER BY event_id""".stripMargin
+
+  val sampleStratified: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, event_id,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type
+       |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS strat_rn
+       |  FROM events
+       |)
+       |SELECT event_type, strat_rn, event_id FROM ranked
+       |WHERE strat_rn <= 100 ORDER BY event_type, strat_rn""".stripMargin
 }

@@ -118,7 +118,11 @@ object TextSimSql {
        |         $sigSelect
        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  val dedupMinhashPairs: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the verified
+    * MinHash near-dup pair graph, shared by dedup_minhash_pairs and
+    * dedup_clusters. MATERIALIZED: the clusters query scans it from both
+    * edge directions and from inside a recursion. */
+  private val minhashPairsCtes: String = {
     val bands = (0 until Dedup.Bands).map { b =>
       val hs = (0 until Dedup.RowsPerBand).map(rr => s"mh_${b * Dedup.RowsPerBand + rr}")
       s"SELECT doc_id, $b AS band_idx, concat_ws('|', ${hs.mkString(", ")}) AS band_val FROM sig"
@@ -141,15 +145,39 @@ object TextSimSql {
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
        |  GROUP BY doc_a, doc_b
-       |)
-       |SELECT doc_a, doc_b,
-       |       ${r("CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter)")} AS jaccard
-       |FROM inter
-       |JOIN sizes za ON za.doc_id = doc_a
-       |JOIN sizes zb ON zb.doc_id = doc_b
-       |WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |         CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+       |)""".stripMargin
   }
+
+  val dedupMinhashPairs: String =
+    s"""$minhashPairsCtes
+       |SELECT doc_a, doc_b, ${r("jaccard")} AS jaccard
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components of the pair graph: min doc_id reachable from each
+    * node, via a recursive reachability CTE (the oracle twin of the Spark
+    * side's iterative min-label propagation — both converge to the same
+    * unique fixpoint). */
+  val dedupClusters: String =
+    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |), reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+       |)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   private val simhashCte: String = {
     val digits = (1 to Dedup.SimhashBits / 4).map(k =>
@@ -285,6 +313,19 @@ object TextSimSql {
        |FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE ${cosP("x.v", "y.v", "x.nv", "y.nv")} >= 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  val multimodalFrames: String =
+    """WITH p AS (
+      |  SELECT event_id, repeat(props, 64) AS payload FROM events
+      |), f AS (
+      |  SELECT event_id, payload,
+      |         CAST(floor(length(payload) / 16) AS BIGINT) AS n_frames
+      |  FROM p
+      |)
+      |SELECT event_id, fi AS frame_idx, n_frames,
+      |       md5(substring(payload, CAST(fi * 16 + 1 AS INT), 16)) AS frame_md5
+      |FROM f, UNNEST(range(0, n_frames, 4)) u(fi)
+      |ORDER BY event_id, frame_idx""".stripMargin
 
   val multimodalMeta: String =
     """SELECT event_id,

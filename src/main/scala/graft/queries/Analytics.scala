@@ -92,4 +92,74 @@ object Analytics {
         col("session_start").cast("timestamp_ntz").as("session_start"),
         col("session_end").cast("timestamp_ntz").as("session_end"))
       .orderBy("user_id", "session_idx")
+
+  /** Ranking-window family per symbol: rank/dense_rank/percent_rank/
+    * cume_dist over `volume` (which has ties — the interesting case;
+    * all four are tie-invariant, hence deterministic), plus row_number and
+    * ntile(4) over the fully tie-broken (volume, event_id) order. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTies = Window.partitionBy("symbol").orderBy(col("volume"))
+    val wTotal = Window.partitionBy("symbol").orderBy(col("volume"), col("event_id"))
+    Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), col("volume"),
+        rank().over(wTies).cast("long").as("rnk"),
+        dense_rank().over(wTies).cast("long").as("drnk"),
+        r6(percent_rank().over(wTies)).as("prnk"),
+        r6(cume_dist().over(wTies)).as("cdist"),
+        row_number().over(wTotal).cast("long").as("rn"),
+        ntile(4).over(wTotal).cast("long").as("tile"))
+      .orderBy("event_id")
+  }
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals + grand
+    * total in one pass — Spark expands the grouping sets, the aggregation
+    * stays partial+final. Quantity sums are integer-valued doubles (exact in
+    * any accumulation order — no rounding); price sums round to whole units
+    * like q1_pricing. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_price"),
+        avg(col("l_discount")).as("avg_disc"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"),
+        (round(col("sum_price"), 0) + lit(0.0)).as("sum_price"),
+        r6(col("avg_disc")).as("avg_disc"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Exact quartiles of `value` per event_type (linear interpolation —
+    * identical definition to DuckDB's quantile_cont). Exact, not sketched:
+    * the per-group sort is the point of the operator; the approx path for
+    * 100 TB is percentile_approx over the same plan. */
+  def aggQuantiles(s: SparkSession, dir: String): DataFrame =
+    Bars.readEvents(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r6(min(col("value"))).as("v_min"),
+        r6(expr("percentile(value, 0.25)")).as("v_p25"),
+        r6(expr("percentile(value, 0.5)")).as("v_p50"),
+        r6(expr("percentile(value, 0.75)")).as("v_p75"),
+        r6(max(col("value"))).as("v_max"))
+      .orderBy("event_type")
+
+  /** Deterministic hash-Bernoulli sample (~12.5%) of events — reproducible
+    * across runs/partitionings, no shuffle. */
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Sampling.bernoulliByHash(
+        Bars.readEvents(s, dir), col("event_id"), "2")
+      .select(col("event_id"), col("event_type"), r6(col("value")).as("value"))
+      .orderBy("event_id")
+
+  /** Deterministic stratified sample: exactly 100 events per event_type,
+    * drawn by md5 rank. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Sampling.stratifiedByHash(
+        Bars.readEvents(s, dir), col("event_type"), col("event_id"), 100)
+      .select(col("event_type"), col("strat_rn"), col("event_id"))
+      .orderBy("event_type", "strat_rn")
 }

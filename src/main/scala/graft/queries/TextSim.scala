@@ -97,4 +97,19 @@ object TextSim {
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Bars.readEvents(s, dir)).toDF()
       .orderBy("event_id")
+
+  /** Frame sampling over the (tiled) payload: every 4th 16-char frame with
+    * a per-frame checksum — the video-frame-sample plumbing, deterministic
+    * end to end. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Bars.readEvents(s, dir))
+      .orderBy("event_id", "frame_idx")
+
+  /** Near-dup clustering: connected components (min-label propagation) over
+    * the MinHash pair graph — every doc in a pair gets its cluster's
+    * canonical (minimum) doc_id. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.minhashPairs(Tables.documents(s, dir)))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
 }

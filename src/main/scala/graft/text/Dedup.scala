@@ -143,6 +143,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (doc_a, doc_b): every document gets the minimum doc_id reachable from
+    * it as its cluster id — the canonical representative a dedup pipeline
+    * keeps. Iterative min-label propagation: each round, every node takes
+    * the min of its own label and its neighbors'; converged when no label
+    * changes (reached in <= diameter rounds; near-dup clusters are shallow).
+    * Deterministic: the fixpoint is unique regardless of iteration order.
+    *
+    * Scale shape: each round is one shuffle join + one grouped min — no
+    * driver-side graph state (the driver only sees the converged-yet? count).
+    * For graphs with deep chains at 100 TB, swap the per-hop propagation for
+    * the large-star/small-star variant (O(log n) rounds); near-dup graphs
+    * are overwhelmingly star-shaped, so plain propagation stays cheap.
+    *
+    * @return (id, label) — one row per node appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.select("id", "label").union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact char-4-gram Jaccard over a bounded sliding candidate window
     * (doc_id, doc_id + d for d <= span) — the n-gram similarity operator
     * isolated from LSH candidate generation. Per-doc gram sets are narrow
