@@ -56,6 +56,12 @@ object Bars {
     *   volume   = cast(event_id % 1000 as double)
     * `event_id` is carried through as the tie-break for every downstream
     * ORDER BY / window spec (bit-stable hash matching).
+    *
+    * Rounding contract: the adapter itself does NO arithmetic beyond
+    * copies/greatest/least/integer-mod, so it emits unrounded values;
+    * `round(x, 6) + 0.0` (FIXTURES.md §4) is applied by each query's OUTPUT
+    * projection (see graft.queries.Core.r6) — derived doubles are rounded
+    * exactly once, at the oracle-compared boundary.
     */
   def fromEvents(events: DataFrame, k: Int = DefaultSymbols): DataFrame = {
     val sym = (col("user_id") % k).cast("string")

@@ -1,0 +1,92 @@
+package graft
+
+import graft.analytics.{Ranking, Sampling}
+import graft.media.Multimodal
+import graft.source.Bars
+import graft.text.Dedup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Golden / invariant tests for the events→bars adapter, the scalable
+  * global row numbering, connected components, deterministic sampling, and
+  * frame sampling. */
+class OpsSpec extends SparkSpec {
+
+  private def eventsOf(rows: Seq[(Long, Long, Long, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "ts_us", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+  }
+
+  test("fromEvents adapter: open=prev close per symbol, high/low bracket, volume mod") {
+    // two users folding into two symbols (k=2); interleaved times
+    val ev = eventsOf(Seq(
+      (1L, 1000000L, 4L, 10.0),   // symbol 0
+      (2L, 2000000L, 5L, 20.0),   // symbol 1
+      (3L, 3000000L, 4L, 8.0),    // symbol 0
+      (1003L, 4000000L, 5L, 25.0) // symbol 1, volume = 1003 % 1000 = 3
+    ))
+    val bars = Bars.fromEvents(ev, k = 2).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Double]("volume")))
+    assert(bars.toSeq == Seq(
+      ("0", 1L, 10.0, 10.0, 10.0, 10.0, 1.0),  // first row: open coalesces to close
+      ("1", 2L, 20.0, 20.0, 20.0, 20.0, 2.0),
+      ("0", 3L, 10.0, 10.0, 8.0, 8.0, 3.0),    // open = prev close; high=max, low=min
+      ("1", 1003L, 20.0, 25.0, 20.0, 25.0, 3.0)))
+  }
+
+  test("withGlobalRowNumber equals the single-partition window numbering") {
+    val ev = eventsOf((1L to 97L).map(i =>
+      // deliberately skewed, duplicated timestamps to exercise tie handling
+      (i, (i % 7) * 1000000L, i % 3, i.toDouble)))
+    val (got, n) = Ranking.withGlobalRowNumber(
+      ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")), buckets = 5)
+    assert(n == 97L)
+    val want = ev.withColumn("rn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))).cast("long"))
+    assert(got.select("event_id", "rn").orderBy("event_id").collect().toSeq ==
+      want.select("event_id", "rn").orderBy("event_id").collect().toSeq)
+  }
+
+  test("connectedComponents: chain and isolated pair converge to min labels") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("hash sampling is deterministic, quota-exact, and order-independent") {
+    val ev = eventsOf((1L to 500L).map(i => (i, i * 1000L, i % 5, i.toDouble)))
+    val a = Sampling.bernoulliByHash(ev, col("event_id"), "2")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulliByHash(ev.repartition(7), col("event_id"), "2")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 500) // reproducible across partitionings
+    val strat = Sampling.stratifiedByHash(ev, col("user_id"), col("event_id"), 10)
+    val perStratum = strat.groupBy("user_id").count().collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(perStratum.length == 5 && perStratum.forall(_ == 10L))
+  }
+
+  test("frameSample emits every stride-th frame with stable checksums") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, "abcdefgh"), (2L, "xy")).toDF("event_id", "props")
+    val out = Multimodal.frameSample(ev, repeatN = 4, frameChars = 8, stride = 2)
+      .orderBy("event_id", "frame_idx").collect()
+    // event 1: payload 32 chars -> 4 frames, stride 2 -> idx 0, 2
+    // event 2: payload 8 chars -> 1 frame -> idx 0
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (1L, 2L), (2L, 0L)))
+    val frames = out.map(_.getAs[String]("frame_md5"))
+    // frames 0 and 2 of the tiled payload are the same 8 chars -> same md5
+    assert(frames(0) == frames(1) && frames.forall(_.length == 32))
+  }
+}
