@@ -108,15 +108,30 @@ object TextSimSql {
       |  SELECT DISTINCT doc_id, shingle FROM sh0
       |)""".stripMargin
 
+  /** Integer decode of md5's first 8 hex digits (DuckDB has no conv();
+    * Horner-free positional sum — same value as Spark's conv(h[1:8],16,10)). */
+  private val hexDecode: String =
+    (0 until 8).map(i =>
+      s"(instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+
   private val sigSelect: String =
     (0 until Dedup.NumHashes).map(k =>
-      s"MIN(md5('${k}_' || shingle)) AS mh_$k").mkString(",\n         ")
+      s"MIN((${Dedup.hashA(k)} * vp + ${Dedup.hashB(k)}) % ${Dedup.HashP}) AS mh_$k")
+      .mkString(",\n         ")
+
+  /** (doc_id, vp): per distinct shingle, the universal-hash input value. */
+  private val shingleValCte: String =
+    s"""sv AS (
+       |  SELECT doc_id, ($hexDecode) % ${Dedup.HashP} AS vp
+       |  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
+       |)""".stripMargin
 
   val dedupMinhash: String =
-    s"""$shinglesCte
+    s"""$shinglesCte, $shingleValCte
        |SELECT doc_id,
        |         $sigSelect
-       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the verified
     * MinHash near-dup pair graph, shared by dedup_minhash_pairs and
@@ -127,10 +142,10 @@ object TextSimSql {
       val hs = (0 until Dedup.RowsPerBand).map(rr => s"mh_${b * Dedup.RowsPerBand + rr}")
       s"SELECT doc_id, $b AS band_idx, concat_ws('|', ${hs.mkString(", ")}) AS band_val FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""$shinglesCte, sig AS (
+    s"""$shinglesCte, $shingleValCte, sig AS (
        |  SELECT doc_id,
        |         $sigSelect
-       |  FROM sh GROUP BY doc_id
+       |  FROM sv GROUP BY doc_id
        |), banded AS (
        |  $bands
        |), cand AS (

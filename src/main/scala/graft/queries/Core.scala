@@ -212,6 +212,12 @@ object Core {
       col("event_id") +:
       (MlMatrixFeatures.map(n => if (ints(n)) col(n) else r6(col(n)).as(n)) :+
         col("target")): _*)
+      // Materialize before the global sort: RangePartitioning samples its
+      // child, which would otherwise re-run the entire 4-window pipeline a
+      // second time just to pick sort boundaries — 2x the query at ANY
+      // scale. Checkpointing the (narrow, rounded) matrix makes the
+      // sampling pass read materialized rows instead.
+      .localCheckpoint()
       .orderBy("event_id")
   }
 }

@@ -52,13 +52,27 @@ object Dedup {
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingleArray).as("shingle"))
 
-  /** MinHash signature: per seed k, min(md5(k || '_' || shingle)) — computed
-    * as array_min over the per-row shingle array. Zero shuffle: every
-    * signature is a projection of its own row. */
+  /** Universal-hash family for MinHash: one md5 per shingle, decoded to an
+    * integer v, then k-th hash = (A(k)·v + B(k)) mod P — the classic
+    * (a·x+b) mod p construction. 16× fewer digest computations than hashing
+    * per seed, and the per-seed work is codegen'd integer arithmetic inside
+    * the partial aggregate. P = 2^31 − 1 keeps A·v < 2^62 (no overflow). */
+  val HashP = 2147483647L
+  def hashA(k: Int): Long = (2654435761L * (k + 1)) % HashP
+  def hashB(k: Int): Long = (1013904223L * (k + 1) + 12345L) % HashP
+
+  /** MinHash signature: per seed k, min over the doc's distinct shingles of
+    * the k-th universal hash. Shape: explode (the array is already distinct
+    * per row — no relational DISTINCT shuffle) → md5 once → 16 min()
+    * aggregates with map-side partial combine; the only shuffle carries one
+    * 17-column row per document. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    val v = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long") % HashP
     val sigs = (0 until NumHashes).map(k =>
-      array_min(transform(col("_sh"), s => md5(concat(lit(s"${k}_"), s)))).as(s"mh_$k"))
-    docs.withColumn("_sh", shingleArray).select(col("doc_id") +: sigs: _*)
+      min((lit(hashA(k)) * col("v") + lit(hashB(k))) % HashP).as(s"mh_$k"))
+    docs.select(col("doc_id"), explode(shingleArray).as("shingle"))
+      .withColumn("v", v)
+      .groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH banding: candidate pairs share at least one of the 4 bands of 4
