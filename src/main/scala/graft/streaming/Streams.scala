@@ -28,30 +28,34 @@ object Streams {
 
   /** Spark's file stream source requires a directory; the shared corpus is a
     * single parquet file. Stage a per-sfDir symlink directory under /tmp
-    * (idempotent, read-only view of the shared data). */
-  private def stagedEventsDir(sfDir: String): String = {
+    * (idempotent, read-only view of the shared data). `copies > 1` links the
+    * same file several times — a deterministic duplicated source for
+    * exercising streaming dedup. */
+  private def stagedEventsDir(sfDir: String, copies: Int = 1): String = {
     val target = java.nio.file.Paths.get(sfDir, "events.parquet").toAbsolutePath
     val dir = java.nio.file.Paths.get("/tmp",
-      s"graft-stream-${Integer.toHexString(target.toString.hashCode)}")
+      s"graft-stream-${Integer.toHexString(target.toString.hashCode)}-x$copies")
     java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    // NOFOLLOW: a dangling link (target regenerated elsewhere) must be
-    // detected and replaced, not silently treated as absent
-    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-        !java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.delete(link)
-    }
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      try java.nio.file.Files.createSymbolicLink(link, target)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent creator won
+    (0 until copies).foreach { i =>
+      val link = dir.resolve(s"events_$i.parquet")
+      // NOFOLLOW: a dangling link (target regenerated elsewhere) must be
+      // detected and replaced, not silently treated as absent
+      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !java.nio.file.Files.exists(link)) {
+        java.nio.file.Files.delete(link)
+      }
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent creator won
+      }
     }
     dir.toString
   }
 
-  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, sfDir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(EventsSchema)
-      .parquet(stagedEventsDir(sfDir))
+      .parquet(stagedEventsDir(sfDir, copies))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -65,9 +69,95 @@ object Streams {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("value_sum"))
 
+  /** Watermarked sliding-window counts — the streaming twin of
+    * TimeWindows.sliding (each event lands in width/slide windows). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("value_sum"))
+
+  /** Streaming exact dedup on the event key: state is bounded by the
+    * watermark (a duplicate arriving later than the watermark delay is
+    * passed through — the at-scale tradeoff that keeps the dedup state from
+    * growing without bound). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   case class SessState(lastTs: Long, sessions: Long, events: Long)
+
+  case class BarTick(symbol: String, event_id: Long, ts: java.sql.Timestamp,
+    close: Double)
+  case class RsiPoint(symbol: String, event_id: Long, rsi: Option[Double])
+  /** Per-symbol RSI recurrence state: previous close + the adjust=false
+    * EWMA accumulators for average gain/loss (`seen` mirrors the window
+    * expression's den==0 "no observation yet" flag). */
+  case class RsiState(hasPrev: Boolean, prevClose: Double,
+    gSeen: Boolean, avgGain: Double, lSeen: Boolean, avgLoss: Double)
+
+  /** Streaming RSI: the batch pipeline's diff → gain/loss →
+    * EWMA(adjust=false) → rs → rsi recurrence (graft.features.Technical,
+    * reference src/features/engineering.py:36-47) carried as per-symbol
+    * state — bit-identical arithmetic to the Catalyst Ewma window
+    * expression, so streaming and batch agree exactly, row for row.
+    *
+    * Ordering: events are sorted by (ts, event_id) within each micro-batch;
+    * state carries across batches, assuming batch boundaries respect event
+    * order (true for file sources replaying history in order). A
+    * production variant facing out-of-order arrivals would buffer rows in
+    * state until the event-time watermark closes, then fold them in order.
+    */
+  def streamingRsi(ticks: Dataset[BarTick],
+      period: Int = graft.Params.RsiPeriod): Dataset[RsiPoint] = {
+    import ticks.sparkSession.implicits._
+    val alpha = 2.0 / (period + 1.0)
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[RsiState, RsiPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sym, it, state: GroupState[RsiState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            RsiState(hasPrev = false, 0.0, gSeen = false, 0.0, lSeen = false, 0.0))
+          val out = sorted.map { e =>
+            val rsi: Option[Double] =
+              if (!st.hasPrev) {
+                // first tick: delta is null -> gain/loss null -> EWMA state
+                // untouched -> rsi null (matches the leading-null window row)
+                st = st.copy(hasPrev = true, prevClose = e.close)
+                None
+              } else {
+                val delta = e.close - st.prevClose
+                val gain = if (delta > 0) delta else 0.0
+                val loss = if (delta < 0) -delta else 0.0
+                val ag = if (!st.gSeen) gain else st.avgGain * (1.0 - alpha) + alpha * gain
+                val al = if (!st.lSeen) loss else st.avgLoss * (1.0 - alpha) + alpha * loss
+                st = RsiState(hasPrev = true, e.close,
+                  gSeen = true, ag, lSeen = true, al)
+                val rs = ag / (al + 1e-10)
+                Some(100.0 - 100.0 / (1.0 + rs))
+              }
+            RsiPoint(sym, e.event_id, rsi)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** events stream → per-symbol bar ticks (the narrow, streamable slice of
+    * the bars adapter: symbol fold + close; the lag-based open/high/low are
+    * batch-only). */
+  def tickStream(events: DataFrame, k: Int = graft.Params.Symbols): Dataset[BarTick] = {
+    import events.sparkSession.implicits._
+    events.select((col("user_id") % k).cast("string").as("symbol"),
+      col("event_id"), col("ts"), col("value").as("close")).as[BarTick]
+  }
 
   /** Stateful gap-sessionization: per user, count sessions split on >30 min
     * gaps. Demonstrates flatMapGroupsWithState with explicit state; events

@@ -29,6 +29,55 @@ class StreamingSpec extends SparkSpec {
     assert(g.sameElements(w))
   }
 
+  test("streaming sliding window counts equal the batch sliding aggregation") {
+    val stream = Streams.slidingCounts(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("stream_sliding")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_sliding")
+    val want = TimeWindows.sliding(graft.source.Bars.readEvents(spark, dir))
+    assert(got.count() == want.count())
+    val gSum = got.agg(sum("n")).collect()(0).getLong(0)
+    val wSum = want.agg(sum("n")).collect()(0).getLong(0)
+    assert(gSum == wSum, s"event-window memberships diverge: $gSum vs $wSum")
+  }
+
+  test("streaming dedup removes a fully duplicated source within the watermark") {
+    val stream = Streams.dedupEvents(
+      Streams.readEventStream(spark, dir, copies = 2))
+    val q = stream.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_dedup")
+    assert(got.count() == 1000, s"expected 1000 distinct events, got ${got.count()}")
+    assert(got.select("event_id").distinct().count() == 1000)
+  }
+
+  test("streaming RSI equals the batch RSI row for row") {
+    val stream = Streams.streamingRsi(
+      Streams.tickStream(Streams.readEventStream(spark, dir)))
+    val q = stream.writeStream.format("memory").queryName("stream_rsi")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_rsi")
+    val want = graft.features.Technical.withTechnical(
+        graft.source.Bars.bars(spark, dir))
+      .select(col("event_id"), col("rsi"))
+    assert(got.count() == 1000)
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("event_id"), col("g.rsi").as("g_rsi"), col("w.rsi").as("w_rsi"))
+      .collect()
+    assert(joined.length == 1000)
+    joined.foreach { r =>
+      val (g, w) = (Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      assert(g.isDefined == w.isDefined, s"null mismatch at ${r.get(0)}: $g vs $w")
+      g.zip(w).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"rsi mismatch at ${r.get(0)}: $a vs $b")
+      }
+    }
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     val stream = Streams.sessionCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_sessions")
