@@ -66,6 +66,29 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() == li.count()) // every lineitem has its order
   }
 
+  test("temporal_split has no single-partition (global) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Core.temporalSplit(spark, dir)
+    val global = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      "temporal_split regressed to a global window (all rows through one task)")
+  }
+
+  test("hash-Bernoulli sampling is narrow: no exchange before the filter") {
+    val df = graft.analytics.Sampling.bernoulliByHash(
+      graft.source.Bars.readEvents(spark, dir), col("event_id"), "2")
+    assert(countOp(df, "Exchange") == 0,
+      s"bernoulliByHash plan shuffles:\n${plan(df)}")
+  }
+
+  test("ranking-window family shares one hash exchange across both specs") {
+    val df = Analytics.windowRank(spark, dir)
+    assert(countOp(df, "Exchange hashpartitioning") == 1,
+      s"window_rank should reuse one symbol exchange:\n${plan(df)}")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
