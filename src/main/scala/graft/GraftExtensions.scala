@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.Ewma
+import graft.expr.{DotProduct, Ewma}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             boolLit(ignoreNulls, "ignoreNulls"))
         case _ => throw new IllegalArgumentException(
           "usage: ewma(col, alpha, adjust[, ignoreNulls])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: dot_product(array<double>, array<double>)")
       }))
   }
 }

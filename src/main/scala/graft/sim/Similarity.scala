@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dot(x: String, y: String): Column = expr(
-    s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+  /** Sequential-fold dot product — the codegen'd custom expression
+    * (graft.expr.DotProduct), value-identical to the interpreted
+    * `aggregate(zip_with(x, y, (p,q) -> p*q), 0D, +)` HOF form. */
+  private def dot(x: String, y: String): Column =
+    graft.expr.DotProduct.dot(col(x), col(y))
 
   /** cosine from a precomputed-norm pair: dot / (normA * normB). */
   private def cosPre(a: String, b: String, na: String, nb: String): Column =

@@ -75,6 +75,37 @@ class OpsSpec extends SparkSpec {
     assert(perStratum.length == 5 && perStratum.forall(_ == 10L))
   }
 
+  test("DotProduct matches the HOF fold bit-for-bit, including null semantics") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),          // 32.0
+      (2L, Seq(0.1, 0.2, 0.3, 0.7), Seq(1.3, 2.7, 3.1, 0.9)), // fp-order sensitive
+      (3L, Seq.empty[Double], Seq.empty[Double])               // empty -> 0.0
+    ).toDF("id", "a", "b")
+    val hof = expr("aggregate(zip_with(a, b, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+    val both = df.select(col("id"),
+      graft.expr.DotProduct.dot(col("a"), col("b")).as("fast"), hof.as("ref"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    both.foreach { case (id, fast, ref) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(ref), s"row $id: $fast != $ref")
+    }
+    // length mismatch and null element both yield NULL (zip_with padding /
+    // null poisoning the fold)
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0))
+    ).toDF("id", "a", "b")
+      .select(graft.expr.DotProduct.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+    // SQL registration via GraftExtensions
+    val viaSql = spark.sql("SELECT dot_product(array(1D, 2D), array(3D, 4D))")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
   test("frameSample emits every stride-th frame with stable checksums") {
     val s = spark
     import s.implicits._
