@@ -54,6 +54,10 @@ object SparkEntry {
     "agg_quantiles" -> (Analytics.aggQuantiles _),
     "sample_bernoulli" -> (Analytics.sampleBernoulli _),
     "sample_stratified" -> (Analytics.sampleStratified _),
+    "join_anti" -> (Analytics.joinAnti _),
+    "join_range" -> (Analytics.joinRange _),
+    "pivot_events" -> (Analytics.pivotEvents _),
+    "sim_quantize" -> (TextSim.simQuantize _),
     "text_stats" -> (TextSim.textStats _),
     "text_langid" -> (TextSim.textLangid _),
     "text_fingerprint" -> (TextSim.textFingerprint _),
@@ -103,6 +107,10 @@ object SparkEntry {
     "agg_quantiles" -> OracleSql.aggQuantiles,
     "sample_bernoulli" -> OracleSql.sampleBernoulli,
     "sample_stratified" -> OracleSql.sampleStratified,
+    "join_anti" -> OracleSql.joinAnti,
+    "join_range" -> OracleSql.joinRange,
+    "pivot_events" -> OracleSql.pivotEvents,
+    "sim_quantize" -> TextSimSql.simQuantize,
     "text_stats" -> TextSimSql.textStats,
     "text_langid" -> TextSimSql.textLangid,
     "text_fingerprint" -> TextSimSql.textFingerprint,

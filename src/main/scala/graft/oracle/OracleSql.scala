@@ -560,6 +560,33 @@ object OracleSql {
        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
        |ORDER BY event_id""".stripMargin
 
+  val joinAnti: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val joinRange: String =
+    s"""SELECT o.o_orderpriority, COUNT(*) AS n_fast_lines,
+       |       ${r("AVG(l.l_discount)")} AS avg_disc
+       |FROM lineitem l JOIN orders o
+       |  ON l.l_orderkey = o.o_orderkey
+       | AND l.l_shipdate >= o.o_orderdate
+       | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+       |GROUP BY o.o_orderpriority
+       |ORDER BY o.o_orderpriority""".stripMargin
+
+  val pivotEvents: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"${r(s"SUM(value) FILTER (WHERE event_type = '$t')")} AS v_$t")
+      .mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   val sampleStratified: String =
     s"""WITH ranked AS (
        |  SELECT event_type, event_id,

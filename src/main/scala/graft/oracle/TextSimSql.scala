@@ -321,6 +321,20 @@ object TextSimSql {
        |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("cos")} AS cos
        |FROM rr WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  val simQuantize: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), m AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
+       |), sc AS (
+       |  SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m
+       |)
+       |SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
+       |       CAST(round(v[i] * scale, 0) + 0.0 AS BIGINT) AS q,
+       |       ${r("scale")} AS scale
+       |FROM sc, UNNEST(range(1, len(v) + 1)) u(i)
+       |ORDER BY vec_id, idx""".stripMargin
+
   val simNeardup: String =
     s"""$ivfCte
        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

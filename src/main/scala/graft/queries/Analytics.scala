@@ -162,4 +162,42 @@ object Analytics {
         Bars.readEvents(s, dir), col("event_type"), col("event_id"), 100)
       .select(col("event_type"), col("strat_rn"), col("event_id"))
       .orderBy("event_type", "strat_rn")
+
+  /** Left-anti join: customers with no big-ticket (>300k) order. The orders
+    * side is filtered then reduced to distinct keys before the join — at
+    * scale the anti probe carries keys only, never payload columns. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Equi + range-predicate join: lineitems shipped within 30 days of their
+    * order date. The range predicate rides on the equi-join key (orderkey),
+    * so this stays a hash join with a residual filter — never a cartesian
+    * range explosion. */
+  def joinRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).as("l")
+      .join(Tables.orders(s, dir).as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey") &&
+        col("l.l_shipdate") >= col("o.o_orderdate") &&
+        col("l.l_shipdate") <= col("o.o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o.o_orderpriority").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_lines"),
+        r6(avg(col("l.l_discount"))).as("avg_disc"))
+      .orderBy("o_orderpriority")
+
+  /** Pivot: per-user value sums across a FIXED event-type column list —
+    * Spark's relational pivot with an explicit vocabulary (never a
+    * driver-side distinct scan at 100 TB). */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Bars.readEvents(s, dir)
+      .groupBy("user_id").pivot("event_type", types)
+      .agg(sum(col("value")))
+      .select(col("user_id") +: types.map(t => r6(col(t)).as(s"v_$t")): _*)
+      .orderBy("user_id")
+  }
 }

@@ -77,6 +77,11 @@ object TextSim {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
       .orderBy("probe_id", "rank")
 
+  /** int8 scalar quantization of every embedding, element-checked. */
+  def simQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .orderBy("vec_id", "idx")
+
   def simNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir))
       .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos"))

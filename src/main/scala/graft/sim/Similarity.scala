@@ -102,6 +102,21 @@ object Similarity {
         cosPre("x.c", "y.c", "x.nc", "y.nc").as("cos"))
   }
 
+  /** Symmetric int8 scalar quantization: per vector, scale = 127/max|v_i|,
+    * q_i = round(v_i · scale) — the 4× storage/bandwidth compression step an
+    * embedding pipeline runs before ANN serving. Narrow per-row arithmetic;
+    * emitted exploded (vec_id, idx, q) so the oracle checks every element. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        (round(col("x") * col("scale"), 0) + lit(0.0)).cast("long").as("q"),
+        (round(col("scale"), 6) + lit(0.0)).as("scale"))
+
   /** Embedding near-duplicate pairs: same IVF bucket, cosine >= threshold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.25,
       numCentroids: Int = 16): DataFrame = {
