@@ -76,6 +76,7 @@ object SparkEntry {
     "multimodal_decode" -> (TextSim.multimodalDecode _),
     "multimodal_frames" -> (TextSim.multimodalFrames _),
     "dedup_clusters" -> (TextSim.dedupClusters _),
+    "curate_docs" -> ((s, dir) => TextSim.curateDocs(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,5 +129,6 @@ object SparkEntry {
     "multimodal_meta" -> TextSimSql.multimodalMeta,
     "multimodal_frames" -> TextSimSql.multimodalFrames,
     "dedup_clusters" -> TextSimSql.dedupClusters,
+    "curate_docs" -> TextSimSql.curateDocs,
   )
 }

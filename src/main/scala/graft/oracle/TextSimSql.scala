@@ -12,9 +12,16 @@ object TextSimSql {
   private def r(e: String) = s"round($e, ${Params.Round}) + 0.0"
   private def list(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  val textStats: String = {
+  /** Raw quality-score expression over the s2 stats CTE (unrounded — the
+    * curation filter compares it raw on both sides). */
+  private val qualityExpr: String =
+    "(1.0 - punct_ratio) * 0.4 + stopword_ratio * 0.3 + " +
+      "CAST(least(ws_tokens, 100) AS DOUBLE) / 100 * 0.3"
+
+  /** CTE body (no WITH prefix) ending in s2: per-doc token/ratio stats. */
+  private val statsCtesBody: String = {
     val stop = list(TextStats.Stopwords)
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
        |), s2 AS (
        |  SELECT doc_id,
@@ -24,14 +31,17 @@ object TextSimSql {
        |    CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks) AS stopword_ratio,
        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len
        |  FROM s
-       |)
+       |)""".stripMargin
+  }
+
+  val textStats: String =
+    s"""WITH $statsCtesBody
        |SELECT doc_id, ws_tokens, re_tokens,
        |  ${r("punct_ratio")} AS punct_ratio,
        |  ${r("stopword_ratio")} AS stopword_ratio,
        |  ${r("avg_token_len")} AS avg_token_len,
-       |  ${r("(1.0 - punct_ratio) * 0.4 + stopword_ratio * 0.3 + CAST(least(ws_tokens, 100) AS DOUBLE) / 100 * 0.3")} AS quality_score
+       |  ${r(qualityExpr)} AS quality_score
        |FROM s2 ORDER BY doc_id""".stripMargin
-  }
 
   val textLangid: String = {
     val scores = TextStats.LangMarkers.map { case (l, ms) =>
@@ -342,6 +352,30 @@ object TextSimSql {
        |FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE ${cosP("x.v", "y.v", "x.nv", "y.nv")} >= 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Corpus curation: quality gate + canonical-only near-dup keep-list.
+    * Composes the stats CTEs with the recursive clustering CTEs; the
+    * quality comparison uses the RAW score (identical fp expression both
+    * sides), rounding only the reported column. */
+  val curateDocs: String =
+    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |), reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+       |), clus AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), $statsCtesBody
+       |SELECT s2.doc_id, ${r(qualityExpr)} AS quality_score
+       |FROM s2 LEFT JOIN clus ON s2.doc_id = clus.doc_id
+       |WHERE ($qualityExpr) >= 0.55
+       |  AND (clus.cluster_id IS NULL OR clus.cluster_id = s2.doc_id)
+       |ORDER BY s2.doc_id""".stripMargin
 
   val multimodalFrames: String =
     """WITH p AS (

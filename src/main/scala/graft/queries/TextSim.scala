@@ -117,4 +117,22 @@ object TextSim {
     Dedup.connectedComponents(Dedup.minhashPairs(Tables.documents(s, dir)))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
+
+  /** The end-to-end corpus-curation composite a training-data pipeline runs
+    * before tokenization: quality-gate every document, then keep only the
+    * canonical representative of each near-dup cluster (docs outside any
+    * cluster keep themselves). Composes text stats + MinHash clustering in
+    * one plan. */
+  def curateDocs(s: SparkSession, dir: String, minQuality: Double = 0.55): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = TextStats.withStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val clusters = Dedup.connectedComponents(Dedup.minhashPairs(docs))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    quality.join(clusters, Seq("doc_id"), "left")
+      .filter(col("quality_score") >= minQuality &&
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+      .select(col("doc_id"), r6(col("quality_score")).as("quality_score"))
+      .orderBy("doc_id")
+  }
 }

@@ -91,6 +91,27 @@ object Streams {
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   case class SessState(lastTs: Long, sessions: Long, events: Long)
 
+  /** Stream-stream interval self-join: each purchase matched to the same
+    * user's error events in the preceding hour. Both sides carry watermarks
+    * and the join predicate bounds event-time distance, so Spark can expire
+    * join state — the state-bounding discipline a 100 TB stream needs
+    * (unbounded stream-stream joins grow state forever). */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+      col("user_id") === col("e_user") &&
+      col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("e_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
   case class BarTick(symbol: String, event_id: Long, ts: java.sql.Timestamp,
     close: Double)
   case class RsiPoint(symbol: String, event_id: Long, rsi: Option[Double])

@@ -78,6 +78,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches the batch join pair-for-pair") {
+    val stream = Streams.purchaseErrorJoin(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("stream_ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_ssjoin")
+    val ev = graft.source.Bars.readEvents(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    val want = p.join(e,
+      col("user_id") === col("e_user") &&
+      col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("e_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("error_id"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     val stream = Streams.sessionCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_sessions")
