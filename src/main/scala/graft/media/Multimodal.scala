@@ -56,16 +56,23 @@ object Multimodal {
     * row's own payload, no shuffle. */
   def frameSample(events: DataFrame, repeatN: Int = 64, frameChars: Int = 16,
       stride: Int = 4): DataFrame = {
-    val nFrames = floor(length(col("_payload")) / frameChars)
+    // The tiled payload is periodic with period len(props), so frame f's
+    // content is substring(tiled, (f·w mod len) + 1, w) over a MINIMAL tile
+    // (just enough repeats to cover offset + one frame). The full
+    // repeatN-tiled payload is never materialized — carrying it through the
+    // explode would memcpy ~repeatN× the source bytes per emitted frame
+    // row, the per-row blowup a real decode pipeline also avoids by
+    // seeking into the container instead of buffering the whole clip.
     events
-      .select(col("event_id"), expr(s"repeat(props, $repeatN)").as("_payload"))
-      .withColumn("_n_frames", nFrames)
-      .select(col("event_id"), col("_payload"), col("_n_frames"),
+      .select(col("event_id"), col("props"), length(col("props")).as("_len"))
+      .withColumn("_n_frames", floor(col("_len").cast("long") * repeatN / frameChars))
+      .select(col("event_id"), col("props"), col("_len"), col("_n_frames"),
         explode(when(col("_n_frames") >= 1,
             sequence(lit(0L), col("_n_frames") - 1, lit(stride.toLong)))
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("frame_idx"))
       .select(col("event_id"), col("frame_idx"), col("_n_frames").as("n_frames"),
-        md5(expr(s"substring(_payload, CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)"))
+        md5(expr(s"substring(repeat(props, CAST(ceil(($frameChars + _len - 1) / _len) AS INT)), " +
+          s"CAST(frame_idx * $frameChars % _len AS INT) + 1, $frameChars)"))
           .as("frame_md5"))
   }
 
