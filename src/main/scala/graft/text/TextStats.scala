@@ -78,12 +78,10 @@ object TextStats {
 
   /** Document fingerprint: lexicographic min of md5 over all char 8-grams —
     * a winnowing-style content fingerprint, identical in Spark and DuckDB
-    * because both take a string-min over the same md5 hex strings. The
-    * grams are deduplicated BEFORE hashing (min over a set equals min over
-    * the multiset), which cuts the md5 count by the text's repetition
-    * factor. */
+    * because both take a string-min over the same md5 hex strings. Computed
+    * by the single-pass custom expression [[graft.expr.MinGramMd5]] (no
+    * per-row gram/hash array materialization). */
   def withFingerprint(docs: DataFrame): DataFrame =
     docs.withColumn("fingerprint",
-      expr("array_min(transform(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-        "i -> substring(text, i, 8))), g -> md5(g)))"))
+      graft.expr.MinGramMd5.minGramMd5(col("text"), 8))
 }

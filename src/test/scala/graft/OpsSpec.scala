@@ -106,6 +106,19 @@ class OpsSpec extends SparkSpec {
     assert(viaSql == 11.0)
   }
 
+  test("MinGramMd5 equals the declarative HOF fingerprint, incl. short strings") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"), (3L, "exactly8"), (4L, "aaaaaaaaaa")).toDF("id", "text")
+    val hof = expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+      "i -> md5(substring(text, i, 8))))")
+    val rows = df.select(col("id"),
+        graft.expr.MinGramMd5.minGramMd5(col("text"), 8).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), s"id ${r.getLong(0)}"))
+  }
+
   test("frameSample emits every stride-th frame with stable checksums") {
     val s = spark
     import s.implicits._
