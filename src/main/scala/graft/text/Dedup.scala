@@ -202,8 +202,11 @@ object Dedup {
     * per-row arrays; each candidate pair is verified with one
     * array_intersect — no exploded gram join, no per-pair re-aggregation. */
   def ngramJaccard(docs: DataFrame, span: Int = 3): DataFrame = {
-    val gramArr = expr("array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), " +
-      "i -> substring(text, i, 4)))")
+    // packed-int gram sets: isomorphic to the oracle's string grams (the
+    // pack is bijective on this single-byte corpus), so the Jaccard numbers
+    // are identical while joins carry int arrays and the intersect compares
+    // ints — see graft.expr.CharNGramCodes
+    val gramArr = graft.expr.CharNGramCodes.charNGramCodes(col("text"), 4)
     val g = docs.select(col("doc_id"), gramArr.as("g"))
       .withColumn("n_g", size(col("g")).cast("long"))
     val cand = docs.select(col("doc_id").as("doc_a"),

@@ -119,6 +119,26 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(1) == r.getString(2), s"id ${r.getLong(0)}"))
   }
 
+  test("CharNGramCodes is isomorphic to string grams: same set sizes and intersections") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abcabcabc"), (2L, "ab"), (3L, "the quick brown fox"),
+      (4L, "the quick brown cat")).toDF("id", "text")
+    val strGrams = expr("array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), " +
+      "i -> substring(text, i, 4)))")
+    val packed = graft.expr.CharNGramCodes.charNGramCodes(col("text"), 4)
+    val sizes = df.select(col("id"), size(strGrams).as("a"), size(packed).as("b")).collect()
+    sizes.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)}"))
+    // pairwise intersection sizes agree (3 vs 4 share "he q", "uick", ...)
+    val g = df.select(col("id"), strGrams.as("sg"), packed.as("pg"))
+    val pairs = g.as("x").crossJoin(g.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(size(array_intersect(col("x.sg"), col("y.sg"))).as("si"),
+        size(array_intersect(col("x.pg"), col("y.pg"))).as("pi"))
+      .collect()
+    pairs.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("frameSample emits every stride-th frame with stable checksums") {
     val s = spark
     import s.implicits._
