@@ -17,8 +17,13 @@ object Core {
     * the oracle SQL. */
   def r6(c: Column): Column = round(c, Params.Round) + lit(0.0)
 
+  // localCheckpoint before the global output sort: RangePartitioning
+  // samples its child to pick boundaries, which would re-run the window
+  // pipeline feeding every feature query a second time (see mlMatrix).
   private def keyed(df: DataFrame, cols: Seq[Column]): DataFrame =
-    df.select(col("symbol") +: col("event_id") +: cols: _*).orderBy("event_id")
+    df.select(col("symbol") +: col("event_id") +: cols: _*)
+      .localCheckpoint()
+      .orderBy("event_id")
 
   def bars(s: SparkSession, dir: String): DataFrame = Bars.bars(s, dir)
 
