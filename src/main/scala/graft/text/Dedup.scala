@@ -174,8 +174,11 @@ object Dedup {
     * @return (id, label) — one row per node appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // cache the pair plan BEFORE the symmetric union: both union branches
+    // scan it, and pair generation (LSH + verify) is the expensive part
+    val p = pairs.cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
@@ -192,6 +195,7 @@ object Dedup {
       labels = next
       iters += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels
   }

@@ -89,6 +89,18 @@ class PlanSpec extends SparkSpec {
       s"window_rank should reuse one symbol exchange:\n${plan(df)}")
   }
 
+  test("range join rides the equi hash join — never a nested-loop product") {
+    val df = Analytics.joinRange(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate fell off the equi join:\n$p")
+  }
+
+  test("anti join plans as LeftAnti on distinct keys") {
+    val p = plan(Analytics.joinAnti(spark, dir))
+    assert(p.contains("LeftAnti"), s"expected LeftAnti join:\n$p")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
