@@ -54,6 +54,9 @@ object SparkEntry {
     "agg_quantiles" -> (Analytics.aggQuantiles _),
     "sample_bernoulli" -> (Analytics.sampleBernoulli _),
     "sample_stratified" -> (Analytics.sampleStratified _),
+    "agg_distinct" -> (Analytics.aggDistinct _),
+    "set_ops" -> (Analytics.setOps _),
+    "json_fields" -> (Analytics.jsonFields _),
     "join_anti" -> (Analytics.joinAnti _),
     "join_range" -> (Analytics.joinRange _),
     "pivot_events" -> (Analytics.pivotEvents _),
@@ -108,6 +111,9 @@ object SparkEntry {
     "agg_quantiles" -> OracleSql.aggQuantiles,
     "sample_bernoulli" -> OracleSql.sampleBernoulli,
     "sample_stratified" -> OracleSql.sampleStratified,
+    "agg_distinct" -> OracleSql.aggDistinct,
+    "set_ops" -> OracleSql.setOps,
+    "json_fields" -> OracleSql.jsonFields,
     "join_anti" -> OracleSql.joinAnti,
     "join_range" -> OracleSql.joinRange,
     "pivot_events" -> OracleSql.pivotEvents,

@@ -560,6 +560,30 @@ object OracleSql {
        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
        |ORDER BY event_id""".stripMargin
 
+  val aggDistinct: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(DISTINCT (user_id, event_id % 2)) AS n_user_parities
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val setOps: String =
+    """SELECT user_id, 'both' AS op FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT user_id, 'click_only' AS op FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY op, user_id""".stripMargin
+
+  val jsonFields: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+      |FROM events ORDER BY event_id""".stripMargin
+
   val joinAnti: String =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer

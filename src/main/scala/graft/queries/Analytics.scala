@@ -163,6 +163,36 @@ object Analytics {
       .select(col("event_type"), col("strat_rn"), col("event_id"))
       .orderBy("event_type", "strat_rn")
 
+  /** Distinct aggregation (the Expand + two-phase aggregate path): exact
+    * per-type user cardinality next to the plain row count. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Bars.readEvents(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("event_id") % 2).as("n_user_parities"))
+      .orderBy("event_type")
+
+  /** Set operators: users who both clicked and purchased (INTERSECT) and
+    * users who clicked but never purchased (EXCEPT), tagged and unioned. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    users("click").intersect(users("purchase")).withColumn("op", lit("both"))
+      .unionByName(users("click").except(users("purchase"))
+        .withColumn("op", lit("click_only")))
+      .orderBy("op", "user_id")
+  }
+
+  /** JSON field extraction from the props payload (get_json_object ≡
+    * DuckDB json_extract_string). */
+  def jsonFields(s: SparkSession, dir: String): DataFrame =
+    Bars.readEvents(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_json"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+      .orderBy("event_id")
+
   /** Left-anti join: customers with no big-ticket (>300k) order. The orders
     * side is filtered then reduced to distinct keys before the join — at
     * scale the anti probe carries keys only, never payload columns. */
