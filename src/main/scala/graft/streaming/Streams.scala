@@ -52,10 +52,19 @@ object Streams {
     dir.toString
   }
 
-  def readEventStream(spark: SparkSession, sfDir: String, copies: Int = 1): DataFrame = {
+  def readEventStream(spark: SparkSession, sfDir: String, copies: Int = 1): DataFrame =
+    readEventStreamFrom(spark, stagedEventsDir(sfDir, copies))
+
+  /** Stream raw event parquet from an arbitrary directory, with optional
+    * per-trigger file throttling (maxFilesPerTrigger splits a replay into
+    * genuine multiple micro-batches — how the specs exercise cross-batch
+    * state carry). */
+  def readEventStreamFrom(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventsSchema)
-      .parquet(stagedEventsDir(sfDir, copies))
+    val reader = spark.readStream.schema(EventsSchema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

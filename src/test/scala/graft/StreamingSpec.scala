@@ -78,6 +78,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming RSI state carries across micro-batches (time-split files)") {
+    // stage the events as 3 time-ordered files with increasing mtimes so the
+    // file source replays them as 3 separate micro-batches
+    val splitDir = java.nio.file.Paths.get("/tmp", "graft-stream-split-001")
+    if (!java.nio.file.Files.exists(splitDir.resolve("2.parquet"))) {
+      java.nio.file.Files.createDirectories(splitDir)
+      val raw = spark.read.parquet(s"$dir/events.parquet") // ts stays long nanos
+        .orderBy("ts", "event_id").collect()
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val thirds = raw.grouped((raw.length + 2) / 3).toSeq
+      thirds.zipWithIndex.foreach { case (rows, i) =>
+        val part = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        val tmp = s"$splitDir/stage_$i"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = splitDir.resolve(s"$i.parquet")
+        java.nio.file.Files.move(f.toPath, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        target.toFile.setLastModified(1000000L * (i + 1))
+      }
+    }
+    val stream = Streams.streamingRsi(Streams.tickStream(
+      Streams.readEventStreamFrom(spark, splitDir.toString, Some(1))))
+    val q = stream.writeStream.format("memory").queryName("stream_rsi_mb")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected >= 3 non-empty micro-batches")
+    val got = spark.table("stream_rsi_mb")
+    val want = graft.features.Technical.withTechnical(
+        graft.source.Bars.bars(spark, dir))
+      .select(col("event_id"), col("rsi"))
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("g.rsi").as("g_rsi"), col("w.rsi").as("w_rsi")).collect()
+    assert(joined.length == 1000)
+    joined.foreach { r =>
+      val (g, w) = (Option(r.get(0)).map(_.asInstanceOf[Double]),
+        Option(r.get(1)).map(_.asInstanceOf[Double]))
+      assert(g.isDefined == w.isDefined && g.zip(w).forall {
+        case (a, b) => math.abs(a - b) < 1e-9 })
+    }
+  }
+
   test("stream-stream interval join matches the batch join pair-for-pair") {
     val stream = Streams.purchaseErrorJoin(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_ssjoin")
