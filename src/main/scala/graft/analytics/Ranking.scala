@@ -44,7 +44,11 @@ object Ranking {
     val spark = df.sparkSession
     val nb = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val keyed = df.withColumn("_grn_key", sortKey.cast("double"))
+    // materialize the input once: three consumers follow (the quantile
+    // sketch, the per-bucket counts, and the final numbered output), and
+    // callers often pass expensive plans (the 49-feature matrix) that must
+    // not be re-executed per consumer
+    val keyed = df.localCheckpoint().withColumn("_grn_key", sortKey.cast("double"))
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val boundaries =
       if (probs.isEmpty) Array.empty[Double]

@@ -140,6 +140,11 @@ object Dedup {
     * chunks (256 values) keep the per-bucket width — and thus the quadratic
     * verify cost — two orders of magnitude below the 4-bit version's. */
   def simhashPairs(docs: DataFrame, maxDist: Int = SimhashMaxDist): DataFrame = {
+    // pigeonhole completeness: a pair within maxDist shares >= 1 unchanged
+    // chunk only when maxDist < number of chunks
+    require(maxDist <= SimhashChunks - 1,
+      s"pigeonhole candidate generation with $SimhashChunks chunks is only " +
+        s"complete for maxDist <= ${SimhashChunks - 1}, got $maxDist")
     val sh = simhash(docs)
     val chunks = sh.select(col("doc_id"), col("simhash"),
         explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), c -> struct(c AS chunk_idx, " +
@@ -195,6 +200,13 @@ object Dedup {
       labels = next
       iters += 1
     }
+    // fail loudly rather than return a non-minimum labeling: a silent
+    // partial result would keep several "canonical" docs per cluster
+    // downstream (and diverge from the oracle's exact fixpoint)
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still shrinking) — component diameter exceeds " +
+        "the cap; raise maxIters or switch to large-star/small-star")
     p.unpersist()
     edges.unpersist()
     labels

@@ -81,7 +81,12 @@ class StreamingSpec extends SparkSpec {
   test("streaming RSI state carries across micro-batches (time-split files)") {
     // stage the events as 3 time-ordered files with increasing mtimes so the
     // file source replays them as 3 separate micro-batches
-    val splitDir = java.nio.file.Paths.get("/tmp", "graft-stream-split-001")
+    // key the staging dir to the source path + its mtime so regenerated
+    // fixtures invalidate the cache instead of replaying stale files
+    val srcFile = java.nio.file.Paths.get(dir, "events.parquet")
+    val cacheKey = Integer.toHexString(
+      (srcFile.toString + java.nio.file.Files.getLastModifiedTime(srcFile)).hashCode)
+    val splitDir = java.nio.file.Paths.get("/tmp", s"graft-stream-split-$cacheKey")
     if (!java.nio.file.Files.exists(splitDir.resolve("2.parquet"))) {
       java.nio.file.Files.createDirectories(splitDir)
       val raw = spark.read.parquet(s"$dir/events.parquet") // ts stays long nanos
