@@ -54,6 +54,9 @@ object SparkEntry {
     "agg_quantiles" -> (Analytics.aggQuantiles _),
     "sample_bernoulli" -> (Analytics.sampleBernoulli _),
     "sample_stratified" -> (Analytics.sampleStratified _),
+    "agg_histogram" -> ((s, dir) => Analytics.aggHistogram(s, dir)),
+    "agg_corr" -> (Analytics.aggCorr _),
+    "text_source_stats" -> (TextSim.textSourceStats _),
     "agg_distinct" -> (Analytics.aggDistinct _),
     "set_ops" -> (Analytics.setOps _),
     "json_fields" -> (Analytics.jsonFields _),
@@ -111,6 +114,9 @@ object SparkEntry {
     "agg_quantiles" -> OracleSql.aggQuantiles,
     "sample_bernoulli" -> OracleSql.sampleBernoulli,
     "sample_stratified" -> OracleSql.sampleStratified,
+    "agg_histogram" -> OracleSql.aggHistogram,
+    "agg_corr" -> OracleSql.aggCorr,
+    "text_source_stats" -> TextSimSql.textSourceStats,
     "agg_distinct" -> OracleSql.aggDistinct,
     "set_ops" -> OracleSql.setOps,
     "json_fields" -> OracleSql.jsonFields,

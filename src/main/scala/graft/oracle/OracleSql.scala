@@ -560,6 +560,18 @@ object OracleSql {
        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
        |ORDER BY event_id""".stripMargin
 
+  val aggCorr: String =
+    s"""$barsCte
+       |SELECT symbol, ${r("corr(open, close)")} AS corr_oc,
+       |       ${r("covar_samp(open, close)")} AS covar_oc,
+       |       ${r("stddev_samp(close)")} AS sd_close
+       |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin
+
+  val aggHistogram: String =
+    s"""SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bin,
+       |       COUNT(*) AS n, ${r("MIN(value)")} AS v_lo, ${r("MAX(value)")} AS v_hi
+       |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   val aggDistinct: String =
     """SELECT event_type, COUNT(*) AS n,
       |       COUNT(DISTINCT user_id) AS n_users,

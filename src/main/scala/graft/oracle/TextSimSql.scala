@@ -353,6 +353,18 @@ object TextSimSql {
        |WHERE ${cosP("x.v", "y.v", "x.nv", "y.nv")} >= 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  val textSourceStats: String =
+    s"""WITH $statsCtesBody, s3 AS (
+       |  SELECT s2.doc_id, d.source, d.lang, s2.ws_tokens,
+       |         $qualityExpr AS quality_score
+       |  FROM s2 JOIN documents d ON d.doc_id = s2.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       ${r("AVG(quality_score)")} AS avg_quality,
+       |       COUNT(DISTINCT lang) AS n_langs,
+       |       ${r("AVG(CAST(ws_tokens AS DOUBLE))")} AS avg_tokens
+       |FROM s3 GROUP BY source ORDER BY source""".stripMargin
+
   /** Corpus curation: quality gate + canonical-only near-dup keep-list.
     * Composes the stats CTEs with the recursive clustering CTEs; the
     * quality comparison uses the RAW score (identical fp expression both

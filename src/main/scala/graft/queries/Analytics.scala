@@ -163,6 +163,27 @@ object Analytics {
       .select(col("event_type"), col("strat_rn"), col("event_id"))
       .orderBy("event_type", "strat_rn")
 
+  /** Statistical aggregates per symbol: Pearson correlation and sample
+    * covariance of open vs close (both engines accumulate co-moments;
+    * round(6) absorbs merge-order ulps). */
+  def aggCorr(s: SparkSession, dir: String): DataFrame =
+    Bars.bars(s, dir)
+      .groupBy("symbol")
+      .agg(r6(corr(col("open"), col("close"))).as("corr_oc"),
+        r6(covar_samp(col("open"), col("close"))).as("covar_oc"),
+        r6(stddev_samp(col("close"))).as("sd_close"))
+      .orderBy("symbol")
+
+  /** Fixed-width histogram of event values per type (floor-binning — the
+    * distribution profile a data-quality pipeline tracks per batch). */
+  def aggHistogram(s: SparkSession, dir: String, binWidth: Double = 100.0): DataFrame =
+    Bars.readEvents(s, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), r6(min(col("value"))).as("v_lo"),
+        r6(max(col("value"))).as("v_hi"))
+      .orderBy("event_type", "bin")
+
   /** Distinct aggregation (the Expand + two-phase aggregate path): exact
     * per-type user cardinality next to the plain row count. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =

@@ -118,6 +118,17 @@ object TextSim {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** Per-source corpus profile: doc counts, average quality, language
+    * spread — the provenance-level view a curation pipeline tracks. */
+  def textSourceStats(s: SparkSession, dir: String): DataFrame =
+    TextStats.withStats(Tables.documents(s, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        r6(avg(col("quality_score"))).as("avg_quality"),
+        countDistinct(col("lang")).as("n_langs"),
+        r6(avg(col("ws_tokens").cast("double"))).as("avg_tokens"))
+      .orderBy("source")
+
   /** The end-to-end corpus-curation composite a training-data pipeline runs
     * before tokenization: quality-gate every document, then keep only the
     * canonical representative of each near-dup cluster (docs outside any
