@@ -27,6 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_bars" -> (Core.ingestBars _),
     "ingest_bars_csv" -> (Core.ingestBarsCsv _),
+    "bars_resample" -> (Core.barsResample _),
     "topk_importance" -> (Core.topkImportance _),
     "feat_momentum" -> (Core.featMomentum _),
     "feat_volatility" -> (Core.featVolatility _),
@@ -88,6 +89,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ingest_bars" -> OracleSql.ingestBars,
     "ingest_bars_csv" -> OracleSql.ingestBars,
+    "bars_resample" -> OracleSql.barsResample,
     "feat_momentum" -> OracleSql.featMomentum,
     "feat_volatility" -> OracleSql.featVolatility,
     "feat_temporal" -> OracleSql.featTemporal,

@@ -331,6 +331,16 @@ object OracleSql {
        |       CASE WHEN rn <= CAST(FLOOR(${1.0 - Params.TestSize} * n) AS BIGINT) THEN 'train' ELSE 'test' END AS split
        |FROM s ORDER BY event_id""".stripMargin
 
+  val barsResample: String =
+    s"""$barsCte
+       |SELECT symbol, date_trunc('hour', datetime) AS bar_start,
+       |       ${r("arg_min(open, lpad(CAST(epoch_us(datetime) AS VARCHAR), 20, '0') || '_' || lpad(CAST(event_id AS VARCHAR), 12, '0'))")} AS open,
+       |       ${r("MAX(high)")} AS high,
+       |       ${r("MIN(low)")} AS low,
+       |       ${r("arg_max(close, lpad(CAST(epoch_us(datetime) AS VARCHAR), 20, '0') || '_' || lpad(CAST(event_id AS VARCHAR), 12, '0'))")} AS close,
+       |       SUM(volume) AS volume, COUNT(*) AS n_ticks
+       |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
+
   val unionSymbols: String =
     s"""$barsCte
        |SELECT event_id, symbol, ${r("close")} AS close, branch FROM (

@@ -142,6 +142,35 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** OHLCV bar resampling: 1-min bars → 1-hour bars per symbol. The
+    * market-data downsampling the reference's daily-vs-intraday split
+    * implies (src/data/ingestion.py S1/S2): open/close are the
+    * time-ordered first/last (min_by/max_by over the (datetime, event_id)
+    * tuple — deterministic under ties), high/low/volume are plain
+    * aggregates. One partial+final hash aggregate, no window. */
+  def barsResample(s: SparkSession, dir: String): DataFrame = {
+    // tuple (datetime, event_id) encoded as one zero-padded sortable string
+    // (DuckDB's arg_min/arg_max take a single scalar ordering key)
+    val key = concat(
+      lpad(unix_micros(col("datetime")).cast("string"), 20, "0"), lit("_"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    bars(s, dir)
+      .groupBy(col("symbol"),
+        date_trunc("hour", col("datetime")).cast("timestamp_ntz").as("bar_start"))
+      .agg(
+        min_by(col("open"), key).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), key).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("symbol"), col("bar_start"),
+        r6(col("open")).as("open"), r6(col("high")).as("high"),
+        r6(col("low")).as("low"), r6(col("close")).as("close"),
+        col("volume"), col("n_ticks"))
+      .orderBy("symbol", "bar_start")
+  }
+
   /** P8: schema-normalizing vertical union (reference src/main.py:98-125):
     * branch b arrives with scrambled column order and float32 close; the
     * normalization pass re-orders + casts before unionByName. */

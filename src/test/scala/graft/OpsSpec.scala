@@ -75,6 +75,16 @@ class OpsSpec extends SparkSpec {
     assert(perStratum.length == 5 && perStratum.forall(_ == 10L))
   }
 
+  test("query registry is consistent: every query has an oracle or is known rows-only") {
+    val rowsOnly = Set("multimodal_decode", "topk_importance")
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(queries),
+      s"oracles without queries: ${(oracles -- queries).mkString(", ")}")
+    assert(queries -- oracles == rowsOnly,
+      s"queries silently missing an oracle: ${(queries -- oracles -- rowsOnly).mkString(", ")}")
+  }
+
   test("DotProduct matches the HOF fold bit-for-bit, including null semantics") {
     val s = spark
     import s.implicits._
