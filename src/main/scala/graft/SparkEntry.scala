@@ -64,6 +64,8 @@ object SparkEntry {
     "join_anti" -> (Analytics.joinAnti _),
     "join_range" -> (Analytics.joinRange _),
     "pivot_events" -> (Analytics.pivotEvents _),
+    "unpivot_events" -> (Analytics.unpivotEvents _),
+    "cv_folds" -> ((s, dir) => Analytics.cvFolds(s, dir)),
     "sim_quantize" -> (TextSim.simQuantize _),
     "text_stats" -> (TextSim.textStats _),
     "text_langid" -> (TextSim.textLangid _),
@@ -125,6 +127,8 @@ object SparkEntry {
     "join_anti" -> OracleSql.joinAnti,
     "join_range" -> OracleSql.joinRange,
     "pivot_events" -> OracleSql.pivotEvents,
+    "unpivot_events" -> OracleSql.unpivotEvents,
+    "cv_folds" -> OracleSql.cvFolds,
     "sim_quantize" -> TextSimSql.simQuantize,
     "text_stats" -> TextSimSql.textStats,
     "text_langid" -> TextSimSql.textLangid,

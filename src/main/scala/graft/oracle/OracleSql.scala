@@ -606,6 +606,32 @@ object OracleSql {
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
       |FROM events ORDER BY event_id""".stripMargin
 
+  val unpivotEvents: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val branches = types.map(t =>
+      s"SELECT user_id, '$t' AS event_type, SUM(value) AS value_sum FROM events WHERE event_type = '$t' GROUP BY user_id")
+      .mkString("\n  UNION ALL\n  ")
+    s"""SELECT user_id, event_type, ${r("value_sum")} AS value_sum FROM (
+       |  $branches
+       |) ORDER BY user_id, event_type""".stripMargin
+  }
+
+  val cvFolds: String = {
+    val k = 4
+    val folds = (1 to k).map { f =>
+      s"""SELECT CAST($f AS BIGINT) AS fold, event_id,
+         |       CASE WHEN rn <= $f * n // ${k + 1} THEN 'train' ELSE 'validate' END AS role
+         |FROM s WHERE rn <= ${f + 1} * n // ${k + 1}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+       |         COUNT(*) OVER () AS n
+       |  FROM events
+       |)
+       |$folds
+       |ORDER BY fold, event_id""".stripMargin
+  }
+
   val joinAnti: String =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer

@@ -214,6 +214,39 @@ object Analytics {
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
       .orderBy("event_id")
 
+  /** Unpivot (melt): the per-user pivoted value sums back to long form via
+    * `stack` — the inverse relational reshaping of pivot_events. */
+  def unpivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Bars.readEvents(s, dir)
+      .groupBy("user_id").pivot("event_type", types).agg(sum(col("value")))
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    wide.select(col("user_id"),
+        expr(s"stack(${types.length}, $stackArgs) AS (event_type, value_sum)"))
+      .filter(col("value_sum").isNotNull)
+      .select(col("user_id"), col("event_type"), r6(col("value_sum")).as("value_sum"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Expanding-window time-series cross-validation folds: fold f trains on
+    * the first f/(k+1) of time and validates on the next 1/(k+1) slice —
+    * the leakage-safe CV a temporal model needs (no shuffling, no future
+    * data in train). Row positions come from the scalable global numbering;
+    * emitted as (fold, event_id, role) for every fold. */
+  def cvFolds(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val ev = Bars.readEvents(s, dir).select(col("event_id"), col("ts"))
+    val (withRn, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")))
+    val folds = (1 to k).map { f =>
+      val trainEnd = f.toLong * n / (k + 1)
+      val valEnd = (f + 1).toLong * n / (k + 1)
+      withRn.filter(col("rn") <= valEnd)
+        .select(lit(f).cast("long").as("fold"), col("event_id"),
+          when(col("rn") <= trainEnd, "train").otherwise("validate").as("role"))
+    }
+    folds.reduce(_ unionByName _).orderBy("fold", "event_id")
+  }
+
   /** Left-anti join: customers with no big-ticket (>300k) order. The orders
     * side is filtered then reduced to distinct keys before the join — at
     * scale the anti probe carries keys only, never payload columns. */
