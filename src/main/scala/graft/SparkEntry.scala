@@ -8,11 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Every operator from SURVEY.md §2 registers here as a named query; each
   * carries a DuckDB oracle statement in [[oracleSql]] built to be
-  * bit-identical (see graft.oracle.*), including the EWMA family, whose
-  * oracle replays the exact recurrence via recursive CTEs. The only
-  * rows-only queries are topk_importance (tree training is not
-  * oracle-reproducible) and multimodal_decode (stubbed decoder) — both
-  * covered by ScalaTest invariants instead.
+  * bit-identical (see graft.oracle.*), including the EWMA family (oracle
+  * replays the exact recurrence via recursive CTEs) and the stubbed media
+  * decode (oracle replays the decoder's byte-fold arithmetic with
+  * list_reduce). The only rows-only query is topk_importance — tree
+  * training is not oracle-reproducible; MlSpec covers its invariants.
   */
 object SparkEntry {
 
@@ -145,6 +145,7 @@ object SparkEntry {
     "sim_ann_ivf" -> TextSimSql.simAnnIvf,
     "sim_neardup" -> TextSimSql.simNeardup,
     "multimodal_meta" -> TextSimSql.multimodalMeta,
+    "multimodal_decode" -> TextSimSql.multimodalDecode,
     "multimodal_frames" -> TextSimSql.multimodalFrames,
     "dedup_clusters" -> TextSimSql.dedupClusters,
     "curate_docs" -> TextSimSql.curateDocs,

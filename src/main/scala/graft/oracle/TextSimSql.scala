@@ -402,6 +402,29 @@ object TextSimSql {
       |FROM f, UNNEST(range(0, n_frames, 4)) u(fi)
       |ORDER BY event_id, frame_idx""".stripMargin
 
+  /** Oracle twin of Multimodal.FakeDecoder: the deterministic stand-in
+    * decoder is pure integer arithmetic (a 31-polynomial byte fold), so
+    * even the "stubbed" decode path is hash-checked end to end. The fold
+    * stays positive and < 2^53 for the short payloads, so DuckDB's
+    * truncating `//` equals Java's arithmetic `>>`. */
+  val multimodalDecode: String = {
+    val bytes = "list_transform(range(1, length(props) + 1), " +
+      "i -> CAST(ord(substring(props, i, 1)) AS BIGINT))"
+    s"""WITH f AS (
+       |  SELECT event_id, event_type AS kind,
+       |         CAST(length(props) AS INTEGER) AS byte_len,
+       |         CAST(list_sum($bytes) AS BIGINT) AS checksum,
+       |         list_reduce(list_prepend(CAST(17 AS BIGINT), $bytes),
+       |                     (acc, b) -> acc * 31 + b) AS h
+       |  FROM events
+       |)
+       |SELECT event_id, kind, byte_len, checksum,
+       |       CAST((h % 64 + 1) * 16 AS INTEGER) AS width,
+       |       CAST(((h // 256) % 64 + 1) * 16 AS INTEGER) AS height,
+       |       CAST(CASE WHEN kind = 'view' THEN (h // 65536) % 30 + 1 ELSE 1 END AS INTEGER) AS frames
+       |FROM f ORDER BY event_id""".stripMargin
+  }
+
   val multimodalMeta: String =
     """SELECT event_id,
       |       CAST(length(props) AS BIGINT) AS payload_len,

@@ -76,7 +76,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("query registry is consistent: every query has an oracle or is known rows-only") {
-    val rowsOnly = Set("multimodal_decode", "topk_importance")
+    val rowsOnly = Set("topk_importance")
     val queries = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(queries),
