@@ -62,6 +62,8 @@ object SparkEntry {
     "set_ops" -> (Analytics.setOps _),
     "json_fields" -> (Analytics.jsonFields _),
     "join_anti" -> (Analytics.joinAnti _),
+    "join_semi" -> (Analytics.joinSemi _),
+    "join_outer" -> (Analytics.joinOuter _),
     "join_range" -> (Analytics.joinRange _),
     "pivot_events" -> (Analytics.pivotEvents _),
     "unpivot_events" -> (Analytics.unpivotEvents _),
@@ -125,6 +127,8 @@ object SparkEntry {
     "set_ops" -> OracleSql.setOps,
     "json_fields" -> OracleSql.jsonFields,
     "join_anti" -> OracleSql.joinAnti,
+    "join_semi" -> OracleSql.joinSemi,
+    "join_outer" -> OracleSql.joinOuter,
     "join_range" -> OracleSql.joinRange,
     "pivot_events" -> OracleSql.pivotEvents,
     "unpivot_events" -> OracleSql.unpivotEvents,

@@ -639,6 +639,23 @@ object OracleSql {
       |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
+  val joinSemi: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val joinOuter: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_items,
+      |         SUM(l_extendedprice * (1 - l_discount)) AS rev
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT o.o_orderkey, COALESCE(li.n_items, 0) AS n_items,
+      |       floor(COALESCE(li.rev, 0.0) * 100 + 0.5) / 100 AS revenue
+      |FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val joinRange: String =
     s"""SELECT o.o_orderpriority, COUNT(*) AS n_fast_lines,
        |       ${r("AVG(l.l_discount)")} AS avg_disc

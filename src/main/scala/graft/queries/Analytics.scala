@@ -258,6 +258,36 @@ object Analytics {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** Left-semi join: customers WITH at least one big-ticket order —
+    * existence probe carrying keys only (the EXISTS subquery shape). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Left-outer join with aggregate fill: every order with its lineitem
+    * count and revenue, zero-filled when no lineitem matches — null
+    * semantics of outer joins exercised through the aggregate. */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    Tables.orders(s, dir).as("o")
+      .join(li.as("l"), col("o.o_orderkey") === col("l.l_orderkey"), "left_outer")
+      .select(col("o.o_orderkey").as("o_orderkey"),
+        coalesce(col("l.n_items"), lit(0L)).as("n_items"),
+        // floor(x*100 + 0.5)/100 instead of round(x, 2): Spark's Round goes
+        // through the decimal string (BigDecimal.valueOf) while DuckDB
+        // rounds the binary double, so x.xx5-representation ties land on
+        // different cents; floor arithmetic is identical binary fp in both
+        (floor(coalesce(col("l.rev"), lit(0.0)) * 100 + 0.5) / 100).as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
   /** Equi + range-predicate join: lineitems shipped within 30 days of their
     * order date. The range predicate rides on the equi-join key (orderkey),
     * so this stays a hash join with a residual filter — never a cartesian
