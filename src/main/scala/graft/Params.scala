@@ -28,6 +28,11 @@ object Params {
     * Spark queries and the oracle SQL builders. */
   val Symbols = 32
 
+  /** The events table's closed event-type vocabulary (TESTDATA.md) — the
+    * explicit value list for pivot/unpivot on BOTH the Spark and oracle
+    * sides, so the four uses cannot drift apart. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
   /** Output doubles are round(x, 6) + 0.0 on both the Spark and oracle sides:
     * 6-decimal rounding per FIXTURES.md §4; the `+ 0.0` collapses -0.0 to 0.0
     * so the two engines hash identically at rounding boundaries. */

@@ -607,7 +607,7 @@ object OracleSql {
       |FROM events ORDER BY event_id""".stripMargin
 
   val unpivotEvents: String = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = graft.Params.EventTypes
     val branches = types.map(t =>
       s"SELECT user_id, '$t' AS event_type, SUM(value) AS value_sum FROM events WHERE event_type = '$t' GROUP BY user_id")
       .mkString("\n  UNION ALL\n  ")
@@ -667,7 +667,7 @@ object OracleSql {
        |ORDER BY o.o_orderpriority""".stripMargin
 
   val pivotEvents: String = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = graft.Params.EventTypes
     val cols = types.map(t =>
       s"${r(s"SUM(value) FILTER (WHERE event_type = '$t')")} AS v_$t")
       .mkString(",\n       ")

@@ -404,9 +404,14 @@ object TextSimSql {
 
   /** Oracle twin of Multimodal.FakeDecoder: the deterministic stand-in
     * decoder is pure integer arithmetic (a 31-polynomial byte fold), so
-    * even the "stubbed" decode path is hash-checked end to end. The fold
-    * stays positive and < 2^53 for the short payloads, so DuckDB's
-    * truncating `//` equals Java's arithmetic `>>`. */
+    * even the "stubbed" decode path is hash-checked end to end.
+    *
+    * Preconditions (hold for the shared corpus: props are 8-9 ASCII
+    * chars): payloads of <= 11 single-byte chars keep 17·31^len inside
+    * int64 — DuckDB's checked arithmetic would ERROR where the JVM fold
+    * wraps — and keep h non-negative, so FakeDecoder's math.abs is a
+    * no-op and `//` equals the arithmetic `>>`. ASCII keeps ord/length
+    * (codepoints) equal to the JVM's UTF-8 byte view. */
   val multimodalDecode: String = {
     val bytes = "list_transform(range(1, length(props) + 1), " +
       "i -> CAST(ord(substring(props, i, 1)) AS BIGINT))"

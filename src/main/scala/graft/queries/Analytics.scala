@@ -217,7 +217,7 @@ object Analytics {
   /** Unpivot (melt): the per-user pivoted value sums back to long form via
     * `stack` — the inverse relational reshaping of pivot_events. */
   def unpivotEvents(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = graft.Params.EventTypes
     val wide = Bars.readEvents(s, dir)
       .groupBy("user_id").pivot("event_type", types).agg(sum(col("value")))
     val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
@@ -235,8 +235,11 @@ object Analytics {
     * emitted as (fold, event_id, role) for every fold. */
   def cvFolds(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val ev = Bars.readEvents(s, dir).select(col("event_id"), col("ts"))
-    val (withRn, n) = graft.analytics.Ranking.withGlobalRowNumber(
+    val (numbered, n) = graft.analytics.Ranking.withGlobalRowNumber(
       ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")))
+    // materialize once: k fold branches + the output sort's sampling pass
+    // all read the numbered frame
+    val withRn = numbered.localCheckpoint()
     val folds = (1 to k).map { f =>
       val trainEnd = f.toLong * n / (k + 1)
       val valEnd = (f + 1).toLong * n / (k + 1)
@@ -307,7 +310,7 @@ object Analytics {
     * Spark's relational pivot with an explicit vocabulary (never a
     * driver-side distinct scan at 100 TB). */
   def pivotEvents(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = graft.Params.EventTypes
     Bars.readEvents(s, dir)
       .groupBy("user_id").pivot("event_type", types)
       .agg(sum(col("value")))

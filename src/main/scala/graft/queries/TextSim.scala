@@ -97,8 +97,10 @@ object TextSim {
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k_value"))
       .orderBy("event_id")
 
-  /** Partition-batched stub decode over typed media records — not
-    * SQL-expressible (rows-only driver check; covered by MultimodalSpec). */
+  /** Partition-batched stub decode over typed media records. The stand-in
+    * decoder is pure integer arithmetic, so even this Dataset/mapPartitions
+    * path is oracle-checked: TextSimSql.multimodalDecode replays the
+    * byte-fold in DuckDB. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Bars.readEvents(s, dir)).toDF()
       .orderBy("event_id")
