@@ -51,6 +51,7 @@ object SparkEntry {
     "window_sliding" -> (Analytics.windowSliding _),
     "sessionize" -> (Analytics.sessionize _),
     "window_rank" -> (Analytics.windowRank _),
+    "window_firstlast" -> (Analytics.windowFirstLast _),
     "agg_rollup" -> (Analytics.aggRollup _),
     "agg_quantiles" -> (Analytics.aggQuantiles _),
     "sample_bernoulli" -> (Analytics.sampleBernoulli _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "window_sliding" -> OracleSql.windowSliding,
     "sessionize" -> OracleSql.sessionize,
     "window_rank" -> OracleSql.windowRank,
+    "window_firstlast" -> OracleSql.windowFirstLast,
     "agg_rollup" -> OracleSql.aggRollup,
     "agg_quantiles" -> OracleSql.aggQuantiles,
     "sample_bernoulli" -> OracleSql.sampleBernoulli,

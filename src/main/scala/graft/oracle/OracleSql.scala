@@ -570,6 +570,16 @@ object OracleSql {
        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
        |ORDER BY event_id""".stripMargin
 
+  val windowFirstLast: String =
+    s"""$barsCte
+       |SELECT symbol, event_id,
+       |       ${r(s"FIRST_VALUE(close) OVER ($Wrun)")} AS first_close,
+       |       ${r(s"LAST_VALUE(close) OVER ($Wrun)")} AS running_close,
+       |       ${r(s"NTH_VALUE(close, 3) OVER ($Wrun)")} AS third_close,
+       |       ${r(s"FIRST_VALUE(close) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")} AS anchor_close,
+       |       ${r(s"(close / FIRST_VALUE(close) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) - 1) * 100")} AS pct_from_anchor
+       |FROM bars ORDER BY event_id""".stripMargin
+
   val aggCorr: String =
     s"""$barsCte
        |SELECT symbol, ${r("corr(open, close)")} AS corr_oc,

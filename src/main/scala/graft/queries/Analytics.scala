@@ -112,6 +112,25 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Value-window family per symbol: first/last/nth close over the running
+    * frame and the day's anchor price (first over the full partition) —
+    * completes the window-function inventory next to lag/lead/rank. */
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
+    val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"),
+        r6(first(col("close")).over(running)).as("first_close"),
+        r6(last(col("close")).over(running)).as("running_close"),
+        r6(nth_value(col("close"), 3).over(running)).as("third_close"),
+        r6(first(col("close")).over(full)).as("anchor_close"),
+        r6((col("close") / first(col("close")).over(full) - 1) * 100)
+          .as("pct_from_anchor"))
+      .orderBy("event_id")
+  }
+
   /** ROLLUP over (returnflag, linestatus): hierarchical subtotals + grand
     * total in one pass — Spark expands the grouping sets, the aggregation
     * stays partial+final. Quantity sums are integer-valued doubles (exact in
