@@ -43,10 +43,15 @@ object Bench {
     // Warmup: run the heaviest composite once, untimed (JIT + codegen + IO cache).
     SparkEntry.queries.get("ml_matrix").foreach(runOne)
 
+    // Optional args = query-name filter (dev iteration); no args = all.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq
+
     // Best of two runs per query: first run absorbs per-plan codegen/JIT,
     // min() suppresses co-tenant noise — steady-state numbers, matching how
     // the reference's scaling notebook measures warmed loops.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t1 = runOne(fn)
       val t2 = runOne(fn)
       name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))

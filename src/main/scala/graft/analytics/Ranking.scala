@@ -32,9 +32,14 @@ object Ranking {
 
   /** Append a 1-based global row-number column `rn` ordered by `orderCols`.
     *
-    * @param sortKey   numeric (castable-to-double, non-null) expression that
-    *                  is coarser-or-equal to `orderCols.head` — rows that
-    *                  compare equal on `orderCols.head` must share a key
+    * @param sortKey   numeric (castable-to-double, NON-NULL — enforced) key
+    *                  that is ORDER-MONOTONE w.r.t. `orderCols.head`:
+    *                  a <= b on `orderCols.head` must imply
+    *                  key(a) <= key(b) (which subsumes "equal rows share a
+    *                  key"). An equality-consistent but order-inconsistent
+    *                  key — a hash, a negated timestamp — would bucket rows
+    *                  out of order and silently diverge from the
+    *                  single-window numbering.
     * @param orderCols total ordering (ties broken by trailing columns)
     * @return (frame + `rn`, total row count — free from the bucket counts)
     */
@@ -57,8 +62,19 @@ object Ranking {
       .map(b => when(col("_grn_key") > lit(b), 1).otherwise(0))
       .foldLeft(lit(0))(_ + _)
     val bucketed = keyed.withColumn("_grn_bucket", bucket)
-    val counts = bucketed.groupBy("_grn_bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // fail loudly on null keys (piggybacked on the existing counts pass):
+    // approxQuantile IGNORES nulls while the `>`-fold routes them to bucket
+    // 0, so a null key would otherwise yield a numbering that only works by
+    // coincidence of nulls-first ordering
+    val rawCounts = bucketed.groupBy("_grn_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_grn_key").isNull, 1L).otherwise(0L)).as("n_null"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nullKeys = rawCounts.map(_._3).sum
+    require(nullKeys == 0L,
+      s"withGlobalRowNumber: sortKey is null on $nullKeys rows — the key " +
+        "must be non-null (bucket boundaries ignore nulls)")
+    val counts = rawCounts.map(r => r._1 -> r._2).sortBy(_._1)
     val total = counts.map(_._2).sum
     val offsets = counts.map(_._1).zip(
       counts.map(_._2).scanLeft(0L)(_ + _).init).toMap

@@ -417,7 +417,11 @@ object TextSimSql {
       "i -> CAST(ord(substring(props, i, 1)) AS BIGINT))"
     s"""WITH f AS (
        |  SELECT event_id, event_type AS kind,
-       |         CAST(length(props) AS INTEGER) AS byte_len,
+       |         CASE WHEN length(props) > 11 THEN CAST(error(
+       |             'multimodal_decode oracle precondition violated: props longer '
+       |             || 'than 11 chars overflows the checked 31-polynomial fold '
+       |             || '(len=' || length(props) || ')') AS INTEGER)
+       |           ELSE CAST(length(props) AS INTEGER) END AS byte_len,
        |         CAST(list_sum($bytes) AS BIGINT) AS checksum,
        |         list_reduce(list_prepend(CAST(17 AS BIGINT), $bytes),
        |                     (acc, b) -> acc * 31 + b) AS h

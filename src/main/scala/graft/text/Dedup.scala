@@ -179,36 +179,48 @@ object Dedup {
     * @return (id, label) — one row per node appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // cache the pair plan BEFORE the symmetric union: both union branches
-    // scan it, and pair generation (LSH + verify) is the expensive part
-    val p = pairs.cache()
+    // materialize the pair plan ONCE before the symmetric union:
+    // localCheckpoint (not cache) so every round's lineage starts at the
+    // materialized blocks instead of re-walking the LSH+verify plan, and so
+    // the RETURNED frame owns no cache entry the caller must unpersist —
+    // checkpoint blocks are freed by the ContextCleaner when the RDD is
+    // GC'd. (A prior version leaked the final labels cache.)
+    val p = pairs.localCheckpoint()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var changed = 1L
+      .withColumn("label", col("id")).localCheckpoint()
+    // Labels only ever decrease under min-propagation, so the label sum is
+    // a strictly decreasing convergence measure: unchanged sum == fixpoint.
+    // One tiny aggregate over the fresh checkpoint per round instead of a
+    // join-and-count against the previous labeling. decimal(38,0) so id
+    // sums cannot overflow at any scale.
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val d = l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    while (!converged && iters < maxIters) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.select("id", "label").union(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
-      labels.unpersist()
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint() // eager: one job per round, lineage truncated
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iters += 1
     }
     // fail loudly rather than return a non-minimum labeling: a silent
     // partial result would keep several "canonical" docs per cluster
     // downstream (and diverge from the oracle's exact fixpoint)
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds " +
-        s"($changed labels still shrinking) — component diameter exceeds " +
-        "the cap; raise maxIters or switch to large-star/small-star")
-    p.unpersist()
-    edges.unpersist()
+        "(label sum still shrinking) — component diameter exceeds the cap; " +
+        "raise maxIters or switch to large-star/small-star")
     labels
   }
 
