@@ -1,0 +1,67 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the events table: ordered funnels and
+  * cohort retention — the two sequence-shaped aggregations an event
+  * pipeline runs beyond plain grouped counts.
+  *
+  * Scale shape: both operators reduce to per-user aggregates joined on
+  * `user_id` — every stage shuffles on the SAME key, so AQE/exchange reuse
+  * keeps it one partitioning end to end, and nothing is ever widened to
+  * per-event pair data. No window over the full event stream, no
+  * collect_list of a user's history (unbounded per-user state at 100 TB) —
+  * each funnel stage carries exactly one (user_id, timestamp) row.
+  */
+object Behavior {
+
+  /** Ordered funnel: for each prefix of `stages`, the number of users who
+    * completed the stages IN ORDER — stage i+1 counts only events strictly
+    * after the user's stage-i completion time (their EARLIEST valid
+    * completion, the standard greedy funnel semantics).
+    *
+    * Returns (stage_idx, stage, n_users), one row per stage.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // reach(i): (user_id, t_reach) = earliest completion of stage i given
+    // in-order completion of stages 0..i-1
+    val reaches = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t_reach"))) {
+      (prev, stage) =>
+        events.filter(col("event_type") === stage).as("e")
+          .join(prev.as("p"),
+            col("e.user_id") === col("p.user_id") &&
+            col("e.ts") > col("p.t_reach"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts")).as("t_reach"))
+    }
+    reaches.zip(stages).zipWithIndex.map { case ((reach, stage), i) =>
+      reach.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).cast("long").as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: users are cohorted by the Monday-start week
+    * of their FIRST event; each (cohort_week, week_offset) cell counts the
+    * cohort's users active that many weeks later. The (user, week) activity
+    * set is distinct-ed BEFORE the cohort join — the join input shrinks to
+    * at most users × weeks rows regardless of event volume. */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / lit(7))
+          .cast("long").as("week_offset"))
+      // count(*) == distinct users: (user, act_week) is distinct and each
+      // user has exactly one cohort week
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

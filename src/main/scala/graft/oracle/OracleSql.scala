@@ -695,4 +695,78 @@ object OracleSql {
        |)
        |SELECT event_type, strat_rn, event_id FROM ranked
        |WHERE strat_rn <= 100 ORDER BY event_type, strat_rn""".stripMargin
+
+  val aggCube: String =
+    s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       |       COALESCE(l_linestatus, '(all)') AS linestatus,
+       |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |       COUNT(*) AS n,
+       |       SUM(l_quantity) AS sum_qty,
+       |       ${r("AVG(l_discount)")} AS avg_disc
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  val joinFull: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n_clicks FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id
+      |), p AS (
+      |  SELECT user_id, COUNT(*) AS n_purchases FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id
+      |)
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |       COALESCE(n_clicks, 0) AS n_clicks,
+      |       COALESCE(n_purchases, 0) AS n_purchases
+      |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+      |ORDER BY user_id""".stripMargin
+
+  val funnelEvents: String =
+    """WITH r0 AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), r1 AS (
+      |  SELECT e.user_id AS user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN r0 ON e.user_id = r0.user_id AND e.ts > r0.t
+      |  WHERE e.event_type = 'click' GROUP BY 1
+      |), r2 AS (
+      |  SELECT e.user_id AS user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN r1 ON e.user_id = r1.user_id AND e.ts > r1.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM r0
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), 'click', COUNT(*) FROM r1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'purchase', COUNT(*) FROM r2
+      |) ORDER BY stage_idx""".stripMargin
+
+  val retentionCohorts: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |), a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+      |)
+      |SELECT f.cohort_week,
+      |       CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT) AS week_offset,
+      |       COUNT(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  val windowMedian: String = {
+    val f = frame(21)
+    s"""$barsCte, m AS (
+       |  SELECT symbol, event_id,
+       |         quantile_cont(close, 0.5) OVER ($f) AS med,
+       |         quantile_cont(close, 0.25) OVER ($f) AS p25,
+       |         quantile_cont(close, 0.75) OVER ($f) AS p75
+       |  FROM bars
+       |)
+       |SELECT symbol, event_id, ${r("med")} AS med_close,
+       |       ${r("p25")} AS p25_close, ${r("p75")} AS p75_close,
+       |       ${r("p75 - p25")} AS iqr_close
+       |FROM m ORDER BY event_id""".stripMargin
+  }
 }

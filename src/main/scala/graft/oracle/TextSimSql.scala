@@ -331,6 +331,47 @@ object TextSimSql {
        |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("cos")} AS cos
        |FROM rr WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  /** Multi-table sign-LSH ANN. The ±1 hyperplanes are generated by the SAME
+    * Scala code the engine uses (Similarity.lshPlane) and embedded here as
+    * list literals, so both engines project onto bit-identical planes; the
+    * projection is the usual sequential fold (exact: every term is a float
+    * value times ±1.0). */
+  val simAnnLsh: String = {
+    import graft.sim.{Similarity => S}
+    def planeList(k: Int): String =
+      S.lshPlane(k, 64).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+    def planeDot(k: Int): String =
+      s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * (${planeList(k)})[i]))"
+    def bucketExpr(t: Int): String =
+      (0 until S.LshBits).map(j =>
+        s"CASE WHEN ${planeDot(t * S.LshBits + j)} > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+    val tableSelects = (0 until S.LshTables).map(t =>
+      s"  SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM e")
+      .mkString("\n  UNION ALL\n")
+    s"""$embCte, asg AS (
+       |$tableSelects
+       |), p AS (
+       |  SELECT vec_id AS probe_id, tbl, bucket FROM asg WHERE vec_id < 10
+       |), cand AS (
+       |  SELECT DISTINCT probe_id, asg.vec_id AS neighbor_id
+       |  FROM asg JOIN p USING (tbl, bucket) WHERE asg.vec_id != probe_id
+       |), j AS (
+       |  SELECT probe_id, neighbor_id,
+       |         ${cosP("pe.v", "ne.v", "pe.nv", "ne.nv")} AS cos
+       |  FROM cand
+       |  JOIN e pe ON pe.vec_id = probe_id
+       |  JOIN e ne ON ne.vec_id = neighbor_id
+       |), rr AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM j
+       |)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("cos")} AS cos
+       |FROM rr WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+  }
+
   val simQuantize: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

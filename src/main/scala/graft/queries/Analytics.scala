@@ -325,6 +325,81 @@ object Analytics {
         r6(avg(col("l.l_discount"))).as("avg_disc"))
       .orderBy("o_orderpriority")
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets in one
+    * pass, tagged with grouping_id — the full grouping-sets surface next to
+    * agg_rollup's hierarchy. Quantity sums are integer-valued doubles
+    * (exact in any accumulation order — no rounding). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        r6(avg(col("l_discount"))).as("avg_disc"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"), col("avg_disc"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** Full-outer join: per-user click counts vs purchase counts, zero-filled
+    * on both sides — completes the join-type matrix (inner/semi/anti/left/
+    * full). Both inputs are pre-aggregated to one row per user, so the
+    * outer join carries keys + counts only. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    def perUser(t: String, n: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as(n))
+    perUser("click", "n_clicks").as("c")
+      .join(perUser("purchase", "n_purchases").as("p"),
+        col("c.user_id") === col("p.user_id"), "full_outer")
+      .select(coalesce(col("c.user_id"), col("p.user_id")).as("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  /** Ordered funnel view → click → purchase: users completing each prefix
+    * in order (graft.analytics.Behavior.funnel). */
+  def funnelEvents(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.funnel(Bars.readEvents(s, dir),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+
+  /** Weekly cohort retention triangle over events
+    * (graft.analytics.Behavior.weeklyRetention). */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.weeklyRetention(Bars.readEvents(s, dir))
+      .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+
+  /** Rolling robust statistics: 21-bar median and interquartile range per
+    * symbol (exact percentile over a row frame ≡ DuckDB's windowed
+    * quantile_cont) — the median/IQR outlier band a data-quality pipeline
+    * keeps next to Bollinger's mean/σ band. Exact is the point here; the
+    * 100 TB path swaps in percentile_approx over the identical frame. */
+  def windowMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
+      .rowsBetween(-20, 0)
+    def pct(q: Double) = expr(s"percentile(close, $q)").over(w)
+    // two-step projection: the window stage emits each percentile ONCE and
+    // iqr derives from the emitted attributes (a single select would
+    // re-evaluate the 0.25/0.75 aggregates inside the subtraction — Spark
+    // does not dedup window expressions across output columns)
+    Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"),
+        pct(0.5).as("_med"), pct(0.25).as("_p25"), pct(0.75).as("_p75"))
+      .select(col("symbol"), col("event_id"),
+        r6(col("_med")).as("med_close"),
+        r6(col("_p25")).as("p25_close"),
+        r6(col("_p75")).as("p75_close"),
+        r6(col("_p75") - col("_p25")).as("iqr_close"))
+      .orderBy("event_id")
+  }
+
   /** Pivot: per-user value sums across a FIXED event-type column list —
     * Spark's relational pivot with an explicit vocabulary (never a
     * driver-side distinct scan at 100 TB). */

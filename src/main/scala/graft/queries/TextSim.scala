@@ -77,6 +77,13 @@ object TextSim {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
       .orderBy("probe_id", "rank")
 
+  /** ANN top-k via multi-table sign-LSH (4 tables × 6 hyperplane bits) —
+    * the hash-bucketed complement to sim_ann_ivf's centroid buckets. */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
+      .orderBy("probe_id", "rank")
+
   /** int8 scalar quantization of every embedding, element-checked. */
   def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))

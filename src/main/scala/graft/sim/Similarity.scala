@@ -85,6 +85,73 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Sign-LSH hyperplane family, shared with the DuckDB oracle: entry i of
+    * plane k is +1.0 when the first hex digit of md5("lsh_<k>_<i>") is >= 8,
+    * else -1.0 — a deterministic stand-in for Gaussian hyperplanes that both
+    * engines can reproduce exactly (and ±1 entries keep the projection an
+    * exact sum of float-in-double values, no rounding concerns). */
+  def lshPlane(k: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val h = md.digest(s"lsh_${k}_$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+  }
+
+  /** LSH table layout: `LshTables` independent hash tables of `LshBits`
+    * sign-bits each. Candidates = union over tables of same-bucket vectors —
+    * the standard multi-table trade (more tables -> higher recall, same
+    * per-table bucket width). 6 bits = 64 buckets keeps buckets populated at
+    * test scale; at corpus scale, raise bits to hold bucket width constant. */
+  val LshTables = 4
+  val LshBits = 6
+
+  /** Per-vector LSH bucket ids: one row per (vec_id, table, bucket), plus
+    * the vector and its norm for downstream scoring. Narrow: 24 codegen'd
+    * dot products against literal ±1 planes, no shuffle. */
+  def lshAssign(embeddings: DataFrame, tables: Int = LshTables,
+      bits: Int = LshBits): DataFrame = {
+    val vecs = withNorm(embeddings, "vec_id", "v", "nv")
+    val bucketCols = (0 until tables).map { t =>
+      val b = (0 until bits).map { j =>
+        val plane = typedlit(lshPlane(t * bits + j, 64))
+        when(graft.expr.DotProduct.dot(col("v"), plane) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), b.as("bucket"))
+    }
+    vecs.select(col("vec_id"), col("v"), col("nv"),
+        explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nv"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via multi-table sign-LSH: candidates share a bucket in ANY
+    * table (distinct-ed before scoring so a pair colliding in two tables is
+    * verified once), then exact cosine + per-probe rank. */
+  def lshTopK(embeddings: DataFrame, numProbes: Int = 10, k: Int = 3): DataFrame = {
+    val assigned = lshAssign(embeddings)
+    val probes = assigned.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
+    val candIds = assigned.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+      .join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id").distinct()
+    val vecs = withNorm(embeddings, "vec_id", "v", "nv")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candIds
+      .join(vecs.select(col("vec_id"), col("v"), col("nv")),
+        col("neighbor_id") === col("vec_id")).drop("vec_id")
+      .join(broadcast(vecs.select(col("vec_id"), col("v").as("p"), col("nv").as("np"))
+          .filter(col("vec_id") < numProbes)),
+        col("probe_id") === col("vec_id")).drop("vec_id")
+      .withColumn("cos", cosPre("p", "v", "np", "nv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Per-label centroids + their pairwise cosine matrix — the "how separable
     * are my classes" diagnostic. Element-wise mean via posexplode + grouped
     * scalar sums (shuffle-partitioned; no driver-side vectors), then the

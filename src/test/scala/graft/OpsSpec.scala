@@ -149,6 +149,86 @@ class OpsSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("funnel counts in-order completions only, strictly after the prior stage") {
+    val s = spark
+    import s.implicits._
+    // user 1: view(1) -> click(2) -> purchase(3): completes all stages
+    // user 2: click(1) -> view(2) -> click has NO click after view: stops at view
+    // user 3: view(1) -> click(2), purchase BEFORE click (t=1): stops at click
+    // user 4: never views (click+purchase only): counted nowhere
+    // user 5: view and click at the SAME ts: strict > excludes the click
+    val ev = Seq(
+      (1L, 1L, "view"), (2L, 1L, "click"), (3L, 1L, "purchase"),
+      (1L, 2L, "click"), (2L, 2L, "view"),
+      (1L, 3L, "view"), (2L, 3L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "click"), (2L, 4L, "purchase"),
+      (5L, 5L, "view"), (5L, 5L, "click")
+    ).map { case (t, u, ty) => (t * 1000000L, u, ty) }
+      .toDF("ts_us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val got = graft.analytics.Behavior.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, "view", 4L), (1L, "click", 2L), (2L, "purchase", 1L)))
+  }
+
+  test("weeklyRetention cohorts by first-event week with week offsets") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000000L // µs
+    // 2024-01-01 is a Monday. user 1 active wk0 and wk2; user 2 wk0 only;
+    // user 3 first seen wk1, active wk1 and wk2.
+    val base = java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli * 1000L
+    val ev = Seq(
+      (1L, 0L), (1L, 14L),          // wk0, wk2
+      (2L, 1L),                     // wk0
+      (3L, 7L), (3L, 15L)           // wk1, wk2 (offset 1 from wk1 cohort)
+    ).map { case (u, d) => (base + d * day, u) }
+      .toDF("ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val got = graft.analytics.Behavior.weeklyRetention(ev)
+      .select(col("cohort_week").cast("date").cast("string"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("lshPlane is deterministic ±1 and lshAssign buckets fit the bit width") {
+    val p0 = graft.sim.Similarity.lshPlane(0, 64)
+    assert(p0 == graft.sim.Similarity.lshPlane(0, 64)) // stable across calls
+    assert(p0.forall(x => x == 1.0 || x == -1.0))
+    assert(p0 != graft.sim.Similarity.lshPlane(1, 64)) // planes differ
+    val s = spark
+    import s.implicits._
+    val vecs = Seq((0L, (1 to 64).map(i => i * 0.01f)),
+      (1L, (1 to 64).map(i => -i * 0.01f))).toDF("vec_id", "embedding")
+    val buckets = graft.sim.Similarity.lshAssign(vecs)
+      .select("vec_id", "tbl", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(buckets.length == 2 * graft.sim.Similarity.LshTables)
+    assert(buckets.forall { case (_, _, b) =>
+      b >= 0 && b < (1L << graft.sim.Similarity.LshBits) })
+    // opposite vectors flip every sign bit: complementary buckets per table
+    val byTbl = buckets.groupBy(_._2).values
+    byTbl.foreach { g =>
+      val Seq(a, b) = g.sortBy(_._1).map(_._3).toSeq
+      assert((a ^ b) == (1L << graft.sim.Similarity.LshBits) - 1)
+    }
+  }
+
+  test("withGlobalRowNumber rejects null sort keys loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.withGlobalRowNumber(df, col("v"), Seq(col("v")))._1.count()
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("frameSample emits every stride-th frame with stable checksums") {
     val s = spark
     import s.implicits._
