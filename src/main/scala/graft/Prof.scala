@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Dev tool: stage-by-stage timing of the heavier pipelines (noop sink,
+  * best of `reps`). Usage: runMain graft.Prof [sfDir] [reps] */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = GraftSession.local("graft-prof")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => DataFrame): Unit = {
+      val secs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $label%-40s ${secs.min}%8.3f s (n=$reps)")
+    }
+
+    import org.apache.spark.sql.functions._
+    val bars = graft.source.Bars.bars(spark, dir)
+    time("bars scan")(bars)
+    val feats = graft.features.Features.computeAllFeatures(bars)
+    time("features (4 windows)")(feats)
+    val tgt = graft.features.Targets.withTarget(feats, targetType = "classification")
+    time("features+target")(tgt)
+    val sel = tgt.select(
+      col("event_id") +: (graft.queries.Core.MlMatrixFeatures.map(col) :+ col("target")): _*)
+      .na.drop("any", graft.queries.Core.MlMatrixFeatures)
+    time("…+select+na.drop")(sel)
+    time("…+checkpoint")(sel.localCheckpoint())
+    time("…+checkpoint+sort")(sel.localCheckpoint().orderBy("event_id"))
+    time("ml_matrix full query")(SparkEntry.queries("ml_matrix")(spark, dir))
+    val docs = graft.source.Tables.documents(spark, dir)
+    time("docs scan")(docs)
+    time("shingled")(graft.text.Dedup.shingled(docs))
+    time("shingled exploded")(graft.text.Dedup.shingles(docs))
+    time("shingled exploded md5")(graft.text.Dedup.shingles(docs)
+      .select(md5(col("shingle")).as("h")))
+    time("minhash signatures")(graft.text.Dedup.minhashSignatures(
+      graft.source.Tables.documents(spark, dir)))
+    time("minhash pairs")(graft.text.Dedup.minhashPairs(
+      graft.source.Tables.documents(spark, dir)))
+    time("dedup_clusters full")(SparkEntry.queries("dedup_clusters")(spark, dir))
+    time("topk_importance full")(SparkEntry.queries("topk_importance")(spark, dir))
+    spark.stop()
+  }
+}

@@ -68,7 +68,7 @@ object Core {
     import graft.features.{Features, Targets}
     import graft.ml.MlPipeline
     val feats = Targets.withTarget(Features.computeAllFeatures(bars(s, dir)))
-      .filter(col("event_id") < 20000)
+      .filter(col("event_id") < 10000)
     val fcols = Features.FeatureCols
     val model = MlPipeline.classifier(maxIter = 2).setMaxDepth(3)
       .fit(MlPipeline.assemble(feats, fcols))

@@ -42,15 +42,25 @@ object Dedup {
       .select(md5(col("text")).as("text_md5"), col("canonical_id"), col("n_copies"))
 
   /** Distinct word-3-gram shingles of `text`, as a per-row array column —
-    * narrow, no explode/shuffle. */
+    * narrow, no explode/shuffle. NOTE: only valid on a frame that has a
+    * `_w = split(text, ' ')` column (see [[shingled]]); referencing the
+    * words ATTRIBUTE keeps the split out of the transform lambda — inlining
+    * `split` there re-splits the text once per shingle (O(words²) per doc,
+    * measured 2.4s -> 0.6s on the signature pipeline at sf0.1). */
   def shingleArray: Column =
-    expr("array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")
+    expr("array_distinct(transform(sequence(1, greatest(size(_w) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(_w, i, 3))))")
+
+  /** (doc_id, sh: array<string>) — each document's distinct shingle set,
+    * split evaluated once per row. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.withColumn("_w", split(col("text"), " "))
+      .select(col("doc_id"), shingleArray.as("sh"))
 
   /** Exploded (doc_id, shingle) view — for callers that need the relational
     * shape; the operators below stay on the array form. */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArray).as("shingle"))
+    shingled(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** Universal-hash family for MinHash: one md5 per shingle, decoded to an
     * integer v, then k-th hash = (A(k)·v + B(k)) mod P — the classic
@@ -66,13 +76,18 @@ object Dedup {
     * per row — no relational DISTINCT shuffle) → md5 once → 16 min()
     * aggregates with map-side partial combine; the only shuffle carries one
     * 17-column row per document. */
+  /** Whole-signature-per-row form (graft.expr.MinHashSig): a narrow
+    * projection with NO aggregation shuffle — each doc's 16 minima come out
+    * of one pass over its own text. Value-identical to the relational
+    * explode → md5 → conv → groupBy(16 × min) pipeline (the expression's
+    * scaladoc spells out the equivalences), which remains what the DuckDB
+    * oracle replays. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val v = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long") % HashP
-    val sigs = (0 until NumHashes).map(k =>
-      min((lit(hashA(k)) * col("v") + lit(hashB(k))) % HashP).as(s"mh_$k"))
-    docs.select(col("doc_id"), explode(shingleArray).as("shingle"))
-      .withColumn("v", v)
-      .groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val sig = graft.expr.MinHashSig.minhashSig(col("text"),
+      (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB), HashP)
+    docs.select(col("doc_id"), sig.as("_sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(k => col("_sig")(k).as(s"mh_$k")): _*)
   }
 
   /** LSH banding: candidate pairs share at least one of the 4 bands of 4
@@ -80,7 +95,10 @@ object Dedup {
     * (per-pair array_intersect) and kept above `threshold`.
     * Returns (doc_a, doc_b, jaccard). */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sized = docs.select(col("doc_id"), shingleArray.as("sh"))
+    // the signature branch is a narrow expression over the raw text; only
+    // the verification branch needs the shingle-string arrays, and it reads
+    // them twice (za/zb sides) — materialize once
+    val sized = shingled(docs).localCheckpoint()
       .withColumn("n_sh", size(col("sh")).cast("long"))
     val jac = candidatePairs(minhashSignatures(docs))
       .join(sized.as("za"), col("doc_a") === col("za.doc_id"))
