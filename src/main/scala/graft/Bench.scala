@@ -44,6 +44,9 @@ object Bench {
     SparkEntry.queries.get("ml_matrix").foreach(runOne)
 
     // Optional args = query-name filter (dev iteration); no args = all.
+    // A typo'd name must fail loudly, not produce an empty total=0 run.
+    require(args.forall(SparkEntry.queries.contains),
+      s"unknown query name(s): ${args.filterNot(SparkEntry.queries.contains).mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq
@@ -74,9 +77,11 @@ object Bench {
       val rows = n * copies
       val pipeline = graft.features.Features.computeAllFeatures(tiled)
       pipeline.write.format("noop").mode("overwrite").save() // untimed warm run
-      // best of 3 timed runs: the headline number must reflect the engine,
-      // not a co-tenant stealing the box for one run
-      val sec = (1 to 3).map { _ =>
+      // best of 5 timed runs: the headline number must reflect the engine,
+      // not a co-tenant stealing the box for one run — this box shows ±15%
+      // (occasionally −40%) single-run dips, and 5 samples make a clean run
+      // near-certain
+      val sec = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         pipeline.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

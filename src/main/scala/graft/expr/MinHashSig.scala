@@ -33,6 +33,12 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
   require(a.nonEmpty && a.length == b.length,
     s"a/b coefficient lists must be non-empty and equal-length")
 
+  // O(1) indexing in the per-shingle hot loop regardless of the Seq
+  // implementation the caller passed (a List would make a(h) O(k) and the
+  // loop O(k²) per shingle)
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -66,7 +72,7 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
       var h = 0
       while (h < k) {
-        val x = (a(h) * v + b(h)) % p
+        val x = (aArr(h) * v + bArr(h)) % p
         if (x < mins(h)) mins(h) = x
         h += 1
       }

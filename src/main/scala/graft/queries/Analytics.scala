@@ -384,19 +384,39 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
       .rowsBetween(-20, 0)
-    def pct(q: Double) = expr(s"percentile(close, $q)").over(w)
-    // two-step projection: the window stage emits each percentile ONCE and
-    // iqr derives from the emitted attributes (a single select would
-    // re-evaluate the 0.25/0.75 aggregates inside the subtraction — Spark
-    // does not dedup window expressions across output columns)
+    // ONE window aggregate returning all three percentiles as an array —
+    // the 21-row frame is sorted/scanned once per output row instead of
+    // three times (percentile accepts an array of fractions); the array
+    // elements are then projected in a second step so iqr reuses the
+    // emitted attribute rather than re-running the aggregate.
+    val pcts = expr("percentile(close, array(0.25D, 0.5D, 0.75D))").over(w)
     Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), pcts.as("_pcts"))
       .select(col("symbol"), col("event_id"),
-        pct(0.5).as("_med"), pct(0.25).as("_p25"), pct(0.75).as("_p75"))
+        r6(col("_pcts").getItem(1)).as("med_close"),
+        r6(col("_pcts").getItem(0)).as("p25_close"),
+        r6(col("_pcts").getItem(2)).as("p75_close"),
+        r6(col("_pcts").getItem(2) - col("_pcts").getItem(0)).as("iqr_close"))
+      .orderBy("event_id")
+  }
+
+  /** 100-TB variant of [[windowMedian]]: `percentile_approx` over the
+    * identical frame. Approximate by design (accuracy parameter 10000 ⇒
+    * rank error ≤ 1/10000), so it is NOT oracle-registered — OpsSpec
+    * asserts it stays within tolerance of the exact path on sf0.01. */
+  def windowMedianApprox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
+      .rowsBetween(-20, 0)
+    val pcts =
+      expr("percentile_approx(close, array(0.25D, 0.5D, 0.75D), 10000)").over(w)
+    Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), pcts.as("_pcts"))
       .select(col("symbol"), col("event_id"),
-        r6(col("_med")).as("med_close"),
-        r6(col("_p25")).as("p25_close"),
-        r6(col("_p75")).as("p75_close"),
-        r6(col("_p75") - col("_p25")).as("iqr_close"))
+        r6(col("_pcts").getItem(1)).as("med_close"),
+        r6(col("_pcts").getItem(0)).as("p25_close"),
+        r6(col("_pcts").getItem(2)).as("p75_close"),
+        r6(col("_pcts").getItem(2) - col("_pcts").getItem(0)).as("iqr_close"))
       .orderBy("event_id")
   }
 

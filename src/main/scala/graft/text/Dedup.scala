@@ -47,7 +47,7 @@ object Dedup {
     * words ATTRIBUTE keeps the split out of the transform lambda — inlining
     * `split` there re-splits the text once per shingle (O(words²) per doc,
     * measured 2.4s -> 0.6s on the signature pipeline at sf0.1). */
-  def shingleArray: Column =
+  private def shingleArray: Column =
     expr("array_distinct(transform(sequence(1, greatest(size(_w) - 2, 1)), " +
       "i -> concat_ws(' ', slice(_w, i, 3))))")
 
@@ -85,7 +85,11 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sig = graft.expr.MinHashSig.minhashSig(col("text"),
       (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB), HashP)
-    docs.select(col("doc_id"), sig.as("_sig"))
+    // null-text docs: the relational pipeline (and the oracle) drops them at
+    // the explode, whereas the expression would emit an all-null signature
+    // row — filter to preserve the oracle's semantics
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), sig.as("_sig"))
       .select(col("doc_id") +:
         (0 until NumHashes).map(k => col("_sig")(k).as(s"mh_$k")): _*)
   }
@@ -132,24 +136,16 @@ object Dedup {
 
   /** 32-bit SimHash over the token multiset: bit b of md5's first 8 hex
     * digits votes +1/-1 per token occurrence; the sign of the vote sum sets
-    * the output bit. Pure integer arithmetic → bit-identical in the oracle. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val withDigits = (1 to SimhashBits / 4).foldLeft(toks)((df, k) =>
-      df.withColumn(s"d_$k",
-        (instr(lit("0123456789abcdef"), substring(col("h"), k, 1)) - 1).cast("long")))
-    val bitSigns = (0 until SimhashBits).map { b =>
-      val k = b / 4 + 1
-      val j = b % 4
-      sum(expr(s"2 * ((d_$k div ${1 << j}) % 2) - 1")).as(s"s_$b")
-    }
-    val summed = withDigits.groupBy("doc_id").agg(bitSigns.head, bitSigns.tail: _*)
-    val value = (0 until SimhashBits).map(b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    summed.select(col("doc_id"), value.as("simhash"))
-  }
+    * the output bit. Whole-fingerprint-per-row form (graft.expr.SimHashSig):
+    * a narrow projection with NO aggregation shuffle. Value-identical to the
+    * relational explode → md5 → digit-decode → groupBy(32 × sum) → sign-pack
+    * pipeline (the expression's scaladoc spells out the equivalences), which
+    * remains what the DuckDB oracle replays. Null-text docs are filtered to
+    * match the relational form, which drops them at the explode. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.expr.SimHashSig.simhashSig(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, generated by
     * the pigeonhole trick: split 32 bits into 4 chunks of 8 — any pair
