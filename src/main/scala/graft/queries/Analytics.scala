@@ -384,19 +384,34 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
       .rowsBetween(-20, 0)
-    // ONE window aggregate returning all three percentiles as an array —
-    // the 21-row frame is sorted/scanned once per output row instead of
-    // three times (percentile accepts an array of fractions); the array
-    // elements are then projected in a second step so iqr reuses the
-    // emitted attribute rather than re-running the aggregate.
-    val pcts = expr("percentile(close, array(0.25D, 0.5D, 0.75D))").over(w)
+    // ONE window pass collects the frame, then all three percentiles come
+    // from codegen'd expression arithmetic over the sorted array — the
+    // 21-row frame is materialized once per output row (vs three separate
+    // percentile() aggregates each rebuilding an OpenHashMap per frame:
+    // 3.94s; one percentile(array(...)): 2.55s; this: measured below).
+    // Linear interpolation at rank (n−1)·q is the same definition
+    // percentile()/quantile_cont use; r6 absorbs the ulp-level association
+    // differences exactly as it does between Spark and DuckDB.
+    val arr = sort_array(collect_list(col("close")).over(w))
+    def interp(a: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column = {
+      val h = (size(a) - lit(1)).cast("double") * lit(q)
+      val lo = floor(h)
+      val f = h - lo
+      val lower = element_at(a, lo.cast("int") + lit(1))
+      val upper = element_at(a, lo.cast("int") + lit(2))
+      when(f === lit(0.0), lower).otherwise(lower + f * (upper - lower))
+    }
     Bars.bars(s, dir)
-      .select(col("symbol"), col("event_id"), pcts.as("_pcts"))
+      .select(col("symbol"), col("event_id"), arr.as("_arr"))
       .select(col("symbol"), col("event_id"),
-        r6(col("_pcts").getItem(1)).as("med_close"),
-        r6(col("_pcts").getItem(0)).as("p25_close"),
-        r6(col("_pcts").getItem(2)).as("p75_close"),
-        r6(col("_pcts").getItem(2) - col("_pcts").getItem(0)).as("iqr_close"))
+        interp(col("_arr"), 0.5).as("_med"),
+        interp(col("_arr"), 0.25).as("_p25"),
+        interp(col("_arr"), 0.75).as("_p75"))
+      .select(col("symbol"), col("event_id"),
+        r6(col("_med")).as("med_close"),
+        r6(col("_p25")).as("p25_close"),
+        r6(col("_p75")).as("p75_close"),
+        r6(col("_p75") - col("_p25")).as("iqr_close"))
       .orderBy("event_id")
   }
 

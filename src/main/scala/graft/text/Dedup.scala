@@ -126,12 +126,48 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_val") === col("y.band_val") &&
+    bucketSelfPairs(banded, Seq("band_idx", "band_val"))
+  }
+
+  /** How many rows a single LSH bucket may hold before the pair-generating
+    * self-join routes it through the salt-replicate path, and how many
+    * sub-keys a hot bucket is spread over. A bucket of width B yields B²/2
+    * pairs on ONE reducer in a plain equi-join — at 100 TB a single viral
+    * boilerplate band (millions of near-identical docs) is a guaranteed
+    * straggler. The salted path cuts per-task work to ~B²/(2·salts) without
+    * losing a pair. */
+  val HotBucketCap = 4096
+  val HotBucketSalts = 16
+
+  /** Unordered same-bucket pairs (doc_a < doc_b) from a self-join of
+    * `rows` (doc_id + `keys` bucket columns), skew-safe: bucket widths are
+    * counted first, buckets wider than `hotCap` join via salt-replicate
+    * (probe side salted by hash(doc_id), build side replicated across all
+    * `salts` sub-keys — every cross-bucket pair still meets on exactly one
+    * sub-key, so the result is IDENTICAL to the plain join), narrow buckets
+    * join plain. The hot-key list is broadcast and bounded by
+    * total_rows / hotCap, so driver state stays O(#hot buckets). */
+  def bucketSelfPairs(rows: DataFrame, keys: Seq[String],
+      hotCap: Int = HotBucketCap, salts: Int = HotBucketSalts): DataFrame = {
+    val k = keys.map(col)
+    val widths = rows.groupBy(k: _*).agg(count(lit(1)).as("_bw"))
+    val hotKeys = widths.filter(col("_bw") > hotCap).drop("_bw")
+    val flagged = rows.join(broadcast(hotKeys.withColumn("_hot", lit(true))),
+      keys, "left")
+    val cold = flagged.filter(col("_hot").isNull).drop("_hot")
+    val hot = flagged.filter(col("_hot").isNotNull).drop("_hot")
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        keys.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // deterministic salt (hash of doc_id, not rand()) keeps reruns identical
+    val hotX = hot.withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+    val hotY = hot.withColumn("_salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    val hotPairs = hotX.as("x").join(hotY.as("y"),
+        (keys :+ "_salt").map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    coldPairs.union(hotPairs).distinct()
   }
 
   /** 32-bit SimHash over the token multiset: bit b of md5's first 8 hex
@@ -228,14 +264,69 @@ object Dedup {
       labels = next
       iters += 1
     }
-    // fail loudly rather than return a non-minimum labeling: a silent
-    // partial result would keep several "canonical" docs per cluster
-    // downstream (and diverge from the oracle's exact fixpoint)
+    // Per-hop propagation needs diameter-many rounds; a component deeper
+    // than the cap (adversarial chain-shaped dup graphs) falls back to
+    // large-star/small-star, which converges in O(log² n) rounds
+    // regardless of diameter — never return a non-minimum labeling.
+    if (!converged) connectedComponentsStar(p) else labels
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round rewires edges toward per-neighborhood minima —
+    *   large-star: every node u sends its strictly-larger neighbors to
+    *     m = min(Γ(u) ∪ u);
+    *   small-star: every node u (edges oriented child>parent) points itself
+    *     and all its parents at m = min of them.
+    * The edge set is a fixpoint iff every component is a star rooted at its
+    * minimum node, and the alternation reaches it in O(log² n) rounds
+    * independent of graph diameter — the deep-chain regime where per-hop
+    * min-propagation needs diameter rounds. Same contract as
+    * [[connectedComponents]]: (id, label = component-minimum id).
+    *
+    * Scale shape: each round is two grouped mins + two shuffle joins over
+    * the edge list; no driver-side graph state (the driver sees only the
+    * two convergence-digest counts per round).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val nodes = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct()
+    // canonical undirected edges, oriented (u > v), self-loops dropped
+    var edges = p.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = edges.isEmpty // all-self-loop input: nothing to rewire
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // large-star: m over the FULL symmetric neighborhood; emit (w, m) for
+      // the larger-than-u neighbors w (m <= u < w keeps orientation)
+      val nbr = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbr.groupBy("u").agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val ls = nbr.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: edges already (child u > parent v); point u and every
+      // parent at the minimum parent
+      val pm = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = ls.join(pm, "u")
+      val next = withM.select(col("u"), col("m").as("v"))
+        .union(withM.select(col("v").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // fixpoint test on the exact edge set (both sides distinct+canonical):
+      // two anti-join counts — no digest collisions, no driver-side edges
+      converged =
+        next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      iters += 1
+    }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(label sum still shrinking) — component diameter exceeds the cap; " +
-        "raise maxIters or switch to large-star/small-star")
-    labels
+      s"connectedComponentsStar did not converge in $maxIters rounds — " +
+        "edge set still changing (expected O(log² n) rounds)")
+    nodes.join(edges.select(col("u").as("id"), col("v").as("_root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_root"), col("id")).as("label"))
   }
 
   /** Exact char-4-gram Jaccard over a bounded sliding candidate window

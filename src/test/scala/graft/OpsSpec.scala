@@ -62,6 +62,78 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("connectedComponentsStar handles a 100-node chain; propagation falls back to it") {
+    val s = spark
+    import s.implicits._
+    // planted worst case for per-hop propagation: a single 100-node chain
+    // (diameter 99) plus an isolated pair — min-label propagation would need
+    // 99 rounds, large-star/small-star O(log² n)
+    val chain = (1L until 100L).map(i => (i, i + 1)) :+ (500L, 501L)
+    val pairs = chain.toDF("doc_a", "doc_b")
+    val want = ((1L to 100L).map(i => (i, 1L)) ++ Seq((500L, 500L), (501L, 500L))).sorted
+    val star = Dedup.connectedComponentsStar(pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(star == want)
+    // the public operator must survive a diameter far beyond its round cap
+    // by falling back to the star variant instead of throwing
+    val viaFallback = Dedup.connectedComponents(pairs, maxIters = 5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaFallback == want)
+  }
+
+  test("bucketSelfPairs: salted hot-bucket path yields exactly the plain join's pairs") {
+    val s = spark
+    import s.implicits._
+    // one hot bucket (60 docs share a band value) + two cold ones; cap 20
+    // forces the hot bucket through the salt-replicate branch
+    val rows = ((1L to 60L).map(i => (i, 0, "hot")) ++
+      Seq((101L, 0, "c1"), (102L, 0, "c1"), (103L, 1, "c2"), (104L, 1, "c2")))
+      .toDF("doc_id", "band_idx", "band_val")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = collectPairs(
+      Dedup.bucketSelfPairs(rows, Seq("band_idx", "band_val"), hotCap = 1000))
+    val salted = collectPairs(
+      Dedup.bucketSelfPairs(rows, Seq("band_idx", "band_val"), hotCap = 20, salts = 4))
+    assert(plain.size == 60 * 59 / 2 + 2) // hot-bucket pairs + (101,102) + (103,104)
+    assert(salted == plain) // salt-replicate loses and invents nothing
+  }
+
+  test("windowMedianApprox stays within one rank of the exact frame percentiles") {
+    // percentile_approx returns an actual frame ELEMENT at the approximate
+    // rank (nearest-rank, no interpolation), so a value-relative tolerance
+    // is the wrong invariant — on a 2-element frame the element adjacent to
+    // the interpolated exact value is arbitrarily far in value. The
+    // guarantee to assert is RANK-based: with accuracy 10000 ≫ frame size,
+    // each approx percentile must lie within one rank of the exact
+    // bracketing elements arr[floor(h)]..arr[ceil(h)], h = (n−1)·q.
+    val dir = "/root/testdata/sf0.001"
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("datetime"), col("event_id")).rowsBetween(-20, 0)
+    val frames = Bars.bars(spark, dir).select(col("symbol"), col("event_id"),
+      sort_array(collect_list(col("close")).over(w)).as("arr"))
+    val approx = graft.queries.Analytics.windowMedianApprox(spark, dir)
+      .select("symbol", "event_id", "p25_close", "med_close", "p75_close")
+    val joined = frames.join(approx, Seq("symbol", "event_id")).collect()
+    assert(joined.length == 1000)
+    joined.foreach { r =>
+      val arr = r.getSeq[Double](2)
+      val n = arr.length
+      Seq(0.25 -> 3, 0.5 -> 4, 0.75 -> 5).foreach { case (q, i) =>
+        val a = r.getDouble(i)
+        val h = (n - 1) * q
+        val lo = arr(math.max(math.floor(h).toInt - 1, 0))
+        val hi = arr(math.min(math.ceil(h).toInt + 1, n - 1))
+        // 1e-5 slack absorbs the r6 rounding of the approx output
+        assert(lo - 1e-5 <= a && a <= hi + 1e-5,
+          s"sym ${r.getString(0)} event ${r.getLong(1)} q=$q: $a outside [$lo, $hi]")
+      }
+      // percentile monotonicity must survive the approximation
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
+    }
+  }
+
   test("hash sampling is deterministic, quota-exact, and order-independent") {
     val ev = eventsOf((1L to 500L).map(i => (i, i * 1000L, i % 5, i.toDouble)))
     val a = Sampling.bernoulliByHash(ev, col("event_id"), "2")
