@@ -43,23 +43,12 @@ object Bench {
     // Warmup: run the heaviest composite once, untimed (JIT + codegen + IO cache).
     SparkEntry.queries.get("ml_matrix").foreach(runOne)
 
-    // Optional args = query-name filter (dev iteration); no args = all.
-    // A typo'd name must fail loudly, not produce an empty total=0 run.
-    require(args.forall(SparkEntry.queries.contains),
-      s"unknown query name(s): ${args.filterNot(SparkEntry.queries.contains).mkString(", ")}")
-    val selected =
-      if (args.isEmpty) SparkEntry.queries.toSeq
-      else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq
-
-    // Best of two runs per query: first run absorbs per-plan codegen/JIT,
-    // min() suppresses co-tenant noise — steady-state numbers, matching how
-    // the reference's scaling notebook measures warmed loops.
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
-      val t1 = runOne(fn)
-      val t2 = runOne(fn)
-      name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
-    }
-
+    // Headline throughput FIRST, right after warmup: the 70-query sweep
+    // leaves checkpoint blocks and GC pressure behind, and measuring the
+    // one number judged against BASELINE.md inside that debris cost a
+    // steady ~15% — the reference's scaling notebook also benchmarks in a
+    // fresh process.
+    //
     // Apples-to-apples with BASELINE.md: the reference benchmarks
     // compute_all_features (49 features) over a frame tiled to 1M rows
     // (notebooks/scaling_analysis.ipynb cell 3's create_scaled_dataset).
@@ -87,6 +76,23 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
       (rows, sec, rows / sec)
+    }
+
+    // Optional args = query-name filter (dev iteration); no args = all.
+    // A typo'd name must fail loudly, not produce an empty total=0 run.
+    require(args.forall(SparkEntry.queries.contains),
+      s"unknown query name(s): ${args.filterNot(SparkEntry.queries.contains).mkString(", ")}")
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq
+
+    // Best of two runs per query: first run absorbs per-plan codegen/JIT,
+    // min() suppresses co-tenant noise — steady-state numbers, matching how
+    // the reference's scaling notebook measures warmed loops.
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
+      val t1 = runOne(fn)
+      val t2 = runOne(fn)
+      name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -147,27 +147,39 @@ object Dedup {
     * sub-key, so the result is IDENTICAL to the plain join), narrow buckets
     * join plain. The hot-key list is broadcast and bounded by
     * total_rows / hotCap, so driver state stays O(#hot buckets). */
-  def bucketSelfPairs(rows: DataFrame, keys: Seq[String],
+  def bucketSelfPairs(rowsIn: DataFrame, keys: Seq[String],
       hotCap: Int = HotBucketCap, salts: Int = HotBucketSalts): DataFrame = {
+    // the input plan (e.g. MinHashSig over every doc) feeds FIVE consumers
+    // below (width count + both sides of both joins) — materialize it once
+    // instead of recomputing the signatures per consumer
+    val rows = rowsIn.localCheckpoint()
     val k = keys.map(col)
-    val widths = rows.groupBy(k: _*).agg(count(lit(1)).as("_bw"))
-    val hotKeys = widths.filter(col("_bw") > hotCap).drop("_bw")
-    val flagged = rows.join(broadcast(hotKeys.withColumn("_hot", lit(true))),
-      keys, "left")
-    val cold = flagged.filter(col("_hot").isNull).drop("_hot")
-    val hot = flagged.filter(col("_hot").isNotNull).drop("_hot")
-    val coldPairs = cold.as("x").join(cold.as("y"),
-        keys.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // deterministic salt (hash of doc_id, not rand()) keeps reruns identical
-    val hotX = hot.withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(salts)))
-    val hotY = hot.withColumn("_salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
-    val hotPairs = hotX.as("x").join(hotY.as("y"),
-        (keys :+ "_salt").map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    coldPairs.union(hotPairs).distinct()
+    def selfJoin(df: DataFrame, joinKeys: Seq[String]): DataFrame =
+      df.as("x").join(df.as("y"),
+          joinKeys.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val hotKeys = rows.groupBy(k: _*).agg(count(lit(1)).as("_bw"))
+      .filter(col("_bw") > hotCap).drop("_bw").localCheckpoint()
+    if (hotKeys.isEmpty) {
+      // common case: no skew — the plain join, no extra stages beyond the
+      // width scan (one aggregate over the checkpointed blocks)
+      selfJoin(rows, keys).distinct()
+    } else {
+      val flagged = rows.join(broadcast(hotKeys.withColumn("_hot", lit(true))),
+        keys, "left")
+      val cold = flagged.filter(col("_hot").isNull).drop("_hot")
+      val hot = flagged.filter(col("_hot").isNotNull).drop("_hot")
+      // deterministic salt (hash of doc_id, not rand()) keeps reruns identical
+      val hotX = hot.withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      val hotY = hot.withColumn("_salt",
+        explode(expr(s"sequence(0L, ${salts - 1}L)")))
+      val hotPairs = hotX.as("x").join(hotY.as("y"),
+          (keys :+ "_salt").map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      selfJoin(cold, keys).union(hotPairs).distinct()
+    }
   }
 
   /** 32-bit SimHash over the token multiset: bit b of md5's first 8 hex
