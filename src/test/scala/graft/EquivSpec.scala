@@ -1,0 +1,114 @@
+package graft
+
+import graft.text.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Randomized (seeded, deterministic) equivalence tests for the round-5
+  * operators: each fast/scalable implementation must be value-identical to
+  * the straightforward relational form it replaced, on inputs the curated
+  * testdata doesn't exercise (random graphs, random bucket skew, random
+  * token streams with empty/duplicate tokens).
+  */
+class EquivSpec extends SparkSpec {
+
+  private val vocab = Array("the", "quick", "brown", "fox", "jumps", "over",
+    "lazy", "dog", "and", "runs", "far", "away", "", "x1", "x2")
+
+  private def randomDocs(seed: Long, n: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val base = (1 to n).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      (i.toLong, (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant exact duplicates so signatures collide like real near-dup data
+    val dups = base.take(n / 5).map { case (id, t) => (id + 10000L, t) }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("connectedComponentsStar == min-label propagation on random graphs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (1 to 70).map(_ =>
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val prop = Dedup.connectedComponents(pairs, maxIters = n)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val star = Dedup.connectedComponentsStar(pairs)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(star == prop, s"seed $seed: star vs propagation labels differ")
+    }
+  }
+
+  test("bucketSelfPairs salted path == plain path on randomly skewed buckets") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7L, 8L)) {
+      val rnd = new scala.util.Random(seed)
+      // few bucket values over many docs → guaranteed hot buckets at cap 5
+      val rows = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(2), s"v${rnd.nextInt(4)}"))
+        .toDF("doc_id", "band_idx", "band_val")
+      def run(cap: Int, salts: Int) =
+        Dedup.bucketSelfPairs(rows, Seq("band_idx", "band_val"), cap, salts)
+          .orderBy("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val plain = run(Int.MaxValue, 4)
+      assert(run(5, 4) == plain, s"seed $seed: salted pair set differs")
+      assert(run(5, 1) == plain, s"seed $seed: degenerate single-salt differs")
+    }
+  }
+
+  test("SimHashSig expression == relational explode/groupBy/sign-pack pipeline") {
+    val docs = randomDocs(11L, 150)
+    val relToks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val withDigits = (1 to 8).foldLeft(relToks)((df, k) =>
+      df.withColumn(s"d_$k",
+        (instr(lit("0123456789abcdef"), substring(col("h"), k, 1)) - 1).cast("long")))
+    val bitSigns = (0 until 32).map { b =>
+      val k = b / 4 + 1
+      val j = b % 4
+      sum(expr(s"2 * ((d_$k div ${1 << j}) % 2) - 1")).as(s"s_$b")
+    }
+    val summed = withDigits.groupBy("doc_id").agg(bitSigns.head, bitSigns.tail: _*)
+    val value = (0 until 32).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val rel = summed.select(col("doc_id"), value.as("rel_sh"))
+    val fast = Dedup.simhash(docs)
+    val joined = fast.join(rel, Seq("doc_id")).collect()
+    assert(joined.length == 180)
+    joined.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+  }
+
+  test("MinHashSig expression == relational shingle/md5/conv/min pipeline") {
+    val docs = randomDocs(13L, 150)
+    val k = Dedup.NumHashes
+    val rel = Dedup.shingles(docs)
+      .withColumn("v",
+        expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
+          % Dedup.HashP)
+      .groupBy("doc_id")
+      .agg((0 until k).map(h => min(
+        (lit(Dedup.hashA(h)) * col("v") + lit(Dedup.hashB(h))) % Dedup.HashP)
+        .as(s"rel_$h")).head,
+        (0 until k).map(h => min(
+          (lit(Dedup.hashA(h)) * col("v") + lit(Dedup.hashB(h))) % Dedup.HashP)
+          .as(s"rel_$h")).tail: _*)
+    val fast = Dedup.minhashSignatures(docs)
+    val joined = fast.join(rel, Seq("doc_id")).collect()
+    assert(joined.length == 180)
+    joined.foreach { r =>
+      (0 until k).foreach(h => assert(
+        r.getLong(1 + h) == r.getLong(1 + k + h),
+        s"doc ${r.getLong(0)} hash $h"))
+    }
+  }
+}

@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected LeftAnti join:\n$p")
   }
 
+  test("window_median runs ONE window pass with no Percentile aggregate") {
+    val df = Analytics.windowMedian(spark, dir)
+    val windows = plan(df).linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows == 1,
+      s"window_median regressed to $windows window passes:\n${plan(df)}")
+    assert(!plan(df).contains("percentile"),
+      "window_median regressed to per-frame Percentile aggregates")
+    assert(countOp(df, "Exchange hashpartitioning") == 1,
+      s"window_median should shuffle once on symbol:\n${plan(df)}")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
