@@ -32,9 +32,12 @@ object Relational {
       .agg(
         sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))).as("rev"),
         count(lit(1)).as("n_items"))
-      // revenue rounded to 2 (not 6): a distributed sum of ~1e5-scale terms
-      // carries order-dependent fp error above 1e-6 — cents are bit-stable.
-      .select(col("n_name"), round(col("rev"), 2).as("revenue"), col("n_items"))
+      // revenue rounded at the data's 1e-4 granularity in floor form (not
+      // r6): a distributed sum of ~1e5-scale terms carries order-dependent
+      // fp error above 1e-6, and at 1e-4 granularity the floor form has no
+      // reachable half-tie points — bit-stable under any sum order.
+      .select(col("n_name"),
+        (floor(col("rev") * 10000 + 0.5) / 10000).as("revenue"), col("n_items"))
       .orderBy("n_name")
   }
 

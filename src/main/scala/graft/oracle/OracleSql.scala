@@ -6,7 +6,8 @@ import graft.Params
   *
   * Every statement mirrors its Spark query's arithmetic tree exactly —
   * identical constants ([[graft.Params]]), identical association order,
-  * identical null gates, `round(x, 6) + 0.0` on derived doubles, identical
+  * identical null gates, floor-form 6-decimal rounding on derived doubles
+  * (`floor(x·1e6 + 0.5)/1e6`, see graft.queries.Core.r6), identical
   * deterministic ORDER BY — so the driver's row-hash compare is bit-stable.
   * The momentum/volatility blocks are generated from the same period lists
   * the Spark side uses.
@@ -29,7 +30,12 @@ object OracleSql {
     s"$name - COALESCE(LAG($name, $n) OVER ($W), 0.0)"
   private def cumGate(name: String, n: Int) =
     s"(${name}_n - COALESCE(LAG(${name}_n, $n) OVER ($W), 0)) = $n"
-  private def r(e: String) = s"round($e, ${Params.Round}) + 0.0"
+  // floor-form rounding (see graft.queries.Core.r6): identical IEEE ops in
+  // both engines, immune to the round()-goes-through-decimal-string ties;
+  // the |x| > 9e9 guard mirrors Spark's (long-returning floor would clamp)
+  private def r(e: String) =
+    s"CASE WHEN abs(($e)) > 9000000000.0 THEN ($e) " +
+      s"ELSE floor(($e) * 1000000 + 0.5) / 1000000 END"
 
   /** events → bars adapter CTE (FIXTURES.md §4), shared by all bar queries. */
   val barsCte: String =
@@ -379,7 +385,7 @@ object OracleSql {
        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
        |  JOIN region r ON n.n_regionkey = r.r_regionkey
        |)
-       |SELECT n_name, round(SUM(amt), 2) + 0.0 AS revenue, COUNT(*) AS n_items
+       |SELECT n_name, floor(SUM(amt) * 10000 + 0.5) / 10000 AS revenue, COUNT(*) AS n_items
        |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
 
   val q1Pricing: String =
@@ -394,7 +400,7 @@ object OracleSql {
 
   val q3Shipping: String =
     """SELECT l.l_orderkey, o.o_orderdate,
-      |       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+      |       floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) / 10000 AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -662,7 +668,7 @@ object OracleSql {
       |  FROM lineitem GROUP BY l_orderkey
       |)
       |SELECT o.o_orderkey, COALESCE(li.n_items, 0) AS n_items,
-      |       floor(COALESCE(li.rev, 0.0) * 100 + 0.5) / 100 AS revenue
+      |       floor(COALESCE(li.rev, 0.0) * 10000 + 0.5) / 10000 AS revenue
       |FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
       |ORDER BY o.o_orderkey""".stripMargin
 

@@ -9,7 +9,12 @@ import graft.text.{Dedup, TextStats}
   */
 object TextSimSql {
 
-  private def r(e: String) = s"round($e, ${Params.Round}) + 0.0"
+  // floor-form rounding (see graft.queries.Core.r6): identical IEEE ops in
+  // both engines, immune to the round()-goes-through-decimal-string ties;
+  // the |x| > 9e9 guard mirrors Spark's (long-returning floor would clamp)
+  private def r(e: String) =
+    s"CASE WHEN abs(($e)) > 9000000000.0 THEN ($e) " +
+      s"ELSE floor(($e) * 1000000 + 0.5) / 1000000 END"
   private def list(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Raw quality-score expression over the s2 stats CTE (unrounded — the

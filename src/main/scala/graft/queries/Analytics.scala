@@ -81,7 +81,10 @@ object Analytics {
         col("o.o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
       .agg(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))).as("rev"))
       .select(col("l_orderkey"), col("o_orderdate"),
-        (round(col("rev"), 2) + lit(0.0)).as("revenue"))
+        // floor at the data's 1e-4 granularity (2dp price × 2dp discount):
+        // half-tie points (odd multiples of 0.5e-4) are unreachable, so
+        // order-dependent ulps in the distributed sum can't flip the digit
+        (floor(col("rev") * 10000 + 0.5) / 10000).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
@@ -302,11 +305,12 @@ object Analytics {
       .join(li.as("l"), col("o.o_orderkey") === col("l.l_orderkey"), "left_outer")
       .select(col("o.o_orderkey").as("o_orderkey"),
         coalesce(col("l.n_items"), lit(0L)).as("n_items"),
-        // floor(x*100 + 0.5)/100 instead of round(x, 2): Spark's Round goes
-        // through the decimal string (BigDecimal.valueOf) while DuckDB
-        // rounds the binary double, so x.xx5-representation ties land on
-        // different cents; floor arithmetic is identical binary fp in both
-        (floor(coalesce(col("l.rev"), lit(0.0)) * 100 + 0.5) / 100).as("revenue"))
+        // floor form (identical IEEE ops in both engines), at the data's
+        // 1e-4 granularity (2dp price × 2dp discount): rounding to CENTS
+        // had real half-cent ties (x.xx50 is reachable at 1e-4 granularity)
+        // that order-dependent sum ulps flipped either way — 110 rows at
+        // sf0.1; at 4 decimals the half-tie points are unreachable
+        (floor(coalesce(col("l.rev"), lit(0.0)) * 10000 + 0.5) / 10000).as("revenue"))
       .orderBy("o_orderkey")
   }
 

@@ -7,15 +7,32 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked core queries (SURVEY.md §2.2-2.5). Each returns a
-  * deterministically-ordered DataFrame whose derived doubles are
-  * `round(x, 6) + 0.0` (FIXTURES.md §4) so the driver's DuckDB hash compare
-  * is bit-stable.
+  * deterministically-ordered DataFrame whose derived doubles are rounded to
+  * 6 decimals in FLOOR form (FIXTURES.md §4) so the driver's DuckDB hash
+  * compare is bit-stable.
   */
 object Core {
 
-  /** round(x,6), with -0.0 collapsed to 0.0 (`+ 0.0`) — mirrored verbatim in
-    * the oracle SQL. */
-  def r6(c: Column): Column = round(c, Params.Round) + lit(0.0)
+  /** Round to 6 decimals as `floor(x·1e6 + 0.5) / 1e6` — mirrored verbatim
+    * in the oracle SQL. floor form, NOT `round(x, 6)`: Spark's Round goes
+    * through the shortest decimal string (BigDecimal.valueOf) while DuckDB
+    * rounds the binary double, so values whose 7th decimal is a
+    * representation tie land on different 6th decimals (~1 row in 1e5 at
+    * sf0.1 magnitudes — feat_momentum roc, realized_vol, percent_rank all
+    * hit it). floor/×/+ are identical IEEE ops in both engines, so the same
+    * input double ALWAYS rounds the same way. Also collapses -0.0 (the
+    * +0.5-then-floor of any -0.5·1e-6 ≤ x ≤ 0 is +0.0).
+    *
+    * |x| > 9e9 passes through unrounded: Spark's floor returns LONG, which
+    * clamps at 2^63 (the sf0.1 zero-denominator roc rows hit it at ~5e13),
+    * and 6-decimal rounding is meaningless at 11+ integer digits anyway.
+    * The guard is the SAME comparison on the SAME double in the oracle SQL,
+    * so both engines always take the same branch — including NaN/Inf, which
+    * both engines order above every finite value, so they flow through the
+    * identity branch instead of Spark's NaN.toLong = 0. */
+  def r6(c: Column): Column =
+    when(abs(c) > lit(9.0e9), c)
+      .otherwise(floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
 
   // localCheckpoint before the global output sort: RangePartitioning
   // samples its child to pick boundaries, which would re-run the window
