@@ -146,19 +146,28 @@ object Dedup {
     * `salts` sub-keys — every cross-bucket pair still meets on exactly one
     * sub-key, so the result is IDENTICAL to the plain join), narrow buckets
     * join plain. The hot-key list is broadcast and bounded by
-    * total_rows / hotCap, so driver state stays O(#hot buckets). */
+    * total_rows / hotCap, so driver state stays O(#hot buckets).
+    *
+    * `carry` columns of `rows` (per-doc payload like the SimHash value) are
+    * emitted from both sides as `<c>_a` / `<c>_b`, saving the caller two
+    * re-joins against the signature frame. */
   def bucketSelfPairs(rowsIn: DataFrame, keys: Seq[String],
-      hotCap: Int = HotBucketCap, salts: Int = HotBucketSalts): DataFrame = {
+      hotCap: Int = HotBucketCap, salts: Int = HotBucketSalts,
+      carry: Seq[String] = Nil): DataFrame = {
     // the input plan (e.g. MinHashSig over every doc) feeds FIVE consumers
     // below (width count + both sides of both joins) — materialize it once
     // instead of recomputing the signatures per consumer
     val rows = rowsIn.localCheckpoint()
     val k = keys.map(col)
+    def pairCols(x: String, y: String) =
+      col(s"$x.doc_id").as("doc_a") +: col(s"$y.doc_id").as("doc_b") +:
+        carry.flatMap(c =>
+          Seq(col(s"$x.$c").as(s"${c}_a"), col(s"$y.$c").as(s"${c}_b")))
     def selfJoin(df: DataFrame, joinKeys: Seq[String]): DataFrame =
       df.as("x").join(df.as("y"),
           joinKeys.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
           col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .select(pairCols("x", "y"): _*)
     val hotKeys = rows.groupBy(k: _*).agg(count(lit(1)).as("_bw"))
       .filter(col("_bw") > hotCap).drop("_bw").localCheckpoint()
     if (hotKeys.isEmpty) {
@@ -177,7 +186,7 @@ object Dedup {
       val hotPairs = hotX.as("x").join(hotY.as("y"),
           (keys :+ "_salt").map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
           col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .select(pairCols("x", "y"): _*)
       selfJoin(cold, keys).union(hotPairs).distinct()
     }
   }
@@ -212,13 +221,13 @@ object Dedup {
         explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), c -> struct(c AS chunk_idx, " +
           "(simhash div CAST(pow(256, c) AS BIGINT)) % 256 AS chunk_val))")).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-        col("x.chunk_val") === col("y.chunk_val") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
+    // same skew-safe candidate join as MinHash banding: a viral fingerprint
+    // chunk (millions of near-identical docs) salt-replicates instead of
+    // landing on one reducer; the fingerprints ride along as carry columns
+    bucketSelfPairs(chunks, Seq("chunk_idx", "chunk_val"),
+        carry = Seq("simhash"))
+      .withColumnRenamed("simhash_a", "sh_a")
+      .withColumnRenamed("simhash_b", "sh_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))

@@ -52,13 +52,18 @@ class EquivSpec extends SparkSpec {
       val rnd = new scala.util.Random(seed)
       // few bucket values over many docs → guaranteed hot buckets at cap 5
       val rows = (1 to 120).map(i =>
-        (i.toLong, rnd.nextInt(2), s"v${rnd.nextInt(4)}"))
-        .toDF("doc_id", "band_idx", "band_val")
+        (i.toLong, rnd.nextInt(2), s"v${rnd.nextInt(4)}", i * 7L))
+        .toDF("doc_id", "band_idx", "band_val", "payload")
       def run(cap: Int, salts: Int) =
-        Dedup.bucketSelfPairs(rows, Seq("band_idx", "band_val"), cap, salts)
+        Dedup.bucketSelfPairs(rows, Seq("band_idx", "band_val"), cap, salts,
+            carry = Seq("payload"))
           .orderBy("doc_a", "doc_b").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       val plain = run(Int.MaxValue, 4)
+      // carry columns are the per-doc payload from each side
+      plain.foreach { case (a, b, pa, pb) =>
+        assert(pa == a * 7L && pb == b * 7L)
+      }
       assert(run(5, 4) == plain, s"seed $seed: salted pair set differs")
       assert(run(5, 1) == plain, s"seed $seed: degenerate single-salt differs")
     }
