@@ -31,6 +31,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional args = query-name filter (dev iteration); no args = all.
+    // A typo'd name must fail loudly BEFORE the multi-minute warmup +
+    // headline block, not after it.
+    require(args.forall(SparkEntry.queries.contains),
+      s"unknown query name(s): ${args.filterNot(SparkEntry.queries.contains).mkString(", ")}")
+
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -78,10 +84,6 @@ object Bench {
       (rows, sec, rows / sec)
     }
 
-    // Optional args = query-name filter (dev iteration); no args = all.
-    // A typo'd name must fail loudly, not produce an empty total=0 run.
-    require(args.forall(SparkEntry.queries.contains),
-      s"unknown query name(s): ${args.filterNot(SparkEntry.queries.contains).mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq

@@ -32,9 +32,4 @@ object Params {
     * explicit value list for pivot/unpivot on BOTH the Spark and oracle
     * sides, so the four uses cannot drift apart. */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
-
-  /** Output doubles are round(x, 6) + 0.0 on both the Spark and oracle sides:
-    * 6-decimal rounding per FIXTURES.md §4; the `+ 0.0` collapses -0.0 to 0.0
-    * so the two engines hash identically at rounding boundaries. */
-  val Round = 6
 }

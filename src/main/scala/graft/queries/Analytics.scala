@@ -393,17 +393,22 @@ object Analytics {
     // 21-row frame is materialized once per output row (vs three separate
     // percentile() aggregates each rebuilding an OpenHashMap per frame:
     // 3.94s; one percentile(array(...)): 2.55s; this: measured below).
-    // Linear interpolation at rank (n−1)·q is the same definition
-    // percentile()/quantile_cont use; r6 absorbs the ulp-level association
-    // differences exactly as it does between Spark and DuckDB.
+    // Linear interpolation at rank h = (n−1)·q in quantile_cont's exact
+    // two-product form lower·(⌈h⌉−h) + upper·(h−⌊h⌋): the lerp form
+    // lower + f·(upper−lower) is the same real number but a DIFFERENT IEEE
+    // expression (1-ulp apart on ~10% of partial frames, enough to flip the
+    // floor-form rounding), so the oracle's arithmetic is mirrored verbatim.
+    // Empty frame (all-null closes) yields NULL like percentile() would.
     val arr = sort_array(collect_list(col("close")).over(w))
     def interp(a: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column = {
       val h = (size(a) - lit(1)).cast("double") * lit(q)
       val lo = floor(h)
-      val f = h - lo
+      val hi = ceil(h)
       val lower = element_at(a, lo.cast("int") + lit(1))
-      val upper = element_at(a, lo.cast("int") + lit(2))
-      when(f === lit(0.0), lower).otherwise(lower + f * (upper - lower))
+      val upper = element_at(a, hi.cast("int") + lit(1))
+      when(size(a) === lit(0), lit(null).cast("double"))
+        .otherwise(when(lo === hi, lower)
+          .otherwise(lower * (hi - h) + upper * (h - lo)))
     }
     Bars.bars(s, dir)
       .select(col("symbol"), col("event_id"), arr.as("_arr"))
@@ -422,7 +427,7 @@ object Analytics {
   /** 100-TB variant of [[windowMedian]]: `percentile_approx` over the
     * identical frame. Approximate by design (accuracy parameter 10000 ⇒
     * rank error ≤ 1/10000), so it is NOT oracle-registered — OpsSpec
-    * asserts it stays within tolerance of the exact path on sf0.01. */
+    * asserts it stays within tolerance of the exact path on sf0.001. */
   def windowMedianApprox(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))

@@ -182,12 +182,7 @@ object Similarity {
       .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("idx", "x")))
       .select(col("vec_id"), col("idx").cast("long").as("idx"),
         (round(col("x") * col("scale"), 0) + lit(0.0)).cast("long").as("q"),
-        // floor-form 6-decimal rounding incl. the magnitude guard, matching
-        // the oracle's r() exactly (see graft.queries.Core.r6 for why
-        // round(x, 6) is not cross-engine safe)
-        when(abs(col("scale")) > lit(9.0e9), col("scale"))
-          .otherwise(floor(col("scale") * lit(1e6) + lit(0.5)) / lit(1e6))
-          .as("scale"))
+        graft.queries.Core.r6(col("scale")).as("scale"))
 
   /** Embedding near-duplicate pairs: same IVF bucket, cosine >= threshold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.25,

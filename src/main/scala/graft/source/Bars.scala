@@ -58,10 +58,10 @@ object Bars {
     * ORDER BY / window spec (bit-stable hash matching).
     *
     * Rounding contract: the adapter itself does NO arithmetic beyond
-    * copies/greatest/least/integer-mod, so it emits unrounded values;
-    * `round(x, 6) + 0.0` (FIXTURES.md §4) is applied by each query's OUTPUT
-    * projection (see graft.queries.Core.r6) — derived doubles are rounded
-    * exactly once, at the oracle-compared boundary.
+    * copies/greatest/least/integer-mod, so it emits unrounded values; the
+    * guarded floor-form 6-decimal rounding (FIXTURES.md §4, graft.queries
+    * .Core.r6) is applied by each query's OUTPUT projection — derived
+    * doubles are rounded exactly once, at the oracle-compared boundary.
     */
   def fromEvents(events: DataFrame, k: Int = DefaultSymbols): DataFrame = {
     val sym = (col("user_id") % k).cast("string")

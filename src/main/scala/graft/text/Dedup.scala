@@ -335,10 +335,12 @@ object Dedup {
       val next = withM.select(col("u"), col("m").as("v"))
         .union(withM.select(col("v").as("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-      // fixpoint test on the exact edge set (both sides distinct+canonical):
-      // two anti-join counts — no digest collisions, no driver-side edges
+      // fixpoint test on the exact edge set: both sides are distinct
+      // canonical sets, so equal cardinality + empty one-sided difference
+      // ⇔ set equality — one anti-join shuffle per round instead of two
+      // (counts are cheap scans of the checkpointed sets)
       converged =
-        next.except(edges).isEmpty && edges.except(next).isEmpty
+        next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
       iters += 1
     }

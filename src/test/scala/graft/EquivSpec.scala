@@ -93,6 +93,41 @@ class EquivSpec extends SparkSpec {
       s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
   }
 
+  test("windowMedian interpolation is the two-product quantile_cont form, bit-exactly") {
+    // The oracle (DuckDB quantile_cont) interpolates lower·(⌈h⌉−h) +
+    // upper·(h−⌊h⌋); the algebraically-equal lerp lower + f·(upper−lower)
+    // is 1 ulp apart on ~10% of partial frames — enough to flip the
+    // floor-form rounding. Replay the exact two-product arithmetic driver-
+    // side and require BIT equality (==, not a tolerance) on every row.
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("datetime"), col("event_id")).rowsBetween(-20, 0)
+    val frames = graft.source.Bars.bars(spark, dir).select(
+      col("symbol"), col("event_id"),
+      sort_array(collect_list(col("close")).over(w)).as("arr"))
+    val out = graft.queries.Analytics.windowMedian(spark, dir)
+    def r6Ref(x: Double): Double =
+      if (math.abs(x) > 9.0e9) x else math.floor(x * 1e6 + 0.5) / 1e6
+    def interpRef(a: Seq[Double], q: Double): Double = {
+      val h = (a.length - 1).toDouble * q
+      val lo = math.floor(h)
+      val hi = math.ceil(h)
+      val lower = a(lo.toInt)
+      val upper = a(hi.toInt)
+      if (lo == hi) lower else lower * (hi - h) + upper * (h - lo)
+    }
+    val joined = frames.join(out, Seq("symbol", "event_id"))
+      .select("arr", "med_close", "p25_close", "p75_close").collect()
+    assert(joined.length == 1000)
+    joined.foreach { r =>
+      val arr = r.getSeq[Double](0)
+      for ((q, i) <- Seq(0.5 -> 1, 0.25 -> 2, 0.75 -> 3))
+        assert(r.getDouble(i) == r6Ref(interpRef(arr, q)),
+          s"q=$q: ${r.getDouble(i)} != ${r6Ref(interpRef(arr, q))} on n=${arr.length}")
+    }
+  }
+
   test("MinHashSig expression == relational shingle/md5/conv/min pipeline") {
     val docs = randomDocs(13L, 150)
     val k = Dedup.NumHashes
