@@ -46,8 +46,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Filtered runs are for dev iteration, not BASELINE.md comparison:
+    // skip the multi-minute warmup + headline block and time only the
+    // requested queries (fail-fast all the way through).
+    val headline = args.isEmpty
+
     // Warmup: run the heaviest composite once, untimed (JIT + codegen + IO cache).
-    SparkEntry.queries.get("ml_matrix").foreach(runOne)
+    if (headline) SparkEntry.queries.get("ml_matrix").foreach(runOne)
 
     // Headline throughput FIRST, right after warmup: the 70-query sweep
     // leaves checkpoint blocks and GC pressure behind, and measuring the
@@ -60,7 +65,7 @@ object Bench {
     // (notebooks/scaling_analysis.ipynb cell 3's create_scaled_dataset).
     // Same methodology: tile the bars frame to ~1M rows, time the full
     // 49-feature pipeline into a noop sink, report rows/sec.
-    val throughput = {
+    val throughput: Option[(Long, Double, Double)] = if (!headline) None else Some {
       import org.apache.spark.sql.functions._
       val bars = graft.source.Bars.bars(spark, sfDir)
       val n = bars.count()
@@ -100,9 +105,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val headlineJson = throughput.map { case (rows, sec, rps) =>
+      s""""feature_pipeline_rows":$rows,"feature_pipeline_sec":$sec,""" +
+        s""""feature_pipeline_rows_per_sec":${rps.toLong},"""
+    }.getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""feature_pipeline_rows":${throughput._1},"feature_pipeline_sec":${throughput._2},""" +
-      s""""feature_pipeline_rows_per_sec":${throughput._3.toLong},"sf":"$sfDir"}""")
+      headlineJson + s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,7 @@ object Relational {
       // fp error above 1e-6, and at 1e-4 granularity the floor form has no
       // reachable half-tie points — bit-stable under any sum order.
       .select(col("n_name"),
-        (floor(col("rev") * 10000 + 0.5) / 10000).as("revenue"), col("n_items"))
+        graft.queries.Core.r4(col("rev")).as("revenue"), col("n_items"))
       .orderBy("n_name")
   }
 

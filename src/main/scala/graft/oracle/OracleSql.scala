@@ -36,6 +36,13 @@ object OracleSql {
   private def r(e: String) =
     s"CASE WHEN abs(($e)) > 9000000000.0 THEN ($e) " +
       s"ELSE floor(($e) * 1000000 + 0.5) / 1000000 END"
+  // 4-decimal variant for money sums (see graft.queries.Core.r4): floors at
+  // the data's 1e-4 granularity, same magnitude guard scaled ×100 so a sum
+  // past ~9e11 passes through in both engines instead of Spark's long floor
+  // silently clamping
+  private def r4(e: String) =
+    s"CASE WHEN abs(($e)) > 900000000000.0 THEN ($e) " +
+      s"ELSE floor(($e) * 10000 + 0.5) / 10000 END"
 
   /** events → bars adapter CTE (FIXTURES.md §4), shared by all bar queries. */
   val barsCte: String =
@@ -385,7 +392,7 @@ object OracleSql {
        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
        |  JOIN region r ON n.n_regionkey = r.r_regionkey
        |)
-       |SELECT n_name, floor(SUM(amt) * 10000 + 0.5) / 10000 AS revenue, COUNT(*) AS n_items
+       |SELECT n_name, ${r4("SUM(amt)")} AS revenue, COUNT(*) AS n_items
        |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
 
   val q1Pricing: String =
@@ -399,8 +406,8 @@ object OracleSql {
       |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val q3Shipping: String =
-    """SELECT l.l_orderkey, o.o_orderdate,
-      |       floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) / 10000 AS revenue
+    s"""SELECT l.l_orderkey, o.o_orderdate,
+      |       ${r4("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -662,13 +669,13 @@ object OracleSql {
       |ORDER BY c_custkey""".stripMargin
 
   val joinOuter: String =
-    """WITH li AS (
+    s"""WITH li AS (
       |  SELECT l_orderkey, COUNT(*) AS n_items,
       |         SUM(l_extendedprice * (1 - l_discount)) AS rev
       |  FROM lineitem GROUP BY l_orderkey
       |)
       |SELECT o.o_orderkey, COALESCE(li.n_items, 0) AS n_items,
-      |       floor(COALESCE(li.rev, 0.0) * 10000 + 0.5) / 10000 AS revenue
+      |       ${r4("COALESCE(li.rev, 0.0)")} AS revenue
       |FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
       |ORDER BY o.o_orderkey""".stripMargin
 

@@ -4,7 +4,7 @@ import graft.analytics.{Relational, TimeWindows}
 import graft.source.{Bars, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import Core.r6
+import Core.{r4, r6}
 
 /** Oracle-checked relational / event-time queries (north-star extensions,
   * SURVEY.md §7.6). */
@@ -84,7 +84,7 @@ object Analytics {
         // floor at the data's 1e-4 granularity (2dp price × 2dp discount):
         // half-tie points (odd multiples of 0.5e-4) are unreachable, so
         // order-dependent ulps in the distributed sum can't flip the digit
-        (floor(col("rev") * 10000 + 0.5) / 10000).as("revenue"))
+        r4(col("rev")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
@@ -310,7 +310,7 @@ object Analytics {
         // had real half-cent ties (x.xx50 is reachable at 1e-4 granularity)
         // that order-dependent sum ulps flipped either way — 110 rows at
         // sf0.1; at 4 decimals the half-tie points are unreachable
-        (floor(coalesce(col("l.rev"), lit(0.0)) * 10000 + 0.5) / 10000).as("revenue"))
+        r4(coalesce(col("l.rev"), lit(0.0))).as("revenue"))
       .orderBy("o_orderkey")
   }
 

@@ -34,6 +34,16 @@ object Core {
     when(abs(c) > lit(9.0e9), c)
       .otherwise(floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
 
+  /** 4-decimal variant of [[r6]] for distributed money sums, flooring at the
+    * data's own 1e-4 granularity (2dp price × 2dp discount), where half-tie
+    * points are unreachable under any summation order. Guard threshold
+    * scaled ×100 from r6's (floor still returns LONG; 4-decimal rounding is
+    * meaningless at 13+ integer digits) so a revenue sum past ~9e11 passes
+    * through identically in both engines instead of silently clamping. */
+  def r4(c: Column): Column =
+    when(abs(c) > lit(9.0e11), c)
+      .otherwise(floor(c * lit(1e4) + lit(0.5)) / lit(1e4))
+
   // localCheckpoint before the global output sort: RangePartitioning
   // samples its child to pick boundaries, which would re-run the window
   // pipeline feeding every feature query a second time (see mlMatrix).

@@ -139,6 +139,13 @@ object Dedup {
   val HotBucketCap = 4096
   val HotBucketSalts = 16
 
+  /** Most hot keys the flagging join may BROADCAST. The hot-key list is
+    * bounded only by total_rows / hotCap (~2.4e8 keys at 1e12 docs with the
+    * default cap), which can exceed driver/broadcast limits at exactly the
+    * scale the salting exists for — past this bound the flagging falls back
+    * to a plain shuffle join (one extra exchange, no driver-side state). */
+  val HotKeyBroadcastMax = 1000000L
+
   /** Unordered same-bucket pairs (doc_a < doc_b) from a self-join of
     * `rows` (doc_id + `keys` bucket columns), skew-safe: bucket widths are
     * counted first, buckets wider than `hotCap` join via salt-replicate
@@ -170,13 +177,19 @@ object Dedup {
         .select(pairCols("x", "y"): _*)
     val hotKeys = rows.groupBy(k: _*).agg(count(lit(1)).as("_bw"))
       .filter(col("_bw") > hotCap).drop("_bw").localCheckpoint()
-    if (hotKeys.isEmpty) {
+    val nHot = hotKeys.count()
+    if (nHot == 0) {
       // common case: no skew — the plain join, no extra stages beyond the
       // width scan (one aggregate over the checkpointed blocks)
       selfJoin(rows, keys).distinct()
     } else {
-      val flagged = rows.join(broadcast(hotKeys.withColumn("_hot", lit(true))),
-        keys, "left")
+      // flag hot rows: broadcast while the hot-key list is small; past
+      // HotKeyBroadcastMax (extreme corpus-wide skew) fall back to a shuffle
+      // join so the list never has to fit on the driver
+      val hotFlag = hotKeys.withColumn("_hot", lit(true))
+      val flagged =
+        if (nHot <= HotKeyBroadcastMax) rows.join(broadcast(hotFlag), keys, "left")
+        else rows.join(hotFlag, keys, "left")
       val cold = flagged.filter(col("_hot").isNull).drop("_hot")
       val hot = flagged.filter(col("_hot").isNotNull).drop("_hot")
       // deterministic salt (hash of doc_id, not rand()) keeps reruns identical
@@ -347,6 +360,17 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxIters rounds — " +
         "edge set still changing (expected O(log² n) rounds)")
+    // the final labeling left-join assumes the fixpoint is star-shaped
+    // (exactly one parent per non-root node); convergence is only detected
+    // on the composite large∘small fixpoint, so verify the assumption with
+    // one cheap aggregate rather than letting a violation fan out duplicate
+    // (id, label) rows silently
+    val fanoutRow = edges.groupBy("u").agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n"))).head
+    val maxFanout = if (fanoutRow.isNullAt(0)) 0L else fanoutRow.getLong(0)
+    if (maxFanout > 1) throw new IllegalStateException(
+      s"connectedComponentsStar fixpoint is not star-shaped: a node keeps " +
+        s"$maxFanout parents — labeling join would duplicate rows")
     nodes.join(edges.select(col("u").as("id"), col("v").as("_root")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("_root"), col("id")).as("label"))
