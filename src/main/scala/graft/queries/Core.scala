@@ -29,10 +29,15 @@ object Core {
     * The guard is the SAME comparison on the SAME double in the oracle SQL,
     * so both engines always take the same branch — including NaN/Inf, which
     * both engines order above every finite value, so they flow through the
-    * identity branch instead of Spark's NaN.toLong = 0. */
-  def r6(c: Column): Column =
-    when(abs(c) > lit(9.0e9), c)
-      .otherwise(floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+    * identity branch instead of Spark's NaN.toLong = 0.
+    *
+    * Implemented as the codegen'd [[graft.expr.GuardedFloorRound]] (child
+    * evaluated once, three primitive ops) — the equivalent
+    * `when(abs(c) > guard, c).otherwise(floor(...))` Column form gets its
+    * branches inlined by CollapseProject and excluded from codegen CSE,
+    * re-evaluating every wrapped feature expression ~3× (measured +1.7 s
+    * on ml_matrix's 44-column rounding projection at sf0.1). */
+  def r6(c: Column): Column = graft.expr.GuardedFloorRound.round6(c)
 
   /** 4-decimal variant of [[r6]] for distributed money sums, flooring at the
     * data's own 1e-4 granularity (2dp price × 2dp discount), where half-tie
@@ -40,15 +45,15 @@ object Core {
     * scaled ×100 from r6's (floor still returns LONG; 4-decimal rounding is
     * meaningless at 13+ integer digits) so a revenue sum past ~9e11 passes
     * through identically in both engines instead of silently clamping. */
-  def r4(c: Column): Column =
-    when(abs(c) > lit(9.0e11), c)
-      .otherwise(floor(c * lit(1e4) + lit(0.5)) / lit(1e4))
+  def r4(c: Column): Column = graft.expr.GuardedFloorRound.round4(c)
 
   // localCheckpoint before the global output sort: RangePartitioning
   // samples its child to pick boundaries, which would re-run the window
   // pipeline feeding every feature query a second time (see mlMatrix).
-  private def keyed(df: DataFrame, cols: Seq[Column]): DataFrame =
-    df.select(col("symbol") +: col("event_id") +: cols: _*)
+  private def keyed(df: DataFrame, names: Seq[String],
+      round: Set[String]): DataFrame =
+    df.select(col("symbol") +: col("event_id") +:
+        names.map(n => (if (round(n)) r6(col(n)) else col(n)).as(n)): _*)
       .localCheckpoint()
       .orderBy("event_id")
 
@@ -106,14 +111,14 @@ object Core {
   def featMomentum(s: SparkSession, dir: String): DataFrame = {
     val out = Params.MomentumPeriods.flatMap(p => Seq(
       s"return_$p", s"momentum_$p", s"roc_$p", s"sma_$p", s"distance_sma_$p"))
-    keyed(Momentum.withMomentum(bars(s, dir)), out.map(n => r6(col(n)).as(n)))
+    keyed(Momentum.withMomentum(bars(s, dir)), out, out.toSet)
   }
 
   /** W4/W8/W9/W15-W17: returns + volatility block. */
   def featVolatility(s: SparkSession, dir: String): DataFrame = {
     val out = "returns" +: Params.VolatilityWindows.flatMap(n => Seq(
       s"volatility_$n", s"realized_vol_$n", s"hl_range_$n"))
-    keyed(Volatility.withVolatility(bars(s, dir)), out.map(n => r6(col(n)).as(n)))
+    keyed(Volatility.withVolatility(bars(s, dir)), out, out.toSet)
   }
 
   /** F1-F3: calendar + cyclic encodings (narrow, no shuffle). */
@@ -130,28 +135,30 @@ object Core {
   /** W7/W8/W12: Bollinger bands. */
   def featBollinger(s: SparkSession, dir: String): DataFrame =
     keyed(Technical.withTechnical(bars(s, dir)),
-      Seq("bb_middle", "bb_upper", "bb_lower", "bb_width").map(n => r6(col(n)).as(n)))
+      Seq("bb_middle", "bb_upper", "bb_lower", "bb_width"),
+      Set("bb_middle", "bb_upper", "bb_lower", "bb_width"))
 
   /** W1/W5/W10: RSI (custom Ewma adjust=false). Oracle: recursive-CTE
     * recurrence replay (OracleSql.featRsi) + EwmaSpec golden vectors. */
   def featRsi(s: SparkSession, dir: String): DataFrame =
-    keyed(Technical.withTechnical(bars(s, dir)), Seq(r6(col("rsi")).as("rsi")))
+    keyed(Technical.withTechnical(bars(s, dir)), Seq("rsi"), Set("rsi"))
 
   /** W6/W11: MACD (custom Ewma adjust=true, two window passes). Oracle:
     * recursive-CTE recurrence replay (OracleSql.featMacd). */
   def featMacd(s: SparkSession, dir: String): DataFrame =
     keyed(Technical.withTechnical(bars(s, dir)),
-      Seq("macd", "macd_signal", "macd_histogram").map(n => r6(col(n)).as(n)))
+      Seq("macd", "macd_signal", "macd_histogram"),
+      Set("macd", "macd_signal", "macd_histogram"))
 
   /** W3/W18: forward-return classification target. */
   def targetsClassification(s: SparkSession, dir: String): DataFrame =
     keyed(Targets.withTarget(bars(s, dir), targetType = "classification"),
-      Seq(col("target")))
+      Seq("target"), Set.empty)
 
   /** W18 (regression flavor). */
   def targetsRegression(s: SparkSession, dir: String): DataFrame =
     keyed(Targets.withTarget(bars(s, dir), targetType = "regression"),
-      Seq(r6(col("target")).as("target")))
+      Seq("target"), Set("target"))
 
   /** W19: temporal ordered 80/20 split (shuffle=False,
     * reference src/ml/training.py:60-62). The global row numbering comes
