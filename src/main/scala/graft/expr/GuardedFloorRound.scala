@@ -34,6 +34,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class GuardedFloorRound(child: Expression, scale: Double, guard: Double)
   extends UnaryExpression {
 
+  // doGenCode interpolates both parameters into Java double literals via
+  // Double.toString — valid for every finite double ("9.0E9D", "4.9E-324D")
+  // but uncompilable for Infinity/NaN ("InfinityD"); make the constraint
+  // explicit instead of failing at Janino compile time
+  require(java.lang.Double.isFinite(scale) && java.lang.Double.isFinite(guard)
+      && scale > 0.0,
+    s"guarded_floor_round needs a finite positive scale and a finite guard " +
+      s"(codegen embeds them as Java literals), got scale=$scale guard=$guard")
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

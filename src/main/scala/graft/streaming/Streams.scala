@@ -180,6 +180,29 @@ object Streams {
       }
   }
 
+  /** Deterministic symbol → sector dimension: the small static side of the
+    * stream-static enrichment join (a real deployment reads this from a
+    * dimension table; the derivation is fixed so batch and streaming specs
+    * build the identical frame). */
+  def sectorDim(spark: SparkSession, k: Int = graft.Params.Symbols): DataFrame =
+    spark.range(k).select(col("id").cast("string").as("symbol"),
+      concat(lit("sector_"), pmod(col("id"), lit(3))).as("sector"))
+
+  /** Stream-static enrichment join: every event joined to a static dimension
+    * (symbol → sector) — the standard shape for decorating a 100 TB event
+    * stream with reference data. The static side is explicitly `broadcast`:
+    * each micro-batch plans a broadcast hash join, so the unbounded stream
+    * side never shuffles and no join state accumulates (unlike
+    * stream-stream joins, the static side needs no watermark). Works
+    * unchanged on a batch frame — StreamingSpec asserts stream == batch
+    * row-for-row. */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+      k: Int = graft.Params.Symbols): DataFrame =
+    events.withColumn("symbol", (col("user_id") % k).cast("string"))
+      .join(broadcast(dim), Seq("symbol"), "left")
+      .select(col("event_id"), col("symbol"), col("sector"),
+        col("event_type"), col("value"))
+
   /** events stream → per-symbol bar ticks (the narrow, streamable slice of
     * the bars adapter: symbol fold + close; the lag-based open/high/low are
     * batch-only). */

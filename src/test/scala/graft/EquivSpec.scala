@@ -128,6 +128,75 @@ class EquivSpec extends SparkSpec {
     }
   }
 
+  test("GuardedFloorRound: interpreted == codegen == Column form, bit-exactly") {
+    // Every oracle query flows through this expression, and it ships two
+    // independent eval paths (nullSafeEval + doGenCode); the oracle suite
+    // only ever exercises the codegen path. Assert all three implementations
+    // — interpreted eval, whole-stage codegen, and the pre-r6 Column form it
+    // replaced — agree to the BIT on the values the guard logic branches on:
+    // NaN/±Inf (Spark orders NaN above all finites), null, the ±guard
+    // boundary ±1 ulp, half-ties, ±0.0, and beyond-guard magnitudes the
+    // zero-denominator roc rows actually reach.
+    import graft.expr.GuardedFloorRound
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.DoubleType
+    val s = spark
+    import s.implicits._
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val edges: Seq[java.lang.Double] = Seq[Double](
+      0.0, -0.0, 1.0, -1.0, 123.456789123, -987.000000499999,
+      1.0000005, -1.0000005, 0.9999995, 2.5e-7, -2.5e-7, 1.5e-6,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      9.0e9, -9.0e9, Math.nextUp(9.0e9), Math.nextDown(9.0e9),
+      Math.nextUp(-9.0e9), Math.nextDown(-9.0e9),
+      9.0e11, -9.0e11, Math.nextUp(9.0e11), Math.nextDown(9.0e11),
+      8.999999999e9, 5.0e13, -5.0e13, Double.MinPositiveValue
+    ).map(java.lang.Double.valueOf) :+ (null: java.lang.Double)
+    val df = edges.toDF("x")
+    val variants: Seq[(Column => Column, Double, Double)] = Seq(
+      ((c: Column) => GuardedFloorRound.round6(c), 1e6, 9.0e9),
+      ((c: Column) => GuardedFloorRound.round4(c), 1e4, 9.0e11))
+    for ((fast, scale, guard) <- variants) {
+      // the Column form this expression replaced (r5 and earlier)
+      val ref = when(abs(col("x")) > lit(guard), col("x"))
+        .otherwise(floor(col("x") * lit(scale) + lit(0.5)) / lit(scale))
+      val rows = df.select(col("x"), fast(col("x")).as("fast"), ref.as("ref"))
+        .collect()
+      assert(rows.length == edges.length)
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(0) && r.isNullAt(2) == r.isNullAt(0),
+          s"null passthrough broken at ${r.get(0)}")
+        if (!r.isNullAt(0)) {
+          val x = r.getDouble(0)
+          assert(bits(r.getDouble(1)) == bits(r.getDouble(2)),
+            s"codegen vs Column form at $x: ${r.getDouble(1)} != ${r.getDouble(2)}")
+          val interp = GuardedFloorRound(Literal(x, DoubleType), scale, guard)
+            .eval(null).asInstanceOf[Double]
+          assert(bits(interp) == bits(r.getDouble(1)),
+            s"interpreted vs codegen at $x: $interp != ${r.getDouble(1)}")
+        }
+      }
+      // interpreted null passthrough (UnaryExpression.eval short-circuits)
+      assert(GuardedFloorRound(Literal(null, DoubleType), scale, guard)
+        .eval(null) == null)
+    }
+  }
+
+  test("GuardedFloorRound rejects non-finite or non-positive parameters") {
+    import graft.expr.GuardedFloorRound
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.DoubleType
+    val one = Literal(1.0, DoubleType)
+    // codegen interpolates scale/guard as Java literals — Infinity/NaN would
+    // emit uncompilable Java, so construction must fail loudly instead
+    intercept[IllegalArgumentException](GuardedFloorRound(one, Double.NaN, 9e9))
+    intercept[IllegalArgumentException](
+      GuardedFloorRound(one, 1e6, Double.PositiveInfinity))
+    intercept[IllegalArgumentException](GuardedFloorRound(one, -1e6, 9e9))
+    intercept[IllegalArgumentException](GuardedFloorRound(one, 0.0, 9e9))
+  }
+
   test("MinHashSig expression == relational shingle/md5/conv/min pipeline") {
     val docs = randomDocs(13L, 150)
     val k = Dedup.NumHashes

@@ -148,6 +148,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("stream-static broadcast enrichment matches the batch join row-for-row") {
+    val dim = Streams.sectorDim(spark)
+    val stream = Streams.enrichEvents(Streams.readEventStream(spark, dir), dim)
+    val q = stream.writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_enrich")
+    val want = Streams.enrichEvents(graft.source.Bars.readEvents(spark, dir), dim)
+    assert(got.count() == 1000, s"expected 1000 enriched events, got ${got.count()}")
+    assert(got.filter(col("sector").isNull).count() == 0,
+      "dimension covers every symbol — no enrichment may miss")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream-static and batch enrichment rows diverge")
+    // the static side must be broadcast — an exchange on the stream side
+    // would shuffle the unbounded input every micro-batch
+    val plan = want.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join, got:\n$plan")
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     val stream = Streams.sessionCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_sessions")
