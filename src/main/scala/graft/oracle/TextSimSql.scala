@@ -70,6 +70,38 @@ object TextSimSql {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextStats.repetition: DuckDB's `/` on integers is float
+    * division (NULL-free here: n_tokens >= 1, n_bigrams >= 1 or the whole
+    * row side is NULL via the left join, exactly like Spark's). range(1,
+    * len(toks)) is empty for 1-token docs — they drop from bg like Spark's
+    * guarded empty-array explode. */
+  val textRepetition: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, UNNEST(toks) AS t FROM s
+       |), ts AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         COUNT(DISTINCT t) AS n_distinct_tokens
+       |  FROM tok GROUP BY 1
+       |), bg AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       |  FROM s, UNNEST(range(1, len(toks))) u(i)
+       |), bgc AS (
+       |  SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2
+       |), bgs AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |         MAX(n) AS top_bigram_n,
+       |         CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_bigram_n
+       |  FROM bgc GROUP BY 1
+       |)
+       |SELECT ts.doc_id, ts.n_tokens,
+       |  ${r("CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens")} AS dup_token_frac,
+       |  ${r("CAST(top_bigram_n AS DOUBLE) / n_bigrams")} AS top_bigram_frac,
+       |  ${r("CAST(dup_bigram_n AS DOUBLE) / n_bigrams")} AS dup_bigram_frac
+       |FROM ts LEFT JOIN bgs ON ts.doc_id = bgs.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
   val textTfidf: String =
     s"""WITH toks AS (
        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents

@@ -26,6 +26,14 @@ object TextSim {
       .select(col("doc_id"), col("predicted_lang"), col("lang"), col("is_correct"))
       .orderBy("doc_id")
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetition(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("dup_token_frac")).as("dup_token_frac"),
+        r6(col("top_bigram_frac")).as("top_bigram_frac"),
+        r6(col("dup_bigram_frac")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextStats.tfidf(Tables.documents(s, dir))
       .select(col("doc_id"), col("term"), r6(col("tfidf")).as("tfidf"))

@@ -76,6 +76,49 @@ object TextStats {
           log(col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", appendix A — the public repetition filters an LLM
+    * training-data pipeline applies): per document,
+    *  - `dup_token_frac`: fraction of token occurrences that are repeats of
+    *    an earlier token (1 − distinct/total);
+    *  - `top_bigram_frac`: fraction of bigram occurrences taken by the
+    *    single most frequent bigram;
+    *  - `dup_bigram_frac`: fraction of bigram occurrences whose bigram
+    *    appears more than once.
+    * High values flag boilerplate/spam repetition. Relational shape:
+    * explode → per-(doc, gram) counts → per-doc aggregate — two shuffles
+    * keyed by doc_id with map-side partial aggregation, no per-doc state
+    * outside the aggregates (scales like [[tfidf]]). Single-token documents
+    * have no bigrams: their bigram fractions are NULL (left join), mirrored
+    * by the oracle. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val tokStats = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_distinct_tokens"))
+    // sequence(0, -1) descends — guard the 1-token case to an empty array
+    // (which explode drops, matching the oracle's empty range join)
+    val bigrams = toks.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+          expr("transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bg"))
+    val bgStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        max(col("n")).as("top_bigram_n"),
+        sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("dup_bigram_n"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct_tokens")).cast("double") /
+          col("n_tokens")).as("dup_token_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        (col("dup_bigram_n").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+  }
+
   /** Document fingerprint: lexicographic min of md5 over all char 8-grams —
     * a winnowing-style content fingerprint, identical in Spark and DuckDB
     * because both take a string-min over the same md5 hex strings. Computed

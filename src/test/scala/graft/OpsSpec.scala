@@ -100,6 +100,27 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain) // salt-replicate loses and invents nothing
   }
 
+  test("repetition signals match hand-computed values on planted docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),                  // 1 distinct token; one bigram ×3
+      (2L, "a b c d"),                  // all distinct; 3 distinct bigrams
+      (3L, "spam spam ham spam spam"),  // "spam spam" ×2 of 4 bigrams
+      (4L, "solo")                      // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextStats.repetition(docs).orderBy("doc_id").collect()
+    assert(out.length == 4)
+    def row(i: Int) = (out(i).getLong(1),
+      out(i).getDouble(2),
+      if (out(i).isNullAt(3)) None else Some(out(i).getDouble(3)),
+      if (out(i).isNullAt(4)) None else Some(out(i).getDouble(4)))
+    assert(row(0) == ((4L, 0.75, Some(1.0), Some(1.0))))
+    assert(row(1) == ((4L, 0.0, Some(1.0 / 3.0), Some(0.0))))
+    assert(row(2) == ((5L, 0.6, Some(0.5), Some(0.5))))
+    assert(row(3) == ((1L, 0.0, None, None)))
+  }
+
   test("windowMedianApprox stays within one rank of the exact frame percentiles") {
     // percentile_approx returns an actual frame ELEMENT at the approximate
     // rank (nearest-rank, no interpolation), so a value-relative tolerance
