@@ -184,7 +184,11 @@ object TextSimSql {
     * MinHash near-dup pair graph, shared by dedup_minhash_pairs and
     * dedup_clusters. MATERIALIZED: the clusters query scans it from both
     * edge directions and from inside a recursion. */
-  private val minhashPairsCtes: String = {
+  /** Shingle → signature → banding → candidate → verified-pairs CTE chain,
+    * ending in `pairs`. `candCond` picks the candidate-join shape: the
+    * self-dedup triangle (`x.doc_id < y.doc_id`) or the cross-corpus
+    * train/eval restriction the decontamination queries use. */
+  private def minhashPairsCtesWith(candCond: String): String = {
     val bands = (0 until Dedup.Bands).map { b =>
       val hs = (0 until Dedup.RowsPerBand).map(rr => s"mh_${b * Dedup.RowsPerBand + rr}")
       s"SELECT doc_id, $b AS band_idx, concat_ws('|', ${hs.mkString(", ")}) AS band_val FROM sig"
@@ -198,7 +202,7 @@ object TextSimSql {
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM banded x JOIN banded y
-       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND $candCond
        |), sizes AS (
        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
        |), inter AS (
@@ -217,10 +221,30 @@ object TextSimSql {
        |)""".stripMargin
   }
 
+  private val minhashPairsCtes: String =
+    minhashPairsCtesWith("x.doc_id < y.doc_id")
+
   val dedupMinhashPairs: String =
     s"""$minhashPairsCtes
        |SELECT doc_a, doc_b, ${r("jaccard")} AS jaccard
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cross-corpus (train ⋈ eval) pair CTEs: candidates span the mod-10
+    * corpus split instead of the self-join triangle. Mirrors
+    * Dedup.crossCorpusPairs over TextSim's corpusSplit. */
+  private val decontamPairsCtes: String =
+    minhashPairsCtesWith("x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0")
+
+  val decontamPairs: String =
+    s"""$decontamPairsCtes
+       |SELECT doc_a AS train_id, doc_b AS eval_id, ${r("jaccard")} AS jaccard
+       |FROM pairs ORDER BY train_id, eval_id""".stripMargin
+
+  val decontaminateTrain: String =
+    s"""$decontamPairsCtes
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_a FROM pairs)
+       |ORDER BY doc_id""".stripMargin
 
   /** Connected components of the pair graph: min doc_id reachable from each
     * node, via a recursive reachability CTE (the oracle twin of the Spark

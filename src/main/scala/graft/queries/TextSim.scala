@@ -62,6 +62,26 @@ object TextSim {
       .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Held-out benchmark split for the decontamination queries: every 10th
+    * document is the "eval" set, the rest "train" (a stand-in for the
+    * benchmark corpus a real pipeline decontaminates against). */
+  private def corpusSplit(docs: DataFrame): (DataFrame, DataFrame) =
+    (docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+
+  def decontamPairs(s: SparkSession, dir: String): DataFrame = {
+    val (train, eval) = corpusSplit(Tables.documents(s, dir))
+    Dedup.crossCorpusPairs(train, eval)
+      .select(col("train_id"), col("eval_id"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  def decontaminateTrain(s: SparkSession, dir: String): DataFrame = {
+    val (train, eval) = corpusSplit(Tables.documents(s, dir))
+    Dedup.decontaminate(train, eval)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir))
       .orderBy("doc_id")

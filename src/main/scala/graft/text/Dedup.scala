@@ -104,30 +104,80 @@ object Dedup {
     // them twice (za/zb sides) — materialize once
     val sized = shingled(docs).localCheckpoint()
       .withColumn("n_sh", size(col("sh")).cast("long"))
-    val jac = candidatePairs(minhashSignatures(docs))
-      .join(sized.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sized.as("zb"), col("doc_b") === col("zb.doc_id"))
+    verifyJaccard(candidatePairs(minhashSignatures(docs)), sized, sized)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    * one `array_intersect` per pair against the per-doc distinct-shingle
+    * arrays (`shA` for the a-side, `shB` for the b-side — the same frame for
+    * self-dedup, per-corpus frames for cross-corpus pairs). Zero-overlap
+    * candidates drop, matching the oracle's intersection join. */
+  private def verifyJaccard(cand: DataFrame, shA: DataFrame,
+      shB: DataFrame): DataFrame =
+    cand
+      .join(shA.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(shB.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("za.sh"), col("zb.sh"))).cast("long").as("n_inter"),
         col("za.n_sh").as("na"), col("zb.n_sh").as("nb"))
-      // the oracle's intersection join only yields overlapping pairs
       .filter(col("n_inter") >= 1)
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
-    jac.filter(col("jaccard") >= threshold)
-  }
 
-  /** LSH band join: (doc_a, doc_b) sharing >= 1 band of the signature. */
-  def candidatePairs(sig: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_val) — the LSH banding of a signature frame. */
+  def banded(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val hs = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
       struct(lit(b).as("band_idx"), concat_ws("|", hs: _*).as("band_val"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
-    bucketSelfPairs(banded, Seq("band_idx", "band_val"))
   }
+
+  /** LSH band join: (doc_a, doc_b) sharing >= 1 band of the signature. */
+  def candidatePairs(sig: DataFrame): DataFrame =
+    bucketSelfPairs(banded(sig), Seq("band_idx", "band_val"))
+
+  /** Cross-corpus near-dup pairs (train ⋈ eval) — the decontamination
+    * primitive: an LLM training pipeline must drop training documents that
+    * near-duplicate the evaluation/benchmark set, or the benchmark is
+    * contaminated. Same banding + exact-Jaccard verify as [[minhashPairs]],
+    * but the candidate join spans the two corpora (no doc_a < doc_b
+    * self-join constraint) and each side verifies against its own shingle
+    * frame. Scale shape: the band equi-join's per-bucket width is bounded
+    * by the eval side, which is orders of magnitude smaller than train in
+    * practice — Spark broadcasts it when small; an adversarially hot band
+    * would take the same salt-replicate treatment as [[bucketSelfPairs]].
+    *
+    * @return (train_id, eval_id, jaccard) with jaccard >= threshold
+    */
+  def crossCorpusPairs(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val szTrain = shingled(train).localCheckpoint()
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val szEval = shingled(eval).localCheckpoint()
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val cand = banded(minhashSignatures(train)).as("x")
+      .join(banded(minhashSignatures(eval)).as("y"), Seq("band_idx", "band_val"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, szTrain, szEval)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("train_id"), col("doc_b").as("eval_id"),
+        col("jaccard"))
+  }
+
+  /** The decontaminated training set: `train` minus every document with a
+    * near-duplicate (shingle Jaccard >= threshold) in `eval` — one LEFT ANTI
+    * join against the contaminated-id set, keeping all train columns. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    train.join(
+      crossCorpusPairs(train, eval, threshold)
+        .select(col("train_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 
   /** How many rows a single LSH bucket may hold before the pair-generating
     * self-join routes it through the salt-replicate path, and how many

@@ -100,6 +100,33 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain) // salt-replicate loses and invents nothing
   }
 
+  test("crossCorpusPairs flags planted train/eval dups; decontaminate drops exactly those") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away again and again every single day"
+    val train = Seq(
+      (1L, base),                              // exact dup of eval 101
+      (2L, base.replace("quick", "slow")),     // near-dup (1 of 19 tokens)
+      (3L, "completely different text with no shingle overlap whatsoever at all")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (101L, base),
+      (102L, "another unrelated benchmark document entirely distinct too")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusPairs(train, benchmark).collect()
+    val contaminated = pairs.map(_.getLong(0)).toSet
+    // the exact duplicate shares every band and has Jaccard exactly 1.0
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 101L)
+    assert(exact.isDefined, s"planted exact dup not found in ${pairs.toSeq}")
+    assert(exact.get.getDouble(2) == 1.0)
+    assert(!contaminated.contains(3L), "disjoint doc flagged as contaminated")
+    // decontaminate keeps exactly train minus the flagged ids
+    val kept = Dedup.decontaminate(train, benchmark)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L) -- contaminated)
+  }
+
   test("repetition signals match hand-computed values on planted docs") {
     val s = spark
     import s.implicits._
