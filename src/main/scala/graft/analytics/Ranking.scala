@@ -86,4 +86,63 @@ object Ranking {
       .withColumn(rnCol, offsetCol + row_number().over(w).cast("long"))
       .drop("_grn_key", "_grn_bucket"), total)
   }
+
+  /** Append a global inclusive running sum of an INTEGRAL `weight` column
+    * ordered by `orderCols` — `SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)` without the single-partition window, by the same
+    * bucket-offset construction as [[withGlobalRowNumber]]: range-bucket on a
+    * monotone numeric key, per-bucket weight totals → driver-side starting
+    * offsets (O(buckets) state), then a parallel per-bucket running sum plus
+    * the bucket's offset.
+    *
+    * Weights must be integral (enforced: cast to long happens here, so a
+    * caller passing doubles gets truncation — pass longs): integer addition
+    * is associative, so the bucketed sum is bit-identical to the
+    * single-window sum under ANY bucket placement. A floating-point running
+    * sum would NOT survive this regrouping (per-bucket offsets re-associate
+    * the additions), which is why the signature takes token counts, byte
+    * sizes, row weights — not measures.
+    *
+    * @param sortKey numeric, non-null, order-monotone w.r.t. `orderCols.head`
+    *                (same contract as [[withGlobalRowNumber]])
+    * @return frame + `cumCol` (inclusive running sum, long)
+    */
+  def withGlobalRunningSum(df: DataFrame, sortKey: Column,
+      orderCols: Seq[Column], weight: Column, cumCol: String = "cum",
+      buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df.localCheckpoint()
+      .withColumn("_grs_key", sortKey.cast("double"))
+      .withColumn("_grs_w", weight.cast("long"))
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else keyed.stat.approxQuantile("_grs_key", probs, 0.001).distinct.sorted
+    val bucket = boundaries
+      .map(b => when(col("_grs_key") > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val bucketed = keyed.withColumn("_grs_bucket", bucket)
+    val rawSums = bucketed.groupBy("_grs_bucket")
+      .agg(sum(col("_grs_w")).as("w"),
+        sum(when(col("_grs_key").isNull || col("_grs_w").isNull, 1L)
+          .otherwise(0L)).as("n_null"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nulls = rawSums.map(_._3).sum
+    require(nulls == 0L,
+      s"withGlobalRunningSum: sortKey/weight null on $nulls rows — both " +
+        "must be non-null (bucket boundaries ignore nulls)")
+    val sums = rawSums.map(r => r._1 -> r._2).sortBy(_._1)
+    val offsets = sums.map(_._1).zip(
+      sums.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val w = Window.partitionBy("_grs_bucket").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("_grs_bucket")), lit(0L))
+    bucketed
+      .withColumn(cumCol, offsetCol + sum(col("_grs_w")).over(w))
+      .drop("_grs_key", "_grs_bucket", "_grs_w")
+  }
 }

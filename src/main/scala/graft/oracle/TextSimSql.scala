@@ -102,6 +102,91 @@ object TextSimSql {
        |FROM ts LEFT JOIN bgs ON ts.doc_id = bgs.doc_id
        |ORDER BY ts.doc_id""".stripMargin
 
+  /** Mirrors Corpus.chunk (chunkSize=32, stride=24): window offsets 0, 24,
+    * 48, … — keep a window iff it is the first or the previous window ended
+    * before the document did. DuckDB range() excludes the stop like Spark's
+    * sequence(0, n-1, step) includes values < n; list_slice's inclusive
+    * 1-based clamp matches Spark slice(start, length). */
+  val docChunks: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), st AS (
+       |  SELECT doc_id, toks, UNNEST(range(0, len(toks), 24)) AS st FROM s
+       |), f AS (
+       |  SELECT doc_id, toks, st FROM st WHERE st = 0 OR st - 24 + 32 < len(toks)
+       |)
+       |SELECT doc_id,
+       |  CAST(st // 24 AS BIGINT) AS chunk_idx,
+       |  CAST(st AS BIGINT) AS chunk_start,
+       |  CAST(len(list_slice(toks, st + 1, st + 32)) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+       |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Mirrors Corpus.packSequences (capacity=512): the oracle runs the plain
+    * single-window running sum the Spark side reproduces via the bucketed
+    * offsets (integer addition — bit-identical under regrouping). */
+  val packSequences: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS pk
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (ORDER BY pk, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_id,
+       |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS bin_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Mirrors Corpus.mixtureSample (budgetFrac=0.5): identical IEEE double
+    * expression for the per-source rate, integer-compared md5 draw. */
+  val corpusMixture: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), src AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM t GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |         COUNT(DISTINCT source) AS n_sources
+       |  FROM t
+       |), rates AS (
+       |  SELECT source,
+       |    least(CAST(1.0 AS DOUBLE),
+       |      CAST(total_tokens AS DOUBLE) * 0.5 / n_sources / src_tokens) AS sample_rate
+       |  FROM src CROSS JOIN tot
+       |)
+       |SELECT doc_id, source, n_tokens, ${r("sample_rate")} AS sample_rate
+       |FROM t JOIN rates USING (source)
+       |WHERE ($hexDecode) < CAST(floor(sample_rate * 4294967296.0) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors Dedup.sharedNgramPairs (w=8, minShared=1): distinct per-doc
+    * 8-token-window md5s, equi-join on the gram, per-pair count. */
+  val dedupSharedNgrams: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS g
+       |  FROM t, UNNEST(range(1, len(w) - 7 + 1)) u(i)
+       |  WHERE len(w) >= 8
+       |), g AS (
+       |  SELECT DISTINCT doc_id, g FROM g0
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val textTfidf: String =
     s"""WITH toks AS (
        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
@@ -156,8 +241,10 @@ object TextSimSql {
       |)""".stripMargin
 
   /** Integer decode of md5's first 8 hex digits (DuckDB has no conv();
-    * Horner-free positional sum — same value as Spark's conv(h[1:8],16,10)). */
-  private val hexDecode: String =
+    * Horner-free positional sum — same value as Spark's conv(h[1:8],16,10)).
+    * A def, not a val: referenced by vals that initialize both above and
+    * below this point in the object. */
+  private def hexDecode: String =
     (0 until 8).map(i =>
       s"(instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
       .mkString(" + ")

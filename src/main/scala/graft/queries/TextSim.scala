@@ -3,7 +3,7 @@ package graft.queries
 import graft.media.Multimodal
 import graft.sim.Similarity
 import graft.source.{Bars, Tables}
-import graft.text.{Dedup, TextStats}
+import graft.text.{Corpus, Dedup, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Core.r6
@@ -32,6 +32,27 @@ object TextSim {
         r6(col("dup_token_frac")).as("dup_token_frac"),
         r6(col("top_bigram_frac")).as("top_bigram_frac"),
         r6(col("dup_bigram_frac")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** Sliding-window token chunking (context-window prep before
+    * tokenization). */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunk(Tables.documents(s, dir))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Concat-and-split sequence packing into 512-token bins over the
+    * md5-shuffled document order — global token cumsum via the bucket-offset
+    * running sum, never a single-partition window. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  /** Mixture-weighted source sampling toward an equal-token-share target at
+    * half the corpus token budget. */
+  def corpusMixture(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureSample(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        r6(col("sample_rate")).as("sample_rate"))
       .orderBy("doc_id")
 
   def textTfidf(s: SparkSession, dir: String): DataFrame =
@@ -88,6 +109,12 @@ object TextSim {
 
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact shared-window pairs (verbatim 8-token windows in common) — the
+    * substring-overlap duplicate class, vs the Jaccard classes above. */
+  def dedupSharedNgrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedNgramPairs(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,111 @@
+package graft.text
+
+import graft.analytics.Ranking
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale LLM training-data pipeline
+  * runs between curation and tokenization: sliding-window document chunking,
+  * concat-and-split sequence packing, and mixture-weighted source sampling.
+  *
+  * All decisions key on md5 of stable row ids (reproducible across runs,
+  * partitionings, and engines — the same property [[graft.analytics.Sampling]]
+  * relies on), never on `rand()` or physical row position.
+  */
+object Corpus {
+
+  /** Deterministic uniform draw in [0, 2^32) from a stable id: the integer
+    * value of md5's first 8 hex digits (same decode the MinHash universal
+    * hashing uses; the oracle replays it with a positional sum). */
+  private def hashDraw(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Sliding-window chunking: split each document into token windows of
+    * `chunkSize` at offsets 0, stride, 2·stride, … — the context-window prep
+    * step before tokenization (HuggingFace `return_overflowing_tokens`
+    * semantics: a window is emitted iff it is the first or the previous
+    * window did not already reach the end of the document; the tail window
+    * may be short).
+    *
+    * Narrow per-row op: the explode factor is bounded by
+    * ceil(doc_tokens / stride), no shuffle anywhere — scales linearly and
+    * composes with scan pruning.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"chunk: need 0 < stride <= chunkSize (got chunkSize=$chunkSize stride=$stride)")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val n = size(col("toks"))
+    // keep window at `st` iff it is the first or the previous window
+    // (st - stride) ended before the document did
+    val starts = filter(sequence(lit(0), n - 1, lit(stride)),
+      st => st === 0 || st - stride + chunkSize < n)
+    toks.select(col("doc_id"), col("toks"), explode(starts).as("st"))
+      .select(col("doc_id"),
+        expr(s"st div $stride").as("chunk_idx"),
+        col("st").cast("long").as("chunk_start"),
+        slice(col("toks"), col("st") + 1, lit(chunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(col("ctoks")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
+  /** Concat-and-split sequence packing (the GPT-style batching step):
+    * documents are laid out in a deterministic pseudo-random order
+    * (md5(doc_id)) and the concatenated token stream is cut into
+    * fixed-`capacity` training sequences; each document is assigned the bin
+    * where it starts and its token offset within that bin.
+    *
+    * The global token cumsum uses [[Ranking.withGlobalRunningSum]] — the
+    * bucket-offset construction, NOT a single-partition window — so the
+    * layout is computed shuffle-parallel at any corpus size. Token counts
+    * are integral, so the bucketed sum is bit-identical to the
+    * `SUM() OVER (ORDER BY md5)` the oracle runs.
+    */
+  def packSequences(docs: DataFrame, capacity: Int = 512): DataFrame = {
+    require(capacity > 0, s"packSequences: capacity must be positive (got $capacity)")
+    val withTokens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("_pk"))
+    // 13 hex digits = 52 bits: exact in a double, and the prefix value is
+    // order-monotone w.r.t. the full md5 hex string (fixed-length lowercase
+    // hex sorts lexicographically == numerically)
+    val sortKey = conv(substring(col("_pk"), 1, 13), 16, 10).cast("double")
+    Ranking.withGlobalRunningSum(withTokens, sortKey,
+        Seq(col("_pk"), col("doc_id")), col("n_tokens"), cumCol = "_cum_end")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(_cum_end - n_tokens) div $capacity").as("bin_id"),
+        expr(s"(_cum_end - n_tokens) % $capacity").as("bin_offset"))
+  }
+
+  /** Mixture-weighted source sampling (the data-mixing step): allocate a
+    * global token budget of `budgetFrac` × corpus tokens EQUALLY across
+    * sources, convert each source's allocation into a per-source sampling
+    * rate min(1, budget / source_tokens), and keep each document iff its
+    * md5 draw falls below the rate — over-represented sources are downsampled
+    * toward the target mixture, under-represented ones kept whole.
+    *
+    * Plan shape: two tiny aggregates (per-source totals + corpus totals,
+    * O(sources) rows) broadcast back onto the fact scan; the per-document
+    * decision is a narrow filter. On 100 TB the document side never
+    * shuffles. The rate arithmetic is a single double expression evaluated
+    * identically (IEEE-754) in Spark and DuckDB, and the draw threshold is
+    * integer-compared, so the kept set is bit-reproducible.
+    */
+  def mixtureSample(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"mixtureSample: budgetFrac must be in (0, 1] (got $budgetFrac)")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bySource = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val totals = toks.agg(sum("n_tokens").as("total_tokens"),
+      countDistinct(col("source")).as("n_sources"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0), col("total_tokens").cast("double") * budgetFrac /
+          col("n_sources") / col("src_tokens")).as("sample_rate"))
+    toks.join(broadcast(rates), Seq("source"))
+      .filter(hashDraw(col("doc_id")) < floor(col("sample_rate") * 4294967296.0))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("sample_rate"))
+  }
+}

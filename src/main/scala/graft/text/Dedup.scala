@@ -254,6 +254,34 @@ object Dedup {
     }
   }
 
+  /** Exact shared-window dedup (the gram-granular form of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": two
+    * documents are duplicates iff they share a sufficiently long verbatim
+    * token window — a DIFFERENT duplicate class from Jaccard similarity,
+    * which a long quote inside otherwise-distinct documents does not move).
+    * Emits (doc_a, doc_b, n_shared) for pairs sharing >= `minShared`
+    * distinct exact windows of `w` consecutive tokens.
+    *
+    * Scale shape: per-doc DISTINCT gram md5s (narrow explode, bounded by
+    * doc length), then the corpus-wide candidate join routes through
+    * [[bucketSelfPairs]] keyed on the gram hash — a viral boilerplate gram
+    * (site footers, license headers) is exactly the hot-bucket case the
+    * salt-replicate path exists for. The gram rides along as a carry column
+    * so each shared gram contributes one pair row to the final per-pair
+    * count (one doc_id-keyed aggregate). */
+  def sharedNgramPairs(docs: DataFrame, w: Int = 8, minShared: Int = 1): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $w), ' '))))")).as("g"))
+    bucketSelfPairs(grams, Seq("g"), carry = Seq("g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 32-bit SimHash over the token multiset: bit b of md5's first 8 hex
     * digits votes +1/-1 per token occurrence; the sign of the vote sum sets
     * the output bit. Whole-fingerprint-per-row form (graft.expr.SimHashSig):

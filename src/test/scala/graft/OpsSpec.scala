@@ -349,6 +349,117 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("null"))
   }
 
+  test("sharedNgramPairs finds verbatim windows, counts distinct grams, skips short docs") {
+    val s = spark
+    import s.implicits._
+    val quote = (1 to 9).map(i => s"q$i").mkString(" ") // 9 tokens -> two 8-windows
+    val docs = Seq(
+      (1L, s"a b c d $quote"),          // shares the quote with 2
+      (2L, s"x y z w $quote"),          // ...inside otherwise-distinct text
+      (3L, "one two three four five six seven"), // 7 tokens: no 8-window at all
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10")     // no overlap with anyone
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedNgramPairs(docs, w = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1 and 2 share exactly the two windows fully inside the quote
+    assert(got.toSeq == Seq((1L, 2L, 2L)))
+  }
+
+  test("withGlobalRunningSum equals the single-partition window cumsum") {
+    val ev = eventsOf((1L to 97L).map(i =>
+      (i, (i % 7) * 1000000L, i % 3, i.toDouble)))
+    val weight = col("event_id") % 10
+    val got = Ranking.withGlobalRunningSum(
+      ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")), weight,
+      buckets = 5)
+    val want = ev.withColumn("cum", sum(weight.cast("long")).over(
+      Window.orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.select("event_id", "cum").orderBy("event_id").collect().toSeq ==
+      want.select("event_id", "cum").orderBy("event_id").collect().toSeq)
+  }
+
+  test("chunk: stride offsets, tail-window suppression, short-doc single chunk") {
+    val s = spark
+    import s.implicits._
+    def doc(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(50)),  // windows 0..31, 24..49; 48 suppressed (24 reached the end)
+      (2L, doc(10)),  // single short chunk
+      (3L, doc(32)),  // exactly one full window; 24 suppressed
+      (4L, doc(33))   // 0..31 + 9-token tail at 24
+    ).toDF("doc_id", "text")
+    val got = graft.text.Corpus.chunk(docs, chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 32L), (1L, 1L, 24L, 26L),
+      (2L, 0L, 0L, 10L),
+      (3L, 0L, 0L, 32L),
+      (4L, 0L, 0L, 32L), (4L, 1L, 24L, 9L)))
+    // every token position is covered by at least one chunk
+    val covered = graft.text.Corpus.chunk(docs, 32, 24)
+      .groupBy("doc_id").agg(max(col("chunk_start") + col("n_chunk_tokens")).as("hi"))
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    assert(covered.join(lens, "doc_id").filter(col("hi") =!= col("n")).count() == 0)
+  }
+
+  test("packSequences: offsets stay under capacity and match the layout identity") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until (i % 13 + 1).toInt).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = graft.text.Corpus.packSequences(docs, capacity = 20)
+    assert(packed.filter(col("bin_offset") < 0 || col("bin_offset") >= 20 ||
+      col("bin_id") < 0).count() == 0)
+    // reference layout: single-window cumsum over the same md5 order
+    val ref = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("pk"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(
+        Window.orderBy(col("pk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"),
+        ((col("cum_end") - col("n_tokens")) / 20).cast("long").as("bin_id"),
+        ((col("cum_end") - col("n_tokens")) % 20).as("bin_offset"))
+    assert(packed.select("doc_id", "bin_id", "bin_offset").orderBy("doc_id")
+      .collect().toSeq ==
+      ref.select("doc_id", "bin_id", "bin_offset").orderBy("doc_id")
+        .collect().toSeq)
+  }
+
+  test("mixtureSample: hot source rate-limited, cold sources kept whole, repartition-stable") {
+    val s = spark
+    import s.implicits._
+    def doc(n: Int) = (0 until n).map(_ => "w").mkString(" ")
+    val docs = ((1L to 100L).map(i => (i, doc(100), "big")) ++
+      (101L to 105L).map(i => (i, doc(10), "s1")) ++
+      (106L to 110L).map(i => (i, doc(10), "s2"))).toDF("doc_id", "text", "source")
+    val got = graft.text.Corpus.mixtureSample(docs, budgetFrac = 0.5)
+    val bySrc = got.groupBy("source").agg(
+        count(lit(1)).as("n"), min("sample_rate").as("rate"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cold sources: rate 1.0 -> every doc kept
+    assert(bySrc("s1") == (5L, 1.0) && bySrc("s2") == (5L, 1.0))
+    // hot source: rate = (10100 * 0.5 / 3) / 10000 < 1, some docs dropped
+    val (nBig, rateBig) = bySrc("big")
+    assert(rateBig < 0.2 && nBig > 0 && nBig < 100)
+    // independent replay of the draw: java md5 against the same threshold
+    val mdCount = (1L to 100L).count { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val hv = java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+      hv < math.floor(rateBig * 4294967296.0).toLong
+    }
+    assert(nBig == mdCount)
+    // decision is keyed on ids, not physical layout
+    val again = graft.text.Corpus.mixtureSample(docs.repartition(7), budgetFrac = 0.5)
+    assert(again.select("doc_id").orderBy("doc_id").collect().toSeq ==
+      got.select("doc_id").orderBy("doc_id").collect().toSeq)
+  }
+
   test("frameSample emits every stride-th frame with stable checksums") {
     val s = spark
     import s.implicits._

@@ -89,6 +89,21 @@ class PlanSpec extends SparkSpec {
       s"window_rank should reuse one symbol exchange:\n${plan(df)}")
   }
 
+  test("doc chunking is narrow: no exchange before the chunk explode") {
+    val df = graft.text.Corpus.chunk(graft.source.Tables.documents(spark, dir))
+    assert(countOp(df, "Exchange") == 0,
+      s"chunk plan shuffles:\n${plan(df)}")
+    assert(countOp(df, "Generate") == 1)
+  }
+
+  test("corpus_mixture joins the fact scan against broadcast rates") {
+    val df = graft.text.Corpus.mixtureSample(
+      graft.source.Tables.documents(spark, dir))
+    assert(countOp(df, "BroadcastHashJoin") >= 1 &&
+      countOp(df, "SortMergeJoin") == 0,
+      s"mixture rates not broadcast:\n${plan(df)}")
+  }
+
   test("range join rides the equi hash join — never a nested-loop product") {
     val df = Analytics.joinRange(spark, dir)
     val p = plan(df)
