@@ -36,8 +36,11 @@ object Bench {
     // trades exactness for bounded state; OpsSpec holds it within one rank
     // of the exact percentiles).
     val benchOnly: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      Seq("window_median_approx" ->
-        ((s: SparkSession, d: String) => graft.queries.Analytics.windowMedianApprox(s, d)))
+      Seq(
+        "window_median_approx" ->
+          ((s: SparkSession, d: String) => graft.queries.Analytics.windowMedianApprox(s, d)),
+        "agg_distinct_approx" ->
+          ((s: SparkSession, d: String) => graft.queries.Analytics.aggDistinctApprox(s, d)))
     val benchable = SparkEntry.queries.toSeq ++ benchOnly
 
     // Optional args = query-name filter (dev iteration); no args = all.

@@ -168,6 +168,30 @@ object TextSimSql {
        |WHERE ($hexDecode) < CAST(floor(sample_rate * 4294967296.0) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextStats.redactPii: the same ordered pattern list
+    * (TextStats.PiiPatterns — single source of truth for both engines),
+    * each class counted against the text as already rewritten by earlier
+    * classes, digest over the final string. */
+  val textRedact: String = {
+    val steps = TextStats.PiiPatterns.zipWithIndex.map {
+      case ((name, pat, token), i) =>
+        val prior = TextStats.PiiPatterns.take(i).map(p => s"n_${p._1}, ")
+          .mkString
+        s"""s${i + 1} AS (
+           |  SELECT doc_id, $prior
+           |    CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$name,
+           |    regexp_replace(t, '$pat', '$token', 'g') AS t
+           |  FROM s$i
+           |)""".stripMargin
+    }
+    val names = TextStats.PiiPatterns.map(p => s"n_${p._1}").mkString(", ")
+    s"""WITH s0 AS (
+       |  SELECT doc_id, text AS t FROM documents
+       |), ${steps.mkString(", ")}
+       |SELECT doc_id, $names, md5(t) AS redacted_md5
+       |FROM s${TextStats.PiiPatterns.size} ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors Dedup.sharedNgramPairs (w=8, minShared=1): distinct per-doc
     * 8-token-window md5s, equi-join on the gram, per-pair count. */
   val dedupSharedNgrams: String =

@@ -215,6 +215,25 @@ object Analytics {
         countDistinct(col("user_id"), col("event_id") % 2).as("n_user_parities"))
       .orderBy("event_type")
 
+  /** The 100-TB cardinality path for [[aggDistinct]]: HyperLogLog++
+    * (`approx_count_distinct`, rsd 2%) instead of the exact
+    * Expand + two-phase distinct aggregate. Exact distinct counting must
+    * shuffle every distinct (group, value) combination; the sketch carries
+    * a fixed few-KB register set per group through an ordinary partial/final
+    * aggregate — constant state per group at any corpus size. Deliberately
+    * NOT oracle-gated (sketch implementations differ across engines);
+    * bench-tracked, with OpsSpec holding it within the rsd envelope of the
+    * exact counts. */
+  def aggDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    Bars.readEvents(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_users"),
+        approx_count_distinct(
+          concat_ws("|", col("user_id"), col("event_id") % 2), 0.02)
+          .as("n_user_parities"))
+      .orderBy("event_type")
+
   /** Set operators: users who both clicked and purchased (INTERSECT) and
     * users who clicked but never purchased (EXCEPT), tagged and unioned. */
   def setOps(s: SparkSession, dir: String): DataFrame = {

@@ -55,6 +55,14 @@ object TextSim {
         r6(col("sample_rate")).as("sample_rate"))
       .orderBy("doc_id")
 
+  /** PII detection + redaction over the corpus — per-class counts plus the
+    * digest of the fully redacted text (regex parity with the oracle is
+    * checked even where the corpus contains no PII; OpsSpec plants docs
+    * that exercise every pattern class). */
+  def textRedact(s: SparkSession, dir: String): DataFrame =
+    TextStats.redactPii(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextStats.tfidf(Tables.documents(s, dir))
       .select(col("doc_id"), col("term"), r6(col("tfidf")).as("tfidf"))

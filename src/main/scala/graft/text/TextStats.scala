@@ -119,6 +119,37 @@ object TextStats {
           .as("dup_bigram_frac"))
   }
 
+  /** PII redaction patterns, applied IN ORDER (earlier rewrites feed later
+    * matches — email before ip before phone before bare digit runs, so an
+    * address inside an email is counted once as email, not again as digits).
+    * Every pattern is written in the common Java-regex/RE2 subset (character
+    * classes, bounded repetition, \\b anchors — no lookaround, no backrefs)
+    * so Spark and the DuckDB oracle match identically. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>"),
+    ("num", "\\d{9,}", "<NUM>"))
+
+  /** PII detection + redaction (the privacy-scrub step a training-data
+    * pipeline runs before release): sequentially rewrite each pattern class
+    * to its placeholder, counting matches against the text as it stood when
+    * that class was applied. Narrow per-row projection — codegen'd regex
+    * built-ins, no shuffle, no UDF. Emits per-class counts and the md5 of
+    * the fully redacted text (the oracle compares the digest, so the whole
+    * rewritten string is checked without hauling it around). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val (finalText, counts) =
+      PiiPatterns.foldLeft((col("text"), Seq.empty[Column])) {
+        case ((t, cs), (name, pat, token)) =>
+          val n = size(regexp_extract_all(t, lit(pat), lit(0)))
+            .cast("long").as(s"n_$name")
+          (regexp_replace(t, pat, token), cs :+ n)
+      }
+    docs.select(col("doc_id") +: counts :+
+      md5(finalText.cast("binary")).as("redacted_md5"): _*)
+  }
+
   /** Document fingerprint: lexicographic min of md5 over all char 8-grams —
     * a winnowing-style content fingerprint, identical in Spark and DuckDB
     * because both take a string-min over the same md5 hex strings. Computed

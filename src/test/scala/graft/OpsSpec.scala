@@ -365,6 +365,56 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 2L)))
   }
 
+  test("aggDistinctApprox tracks the exact distinct counts within the rsd envelope") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.Analytics.aggDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val approx = graft.queries.Analytics.aggDistinctApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    // HLL++ at rsd=0.02 -> hold a generous 5x envelope so the test pins
+    // correctness-of-wiring, not sketch luck
+    for ((k, (eu, ep)) <- exact; (au, ap) = approx(k)) {
+      assert(math.abs(au - eu) <= math.max(3.0, 0.10 * eu),
+        s"$k users: approx $au vs exact $eu")
+      assert(math.abs(ap - ep) <= math.max(3.0, 0.10 * ep),
+        s"$k parities: approx $ap vs exact $ep")
+    }
+  }
+
+  test("redactPii: every pattern class fires once, ordering prevents double counts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.org for details"),
+      (2L, "server at 10.0.255.7 went down"),
+      (3L, "call 555-867-5309 now"),
+      (4L, "order id 1234567890123 confirmed"),
+      (5L, "plain text with no identifiers"),
+      // digits inside an email must NOT also count as num: email rewrites first
+      (6L, "mail bob123456789@mail99.example.com today")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextStats.redactPii(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 0L, 0L),
+      (2L, 0L, 1L, 0L, 0L),
+      (3L, 0L, 0L, 1L, 0L),
+      (4L, 0L, 0L, 0L, 1L),
+      (5L, 0L, 0L, 0L, 0L),
+      (6L, 1L, 0L, 0L, 0L)))
+    // redaction actually rewrote: digest differs from the original text's
+    // exactly on the five docs that matched something
+    val orig = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+    val changed = graft.text.TextStats.redactPii(docs)
+      .join(orig, "doc_id")
+      .filter(col("redacted_md5") =!= col("m"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(changed.toSeq == Seq(1L, 2L, 3L, 4L, 6L))
+  }
+
   test("withGlobalRunningSum equals the single-partition window cumsum") {
     val ev = eventsOf((1L to 97L).map(i =>
       (i, (i % 7) * 1000000L, i % 3, i.toDouble)))
