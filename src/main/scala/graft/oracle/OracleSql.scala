@@ -152,6 +152,52 @@ object OracleSql {
        |FROM v3 ORDER BY event_id""".stripMargin
   }
 
+  /** VWAP (mirrors features.Market.withVwap): running cums via the
+    * sequential list_sum fold, rolling 20 via the cum−lag identity, the
+    * same count gate as every rolling feature. */
+  val featVwap: String = {
+    val n = graft.features.Market.VwapWindow
+    s"""$barsCte, vw1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ((high + low + close) / 3.0) * volume AS _pv, volume
+       |  FROM bars
+       |), vw2 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("_pv")} AS _c_pv,
+       |         COUNT(_pv) OVER ($Wrun) AS _c_pv_n,
+       |         ${cumSum("volume")} AS _c_v
+       |  FROM vw1
+       |), vw3 AS (
+       |  SELECT symbol, event_id, close,
+       |         _c_pv / _c_v AS vwap_cum,
+       |         CASE WHEN ${cumGate("_c_pv", n)}
+       |              THEN (${cumRolling("_c_pv", n)}) / (${cumRolling("_c_v", n)}) END AS vwap_$n
+       |  FROM vw2
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("vwap_cum")} AS vwap_cum, ${r(s"vwap_$n")} AS vwap_$n,
+       |       ${r(s"(close - vwap_$n) / vwap_$n * 100")} AS vwap_distance
+       |FROM vw3 ORDER BY event_id""".stripMargin
+  }
+
+  /** Drawdown (mirrors features.Market.withDrawdown): running MAX/MIN are
+    * order-insensitive extrema, so engine-native windowed aggregates are
+    * bit-portable with no sequential-fold machinery. */
+  val featDrawdown: String =
+    s"""$barsCte, d1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         MAX(close) OVER ($Wrun) AS peak
+       |  FROM bars
+       |), d2 AS (
+       |  SELECT symbol, event_id, datetime, close, peak,
+       |         (close - peak) / peak AS drawdown
+       |  FROM d1
+       |)
+       |SELECT symbol, event_id, ${r("peak")} AS peak,
+       |       ${r("drawdown")} AS drawdown,
+       |       ${r(s"MIN(drawdown) OVER ($Wrun)")} AS max_drawdown
+       |FROM d2 ORDER BY event_id""".stripMargin
+
   val featTemporal: String = {
     def enc(field: String, name: String, modulo: Int): Seq[String] = Seq(
       s"${r(s"sin(CAST(EXTRACT($field FROM ts) AS DOUBLE) * 2 * $pi / $modulo)")} AS ${name}_sin",

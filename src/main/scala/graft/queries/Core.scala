@@ -121,6 +121,21 @@ object Core {
     keyed(Volatility.withVolatility(bars(s, dir)), out, out.toSet)
   }
 
+  /** VWAP block: cumulative + rolling volume-weighted average price and
+    * close-to-VWAP distance (see [[graft.features.Market.withVwap]]). */
+  def featVwap(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("vwap_cum", s"vwap_${graft.features.Market.VwapWindow}",
+      "vwap_distance")
+    keyed(Market.withVwap(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Drawdown block: running peak close, drawdown from peak, worst drawdown
+    * so far (see [[graft.features.Market.withDrawdown]]). */
+  def featDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("peak", "drawdown", "max_drawdown")
+    keyed(Market.withDrawdown(bars(s, dir)), out, out.toSet)
+  }
+
   /** F1-F3: calendar + cyclic encodings (narrow, no shuffle). */
   def featTemporal(s: SparkSession, dir: String): DataFrame = {
     val ints = Seq("hour", "minute", "day_of_week", "day", "month")

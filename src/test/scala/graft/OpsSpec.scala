@@ -524,4 +524,41 @@ class OpsSpec extends SparkSpec {
     // frames 0 and 2 of the tiled payload are the same 8 chars -> same md5
     assert(frames(0) == frames(1) && frames.forall(_.length == 32))
   }
+
+  private def barsOf(closes: Seq[Double], volumes: Seq[Double]) = {
+    val s = spark
+    import s.implicits._
+    closes.zip(volumes).zipWithIndex.map { case ((c, v), i) =>
+      ("A", i.toLong + 1, i.toLong * 1000000L, c, c, c, c, v)
+    }.toDF("symbol", "event_id", "ts_us", "open", "high", "low", "close", "volume")
+      .withColumn("datetime", timestamp_micros(col("ts_us"))).drop("ts_us")
+  }
+
+  test("withDrawdown: running peak, drawdown from peak, worst drawdown") {
+    val got = graft.features.Market.withDrawdown(
+        barsOf(Seq(10.0, 12.0, 9.0, 11.0, 8.0), Seq.fill(5)(1.0)))
+      .orderBy("event_id")
+      .select("peak", "drawdown", "max_drawdown").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (10.0, 0.0, 0.0),
+      (12.0, 0.0, 0.0),
+      (12.0, (9.0 - 12.0) / 12.0, -0.25),
+      (12.0, (11.0 - 12.0) / 12.0, -0.25),
+      (12.0, (8.0 - 12.0) / 12.0, (8.0 - 12.0) / 12.0)))
+  }
+
+  test("withVwap: cumulative and rolling VWAP with min_samples gate") {
+    // high=low=close -> typical price == close; volumes weight the average
+    val got = graft.features.Market.withVwap(
+        barsOf(Seq(10.0, 20.0, 30.0), Seq(1.0, 1.0, 2.0)), n = 2)
+      .orderBy("event_id")
+      .select("vwap_cum", "vwap_2", "vwap_distance").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(10.0, 15.0, 22.5))
+    // rolling window of 2: first row gated to null
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(1).getDouble(1) == 15.0 && got(2).getDouble(1) == 80.0 / 3.0)
+    assert(got(1).getDouble(2) == (20.0 - 15.0) / 15.0 * 100)
+    assert(got(2).getDouble(2) == (30.0 - 80.0 / 3.0) / (80.0 / 3.0) * 100)
+  }
 }
