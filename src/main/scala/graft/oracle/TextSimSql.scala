@@ -102,6 +102,47 @@ object TextSimSql {
        |FROM ts LEFT JOIN bgs ON ts.doc_id = bgs.doc_id
        |ORDER BY ts.doc_id""".stripMargin
 
+  /** Mirrors Corpus.qualityQuota(frac=0.5): per-source rank by the RAW
+    * quality score (identical fp expression both sides, so the ordering
+    * comparisons see identical doubles), doc_id tie-break, keep
+    * rank <= ceil(n·frac). */
+  val qualityQuota: String =
+    s"""WITH $statsCtesBody, q AS (
+       |  SELECT s2.doc_id, d.source, $qualityExpr AS quality_score
+       |  FROM s2 JOIN documents d ON d.doc_id = s2.doc_id
+       |), rk AS (
+       |  SELECT doc_id, source, quality_score,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY quality_score DESC, doc_id) AS rnk,
+       |         COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM q
+       |)
+       |SELECT doc_id, source, CAST(rnk AS BIGINT) AS quality_rank,
+       |       ${r("quality_score")} AS quality_score
+       |FROM rk WHERE rnk <= ceil(n * 0.5) ORDER BY doc_id""".stripMargin
+
+  /** Mirrors TextStats.charEntropy: H = log2(n) − (Σ c·log2(c)) / n over
+    * per-character counts; the one float sum is a sequential fold over the
+    * character-sorted count list (list_sum over an ORDER BY ch aggregate),
+    * matching Spark's aggregate() fold over the array_sort'ed pairs. */
+  val textEntropy: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, substring(text, i, 1) AS ch
+       |  FROM documents, UNNEST(range(1, length(text) + 1)) u(i)
+       |), cc AS (
+       |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2
+       |), pd AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(c) AS BIGINT) AS n_chars,
+       |         CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       |         list_sum(list_transform(list(c ORDER BY ch),
+       |           x -> CAST(x AS DOUBLE) * log2(CAST(x AS DOUBLE)))) AS ent
+       |  FROM cc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_chars, n_distinct_chars,
+       |       ${r("log2(CAST(n_chars AS DOUBLE)) - ent / CAST(n_chars AS DOUBLE)")} AS char_entropy
+       |FROM pd ORDER BY doc_id""".stripMargin
+
   /** Mirrors Corpus.chunk (chunkSize=32, stride=24): window offsets 0, 24,
     * 48, … — keep a window iff it is the first or the previous window ended
     * before the document did. DuckDB range() excludes the stop like Spark's
@@ -565,6 +606,34 @@ object TextSimSql {
        |FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE ${cosP("x.v", "y.v", "x.nv", "y.nv")} >= 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Mirrors Similarity.semanticDedup: the simNeardup pair graph clustered
+    * by the same recursive reachability CTE as dedup_clusters, left-joined
+    * back onto the full corpus (isolated vectors keep themselves). */
+  val simSemanticDedup: String =
+    s"""${ivfCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE ${cosP("x.v", "y.v", "x.nv", "y.nv")} >= 0.25
+       |), ed AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM ed
+       |), reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, ed.dst AS r FROM reach JOIN ed ON ed.src = reach.r
+       |), clus AS (
+       |  SELECT id, MIN(r) AS label FROM reach GROUP BY id
+       |)
+       |SELECT v.vec_id,
+       |       COALESCE(clus.label, v.vec_id) AS cluster_id,
+       |       CAST(CASE WHEN clus.label IS NULL OR clus.label = v.vec_id
+       |            THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM embeddings v LEFT JOIN clus ON clus.id = v.vec_id
+       |ORDER BY vec_id""".stripMargin
 
   val textSourceStats: String =
     s"""WITH $statsCtesBody, s3 AS (

@@ -55,12 +55,28 @@ object TextSim {
         r6(col("sample_rate")).as("sample_rate"))
       .orderBy("doc_id")
 
+  /** Per-source quality quota: keep the best half of every source by
+    * quality score (exact per-source rank; see Corpus.qualityQuota's
+    * scaladoc for the threshold-based 100 TB variant). */
+  def qualityQuota(s: SparkSession, dir: String): DataFrame =
+    Corpus.qualityQuota(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("quality_rank"),
+        r6(col("quality_score")).as("quality_score"))
+      .orderBy("doc_id")
+
   /** PII detection + redaction over the corpus — per-class counts plus the
     * digest of the fully redacted text (regex parity with the oracle is
     * checked even where the corpus contains no PII; OpsSpec plants docs
     * that exercise every pattern class). */
   def textRedact(s: SparkSession, dir: String): DataFrame =
     TextStats.redactPii(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  /** Char-level Shannon entropy quality signal (bits/char). */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    TextStats.charEntropy(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        r6(col("char_entropy")).as("char_entropy"))
       .orderBy("doc_id")
 
   def textTfidf(s: SparkSession, dir: String): DataFrame =
@@ -151,6 +167,12 @@ object TextSim {
   def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .orderBy("vec_id", "idx")
+
+  /** SemDeDup: connected components over embedding near-dup pairs; one
+    * canonical vector kept per semantic cluster. */
+  def simSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, dir))
+      .orderBy("vec_id")
 
   def simNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir))

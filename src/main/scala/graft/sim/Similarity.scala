@@ -195,4 +195,33 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos"))
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space coarsely (IVF buckets),
+    * find within-bucket cosine near-duplicates, connect them into
+    * components, and keep ONE canonical representative (minimum vec_id) per
+    * semantic cluster — the embedding-space twin of MinHash dedup, catching
+    * paraphrases exact/fuzzy text hashing cannot.
+    *
+    * Emits one row per vector: its semantic cluster id (itself when it has
+    * no near-duplicate) and whether the dedup keeps it. Scale shape: pair
+    * generation is bucket-local ([[nearDupPairs]] — never all-pairs),
+    * clustering is the shared min-label-propagation engine
+    * ([[graft.text.Dedup.connectedComponents]] — one shuffle join + grouped
+    * min per round, large-star/small-star fallback past the round cap), and
+    * the final labeling is one left join against the corpus. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.25,
+      numCentroids: Int = 16): DataFrame = {
+    val pairs = nearDupPairs(embeddings, threshold, numCentroids)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = graft.text.Dedup.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("label"))
+    embeddings.select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"),
+        (col("label").isNull || col("label") === col("vec_id"))
+          .cast("int").as("kept"))
+  }
 }

@@ -108,4 +108,32 @@ object Corpus {
       .filter(hashDraw(col("doc_id")) < floor(col("sample_rate") * 4294967296.0))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("sample_rate"))
   }
+
+  /** Per-source quality quota (the "keep the best X% of every source"
+    * curation step): rank each source's documents by quality score
+    * (descending, doc_id tie-break) and keep the top ceil(frac · n_source).
+    * Per-source ranking keeps the quota exact per provenance bucket instead
+    * of letting one high-quality source crowd out the rest of the mixture.
+    *
+    * Scale shape: the window partitions by `source` — per-source partitions
+    * are the skew axis at 100 TB (one giant crawl source = one giant
+    * partition). For that regime, swap the exact rank for a per-source
+    * score threshold from `percentile_approx` (tiny aggregate, broadcast
+    * back, narrow filter — no per-source sort); the exact rank stays the
+    * oracle-checkable semantics, the threshold form is the documented
+    * approximate scale path (same trade as window_median_approx). */
+  def qualityQuota(docs: DataFrame, frac: Double = 0.5): DataFrame = {
+    require(frac > 0 && frac <= 1,
+      s"qualityQuota: frac must be in (0, 1] (got $frac)")
+    val q = TextStats.withStats(docs)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    q.select(col("*"),
+        row_number().over(w).cast("long").as("quality_rank"),
+        count(lit(1)).over(wn).as("_n"))
+      .filter(col("quality_rank") <= ceil(col("_n") * frac))
+      .drop("_n")
+  }
 }

@@ -150,6 +150,37 @@ object TextStats {
       md5(finalText.cast("binary")).as("redacted_md5"): _*)
   }
 
+  /** Character-level Shannon entropy per document (bits/char), plus total
+    * and distinct character counts — the classic gibberish/binary-noise
+    * quality signal (low entropy flags repeated filler, high entropy flags
+    * random noise; both are cut in LLM data curation).
+    *
+    * Uses the join-free identity H = log2(n) − (Σ c·log2(c)) / n over the
+    * per-character occurrence counts c. Counts aggregate as exact integers
+    * (unordered-safe); the single float sum runs as a sequential fold over
+    * the character-sorted count list, which DuckDB reproduces bit-exactly
+    * with `list_sum(list(...ORDER BY ch))` — the same argument as the
+    * running-sum cums. Relational shape: bounded per-char explode →
+    * per-(doc, char) counts → per-doc aggregate (two doc-keyed shuffles
+    * with partial aggregation, scales like [[tfidf]]; the collected list is
+    * bounded by the alphabet, not the document). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+    val counts = chars.groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        array_sort(collect_list(struct(col("ch"), col("c")))).as("_s"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (log2(col("n_chars")) -
+          expr("aggregate(_s, 0D, (acc, x) -> acc + CAST(x.c AS DOUBLE) * log2(CAST(x.c AS DOUBLE)))") /
+          col("n_chars")).as("char_entropy"))
+  }
+
   /** Document fingerprint: lexicographic min of md5 over all char 8-grams —
     * a winnowing-style content fingerprint, identical in Spark and DuckDB
     * because both take a string-min over the same md5 hex strings. Computed

@@ -525,6 +525,55 @@ class OpsSpec extends SparkSpec {
     assert(frames(0) == frames(1) && frames.forall(_.length == 32))
   }
 
+  test("charEntropy: planted uniform / skewed / constant alphabets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextStats.charEntropy(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 1.0),   // two symbols, equal mass: 1 bit/char
+      (2L, 4L, 4L, 2.0),   // four distinct symbols: 2 bits/char
+      (3L, 4L, 1L, 0.0)))  // constant: zero entropy
+  }
+
+  test("qualityQuota: per-source ceil(n/2) kept, highest scores first") {
+    val s = spark
+    import s.implicits._
+    // src_a: 3 docs with strictly ordered quality (stopword-heavy wins);
+    // src_b: 1 doc (quota ceil(0.5) = 1 keeps it)
+    val docs = Seq(
+      (1L, "the of and is the", "src_a"),
+      (2L, "alpha beta gamma delta", "src_a"),
+      (3L, "xx", "src_a"),
+      (4L, "solo", "src_b")).toDF("doc_id", "text", "source")
+    val got = graft.text.Corpus.qualityQuota(docs)
+      .select("doc_id", "source", "quality_rank")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // src_a keeps ceil(3·0.5)=2: doc 1 (all stopwords) then doc 2 (longer)
+    assert(got.toSeq == Seq((1L, "src_a", 1L), (2L, "src_a", 2L), (4L, "src_b", 1L)))
+  }
+
+  test("semanticDedup keeps one canonical vector per cosine cluster") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(2.0f, 0.0f), 0),  // same direction as 0 -> dup
+      (2L, Seq(0.0f, 1.0f), 1),
+      (3L, Seq(0.0f, 3.0f), 1),  // same direction as 2 -> dup
+      (4L, Seq(1.0f, 1.0f), 2)   // cos 0.707 to both axes -> isolated
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.sim.Similarity
+      .semanticDedup(emb, threshold = 0.9, numCentroids = 1)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1), (1L, 0L, 0), (2L, 2L, 1), (3L, 2L, 0), (4L, 4L, 1)))
+  }
+
   private def barsOf(closes: Seq[Double], volumes: Seq[Double]) = {
     val s = spark
     import s.implicits._
