@@ -28,4 +28,36 @@ object TimeWindows {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("value_sum"))
+
+  /** Time-grid gap fill + forward fill over per-key resampled bars — the
+    * resample step that turns an irregular event stream into the dense,
+    * regularly-spaced series downstream rolling features assume (a bar for
+    * EVERY interval; empty intervals carry the last observed close and
+    * `is_gap` = 1, n_ticks = 0).
+    *
+    * Input: one row per (symbol, bar_start) that HAS data (e.g. the hourly
+    * resample); output: one row per (symbol, grid point) between each
+    * symbol's first and last bar.
+    *
+    * Scale shape: the grid comes from an O(symbols) min/max aggregate whose
+    * explode factor is bounded by the calendar span, not the data volume;
+    * the grid⋈bars join shuffles on (symbol, bar_start) — the same key both
+    * sides, no row multiplication; the forward fill is one
+    * last(ignoreNulls) window pass per symbol. close values are copies
+    * (no arithmetic), so the fill is bit-exact on any engine. */
+  def gapfill(hourly: DataFrame, step: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = hourly.groupBy("symbol")
+      .agg(min(col("bar_start")).as("_t0"), max(col("bar_start")).as("_t1"))
+      .select(col("symbol"),
+        explode(sequence(col("_t0"), col("_t1"), expr(s"INTERVAL $step")))
+          .as("bar_start"))
+    val w = Window.partitionBy("symbol").orderBy("bar_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("symbol", "bar_start"), "left")
+      .select(col("symbol"), col("bar_start"),
+        last(col("close"), ignoreNulls = true).over(w).as("close"),
+        col("close").isNull.cast("int").as("is_gap"),
+        coalesce(col("n_ticks"), lit(0L)).as("n_ticks"))
+  }
 }

@@ -50,6 +50,52 @@ object Market {
       .drop("_pv")
   }
 
+  val CorrWindow = 20
+
+  /** Rolling Pearson correlation and sample covariance between close and
+    * volume — the price/volume co-movement signal (pairs screens, liquidity
+    * regressions) built the same O(n) way as every other rolling feature:
+    *
+    *   over the last n rows (min_samples gated, Polars semantics):
+    *     varx = n·Σx² − (Σx)²      vary = n·Σy² − (Σy)²
+    *     cov  = n·Σxy − Σx·Σy
+    *     roll_corr = cov / (√varx · √vary)      (NULL unless varx,vary > 0)
+    *     roll_cov  = cov / n / (n−1)            (sample covariance)
+    *
+    * All five rolling sums come from [[Frames.withCums]] / cumRolling —
+    * running sums accumulate strictly left-to-right in row order, so the
+    * oracle reproduces every sum bit-exactly with
+    * `list_sum(list(...) OVER ...)` and the identical downstream arithmetic
+    * tree lands on identical doubles. Two window passes (cums, then lags)
+    * over the one shared [[Frames.bySymbol]] exchange. */
+  def withRollingCorr(df: DataFrame, n: Int = CorrWindow): DataFrame = {
+    val stage1 = df.select(col("*"),
+      (col("close") * col("volume")).as("_xy"),
+      (col("close") * col("close")).as("_xx"),
+      (col("volume") * col("volume")).as("_yy"))
+    val stage2 = Frames.withCums(stage1, Map(
+      "_c_x" -> col("close"), "_c_y" -> col("volume"),
+      "_c_xy" -> col("_xy"), "_c_xx" -> col("_xx"), "_c_yy" -> col("_yy")))
+    val nD = lit(n.toDouble)
+    val stage3 = stage2.select(col("*"),
+      Frames.cumRolling("_c_x", n).as("_sx"),
+      Frames.cumRolling("_c_y", n).as("_sy"),
+      Frames.cumRolling("_c_xy", n).as("_sxy"),
+      Frames.cumRolling("_c_xx", n).as("_sxx"),
+      Frames.cumRolling("_c_yy", n).as("_syy"),
+      Frames.cumCountGate("_c_x", n).as("_g"))
+    val varx = nD * col("_sxx") - col("_sx") * col("_sx")
+    val vary = nD * col("_syy") - col("_sy") * col("_sy")
+    val cov = nD * col("_sxy") - col("_sx") * col("_sy")
+    stage3.select(col("*"),
+        when(col("_g") && varx > 0.0 && vary > 0.0,
+          cov / (sqrt(varx) * sqrt(vary))).as("roll_corr"),
+        when(col("_g"), cov / nD / lit((n - 1).toDouble)).as("roll_cov"))
+      .drop(Frames.cumHelperCols(
+        Seq("_c_x", "_c_y", "_c_xy", "_c_xx", "_c_yy")): _*)
+      .drop("_xy", "_xx", "_yy", "_sx", "_sy", "_sxy", "_sxx", "_syy", "_g")
+  }
+
   /** Running peak close, drawdown from peak, and worst (max) drawdown so
     * far — per symbol, time-ordered:
     *

@@ -400,6 +400,71 @@ object OracleSql {
        |       SUM(volume) AS volume, COUNT(*) AS n_ticks
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
 
+  /** Mirrors Core.barsGapfill: hourly resample (arg_max close = Spark's
+    * max_by over the same zero-padded sort key) → per-symbol dense hour grid
+    * → left join → forward fill via last_value IGNORE NULLS over the same
+    * running frame. close values are copies, so no fp machinery is needed
+    * beyond the output rounding. */
+  val barsGapfill: String = {
+    val ffill = "last_value(close IGNORE NULLS) OVER (PARTITION BY symbol " +
+      "ORDER BY bar_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""$barsCte, hb AS (
+       |  SELECT symbol, date_trunc('hour', datetime) AS bar_start,
+       |         arg_max(close, lpad(CAST(epoch_us(datetime) AS VARCHAR), 20, '0') || '_' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+       |         COUNT(*) AS n_ticks
+       |  FROM bars GROUP BY 1, 2
+       |), g AS (
+       |  SELECT symbol, UNNEST(generate_series(min(bar_start), max(bar_start), INTERVAL 1 HOUR)) AS bar_start
+       |  FROM hb GROUP BY symbol
+       |), j AS (
+       |  SELECT g.symbol, g.bar_start, hb.close,
+       |         CAST(hb.close IS NULL AS INT) AS is_gap,
+       |         COALESCE(hb.n_ticks, 0) AS n_ticks
+       |  FROM g LEFT JOIN hb ON g.symbol = hb.symbol AND g.bar_start = hb.bar_start
+       |)
+       |SELECT symbol, bar_start, ${r(ffill)} AS close, is_gap, n_ticks
+       |FROM j ORDER BY symbol, bar_start""".stripMargin
+  }
+
+  /** Mirrors Market.withRollingCorr (n=20) via the identical cum−lag sum
+    * tree: five sequential-fold running sums, lag-20 differences, then the
+    * n·Σ−Σ·Σ correlation/covariance arithmetic in the same association
+    * order — bit-equal doubles end to end. */
+  val windowCorr: String = {
+    val n = graft.features.Market.CorrWindow
+    val nD = s"$n.0"
+    val n1D = s"${n - 1}.0"
+    s"""$barsCte, c AS (
+       |  SELECT symbol, event_id, datetime, close, volume,
+       |         ${cumSum("close")} AS _c_x,
+       |         COUNT(close) OVER ($Wrun) AS _c_x_n,
+       |         ${cumSum("volume")} AS _c_y,
+       |         ${cumSum("close * volume")} AS _c_xy,
+       |         ${cumSum("close * close")} AS _c_xx,
+       |         ${cumSum("volume * volume")} AS _c_yy
+       |  FROM bars
+       |), rr AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_x", n)} AS sx,
+       |         ${cumRolling("_c_y", n)} AS sy,
+       |         ${cumRolling("_c_xy", n)} AS sxy,
+       |         ${cumRolling("_c_xx", n)} AS sxx,
+       |         ${cumRolling("_c_yy", n)} AS syy,
+       |         ${cumGate("_c_x", n)} AS g
+       |  FROM c
+       |), f AS (
+       |  SELECT symbol, event_id,
+       |         $nD * sxx - sx * sx AS varx,
+       |         $nD * syy - sy * sy AS vary,
+       |         $nD * sxy - sx * sy AS cov, g
+       |  FROM rr
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN g AND varx > 0.0 AND vary > 0.0 THEN cov / (sqrt(varx) * sqrt(vary)) END")} AS roll_corr,
+       |       ${r(s"CASE WHEN g THEN cov / $nD / $n1D END")} AS roll_cov
+       |FROM f ORDER BY event_id""".stripMargin
+  }
+
   val unionSymbols: String =
     s"""$barsCte
        |SELECT event_id, symbol, ${r("close")} AS close, branch FROM (

@@ -143,6 +143,42 @@ object TextSimSql {
        |       ${r("log2(CAST(n_chars AS DOUBLE)) - ent / CAST(n_chars AS DOUBLE)")} AS char_entropy
        |FROM pd ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextStats.vocab(k=100): token occurrence + doc-frequency counts,
+    * top 100 by (count desc, token asc) — integer counts and exact string
+    * keys, nothing engine-sensitive. */
+  val corpusVocab: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |)
+       |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |FROM t GROUP BY token
+       |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin
+
+  /** Mirrors Corpus.stripDupSpans(spanTokens=8, maxDocs=3): non-overlapping
+    * 8-token spans, corpus-wide distinct-doc counts, drop spans in >= 3
+    * docs, rebuild each doc's text from the surviving spans in order
+    * (string_agg ORDER BY span_idx == Spark's array_sort(collect_list) +
+    * array_join — exact string equality, no fp anywhere). */
+  val dedupSpans: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id, i AS span_idx,
+       |         array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS span
+       |  FROM s, UNNEST(range(0, (len(toks) + 7) // 8)) u(i)
+       |), cnt AS (
+       |  SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM b GROUP BY span
+       |), k AS (
+       |  SELECT b.doc_id, b.span_idx, b.span, (cnt.n_docs >= 3) AS drop_it
+       |  FROM b JOIN cnt USING (span)
+       |)
+       |SELECT doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |       CAST(SUM(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_dropped,
+       |       COALESCE(string_agg(CASE WHEN NOT drop_it THEN span END, ' ' ORDER BY span_idx), '') AS clean_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Mirrors Corpus.chunk (chunkSize=32, stride=24): window offsets 0, 24,
     * 48, … — keep a window iff it is the first or the previous window ended
     * before the document did. DuckDB range() excludes the stop like Spark's

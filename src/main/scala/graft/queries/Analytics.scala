@@ -463,6 +463,17 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Rolling 20-bar Pearson correlation + sample covariance between close
+    * and volume per symbol — the price/volume co-movement window family
+    * member, computed via the same O(n) cum−lag sums as the volatility
+    * block (see [[graft.features.Market.withRollingCorr]]). */
+  def windowCorr(s: SparkSession, dir: String): DataFrame =
+    graft.features.Market.withRollingCorr(Bars.bars(s, dir))
+      .select(col("symbol"), col("event_id"),
+        Core.r6(col("roll_corr")).as("roll_corr"),
+        Core.r6(col("roll_cov")).as("roll_cov"))
+      .orderBy("event_id")
+
   /** Pivot: per-user value sums across a FIXED event-type column list —
     * Spark's relational pivot with an explicit vocabulary (never a
     * driver-side distinct scan at 100 TB). */

@@ -197,7 +197,18 @@ object Core {
     * time-ordered first/last (min_by/max_by over the (datetime, event_id)
     * tuple — deterministic under ties), high/low/volume are plain
     * aggregates. One partial+final hash aggregate, no window. */
-  def barsResample(s: SparkSession, dir: String): DataFrame = {
+  def barsResample(s: SparkSession, dir: String): DataFrame =
+    hourlyBars(s, dir)
+      .select(col("symbol"), col("bar_start"),
+        r6(col("open")).as("open"), r6(col("high")).as("high"),
+        r6(col("low")).as("low"), r6(col("close")).as("close"),
+        col("volume"), col("n_ticks"))
+      .orderBy("symbol", "bar_start")
+
+  /** Unrounded hourly OHLCV aggregate shared by [[barsResample]] and
+    * [[barsGapfill]] (rounding happens once, at each query's output
+    * boundary). */
+  private def hourlyBars(s: SparkSession, dir: String): DataFrame = {
     // tuple (datetime, event_id) encoded as one zero-padded sortable string
     // (DuckDB's arg_min/arg_max take a single scalar ordering key)
     val key = concat(
@@ -213,12 +224,19 @@ object Core {
         max_by(col("close"), key).as("close"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_ticks"))
-      .select(col("symbol"), col("bar_start"),
-        r6(col("open")).as("open"), r6(col("high")).as("high"),
-        r6(col("low")).as("low"), r6(col("close")).as("close"),
-        col("volume"), col("n_ticks"))
-      .orderBy("symbol", "bar_start")
   }
+
+  /** Dense hourly series: resample to the per-symbol hour grid, forward-fill
+    * close through empty hours, flag the filled rows — the gap-fill step
+    * that makes an irregular tick stream safe for fixed-window rolling
+    * features (see [[graft.analytics.TimeWindows.gapfill]] for the scale
+    * shape). */
+  def barsGapfill(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.TimeWindows.gapfill(
+        hourlyBars(s, dir).select("symbol", "bar_start", "close", "n_ticks"))
+      .select(col("symbol"), col("bar_start"),
+        r6(col("close")).as("close"), col("is_gap"), col("n_ticks"))
+      .orderBy("symbol", "bar_start")
 
   /** P8: schema-normalizing vertical union (reference src/main.py:98-125):
     * branch b arrives with scrambled column order and float32 close; the

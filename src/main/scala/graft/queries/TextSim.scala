@@ -79,6 +79,21 @@ object TextSim {
         r6(col("char_entropy")).as("char_entropy"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary: top-100 tokens by occurrence count with document
+    * frequencies — the tokenizer-training word-count pass. */
+  def corpusVocab(s: SparkSession, dir: String): DataFrame =
+    TextStats.vocab(Tables.documents(s, dir))
+      .orderBy(col("n_occurrences").desc, col("token"))
+
+  /** C4-style corpus-level duplicated-span removal: drop every
+    * non-overlapping 8-token span that appears in >= 3 documents, rebuild
+    * the cleaned text (see Corpus.stripDupSpans for the scale shape). */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Corpus.stripDupSpans(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_spans"), col("n_spans_dropped"),
+        col("clean_text"))
+      .orderBy("doc_id")
+
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextStats.tfidf(Tables.documents(s, dir))
       .select(col("doc_id"), col("term"), r6(col("tfidf")).as("tfidf"))

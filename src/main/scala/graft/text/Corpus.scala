@@ -122,6 +122,48 @@ object Corpus {
     * back, narrow filter — no per-source sort); the exact rank stays the
     * oracle-checkable semantics, the threshold form is the documented
     * approximate scale path (same trade as window_median_approx). */
+  /** Corpus-level duplicated-span removal — the C4/CCNet boilerplate step
+    * (C4 dropped any three-sentence span occurring more than once in the
+    * corpus; Lee et al. 2022 use fixed token windows): cut every document
+    * into consecutive non-overlapping `spanTokens`-token spans, count each
+    * distinct span's document frequency corpus-wide, REMOVE spans appearing
+    * in >= `maxDocs` documents, and rebuild each document from its surviving
+    * spans in order. Unlike the `dedup_*` pair generators this REWRITES the
+    * corpus — the output is the cleaned text plus per-doc drop counts.
+    *
+    * Scale shape: span explode is narrow and bounded (n_tokens/spanTokens
+    * rows per doc); the document-frequency count is a partial+final hash
+    * aggregate (viral spans collapse map-side); the count join back is 1:1
+    * equi on the span key (pre-aggregated right side, no row
+    * multiplication — a hot boilerplate span skews one shuffle partition,
+    * which AQE skew-join splits); the rebuild is one doc_id-keyed
+    * aggregate. Span strings compare exactly, so the kept set and the
+    * rebuilt text are bit-identical on any engine. */
+  def stripDupSpans(docs: DataFrame, spanTokens: Int = 8,
+      maxDocs: Int = 3): DataFrame = {
+    require(spanTokens > 0 && maxDocs > 1,
+      s"stripDupSpans: need spanTokens > 0, maxDocs > 1 (got $spanTokens, $maxDocs)")
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, (size(toks) + ${spanTokens - 1}) div $spanTokens - 1), " +
+          s"i -> array_join(slice(toks, i * $spanTokens + 1, $spanTokens), ' '))) AS (span_idx, span)")
+    val counts = spans.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("_n_docs"))
+    spans.join(counts, Seq("span"))
+      .withColumn("_drop", col("_n_docs") >= maxDocs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_spans_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("_drop"), struct(col("span_idx"), col("span"))))),
+            x => x.getField("span")),
+          " ").as("clean_text"))
+  }
+
   def qualityQuota(docs: DataFrame, frac: Double = 0.5): DataFrame = {
     require(frac > 0 && frac <= 1,
       s"qualityQuota: frac must be in (0, 1] (got $frac)")

@@ -189,4 +189,17 @@ object TextStats {
   def withFingerprint(docs: DataFrame): DataFrame =
     docs.withColumn("fingerprint",
       graft.expr.MinGramMd5.minGramMd5(col("text"), 8))
+
+  /** Corpus vocabulary: per-token total occurrences and document frequency,
+    * top `k` by count — the word-count pass every tokenizer-training run
+    * (BPE, unigram-LM) starts from. One token-keyed partial+final aggregate
+    * (hot tokens collapse map-side); the top-k is a TakeOrderedAndProject,
+    * never a global sort. Deterministic tie-break on the token string. */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
 }

@@ -583,6 +583,78 @@ class OpsSpec extends SparkSpec {
       .withColumn("datetime", timestamp_micros(col("ts_us"))).drop("ts_us")
   }
 
+  test("withRollingCorr: gate, perfect correlation, anti-correlation, exact covariance") {
+    // volume = 2·close -> corr +1 once the 3-row gate opens
+    val pos = graft.features.Market.withRollingCorr(
+        barsOf(Seq(1.0, 2.0, 3.0, 4.0), Seq(2.0, 4.0, 6.0, 8.0)), n = 3)
+      .orderBy("event_id").select("roll_corr", "roll_cov").collect()
+    assert(pos(0).isNullAt(0) && pos(1).isNullAt(0), "rows before the gate are null")
+    assert(pos.drop(2).forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    // row 3 by hand: sx=6 sy=12 sxy=28 sxx=14 syy=56 ->
+    // cov_n = 3·28 − 6·12 = 12; sample cov = 12/3/2 = 2 (exact in fp)
+    assert(pos(2).getDouble(1) == 2.0)
+    // volume descending while close ascends -> corr −1
+    val neg = graft.features.Market.withRollingCorr(
+        barsOf(Seq(1.0, 2.0, 3.0, 4.0), Seq(8.0, 6.0, 4.0, 2.0)), n = 3)
+      .orderBy("event_id").select("roll_corr").collect()
+    assert(neg.drop(2).forall(r => math.abs(r.getDouble(0) + 1.0) < 1e-12))
+    // constant volume -> vary = 0 -> corr null (cov still defined)
+    val flat = graft.features.Market.withRollingCorr(
+        barsOf(Seq(1.0, 2.0, 3.0), Seq(5.0, 5.0, 5.0)), n = 3)
+      .orderBy("event_id").select("roll_corr", "roll_cov").collect()
+    assert(flat(2).isNullAt(0) && flat(2).getDouble(1) == 0.0)
+  }
+
+  test("gapfill: dense grid, forward fill, gap flags, per-symbol bounds") {
+    val s = spark
+    import s.implicits._
+    val hourly = Seq(
+      ("a", 0L, 10.0, 3L), ("a", 1L, 20.0, 2L), ("a", 3L, 30.0, 1L),
+      ("b", 10L, 5.0, 4L))
+      .toDF("symbol", "h", "close", "n_ticks")
+      .withColumn("bar_start",
+        timestamp_micros(col("h") * 3600L * 1000000L).cast("timestamp_ntz"))
+      .drop("h")
+    val got = graft.analytics.TimeWindows.gapfill(hourly)
+      .orderBy("symbol", "bar_start")
+      .select("symbol", "close", "is_gap", "n_ticks").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 10.0, 0, 3L), ("a", 20.0, 0, 2L),
+      ("a", 20.0, 1, 0L),                      // hour 2: filled from hour 1
+      ("a", 30.0, 0, 1L),
+      ("b", 5.0, 0, 4L)))                      // b's grid spans only its own hour
+  }
+
+  test("vocab: counts, doc frequency, count-then-token ordering") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "b a a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.text.TextStats.vocab(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("stripDupSpans: corpus-wide span counts, ordered rebuild, full-drop and tail spans") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x y a b"), (2L, "x y c d"),  // "x y" shared by docs 1,2,4
+      (3L, "e f"),                        // untouched
+      (4L, "x y"),                        // every span dropped
+      (5L, "q r s"))                      // short tail span survives
+      .toDF("doc_id", "text")
+    val got = graft.text.Corpus.stripDupSpans(docs, spanTokens = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, "a b"),
+      (2L, 2L, 1L, "c d"),
+      (3L, 1L, 0L, "e f"),
+      (4L, 1L, 1L, ""),
+      (5L, 2L, 0L, "q r s")))
+  }
+
   test("withDrawdown: running peak, drawdown from peak, worst drawdown") {
     val got = graft.features.Market.withDrawdown(
         barsOf(Seq(10.0, 12.0, 9.0, 11.0, 8.0), Seq.fill(5)(1.0)))
