@@ -143,6 +143,49 @@ object TextSimSql {
        |       ${r("log2(CAST(n_chars AS DOUBLE)) - ent / CAST(n_chars AS DOUBLE)")} AS char_entropy
        |FROM pd ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextStats.unigramLogprob: corpus unigram counts + scalar total,
+    * per-token −log2(c/total), per-doc mean via the position-sorted
+    * sequential fold (list_sum over ORDER BY pos == Spark's aggregate()
+    * over the array_sort'ed (pos, nlp) structs). */
+  val textLogprob: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), t AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS token
+       |  FROM s, UNNEST(range(1, len(toks) + 1)) u(i)
+       |), c AS (
+       |  SELECT token, COUNT(*) AS c FROM t GROUP BY token
+       |), n AS (
+       |  SELECT COUNT(*) AS n_total FROM t
+       |), j AS (
+       |  SELECT doc_id, pos,
+       |         -log2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) AS nlp
+       |  FROM t JOIN c USING (token) CROSS JOIN n
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       ${r("list_sum(list(nlp ORDER BY pos)) / COUNT(*)")} AS avg_neg_logprob
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Mirrors Similarity.randomProject(dims=8): identical md5-derived ±1
+    * planes (key base 100), sequential-fold dots, 1/√8 scale. */
+  val simRproj: String = {
+    import graft.sim.{Similarity => S}
+    def planeList(d: Int): String =
+      S.lshPlane(100 + d, 64).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+    val cols = (0 until S.RprojDims).map { d =>
+      val e = s"list_sum(list_transform(range(1, len(v) + 1), " +
+        s"i -> v[i] * (${planeList(d)})[i])) / sqrt(8.0)"
+      s"${r(e)} AS rp_$d"
+    }.mkString(",\n       ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT vec_id,
+       |       $cols
+       |FROM e0 ORDER BY vec_id""".stripMargin
+  }
+
   /** Mirrors TextStats.vocab(k=100): token occurrence + doc-frequency counts,
     * top 100 by (count desc, token asc) — integer counts and exact string
     * keys, nothing engine-sensitive. */

@@ -99,6 +99,21 @@ object TextSim {
       .select(col("doc_id"), col("term"), r6(col("tfidf")).as("tfidf"))
       .orderBy("doc_id", "term")
 
+  /** CCNet-style unigram LM quality score: mean −log2 p(token) under the
+    * corpus's own unigram distribution. */
+  def textLogprob(s: SparkSession, dir: String): DataFrame =
+    TextStats.unigramLogprob(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("avg_neg_logprob")).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+
+  /** JL sign-matrix random projection of every embedding to 8 components. */
+  def simRproj(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(s, dir))
+      .select(col("vec_id") +:
+        (0 until Similarity.RprojDims).map(d => r6(col(s"rp_$d")).as(s"rp_$d")): _*)
+      .orderBy("vec_id")
+
   def simLabelCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroidCosines(Tables.embeddings(s, dir))
       .select(col("label_a"), col("label_b"), r6(col("cos")).as("cos"))

@@ -156,6 +156,31 @@ object Similarity {
     * are my classes" diagnostic. Element-wise mean via posexplode + grouped
     * scalar sums (shuffle-partitioned; no driver-side vectors), then the
     * same sequential-fold cosine as everywhere else. */
+  /** Output width of [[randomProject]]; key offset keeps the projection
+    * planes disjoint from the 24 LSH-table planes (same md5 derivation). */
+  val RprojDims = 8
+  private val RprojKeyBase = 100
+
+  /** Johnson–Lindenstrauss-style random projection: reduce every embedding
+    * to `dims` components via md5-derived ±1 hyperplanes, scaled by 1/√dims
+    * (the sign-matrix JL construction — Achlioptas 2001). The cheap
+    * dimensionality-reduction step before clustering or coarse ANN when 64
+    * dims is still too wide to shuffle at corpus scale.
+    *
+    * Narrow per-row: `dims` codegen'd sequential-fold dot products against
+    * literal planes, no shuffle anywhere; the oracle replays the identical
+    * planes from the shared md5 derivation. */
+  def randomProject(embeddings: DataFrame, dims: Int = RprojDims): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val scale = math.sqrt(dims.toDouble)
+    val cols = (0 until dims).map { d =>
+      val plane = typedlit(lshPlane(RprojKeyBase + d, 64))
+      (graft.expr.DotProduct.dot(col("v"), plane) / scale).as(s"rp_$d")
+    }
+    vecs.select(col("vec_id") +: cols: _*)
+  }
+
   def labelCentroidCosines(embeddings: DataFrame): DataFrame = {
     val comps = embeddings.select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "v")))

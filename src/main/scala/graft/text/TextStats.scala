@@ -190,6 +190,35 @@ object TextStats {
     docs.withColumn("fingerprint",
       graft.expr.MinGramMd5.minGramMd5(col("text"), 8))
 
+  /** Unigram language-model score per document: the mean negative log2
+    * probability of each token under the corpus's own unigram distribution —
+    * the CCNet/Gopher-style LM quality filter (high = rare-token gibberish,
+    * very low = repeated boilerplate; both tails get cut) computed with the
+    * corpus itself as the LM, no external model.
+    *
+    * Relational shape: token-keyed count aggregate (partial+final, like
+    * tfidf), a scalar total broadcast, a token-keyed join back, then one
+    * doc-keyed aggregate. The per-doc float sum folds over the
+    * position-sorted list (same sequential-fold contract as charEntropy),
+    * so the oracle's `list_sum(list(nlp ORDER BY pos))` is bit-equal. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.selectExpr("doc_id",
+      "posexplode(split(text, ' ')) AS (pos, token)")
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"),
+        (-log2(col("c").cast("double") / col("n_total").cast("double")))
+          .as("nlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("nlp")))).as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("aggregate(_s, 0D, (acc, x) -> acc + x.nlp)") /
+          col("n_tokens")).as("avg_neg_logprob"))
+  }
+
   /** Corpus vocabulary: per-token total occurrences and document frequency,
     * top `k` by count — the word-count pass every tokenizer-training run
     * (BPE, unigram-LM) starts from. One token-keyed partial+final aggregate

@@ -655,6 +655,33 @@ class OpsSpec extends SparkSpec {
       (5L, 2L, 0L, "q r s")))
   }
 
+  test("unigramLogprob: corpus-wide unigram probabilities, per-doc mean") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: a=3, b=1, total=4 -> nlp(a)=-log2(3/4), nlp(b)=2
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.text.TextStats.unigramLogprob(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nlpA = -(math.log(0.75) / math.log(2.0))
+    assert(got(0)._2 == 2L && math.abs(got(0)._3 - nlpA) < 1e-12)
+    assert(got(1)._2 == 2L && math.abs(got(1)._3 - (nlpA + 2.0) / 2.0) < 1e-12)
+  }
+
+  test("randomProject: one-hot vectors read the planes back exactly, scaled 1/sqrt(dims)") {
+    val s = spark
+    import s.implicits._
+    // e_0 and e_63: projection d = plane_d(i) / sqrt(8), exact in fp
+    val emb = Seq((0L, 1.0f +: Seq.fill(63)(0.0f)), (1L, Seq.fill(63)(0.0f) :+ 1.0f))
+      .toDF("vec_id", "embedding")
+    val got = graft.sim.Similarity.randomProject(emb).orderBy("vec_id").collect()
+    val scale = math.sqrt(8.0)
+    for (d <- 0 until graft.sim.Similarity.RprojDims) {
+      val plane = graft.sim.Similarity.lshPlane(100 + d, 64)
+      assert(got(0).getDouble(1 + d) == plane(0) / scale)
+      assert(got(1).getDouble(1 + d) == plane(63) / scale)
+    }
+  }
+
   test("withDrawdown: running peak, drawdown from peak, worst drawdown") {
     val got = graft.features.Market.withDrawdown(
         barsOf(Seq(10.0, 12.0, 9.0, 11.0, 8.0), Seq.fill(5)(1.0)))

@@ -127,6 +127,33 @@ class PlanSpec extends SparkSpec {
       s"window_median should shuffle once on symbol:\n${plan(df)}")
   }
 
+  test("window_corr: one symbol exchange, two chained window passes") {
+    val df = Analytics.windowCorr(spark, dir)
+    val windows = plan(df).linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows == 2,
+      s"window_corr should run cums+lags as 2 window passes, got $windows:\n${plan(df)}")
+    assert(countOp(df, "Exchange hashpartitioning") == 1,
+      s"window_corr should shuffle once on symbol:\n${plan(df)}")
+  }
+
+  test("corpus_vocab top-k plans as TakeOrderedAndProject") {
+    val df = graft.queries.TextSim.corpusVocab(spark, dir)
+    assert(countOp(df, "TakeOrderedAndProject") == 1,
+      s"vocab top-100 regressed to a global sort:\n${plan(df)}")
+  }
+
+  test("bars_gapfill: fill window reuses the grid aggregate's partitioning") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Core.barsGapfill(spark, dir)
+    val global = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "gapfill regressed to a global window")
+    val windows = plan(df).linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows == 1,
+      s"gapfill should forward-fill in one window pass, got $windows:\n${plan(df)}")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
