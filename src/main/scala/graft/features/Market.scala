@@ -96,6 +96,27 @@ object Market {
       .drop("_xy", "_xx", "_yy", "_sx", "_sy", "_sxy", "_sxx", "_syy", "_g")
   }
 
+  /** Rolling z-score outlier flags — the data-quality gate a market
+    * pipeline runs before features: per symbol, the 20-bar rolling
+    * mean/std (identical cum−lag formulation to Bollinger's), then
+    * zscore = (close − mean)/std and |z| > k flags. NULL until the
+    * min_samples gate opens or while the frame is constant (std = 0) —
+    * a constant series has no outliers to score. */
+  def withOutliers(df: DataFrame, n: Int = 20, k: Double = 3.0): DataFrame = {
+    val close = col("close")
+    val c = Frames.withCums(df, Map(
+      "_c_oc" -> close, "_c_oc2" -> (close * close)))
+    val gate = Frames.cumCountGate("_c_oc", n)
+    val s1 = Frames.cumRolling("_c_oc", n)
+    val s2 = Frames.cumRolling("_c_oc2", n)
+    val sd = sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))
+    val z = when(gate && sd > 0.0, (close - s1 / n) / sd)
+    c.select(col("*"),
+        z.as("zscore"),
+        (abs(z) > k).cast("int").as("is_outlier"))
+      .drop(Frames.cumHelperCols(Seq("_c_oc", "_c_oc2")): _*)
+  }
+
   /** Running peak close, drawdown from peak, and worst (max) drawdown so
     * far — per symbol, time-ordered:
     *

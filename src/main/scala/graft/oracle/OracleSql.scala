@@ -465,6 +465,54 @@ object OracleSql {
        |FROM f ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.windowOutliers (Market.withOutliers, n=20, k=3):
+    * Bollinger-style cum−lag rolling mean/std, zscore gated on min_samples
+    * AND std > 0, flag from the UNROUNDED zscore. */
+  val windowOutliers: String = {
+    val sd = "sqrt(greatest((s2 - s1 * s1 / 20) / 19, 0.0))"
+    s"""$barsCte, c AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("close")} AS _c_oc,
+       |         COUNT(close) OVER ($Wrun) AS _c_oc_n,
+       |         ${cumSum("close * close")} AS _c_oc2
+       |  FROM bars
+       |), rr AS (
+       |  SELECT symbol, event_id, close,
+       |         ${cumRolling("_c_oc", 20)} AS s1,
+       |         ${cumRolling("_c_oc2", 20)} AS s2,
+       |         ${cumGate("_c_oc", 20)} AS g
+       |  FROM c
+       |), z AS (
+       |  SELECT symbol, event_id,
+       |         CASE WHEN g AND $sd > 0.0
+       |           THEN (close - s1 / 20) / $sd END AS zscore
+       |  FROM rr
+       |)
+       |SELECT symbol, event_id, ${r("zscore")} AS zscore,
+       |       CAST(abs(zscore) > 3.0 AS INT) AS is_outlier
+       |FROM z ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.aggMoments: two-pass central moments (mean join, then
+    * Σd²/Σd³/Σd⁴), σ powers as explicit products — no libm pow. */
+  val aggMoments: String =
+    s"""$barsCte, g AS (
+       |  SELECT symbol, SUM(close) AS s1, COUNT(*) AS n FROM bars GROUP BY symbol
+       |), m AS (
+       |  SELECT symbol, s1 / n AS mu, n FROM g
+       |), d AS (
+       |  SELECT b.symbol, n, (close - mu) AS d FROM bars b JOIN m USING (symbol)
+       |), a AS (
+       |  SELECT symbol, n,
+       |         SUM(d * d) AS m2s, SUM(d * d * d) AS m3s,
+       |         SUM(d * d * d * d) AS m4s
+       |  FROM d GROUP BY symbol, n
+       |)
+       |SELECT symbol, n,
+       |       ${r("m3s / n / (sqrt(m2s / n) * sqrt(m2s / n) * sqrt(m2s / n))")} AS close_skew,
+       |       ${r("m4s / n / ((m2s / n) * (m2s / n)) - 3.0")} AS close_kurt
+       |FROM a ORDER BY symbol""".stripMargin
+
   val unionSymbols: String =
     s"""$barsCte
        |SELECT event_id, symbol, ${r("close")} AS close, branch FROM (

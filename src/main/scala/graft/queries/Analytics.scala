@@ -474,6 +474,15 @@ object Analytics {
         Core.r6(col("roll_cov")).as("roll_cov"))
       .orderBy("event_id")
 
+  /** Rolling z-score anomaly flags (|z| > 3 over the 20-bar mean/std) — the
+    * pre-feature data-quality gate; cum−lag mean/std identical to
+    * Bollinger's (see [[graft.features.Market.withOutliers]]). */
+  def windowOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.features.Market.withOutliers(Bars.bars(s, dir))
+      .select(col("symbol"), col("event_id"),
+        Core.r6(col("zscore")).as("zscore"), col("is_outlier"))
+      .orderBy("event_id")
+
   /** Pivot: per-user value sums across a FIXED event-type column list —
     * Spark's relational pivot with an explicit vocabulary (never a
     * driver-side distinct scan at 100 TB). */

@@ -255,6 +255,36 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Higher-moment distribution profile per symbol: population skewness and
+    * excess kurtosis via the TWO-PASS central-moment sums (mean first, then
+    * Σ(x−μ)^{2,3,4}) — the raw-moment one-pass formulas cancel
+    * catastrophically at Σx⁴ magnitudes, two-pass keeps every sum
+    * cancellation-free so both engines land inside the 1e-6 rounding box.
+    * No pow(): σ³/σ⁴ are explicit products (libm pow is not bit-portable
+    * across engines). */
+  def aggMoments(s: SparkSession, dir: String): DataFrame =
+    momentsOf(bars(s, dir))
+
+  /** Two-pass skew/kurtosis core over any (symbol, close) frame. */
+  def momentsOf(barsDf: DataFrame): DataFrame = {
+    val b = barsDf.select(col("symbol"), col("close"))
+    val mu = b.groupBy("symbol")
+      .agg(sum(col("close")).as("s1"), count(lit(1)).as("n"))
+      .select(col("symbol"), (col("s1") / col("n")).as("mu"), col("n"))
+    val d = b.join(broadcast(mu), Seq("symbol"))
+      .select(col("symbol"), col("n"), (col("close") - col("mu")).as("d"))
+    val m2 = col("m2s") / col("n")
+    val sd = sqrt(m2)
+    d.groupBy("symbol", "n")
+      .agg(sum(col("d") * col("d")).as("m2s"),
+        sum(col("d") * col("d") * col("d")).as("m3s"),
+        sum(col("d") * col("d") * col("d") * col("d")).as("m4s"))
+      .select(col("symbol"), col("n"),
+        r6(col("m3s") / col("n") / (sd * sd * sd)).as("close_skew"),
+        r6(col("m4s") / col("n") / (m2 * m2) - 3.0).as("close_kurt"))
+      .orderBy("symbol")
+  }
+
   /** P11/A3: target distribution (value_counts). */
   def valueCounts(s: SparkSession, dir: String): DataFrame =
     Targets.withTarget(bars(s, dir), targetType = "classification")

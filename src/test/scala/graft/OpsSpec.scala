@@ -682,6 +682,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("withOutliers: spike flagged, constant frame nulled, in-band rows kept") {
+    // NOTE: a row z-scored against a frame containing itself is bounded by
+    // (n−1)/√n (≈1.155 at n=3), so the test threshold is k=1 — production
+    // n=20/k=3 leaves ~4.25 of headroom for real spikes.
+    val got = graft.features.Market.withOutliers(
+        barsOf(Seq(1.0, 2.0, 3.0, 4.0, 100.0), Seq.fill(5)(1.0)), n = 3, k = 1.0)
+      .orderBy("event_id").select("zscore", "is_outlier").collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0), "gated rows null")
+    // frame (1,2,3): mean 2, std 1 -> z = 1, NOT strictly above k
+    assert(got(2).getDouble(0) == 1.0 && got(2).getInt(1) == 0)
+    // frame (3,4,100) -> z ≈ 1.1547 > 1, flagged
+    assert(got(4).getDouble(0) > 1.0 && got(4).getInt(1) == 1)
+    val const = graft.features.Market.withOutliers(
+        barsOf(Seq.fill(4)(5.0), Seq.fill(4)(1.0)), n = 3)
+      .orderBy("event_id").select("zscore").collect()
+    assert(const.forall(_.isNullAt(0)), "constant frames have no zscore")
+  }
+
+  test("momentsOf: symmetric series has zero skew, flat triple has kurtosis -1.5") {
+    val got = graft.queries.Core.momentsOf(
+        barsOf(Seq(1.0, 2.0, 3.0), Seq.fill(3)(1.0)))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // m2 = 2/3, m3 = 0, m4 = 2/3 -> skew 0, kurt = (2/3)/(4/9) - 3 = -1.5
+    assert(got.toSeq == Seq((3L, 0.0, -1.5)))
+  }
+
   test("withDrawdown: running peak, drawdown from peak, worst drawdown") {
     val got = graft.features.Market.withDrawdown(
         barsOf(Seq(10.0, 12.0, 9.0, 11.0, 8.0), Seq.fill(5)(1.0)))
