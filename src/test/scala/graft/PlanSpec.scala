@@ -154,6 +154,35 @@ class PlanSpec extends SparkSpec {
       s"gapfill should forward-fill in one window pass, got $windows:\n${plan(df)}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // The 100 TB fact⋈selective-dim story when the dim is too big to
+    // broadcast: Spark's InjectRuntimeFilter builds a bloom filter on the
+    // dim's join keys and semi-filters the fact scan before the shuffle.
+    // Default thresholds target cluster-scale sizes, so the test lowers the
+    // application-side gate to prove the engine's config leaves the
+    // optimization reachable.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.source.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity")
+      val sel = graft.source.Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 100000.0).select("o_orderkey")
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      assert(plan(j).contains("might_contain"),
+        s"runtime bloom filter not injected:\n${plan(j)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
