@@ -156,30 +156,30 @@ object TextStats {
     * random noise; both are cut in LLM data curation).
     *
     * Uses the join-free identity H = log2(n) − (Σ c·log2(c)) / n over the
-    * per-character occurrence counts c. Counts aggregate as exact integers
-    * (unordered-safe); the single float sum runs as a sequential fold over
-    * the character-sorted count list, which DuckDB reproduces bit-exactly
-    * with `list_sum(list(...ORDER BY ch))` — the same argument as the
-    * running-sum cums. Relational shape: bounded per-char explode →
-    * per-(doc, char) counts → per-doc aggregate (two doc-keyed shuffles
-    * with partial aggregation, scales like [[tfidf]]; the collected list is
-    * bounded by the alphabet, not the document). */
-  def charEntropy(docs: DataFrame): DataFrame = {
-    val chars = docs
+    * per-character occurrence counts c. Fully NARROW per-row — no explode,
+    * no shuffle: the distinct-character list comes from
+    * `array_distinct(split(text, ''))`, each count from one literal
+    * `replace` length difference (O(alphabet · len) per row — the corpus
+    * alphabet is bounded), and the single float sum folds over the
+    * char-SORTED counts, the same sequence the oracle's
+    * `list_sum(list(... ORDER BY ch))` accumulates, so the doubles are
+    * bit-equal. (The r7 rewrite of the original explode → two doc-keyed
+    * shuffles formulation: same values, 15M-row shuffle at sf0.1 → zero.) */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      // Spark split uses Java split(regex, -1): '' yields a TRAILING empty
+      // token — filter it or 0·log2(0) = NaN poisons the fold
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-    val counts = chars.groupBy("doc_id", "ch")
-      .agg(count(lit(1)).as("c"))
-    counts.groupBy("doc_id")
-      .agg(sum(col("c")).as("n_chars"),
-        count(lit(1)).as("n_distinct_chars"),
-        array_sort(collect_list(struct(col("ch"), col("c")))).as("_s"))
-      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
-        (log2(col("n_chars")) -
-          expr("aggregate(_s, 0D, (acc, x) -> acc + CAST(x.c AS DOUBLE) * log2(CAST(x.c AS DOUBLE)))") /
-          col("n_chars")).as("char_entropy"))
-  }
+        expr("array_sort(filter(array_distinct(split(text, '')), c -> c != ''))")
+          .as("_cs"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("_cs")).cast("long").as("n_distinct_chars"),
+        (log2(length(col("text"))) -
+          expr("aggregate(transform(_cs, " +
+            "c -> CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)), " +
+            "0D, (acc, x) -> acc + x * log2(x))") /
+          length(col("text"))).as("char_entropy"))
 
   /** Document fingerprint: lexicographic min of md5 over all char 8-grams —
     * a winnowing-style content fingerprint, identical in Spark and DuckDB
