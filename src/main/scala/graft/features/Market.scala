@@ -96,6 +96,61 @@ object Market {
       .drop("_xy", "_xx", "_yy", "_sx", "_sy", "_sxy", "_sxx", "_syy", "_g")
   }
 
+  val AtrWindow = 14
+
+  /** True range + Average True Range (SMA-smoothed):
+    *
+    *   tr  = greatest(high − low, |high − prev_close|, |low − prev_close|)
+    *         (first row per symbol: high − low, no prior close)
+    *   atr = rolling mean(tr, n), min_samples gated
+    *
+    * The volatility indicator the reference's family lacks next to
+    * realized/rolling vol; rolling mean via the same O(n) cum−lag identity,
+    * so the oracle replays the sums sequentially. */
+  def withAtr(df: DataFrame, n: Int = AtrWindow): DataFrame = {
+    val prevClose = lag(col("close"), 1).over(Frames.bySymbol)
+    val tr = greatest(
+      col("high") - col("low"),
+      abs(col("high") - prevClose),
+      abs(col("low") - prevClose))
+    val stage1 = df.select(col("*"),
+      coalesce(tr, col("high") - col("low")).as("tr"))
+    val stage2 = Frames.withCums(stage1, Map("_c_tr" -> col("tr")))
+    stage2.select(col("*"),
+        when(Frames.cumCountGate("_c_tr", n),
+          Frames.cumRolling("_c_tr", n) / n).as(s"atr_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_tr")): _*)
+  }
+
+  val StochWindow = 14
+  val StochSmooth = 3
+
+  /** Stochastic oscillator:
+    *
+    *   %K = (close − min(low, n)) / (max(high, n) − min(low, n)) · 100
+    *        (gated on n observed rows; NULL while the range is flat)
+    *   %D = (%K + lag(%K, 1) + lag(%K, 2)) / 3
+    *        (the 3-bar smoothing as an explicit left-to-right sum, so the
+    *        oracle evaluates the identical tree; null-propagating — %D
+    *        exists only where all three %K values do)
+    *
+    * Rolling min/max are order-insensitive extrema over row frames —
+    * bit-portable with engine-native windowed MIN/MAX (same argument as
+    * drawdown), no sequential-fold machinery needed. */
+  def withStochastic(df: DataFrame, n: Int = StochWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val ll = min(col("low")).over(frame)
+    val hh = max(col("high")).over(frame)
+    val gate = count(col("close")).over(frame) === n
+    val stage1 = df.select(col("*"),
+      when(gate && hh > ll,
+        (col("close") - ll) / (hh - ll) * 100).as("pct_k"))
+    stage1.select(col("*"),
+      ((col("pct_k") + lag(col("pct_k"), 1).over(Frames.bySymbol) +
+        lag(col("pct_k"), 2).over(Frames.bySymbol)) / StochSmooth)
+        .as("pct_d"))
+  }
+
   /** Rolling z-score outlier flags — the data-quality gate a market
     * pipeline runs before features: per symbol, the 20-bar rolling
     * mean/std (identical cum−lag formulation to Bollinger's), then

@@ -183,6 +183,48 @@ object OracleSql {
   /** Drawdown (mirrors features.Market.withDrawdown): running MAX/MIN are
     * order-insensitive extrema, so engine-native windowed aggregates are
     * bit-portable with no sequential-fold machinery. */
+  /** Mirrors Core.featAtr (Market.withAtr, n=14): true range with the
+    * first-row coalesce, rolling mean via the sequential cum−lag sums. */
+  val featAtr: String = {
+    val n = graft.features.Market.AtrWindow
+    s"""$barsCte, a1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         COALESCE(
+       |           GREATEST(high - low,
+       |                    abs(high - LAG(close, 1) OVER ($W)),
+       |                    abs(low - LAG(close, 1) OVER ($W))),
+       |           high - low) AS tr
+       |  FROM bars
+       |), a2 AS (
+       |  SELECT symbol, event_id, datetime, tr,
+       |         ${cumSum("tr")} AS _c_tr,
+       |         COUNT(tr) OVER ($Wrun) AS _c_tr_n
+       |  FROM a1
+       |)
+       |SELECT symbol, event_id, ${r("tr")} AS tr,
+       |       ${r(s"CASE WHEN ${cumGate("_c_tr", n)} THEN (${cumRolling("_c_tr", n)}) / $n END")} AS atr_$n
+       |FROM a2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featStochastic (Market.withStochastic, n=14, smooth=3):
+    * rolling MIN/MAX are order-insensitive extrema (bit-portable natively);
+    * %D is the explicit left-to-right 3-term sum, null-propagating. */
+  val featStochastic: String = {
+    val n = graft.features.Market.StochWindow
+    s"""$barsCte, s1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN COUNT(close) OVER (${frame(n)}) = $n
+       |                   AND MAX(high) OVER (${frame(n)}) > MIN(low) OVER (${frame(n)})
+       |              THEN (close - MIN(low) OVER (${frame(n)})) /
+       |                   (MAX(high) OVER (${frame(n)}) - MIN(low) OVER (${frame(n)})) * 100
+       |         END AS pct_k
+       |  FROM bars
+       |)
+       |SELECT symbol, event_id, ${r("pct_k")} AS pct_k,
+       |       ${r(s"(pct_k + LAG(pct_k, 1) OVER ($W) + LAG(pct_k, 2) OVER ($W)) / ${graft.features.Market.StochSmooth}")} AS pct_d
+       |FROM s1 ORDER BY event_id""".stripMargin
+  }
+
   val featDrawdown: String =
     s"""$barsCte, d1 AS (
        |  SELECT symbol, event_id, datetime, close,

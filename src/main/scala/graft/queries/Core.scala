@@ -136,6 +136,20 @@ object Core {
     keyed(Market.withDrawdown(bars(s, dir)), out, out.toSet)
   }
 
+  /** ATR block: true range + 14-bar SMA-smoothed average true range
+    * (see [[graft.features.Market.withAtr]]). */
+  def featAtr(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("tr", s"atr_${graft.features.Market.AtrWindow}")
+    keyed(Market.withAtr(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Stochastic oscillator %K/%D over 14-bar extrema
+    * (see [[graft.features.Market.withStochastic]]). */
+  def featStochastic(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("pct_k", "pct_d")
+    keyed(Market.withStochastic(bars(s, dir)), out, out.toSet)
+  }
+
   /** F1-F3: calendar + cyclic encodings (narrow, no shuffle). */
   def featTemporal(s: SparkSession, dir: String): DataFrame = {
     val ints = Seq("hour", "minute", "day_of_week", "day", "month")

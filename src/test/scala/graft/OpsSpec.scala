@@ -708,6 +708,47 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 0.0, -1.5)))
   }
 
+  test("withAtr: first-row true range, gap-dominated TR, gated rolling mean") {
+    val s = spark
+    import s.implicits._
+    // hand-built OHLC with a gap-up: prev close 10, next low 14 -> TR uses
+    // |low - prev_close| = 4 over the bar's own 1-point range
+    val bars = Seq(
+      ("A", 1L, 1L, 9.0, 11.0, 10.0),   // first row: TR = high - low = 2
+      ("A", 2L, 2L, 14.0, 15.0, 14.5),  // gap up: TR = max(1, 5, 4) = 5
+      ("A", 3L, 3L, 14.0, 16.0, 15.0))  // TR = max(2, 1.5, 0.5) = 2
+      .toDF("symbol", "event_id", "ts_us", "low", "high", "close")
+      .withColumn("datetime", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val got = graft.features.Market.withAtr(bars, n = 2)
+      .orderBy("event_id").select("tr", "atr_2").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(2.0, 5.0, 2.0))
+    assert(got(0).isNullAt(1), "ATR gated until 2 rows")
+    assert(got(1).getDouble(1) == 3.5 && got(2).getDouble(1) == 3.5)
+  }
+
+  test("withStochastic: %K position in range, %D smoothing, flat-range null") {
+    val s = spark
+    import s.implicits._
+    def mk(rows: Seq[(Double, Double, Double)]) =
+      rows.zipWithIndex.map { case ((lo, hi, c), i) =>
+        ("A", i.toLong + 1, i.toLong * 1000000L, lo, hi, c)
+      }.toDF("symbol", "event_id", "ts_us", "low", "high", "close")
+        .withColumn("datetime", timestamp_micros(col("ts_us"))).drop("ts_us")
+    // n=2: frame = (prev, cur); close at the frame top -> %K = 100
+    val got = graft.features.Market.withStochastic(
+        mk(Seq((1.0, 2.0, 2.0), (1.0, 3.0, 3.0), (2.0, 4.0, 3.0))), n = 2)
+      .orderBy("event_id").select("pct_k", "pct_d").collect()
+    assert(got(0).isNullAt(0), "%K gated until 2 rows")
+    assert(got(1).getDouble(0) == 100.0)              // 3 at top of [1, 3]
+    assert(got(2).getDouble(0) == (3.0 - 1.0) / 3.0 * 100) // 3 in [1, 4]
+    assert(got.forall(_.isNullAt(1)), "%D needs 3 consecutive %K values")
+    // flat range: high == low across the frame -> %K null
+    val flat = graft.features.Market.withStochastic(
+        mk(Seq((5.0, 5.0, 5.0), (5.0, 5.0, 5.0))), n = 2)
+      .orderBy("event_id").select("pct_k").collect()
+    assert(flat.forall(_.isNullAt(0)))
+  }
+
   test("withDrawdown: running peak, drawdown from peak, worst drawdown") {
     val got = graft.features.Market.withDrawdown(
         barsOf(Seq(10.0, 12.0, 9.0, 11.0, 8.0), Seq.fill(5)(1.0)))
