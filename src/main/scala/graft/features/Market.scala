@@ -122,6 +122,54 @@ object Market {
       .drop(Frames.cumHelperCols(Seq("_c_tr")): _*)
   }
 
+  /** On-balance volume: running sum of sign(Δclose)·volume — the classic
+    * volume-flow accumulation line. The first row per symbol (no prior
+    * close) contributes 0. Signs are exact ±1/0 and volumes are
+    * integer-valued, so the running sum is exact in fp under ANY
+    * association — the sequential cum frame is used anyway for consistency
+    * with the rest of the family. One window pass over the shared
+    * [[Frames.bySymbol]] exchange. */
+  def withObv(df: DataFrame): DataFrame = {
+    val running = Frames.bySymbol
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val delta = coalesce(
+      signum(col("close") - lag(col("close"), 1).over(Frames.bySymbol)),
+      lit(0.0)) * col("volume")
+    df.select(col("*"), sum(delta).over(running).as("obv"))
+  }
+
+  val MfiWindow = 14
+
+  /** Money Flow Index — RSI on volume-weighted typical price:
+    *
+    *   tp   = (high + low + close) / 3
+    *   flow = tp · volume, split into positive/negative on Δtp (ties and
+    *          the first row contribute to neither)
+    *   mfi  = 100 − 100 / (1 + rollsum(pos, n) / rollsum(neg, n)),
+    *          min_samples gated
+    *
+    * Rolling sums via the shared cum−lag identity (sequential-fold
+    * bit-portability); a 14-bar stretch with zero negative flow divides by
+    * zero and yields NULL identically in both engines (non-ANSI Spark ==
+    * DuckDB, the engine-wide contract). */
+  def withMfi(df: DataFrame, n: Int = MfiWindow): DataFrame = {
+    val tp = (col("high") + col("low") + col("close")) / 3.0
+    val dtp = tp - lag(tp, 1).over(Frames.bySymbol)
+    val stage1 = df.select(col("*"),
+      when(dtp > 0, tp * col("volume")).otherwise(lit(0.0)).as("_pflow"),
+      when(dtp < 0, tp * col("volume")).otherwise(lit(0.0)).as("_nflow"))
+    val stage2 = Frames.withCums(stage1, Map(
+      "_c_pf" -> col("_pflow"), "_c_nf" -> col("_nflow")))
+    stage2.select(col("*"),
+        when(Frames.cumCountGate("_c_pf", n),
+          lit(100.0) - lit(100.0) /
+            (lit(1.0) + Frames.cumRolling("_c_pf", n) /
+              Frames.cumRolling("_c_nf", n))).as(s"mfi_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_pf", "_c_nf")): _*)
+      .drop("_pflow", "_nflow")
+  }
+
   val StochWindow = 14
   val StochSmooth = 3
 

@@ -225,6 +225,40 @@ object OracleSql {
        |FROM s1 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featObv: sign(Δclose)·volume running sum (first row
+    * coalesces to 0; signed integer-valued terms sum exactly). */
+  val featObv: String =
+    s"""$barsCte, o1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         COALESCE(sign(close - LAG(close, 1) OVER ($W)), 0.0) * volume AS _d
+       |  FROM bars
+       |)
+       |SELECT symbol, event_id, ${r(s"COALESCE(list_sum(list(_d) OVER ($Wrun)), 0.0)")} AS obv
+       |FROM o1 ORDER BY event_id""".stripMargin
+
+  /** Mirrors Core.featMfi (n=14): positive/negative typical-price flows,
+    * sequential cum−lag rolling sums, gated RSI-form ratio. */
+  val featMfi: String = {
+    val n = graft.features.Market.MfiWindow
+    s"""$barsCte, m1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN (high + low + close) / 3.0 - LAG((high + low + close) / 3.0, 1) OVER ($W) > 0
+       |              THEN (high + low + close) / 3.0 * volume ELSE 0.0 END AS _pflow,
+       |         CASE WHEN (high + low + close) / 3.0 - LAG((high + low + close) / 3.0, 1) OVER ($W) < 0
+       |              THEN (high + low + close) / 3.0 * volume ELSE 0.0 END AS _nflow
+       |  FROM bars
+       |), m2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("_pflow")} AS _c_pf,
+       |         COUNT(_pflow) OVER ($Wrun) AS _c_pf_n,
+       |         ${cumSum("_nflow")} AS _c_nf
+       |  FROM m1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN ${cumGate("_c_pf", n)} THEN 100.0 - 100.0 / (1.0 + (${cumRolling("_c_pf", n)}) / (${cumRolling("_c_nf", n)})) END")} AS mfi_$n
+       |FROM m2 ORDER BY event_id""".stripMargin
+  }
+
   val featDrawdown: String =
     s"""$barsCte, d1 AS (
        |  SELECT symbol, event_id, datetime, close,

@@ -150,6 +150,17 @@ object Core {
     keyed(Market.withStochastic(bars(s, dir)), out, out.toSet)
   }
 
+  /** On-balance volume (see [[graft.features.Market.withObv]]). */
+  def featObv(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withObv(bars(s, dir)), Seq("obv"), Set("obv"))
+
+  /** Money Flow Index over 14-bar flow sums
+    * (see [[graft.features.Market.withMfi]]). */
+  def featMfi(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq(s"mfi_${graft.features.Market.MfiWindow}")
+    keyed(Market.withMfi(bars(s, dir)), out, out.toSet)
+  }
+
   /** F1-F3: calendar + cyclic encodings (narrow, no shuffle). */
   def featTemporal(s: SparkSession, dir: String): DataFrame = {
     val ints = Seq("hour", "minute", "day_of_week", "day", "month")

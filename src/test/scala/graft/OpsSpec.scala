@@ -749,6 +749,27 @@ class OpsSpec extends SparkSpec {
     assert(flat.forall(_.isNullAt(0)))
   }
 
+  test("withObv: signed volume accumulation, flat and first rows contribute zero") {
+    val got = graft.features.Market.withObv(
+        barsOf(Seq(10.0, 12.0, 11.0, 11.0), Seq(5.0, 3.0, 2.0, 7.0)))
+      .orderBy("event_id").select("obv").collect().map(_.getDouble(0))
+    // 0 (first), +3 (up), 3-2=1 (down), 1 (flat: sign 0)
+    assert(got.toSeq == Seq(0.0, 3.0, 1.0, 1.0))
+  }
+
+  test("withMfi: flow split on tp direction, zero-negative-flow window is null") {
+    // high=low=close in barsOf -> tp == close
+    val got = graft.features.Market.withMfi(
+        barsOf(Seq(10.0, 12.0, 11.0), Seq(1.0, 1.0, 1.0)), n = 2)
+      .orderBy("event_id").select("mfi_2").collect()
+    assert(got(0).isNullAt(0), "gated until 2 rows")
+    // rows 1-2: pos=12, neg=0 -> 12/0 -> NULL (non-ANSI Spark == DuckDB)
+    assert(got(1).isNullAt(0), "zero negative flow divides by zero -> null")
+    // rows 2-3: pos=12, neg=11
+    assert(math.abs(got(2).getDouble(0) -
+      (100.0 - 100.0 / (1.0 + 12.0 / 11.0))) < 1e-12)
+  }
+
   test("withDrawdown: running peak, drawdown from peak, worst drawdown") {
     val got = graft.features.Market.withDrawdown(
         barsOf(Seq(10.0, 12.0, 9.0, 11.0, 8.0), Seq.fill(5)(1.0)))
