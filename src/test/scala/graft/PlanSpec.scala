@@ -154,6 +154,23 @@ class PlanSpec extends SparkSpec {
       s"gapfill should forward-fill in one window pass, got $windows:\n${plan(df)}")
   }
 
+  test("every round-7 indicator runs on ONE symbol exchange") {
+    // the Market.with* frames directly — the query wrappers localCheckpoint
+    // before the output sort, which truncates the inspectable plan
+    val b = graft.source.Bars.bars(spark, dir)
+    val M = graft.features.Market
+    for ((name, df) <- Seq(
+        "withAtr" -> M.withAtr(b),
+        "withStochastic" -> M.withStochastic(b),
+        "withObv" -> M.withObv(b),
+        "withMfi" -> M.withMfi(b),
+        "withOutliers" -> M.withOutliers(b),
+        "withRollingCorr" -> M.withRollingCorr(b))) {
+      assert(countOp(df, "Exchange hashpartitioning") == 1,
+        s"$name regressed to multiple hash exchanges:\n${plan(df)}")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffled join") {
     // The 100 TB fact⋈selective-dim story when the dim is too big to
     // broadcast: Spark's InjectRuntimeFilter builds a bloom filter on the

@@ -168,6 +168,30 @@ class StreamingSpec extends SparkSpec {
       s"expected a broadcast hash join, got:\n$plan")
   }
 
+  test("foreachBatch parquet sink is exactly-once across a checkpoint restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def run(): Unit = {
+      val q = Streams.sinkParquet(
+        Streams.readEventStream(spark, dir).select("event_id", "ts", "value"),
+        out, ckpt)
+      q.awaitTermination(120000)
+    }
+    run()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 1000, s"expected 1000 sunk rows, got ${first.count()}")
+    assert(first.select("event_id").distinct().count() == 1000)
+    // restart from the SAME checkpoint over the SAME input: AvailableNow
+    // finds nothing new, and even a re-delivered batch would overwrite its
+    // own _batch_id partition rather than append — zero duplication
+    run()
+    val second = spark.read.parquet(out)
+    assert(second.count() == 1000,
+      s"sink duplicated rows across restart: ${second.count()}")
+    assert(second.select("event_id").distinct().count() == 1000)
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     val stream = Streams.sessionCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_sessions")
