@@ -596,6 +596,48 @@ object TextSimSql {
        |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("cos")} AS cos
        |FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** Mirrors Similarity.kmeans (k=8, iters=2, unrolled): cosine assignment
+    * with (ccos DESC, cent_id) rank ties, centroid means as sequential
+    * folds over vec_id-sorted members — every downstream cosine compares
+    * identical doubles, so the discrete assignments match exactly. */
+  val simKmeans: String = {
+    import graft.sim.{Similarity => S}
+    val k = S.KmeansK
+    s"""$embCte, c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nv AS nc FROM e WHERE vec_id < $k
+       |), s1 AS (
+       |  SELECT e.vec_id, e.v, e.nv, cent_id, ${cosP("v", "cv", "nv", "nc")} AS ccos
+       |  FROM e CROSS JOIN c0
+       |), a1 AS (
+       |  SELECT vec_id, v, cent_id AS cluster,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+       |  FROM s1
+       |), b1 AS (
+       |  SELECT vec_id, v, cluster FROM a1 WHERE crank = 1
+       |), x1 AS (
+       |  SELECT cluster, vec_id, i - 1 AS idx, v[i] AS x
+       |  FROM b1, UNNEST(range(1, len(v) + 1)) u(i)
+       |), m1 AS (
+       |  SELECT cluster, idx,
+       |         list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS m
+       |  FROM x1 GROUP BY cluster, idx
+       |), c1 AS (
+       |  SELECT cluster AS cent_id, list(m ORDER BY idx) AS cv
+       |  FROM m1 GROUP BY cluster
+       |), c1n AS (
+       |  SELECT cent_id, cv, sqrt(${dot("cv", "cv")}) AS nc FROM c1
+       |), s2 AS (
+       |  SELECT e.vec_id, cent_id, ${cosP("v", "cv", "nv", "nc")} AS ccos
+       |  FROM e CROSS JOIN c1n
+       |), a2 AS (
+       |  SELECT vec_id, cent_id AS cluster, ccos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+       |  FROM s2
+       |)
+       |SELECT vec_id, cluster, ${r("ccos")} AS cos
+       |FROM a2 WHERE crank = 1 ORDER BY vec_id""".stripMargin
+  }
+
   private val ivfCte: String =
     s"""$embCte, c AS (
        |  SELECT vec_id AS cent_id, v AS cv, nv AS nc FROM e WHERE vec_id < 16

@@ -198,6 +198,13 @@ object TextSim {
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .orderBy("vec_id", "idx")
 
+  /** Deterministic 2-iteration k-means clustering over the embedding
+    * corpus (cosine assignment, sequential-fold centroid means). */
+  def simKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("cluster"), r6(col("cos")).as("cos"))
+      .orderBy("vec_id")
+
   /** SemDeDup: connected components over embedding near-dup pairs; one
     * canonical vector kept per semantic cluster. */
   def simSemanticDedup(s: SparkSession, dir: String): DataFrame =

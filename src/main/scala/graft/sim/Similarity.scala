@@ -181,6 +181,62 @@ object Similarity {
     vecs.select(col("vec_id") +: cols: _*)
   }
 
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** Deterministic Lloyd's k-means over the embedding corpus (cosine
+    * assignment, arithmetic-mean update): seeded from the first `k`
+    * vec_ids (the IVF convention), `iters` assignment rounds with a
+    * centroid update between rounds. The embedding-clustering step a
+    * curation pipeline runs for topic balancing / cluster-aware sampling —
+    * the iterative complement to the one-shot [[ivfTopK]] assignment.
+    *
+    * Bit-portability of the DISCRETE output: an engine-ulp difference in a
+    * computed mean could flip an argmax near a tie, so centroid means fold
+    * sequentially over vec_id-sorted members (the charEntropy contract) —
+    * the oracle replays `list_sum(list(x ORDER BY vec_id))` and every
+    * downstream cosine compares identical doubles. At corpus scale, swap
+    * the fold for a plain SUM (ulp-level assignment ties are noise there);
+    * the fold is the oracle-checkable form. Empty clusters drop out of the
+    * update identically on both sides. Per-iteration localCheckpoint cuts
+    * the growing lineage like connected components does. */
+  def kmeans(embeddings: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame = {
+    require(k > 0 && iters > 0, s"kmeans: need k > 0, iters > 0 (got $k, $iters)")
+    val vecs = withNorm(embeddings, "vec_id", "v", "nv")
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+    var assigned: DataFrame = null
+    for (round <- 1 to iters) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosPre("v", "cv", "nv", "nc"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cluster"),
+          col("ccos"))
+        .localCheckpoint()
+      if (round < iters) {
+        val comps = assigned
+          .select(col("cluster"), col("vec_id"),
+            posexplode(col("v")).as(Seq("idx", "x")))
+          .groupBy("cluster", "idx")
+          .agg(count(lit(1)).as("cnt"),
+            array_sort(collect_list(struct(col("vec_id"), col("x")))).as("s"))
+          .select(col("cluster"), col("idx"),
+            (expr("aggregate(s, 0D, (acc, e) -> acc + e.x)") /
+              col("cnt")).as("m"))
+        cents = comps.groupBy("cluster")
+          .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("s"))
+          .select(col("cluster").as("cent_id"),
+            expr("transform(s, e -> e.m)").as("cv"))
+          .withColumn("nc", sqrt(dot("cv", "cv")))
+      }
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("ccos").as("cos"))
+  }
+
   def labelCentroidCosines(embeddings: DataFrame): DataFrame = {
     val comps = embeddings.select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "v")))

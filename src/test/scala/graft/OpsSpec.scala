@@ -749,6 +749,29 @@ class OpsSpec extends SparkSpec {
     assert(flat.forall(_.isNullAt(0)))
   }
 
+  test("kmeans: planted clusters separate, update pulls centroids to the group mean") {
+    val s = spark
+    import s.implicits._
+    def vec(axis: Int, main: Float, other: Float): Seq[Float] =
+      Seq.tabulate(64)(i =>
+        if (i == axis) main else if (i == 1 - axis) other else 0.0f)
+    // seeds: vec 0 on the x-axis, vec 1 on the y-axis; members lean toward
+    // their group's axis but AWAY from the seed — only the updated (mean)
+    // centroid keeps them in round 2
+    val emb = Seq(
+      (0L, vec(0, 1.0f, 0.0f)), (1L, vec(1, 1.0f, 0.0f)),
+      (2L, vec(0, 0.9f, 0.2f)), (3L, vec(0, 0.8f, 0.3f)),
+      (4L, vec(1, 0.9f, 0.2f)), (5L, vec(1, 0.8f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.sim.Similarity.kmeans(emb, k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 0L, 0L, 1L, 1L))
+    // every member sits closer to its own (updated) centroid than 1/sqrt(2)
+    // (the midline between the two axis groups)
+    assert(got.forall(_._3 > 0.7071))
+  }
+
   test("withObv: signed volume accumulation, flat and first rows contribute zero") {
     val got = graft.features.Market.withObv(
         barsOf(Seq(10.0, 12.0, 11.0, 11.0), Seq(5.0, 3.0, 2.0, 7.0)))
