@@ -1003,6 +1003,39 @@ object OracleSql {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Mirrors Analytics.windowWinsorize: exact windowed p05/p95 over the
+    * 21-bar frame (quantile_cont == the Spark side's two-product
+    * interpolation), clamp + clipped flag from the unrounded band. */
+  val windowWinsorize: String = {
+    val f = frame(21)
+    s"""$barsCte, m AS (
+       |  SELECT symbol, event_id, close,
+       |         quantile_cont(close, 0.05) OVER ($f) AS p05,
+       |         quantile_cont(close, 0.95) OVER ($f) AS p95
+       |  FROM bars
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("LEAST(GREATEST(close, p05), p95)")} AS w_close,
+       |       ${r("p05")} AS p05_close, ${r("p95")} AS p95_close,
+       |       CAST(close < p05 OR close > p95 AS INT) AS clipped
+       |FROM m ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.aggMode: per-user modal event type with the
+    * (count desc, type asc) deterministic tie-break. */
+  val aggMode: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type
+      |), rk AS (
+      |  SELECT user_id, event_type, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY cnt DESC, event_type) AS rn
+      |  FROM c
+      |)
+      |SELECT user_id, event_type AS mode_event_type, cnt
+      |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val windowMedian: String = {
     val f = frame(21)
     s"""$barsCte, m AS (

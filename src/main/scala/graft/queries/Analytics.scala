@@ -403,6 +403,22 @@ object Analytics {
     * quantile_cont) — the median/IQR outlier band a data-quality pipeline
     * keeps next to Bollinger's mean/σ band. Exact is the point here; the
     * 100 TB path swaps in percentile_approx over the identical frame. */
+  /** quantile_cont's exact two-product linear interpolation at rank
+    * h = (n−1)·q over a SORTED array (see [[windowMedian]]'s scaladoc for
+    * why the two-product form, not lerp, is the bit-portable one). Shared
+    * by windowMedian and windowWinsorize. */
+  private def interp(a: org.apache.spark.sql.Column,
+      q: Double): org.apache.spark.sql.Column = {
+    val h = (size(a) - lit(1)).cast("double") * lit(q)
+    val lo = floor(h)
+    val hi = ceil(h)
+    val lower = element_at(a, lo.cast("int") + lit(1))
+    val upper = element_at(a, hi.cast("int") + lit(1))
+    when(size(a) === lit(0), lit(null).cast("double"))
+      .otherwise(when(lo === hi, lower)
+        .otherwise(lower * (hi - h) + upper * (h - lo)))
+  }
+
   def windowMedian(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
@@ -419,16 +435,6 @@ object Analytics {
     // floor-form rounding), so the oracle's arithmetic is mirrored verbatim.
     // Empty frame (all-null closes) yields NULL like percentile() would.
     val arr = sort_array(collect_list(col("close")).over(w))
-    def interp(a: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column = {
-      val h = (size(a) - lit(1)).cast("double") * lit(q)
-      val lo = floor(h)
-      val hi = ceil(h)
-      val lower = element_at(a, lo.cast("int") + lit(1))
-      val upper = element_at(a, hi.cast("int") + lit(1))
-      when(size(a) === lit(0), lit(null).cast("double"))
-        .otherwise(when(lo === hi, lower)
-          .otherwise(lower * (hi - h) + upper * (h - lo)))
-    }
     Bars.bars(s, dir)
       .select(col("symbol"), col("event_id"), arr.as("_arr"))
       .select(col("symbol"), col("event_id"),
@@ -441,6 +447,52 @@ object Analytics {
         r6(col("_p75")).as("p75_close"),
         r6(col("_p75") - col("_p25")).as("iqr_close"))
       .orderBy("event_id")
+  }
+
+  /** Rolling winsorization: clamp close into its own 21-bar [p05, p95]
+    * band (exact quantile_cont percentiles over the same frame as
+    * [[windowMedian]]) and flag clipped rows — the outlier-LIMITING
+    * companion to window_outliers' flag-only z-scores. One window pass;
+    * partial frames winsorize against what has been seen, matching the
+    * median family's no-gate semantics. */
+  def windowWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
+      .rowsBetween(-20, 0)
+    val arr = sort_array(collect_list(col("close")).over(w))
+    Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), col("close"), arr.as("_arr"))
+      .select(col("symbol"), col("event_id"), col("close"),
+        interp(col("_arr"), 0.05).as("_p05"),
+        interp(col("_arr"), 0.95).as("_p95"))
+      .select(col("symbol"), col("event_id"),
+        r6(least(greatest(col("close"), col("_p05")), col("_p95")))
+          .as("w_close"),
+        r6(col("_p05")).as("p05_close"),
+        r6(col("_p95")).as("p95_close"),
+        (col("close") < col("_p05") || col("close") > col("_p95"))
+          .cast("int").as("clipped"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic per-user modal event type: counts per (user, type), then
+    * the (count desc, type asc) argmax — the canonical "mode with a stable
+    * tie-break". The rank window runs over the PRE-AGGREGATED counts
+    * (|users|·|types| rows), never the raw events. */
+  def aggMode(s: SparkSession, dir: String): DataFrame =
+    modeOf(Bars.readEvents(s, dir)).orderBy("user_id")
+
+  /** Mode core over any (user_id, event_type) frame. */
+  def modeOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event_type"),
+        col("cnt"))
   }
 
   /** 100-TB variant of [[windowMedian]]: `percentile_approx` over the

@@ -749,6 +749,30 @@ class OpsSpec extends SparkSpec {
     assert(flat.forall(_.isNullAt(0)))
   }
 
+  test("modeOf: most frequent event type per user, alphabetic tie-break") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, "b"), (1L, "a"), (1L, "a"), (1L, "b"), // tie 2-2 -> a
+      (2L, "c"), (2L, "c"), (2L, "a")).toDF("user_id", "event_type")
+    val got = graft.queries.Analytics.modeOf(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a", 2L), (2L, "c", 2L)))
+  }
+
+  test("windowWinsorize invariants: clamped into band, untouched when unclipped") {
+    val rows = graft.queries.Analytics.windowWinsorize(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 1000)
+    rows.foreach { r =>
+      val (w, p05, p95, clipped) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5))
+      assert(w >= p05 && w <= p95, s"w_close $w escapes [$p05, $p95]")
+      assert(clipped == 0 || w == p05 || w == p95,
+        "clipped rows must sit on a band edge")
+    }
+    assert(rows.exists(_.getInt(5) == 1), "corpus should clip somewhere")
+  }
+
   test("kmeans: planted clusters separate, update pulls centroids to the group mean") {
     val s = spark
     import s.implicits._
