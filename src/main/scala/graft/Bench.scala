@@ -135,15 +135,20 @@ object Bench {
       .map { case (k, _, ss) => "\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val headlineJson = throughput.map { case (rows, sec, rps, ss) =>
-      s""""feature_pipeline_rows":$rows,"feature_pipeline_sec":$sec,""" +
-        s""""feature_pipeline_rows_per_sec":${rps.toLong},""" +
-        s""""feature_pipeline_samples":${ss.mkString("[", ",", "]")},"""
-    }.getOrElse("") + throughput10m.map { case (rows, sec, rps, ss) =>
-      s""""feature_pipeline_10m_rows":$rows,"feature_pipeline_10m_sec":$sec,""" +
-        s""""feature_pipeline_10m_rows_per_sec":${rps.toLong},""" +
-        s""""feature_pipeline_10m_samples":${ss.mkString("[", ",", "]")},"""
-    }.getOrElse("")
+    // Filtered (dev) runs emit the headline keys as null rather than
+    // omitting them, so any parser treating them as required still works.
+    def headlineKeys(prefix: String,
+        t: Option[(Long, Double, Double, Seq[Double])]): String = t match {
+      case Some((rows, sec, rps, ss)) =>
+        s""""${prefix}rows":$rows,"${prefix}sec":$sec,""" +
+          s""""${prefix}rows_per_sec":${rps.toLong},""" +
+          s""""${prefix}samples":${ss.mkString("[", ",", "]")},"""
+      case None =>
+        s""""${prefix}rows":null,"${prefix}sec":null,""" +
+          s""""${prefix}rows_per_sec":null,"${prefix}samples":null,"""
+    }
+    val headlineJson = headlineKeys("feature_pipeline_", throughput) +
+      headlineKeys("feature_pipeline_10m_", throughput10m)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$samplesJson,""" +
       headlineJson + s""""sf":"$sfDir"}""")
