@@ -93,6 +93,34 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** S6/S8 analog for text/columnar formats beyond CSV: round-trip the
+    * canonical bars through a sink format and normalize back — same oracle
+    * as ingest_bars (values must survive the round trip bit-exactly; JSON
+    * goes through decimal strings, ORC through its own columnar encoding). */
+  private def ingestBarsVia(s: SparkSession, dir: String,
+      format: String): DataFrame = {
+    val b = bars(s, dir).select("symbol", "event_id", "datetime",
+      "open", "high", "low", "close", "volume")
+    // per-process staging path (a fixed path would race concurrent sessions)
+    val path = s"/tmp/graft-$format-${Integer.toHexString(dir.hashCode)}-" +
+      ProcessHandle.current().pid()
+    graft.source.Storage.save(b, path, format)
+    val back = graft.source.Storage.load(s, path, format, Some(b.schema))
+    back.select(
+      col("symbol"), col("event_id"),
+      col("datetime").cast("timestamp_ntz").as("datetime"),
+      r6(col("open")).as("open"), r6(col("high")).as("high"),
+      r6(col("low")).as("low"), r6(col("close")).as("close"),
+      col("volume"))
+      .orderBy("event_id")
+  }
+
+  def ingestBarsJson(s: SparkSession, dir: String): DataFrame =
+    ingestBarsVia(s, dir, "json")
+
+  def ingestBarsOrc(s: SparkSession, dir: String): DataFrame =
+    ingestBarsVia(s, dir, "orc")
+
   /** M6/P10: top-20 GBT feature importances (rows-only — tree training is
     * not oracle-reproducible; invariants covered by MlSpec). Trains a small
     * model on a bounded, deterministic slice. */

@@ -25,6 +25,9 @@ object Storage {
     case "parquet" => df.write.mode("overwrite").parquet(path)
     case "csv" => df.write.mode("overwrite").option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+    case "json" => df.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").json(path)
+    case "orc" => df.write.mode("overwrite").orc(path)
     case other => throw new IllegalArgumentException(s"Unsupported format: $other")
   }
 
@@ -35,6 +38,11 @@ object Storage {
       val r = spark.read.option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+    case "json" =>
+      val r = spark.read
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      schema.fold(r)(s => r.schema(s)).json(path)
+    case "orc" => spark.read.orc(path)
     case other => throw new IllegalArgumentException(s"Unsupported format: $other")
   }
 

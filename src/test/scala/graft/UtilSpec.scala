@@ -16,11 +16,11 @@ class UtilSpec extends SparkSpec {
       "/data/processed/features.csv")
   }
 
-  test("parquet and csv save/load roundtrip bars exactly") {
+  test("parquet, csv, json, and orc save/load roundtrip bars exactly") {
     val df = barsOf(Seq(100.0, 101.5, 99.8)).select(
       "symbol", "event_id", "datetime", "open", "high", "low", "close", "volume")
     val base = java.nio.file.Files.createTempDirectory("graft-storage").toString
-    for (fmt <- Seq("parquet", "csv")) {
+    for (fmt <- Seq("parquet", "csv", "json", "orc")) {
       Storage.save(df, s"$base/$fmt", fmt)
       val back = Storage.load(spark, s"$base/$fmt", fmt, Some(df.schema))
       assert(back.orderBy("event_id").collect().toSeq ==
