@@ -70,6 +70,19 @@ object Storage {
       .saveAsTable(table)
   }
 
+  /** Hive-style date-partitioned parquet layout (`.../day=YYYY-MM-DD/...`)
+    * — the standard lake layout for time-series facts: a reader filtering
+    * on `day` prunes whole directories at PLANNING time (PartitionFilters,
+    * no file even listed), which is what makes "last week over 100 TB of
+    * history" cost last week, not 100 TB. PlanSpec asserts the pruned scan
+    * reads strictly fewer files than the full table. */
+  def savePartitionedByDay(df: DataFrame, path: String,
+      tsCol: String = "datetime"): Unit =
+    df.withColumn("day",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+
   /** Newest file matching `{symbol}_{interval}_*.{format}` by modification
     * time (the reference's cache probe, storage.py:114-137). */
   def latestCached(dir: String, symbol: String, interval: String,

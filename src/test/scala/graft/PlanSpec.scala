@@ -200,6 +200,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned layout prunes partitions at planning time") {
+    val bars = graft.source.Bars.bars(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    graft.source.Storage.savePartitionedByDay(bars, path)
+    val all = spark.read.parquet(path)
+    val pruned = all.filter(col("day") === all.agg(max("day")).collect()(0).getDate(0))
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: ["),
+      s"day filter did not become a partition filter:\n$p")
+    // planning-time pruning: the scan SELECTS fewer partition directories
+    // (df.inputFiles ignores partition filters, so ask the scan node)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+        .head.selectedPartitions.partitionCount
+    assert(partsOf(pruned) == 1 && partsOf(all) > 1,
+      s"pruning selected ${partsOf(pruned)}/${partsOf(all)} partitions")
+    // the filter prunes directories, not rows: no day predicate may remain
+    // as a pushed data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(day)"),
+      "day should be a partition column, not a data column")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
