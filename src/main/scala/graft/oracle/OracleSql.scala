@@ -1050,4 +1050,67 @@ object OracleSql {
        |       ${r("p75 - p25")} AS iqr_close
        |FROM m ORDER BY event_id""".stripMargin
   }
+
+  /** Mirrors Analytics.lakeUpsert: union base (v1) + changed (v2) + inserted
+    * (v2, key + 1e9), keep the max-version row per key. Versions are unique
+    * per key in the fixture, so ROW_NUMBER is deterministic. */
+  val lakeUpsert: String =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, value, CAST(1 AS BIGINT) AS version FROM events
+       |), upd AS (
+       |  SELECT event_id, user_id, value + 1000.0 AS value, CAST(2 AS BIGINT) AS version
+       |  FROM events WHERE event_id % 10 = 0
+       |  UNION ALL
+       |  SELECT event_id + 1000000000, user_id, value, CAST(2 AS BIGINT)
+       |  FROM events WHERE event_id % 29 = 0
+       |), merged AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+       |)
+       |SELECT event_id, user_id, ${r("value")} AS value, version
+       |FROM merged WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Mirrors Analytics.snapshotDiff: full outer join on the key with
+    * presence markers (value nullability must not read as absence), change
+    * test IS DISTINCT FROM (null-safe, = Spark's !(a <=> b)). */
+  val snapshotDiff: String =
+    s"""WITH olds AS (
+       |  SELECT event_id, value, TRUE AS in_old FROM events
+       |), news AS (
+       |  SELECT event_id,
+       |         CASE WHEN event_id % 13 = 0 THEN value + 1.0 ELSE value END AS value,
+       |         TRUE AS in_new
+       |  FROM events WHERE event_id % 17 <> 0
+       |  UNION ALL
+       |  SELECT event_id + 1000000000, value, TRUE FROM events WHERE event_id % 29 = 0
+       |), j AS (
+       |  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       |         o.value AS old_value, n.value AS new_value, o.in_old, n.in_new
+       |  FROM olds o FULL OUTER JOIN news n ON o.event_id = n.event_id
+       |)
+       |SELECT event_id,
+       |       CASE WHEN in_old IS NULL THEN 'added'
+       |            WHEN in_new IS NULL THEN 'removed'
+       |            ELSE 'changed' END AS change,
+       |       ${r("old_value")} AS old_value, ${r("new_value")} AS new_value
+       |FROM j
+       |WHERE in_old IS NULL OR in_new IS NULL OR (old_value IS DISTINCT FROM new_value)
+       |ORDER BY event_id""".stripMargin
+
+  /** Mirrors Analytics.scd2History: keep rows where event_type changes in
+    * (ts, event_id) order, then validity intervals + per-user version. */
+  val scd2History: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, ts, event_id, event_type FROM o
+      |  WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type
+      |)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |FROM c ORDER BY user_id, version""".stripMargin
 }

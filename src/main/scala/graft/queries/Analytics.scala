@@ -546,4 +546,56 @@ object Analytics {
       .select(col("user_id") +: types.map(t => r6(col(t)).as(s"v_$t")): _*)
       .orderBy("user_id")
   }
+
+  /** Newest-wins upsert over the events table ([[graft.source.Lake.upsert]]):
+    * base = all events at version 1; the update batch rewrites value for
+    * every 10th key (version 2) and inserts brand-new keys (base id + 1e9)
+    * for every 29th. Deterministic fixture, so the merge is oracle-checked
+    * end to end. */
+  def lakeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir).select("event_id", "user_id", "value")
+    val base = ev.withColumn("version", lit(1L))
+    val updates = ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"),
+        (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+      .unionByName(ev.filter(col("event_id") % 29 === 0)
+        .select((col("event_id") + 1000000000L).as("event_id"), col("user_id"),
+          col("value"), lit(2L).as("version")))
+    graft.source.Lake.upsert(base, updates, Seq("event_id"), "version")
+      .select(col("event_id"), col("user_id"), r6(col("value")).as("value"),
+        col("version"))
+      .orderBy("event_id")
+  }
+
+  /** CDC snapshot diff ([[graft.source.Lake.snapshotDiff]]): new snapshot
+    * drops every 17th key, rewrites value on every 13th, adds new keys for
+    * every 29th — the diff must emit exactly the added/removed/changed rows
+    * and nothing for the untouched bulk. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir).select("event_id", "value")
+    val newSnap = ev.filter(col("event_id") % 17 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 13 === 0, col("value") + 1.0)
+          .otherwise(col("value")).as("value"))
+      .unionByName(ev.filter(col("event_id") % 29 === 0)
+        .select((col("event_id") + 1000000000L).as("event_id"), col("value")))
+    graft.source.Lake.snapshotDiff(ev, newSnap, Seq("event_id"), Seq("value"))
+      .select(col("event_id"), col("change"),
+        r6(col("old_value")).as("old_value"),
+        r6(col("new_value")).as("new_value"))
+      .orderBy("event_id")
+  }
+
+  /** SCD-2 change history ([[graft.source.Lake.scd2]]): collapse each
+    * user's event stream into validity intervals of `event_type` — the
+    * dimension-history build every warehouse needs. */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    graft.source.Lake.scd2(
+        Bars.readEvents(s, dir).select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", "event_type", Seq("event_id"))
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("version"))
+      .orderBy("user_id", "version")
 }

@@ -844,4 +844,58 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getDouble(2) == (20.0 - 15.0) / 15.0 * 100)
     assert(got(2).getDouble(2) == (30.0 - 80.0 / 3.0) / (80.0 / 3.0) * 100)
   }
+
+  test("Lake.upsert: newest version wins across multiple update batches") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "version")
+    // two update batches for the same key in one pass + one new key
+    val updates = Seq((1L, "a2", 2L), (1L, "a3", 3L), (4L, "d", 2L))
+      .toDF("k", "v", "version")
+    val got = graft.source.Lake.upsert(base, updates, Seq("k"), "version")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a3"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("Lake.snapshotDiff: null values are state, not absence") {
+    val s = spark
+    import s.implicits._
+    val o = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, Some(4.0)))
+      .toDF("k", "v")
+    // 1 unchanged, 2 changed to null, 3 null->null unchanged, 4 removed, 5 added
+    val n = Seq((1L, Some(1.0)), (2L, None), (3L, None), (5L, Some(5.0)))
+      .toDF("k", "v")
+    val got = graft.source.Lake.snapshotDiff(o, n, Seq("k"), Seq("v"))
+      .orderBy("k").select("k", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // nulls on both sides (key 3) must NOT surface as changed/removed, and a
+    // value changing TO null (key 2) is a change, not a removal
+    assert(got == Seq((2L, "changed"), (4L, "removed"), (5L, "added")))
+  }
+
+  test("Lake.scd2: validity intervals open-ended at the current state") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (7L, 10L, 1L, "x"), (7L, 20L, 2L, "x"), (7L, 30L, 3L, "y"),
+      (7L, 40L, 4L, "y"), (7L, 50L, 5L, "x"),
+      (8L, 10L, 6L, "z"))
+      .toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val got = graft.source.Lake.scd2(
+        ev, Seq("user_id"), "ts", "event_type", Seq("event_id"))
+      .orderBy("user_id", "version")
+      .select("user_id", "event_type", "valid_from", "valid_to", "version")
+      .collect()
+    // user 7: x [10,30) -> y [30,50) -> x [50, null); user 8: z [10, null)
+    assert(got.length == 4)
+    val asTuples = got.map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2).getTime / 1000,
+      if (r.isNullAt(3)) -1L else r.getTimestamp(3).getTime / 1000,
+      r.getLong(4))).toSeq
+    assert(asTuples == Seq(
+      (7L, "x", 10L, 30L, 1L), (7L, "y", 30L, 50L, 2L),
+      (7L, "x", 50L, -1L, 3L), (8L, "z", 10L, -1L, 1L)))
+  }
 }
