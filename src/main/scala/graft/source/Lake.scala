@@ -67,6 +67,55 @@ object Lake {
       .drop("_in_old", "_in_new")
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(rows / targetRowsPerFile)` evenly-sized files. The streaming
+    * sink and per-batch upserts leave thousands of KB-sized files per
+    * partition; at 100 TB the scan's task-scheduling and footer-reading
+    * overhead comes to dominate, so periodic compaction is part of the
+    * lake's steady state. Writes to a staging dir, then swaps — readers
+    * never observe a half-written table (same recovery contract as the
+    * reference's tmp-file cache writes, storage.py:60-96). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val dest = new org.apache.hadoop.fs.Path(path)
+    df.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    require(fs.rename(dest, old), s"compact: could not stage out $path")
+    require(fs.rename(staging, dest), s"compact: could not swap in $path")
+    fs.delete(old, true)
+  }
+
+  /** Zone-map manifest: per-file row count + min/max of the given columns
+    * (one narrow aggregate keyed by `input_file_name`). This is the
+    * data-skipping index Delta/Iceberg keep in their transaction logs —
+    * over plain parquet it lets a planner drop whole FILES before listing
+    * or opening them (one level above parquet's own row-group stats, which
+    * still require reading every footer). O(files) rows on the driver side
+    * only if collected; kept distributed here. */
+  def skippingManifest(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** Manifest-driven pruned read: keep only the files whose [min, max]
+    * range can contain `value`, and scan just those. Equality-predicate
+    * flavor of zone-map skipping; the collect is O(surviving files) of
+    * path strings — manifest-sized, never data-sized. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, value: Column): DataFrame = {
+    val manifest = skippingManifest(spark.read.parquet(path), Seq(column))
+    val files = manifest
+      .filter(col(s"min_$column") <= value && value <= col(s"max_$column"))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(path).filter(col(column) === value).limit(0)
+    else spark.read.parquet(files: _*).filter(col(column) === value)
+  }
+
   /** SCD type 2: collapse a keyed event stream into validity intervals of
     * the tracked attribute. Keeps only the rows where `attrCol` differs
     * from its predecessor (null-safe) in (tsCol, tieBreak) order, then

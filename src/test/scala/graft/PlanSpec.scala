@@ -224,6 +224,45 @@ class PlanSpec extends SparkSpec {
       "day should be a partition column, not a data column")
   }
 
+  test("compaction collapses a small-file table without changing its rows") {
+    val bars = graft.source.Bars.bars(spark, dir)
+      .select("symbol", "event_id", "close")
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-").toString + "/t"
+    bars.repartition(37).write.parquet(path)   // the streaming-sink pathology
+    val before = spark.read.parquet(path)
+    val filesBefore = before.inputFiles.length
+    val r1 = before.agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val (n, checksum) = (r1.getLong(0), r1.getLong(1))
+    graft.source.Lake.compact(spark, path, targetRowsPerFile = (n / 3) + 1)
+    val after = spark.read.parquet(path)
+    assert(after.inputFiles.length < filesBefore && after.inputFiles.length <= 3,
+      s"${after.inputFiles.length} files after compaction (was $filesBefore)")
+    val r2 = after.agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) == (n, checksum),
+      "compaction changed the data")
+  }
+
+  test("zone-map manifest skips files whose [min,max] excludes the predicate") {
+    val ev = graft.source.Bars.readEvents(spark, dir)
+      .select("event_id", "user_id", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft-zonemap-").toString + "/t"
+    // range-layout by user_id -> files carry disjoint user ranges
+    ev.repartitionByRange(8, col("user_id")).write.parquet(path)
+    val full = spark.read.parquet(path)
+    val manifest = graft.source.Lake.skippingManifest(full, Seq("user_id"))
+    assert(manifest.count() == full.inputFiles.length,
+      "manifest must carry exactly one row per file")
+    val probe = lit(full.agg(min(col("user_id"))).collect()(0).getLong(0))
+    val pruned = graft.source.Lake.prunedRead(spark, path, "user_id", probe)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"zone map skipped nothing (${pruned.inputFiles.length} files)")
+    val want = full.filter(col("user_id") === probe).agg(
+      count(lit(1)), sum(col("event_id"))).collect()(0)
+    val got = pruned.agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(got == want, "pruned read lost or duplicated rows")
+    assert(want.getLong(0) > 0, "probe user missing from fixture")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
