@@ -80,13 +80,26 @@ object Lake {
     val df = spark.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    replace(df.repartition(nFiles), path)
+  }
+
+  /** Replace the parquet table at `path` with `df` via a staging-dir swap:
+    * the new contents are fully written next to the table, then two renames
+    * exchange them — a reader never lists a half-written directory. `df`
+    * MAY read from `path` itself (the read happens while the old directory
+    * is still intact; the swap only runs after the staging write action
+    * completes). */
+  def replace(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
     val dest = new org.apache.hadoop.fs.Path(path)
-    df.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
-    require(fs.rename(dest, old), s"compact: could not stage out $path")
-    require(fs.rename(staging, dest), s"compact: could not swap in $path")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dest))
+      require(fs.rename(dest, old), s"replace: could not stage out $path")
+    require(fs.rename(staging, dest), s"replace: could not swap in $path")
     fs.delete(old, true)
   }
 

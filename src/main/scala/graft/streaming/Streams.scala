@@ -226,6 +226,40 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CDC upsert sink: merge every micro-batch into the parquet table at
+    * `tableDir` with newest-wins semantics ([[graft.source.Lake.upsert]])
+    * and swap it in atomically ([[graft.source.Lake.replace]]). Because the
+    * merge is version-keyed, a re-delivered batch after a failure re-merges
+    * to the IDENTICAL state — idempotence over the checkpoint's
+    * at-least-once redelivery, with no ordering dependence between batches
+    * (the max version wins regardless of arrival order).
+    *
+    * Scale note: this rewrites the whole table per trigger — correct for
+    * dimension-sized tables (the usual CDC target). For fact-sized targets
+    * compose the partition primitives instead: day-partition the table
+    * ([[graft.source.Storage.savePartitionedByDay]]), restrict the merge to
+    * the partitions the batch touches, and [[graft.source.Lake.compact]]
+    * on a schedule. */
+  def sinkUpsert(df: DataFrame, tableDir: String, checkpointDir: String,
+      keys: Seq[String], versionCol: String, tieBreak: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dest = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val base =
+          if (fs.exists(dest)) spark.read.parquet(tableDir)
+          else batch.toDF().limit(0)
+        graft.source.Lake.replace(
+          graft.source.Lake.upsert(base, batch.toDF(), keys, versionCol, tieBreak),
+          tableDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** events stream → per-symbol bar ticks (the narrow, streamable slice of
     * the bars adapter: symbol fold + close; the lag-based open/high/low are
     * batch-only). */

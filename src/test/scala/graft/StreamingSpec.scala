@@ -192,6 +192,37 @@ class StreamingSpec extends SparkSpec {
     assert(second.select("event_id").distinct().count() == 1000)
   }
 
+  test("streaming CDC upsert sink converges to the batch merge state") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
+    val in = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    // CDC batch 1: keys 0..99 at v1; CDC batch 2: keys 50..149 at v2
+    (0L until 100L).map(k => (k, k.toDouble, 1L)).toDF("k", "v", "version")
+      .coalesce(1).write.parquet(s"$in/b=1")
+    (50L until 150L).map(k => (k, k + 1000.0, 2L)).toDF("k", "v", "version")
+      .coalesce(1).write.parquet(s"$in/b=2")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v DOUBLE, version BIGINT")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)   // force two separate micro-batches
+        .option("recursiveFileLookup", "true").parquet(in)
+      Streams.sinkUpsert(stream, table, ckpt, Seq("k"), "version")
+        .awaitTermination(120000)
+    }
+    run()
+    def state() = spark.read.parquet(table)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val want = (0L until 50L).map(k => (k, k.toDouble)) ++
+      (50L until 150L).map(k => (k, k + 1000.0))
+    assert(state() == want, "merged table diverges from the batch merge")
+    // restart over the same checkpoint: nothing new, state unchanged — and a
+    // redelivered batch would re-merge to the identical versions anyway
+    run()
+    assert(state() == want, "restart perturbed the merged state")
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     val stream = Streams.sessionCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_sessions")
