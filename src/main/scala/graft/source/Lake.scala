@@ -83,6 +83,24 @@ object Lake {
     replace(df.repartition(nFiles), path)
   }
 
+  /** Apply a [[snapshotDiff]] change set to the old snapshot, reconstructing
+    * the new one: drop the keys the diff removes or rewrites, append the
+    * added/changed rows with their `new_` values. `patch` is manifest-sized
+    * (O(delta)), so both sides of the anti join stay cheap and the union is
+    * narrow — this is how a 100 TB replica applies an upstream CDC feed
+    * without receiving the full table. PropSpec asserts the round trip
+    * `applyDiff(old, snapshotDiff(old, new)) == new` over random snapshots. */
+  def applyDiff(oldSnap: DataFrame, patch: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val touched = patch.select(keys.map(col): _*)
+    val incoming = patch.filter(col("change").isin("added", "changed"))
+      .select(keys.map(col) ++
+        compareCols.map(c => col(s"new_$c").as(c)): _*)
+    oldSnap.select((keys ++ compareCols).map(col): _*)
+      .join(touched, keys, "left_anti")
+      .unionByName(incoming)
+  }
+
   /** Replace the parquet table at `path` with `df` via a staging-dir swap:
     * the new contents are fully written next to the table, then two renames
     * exchange them — a reader never lists a half-written directory. `df`

@@ -90,4 +90,53 @@ class PropSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: applyDiff(old, snapshotDiff(old, new)) reconstructs new exactly") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 6) {
+      val keyspace = 0L until (20 + rnd.nextInt(60)).toLong
+      // independent random subsets with random (sometimes null, sometimes
+      // shared) values — every diff class appears: added, removed, changed
+      // old<->null both directions, and untouched rows
+      def snap() = keyspace.filter(_ => rnd.nextDouble() < 0.7).map { k =>
+        (k, if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(5).toDouble))
+      }.toDF("k", "v")
+      val o = snap(); val n = snap()
+      val diff = graft.source.Lake.snapshotDiff(o, n, Seq("k"), Seq("v"))
+      val rebuilt = graft.source.Lake.applyDiff(o, diff, Seq("k"), Seq("v"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1).toSeq
+      assert(rows(rebuilt) == rows(n), "diff+patch did not reconstruct the new snapshot")
+      // and the diff of identical snapshots is empty
+      assert(graft.source.Lake.snapshotDiff(n, n, Seq("k"), Seq("v")).count() == 0)
+    }
+  }
+
+  test("property: upsert is idempotent and equals the max-version lookup") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 6) {
+      val base = (0L until (10 + rnd.nextInt(40)).toLong)
+        .map(k => (k, rnd.nextInt(100).toDouble, 1L)).toDF("k", "v", "version")
+      // several update batches per key, (k, version) unique by construction
+      val updates = (0L until 60L).filter(_ => rnd.nextDouble() < 0.4)
+        .flatMap(k => Seq(2L, 3L, 4L)
+          .filter(_ => rnd.nextDouble() < 0.5)
+          .map(ver => (k, rnd.nextInt(100).toDouble, ver)))
+        .toDF("k", "v", "version")
+      val once = graft.source.Lake.upsert(base, updates, Seq("k"), "version")
+      val twice = graft.source.Lake.upsert(once, updates, Seq("k"), "version")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(rows(once) == rows(twice), "re-applying the same batch changed state")
+      // newest-wins == naive per-key max-version lookup
+      val naive = base.unionByName(updates)
+        .withColumn("_mx", max(col("version")).over(
+          Window.partitionBy("k")))
+        .filter(col("version") === col("_mx")).drop("_mx")
+      assert(rows(once) == rows(naive), "upsert diverges from max-version lookup")
+    }
+  }
 }
