@@ -42,28 +42,18 @@ object Technical {
       ((delta > 0).cast("double") * delta).as("_gain"),
       ((delta < 0).cast("double") * (-delta)).as("_loss"))
 
-    // Stage 2: EWMAs + Bollinger (close-only, same window partitioning).
-    // Bollinger mean/std via the O(n) cum-lag identity (Frames.withCums).
-    val s1c = Frames.withCums(s1, Map("_c_bc" -> close, "_c_bc2" -> (close * close)))
-    val bbGate = Frames.cumCountGate("_c_bc", bbPeriod)
-    val bbS1 = Frames.cumRolling("_c_bc", bbPeriod)
-    val bbS2 = Frames.cumRolling("_c_bc2", bbPeriod)
-    val bbMid = when(bbGate, bbS1 / bbPeriod)
-    val bbSd = when(bbGate,
-      sqrt(greatest((bbS2 - bbS1 * bbS1 / bbPeriod) / (bbPeriod - 1), lit(0.0))))
+    // Stage 2: Bollinger (finite-window, shared with the incremental
+    // backfill path) + EWMAs, same window partitioning.
+    val s1b = withBollinger(s1, bbPeriod, bbStd)
     val part = Seq(col(Frames.SymbolCol))
     val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
     def ewm(c: org.apache.spark.sql.Column, span: Double, adjust: Boolean) =
       ewmaSpanOver(c, span, adjust, part, ord)
-    val s2 = s1c.select(col("*"),
+    val s2 = s1b.select(col("*"),
       ewm(col("_gain"), rsiPeriod, adjust = false).as("_avg_gain"),
       ewm(col("_loss"), rsiPeriod, adjust = false).as("_avg_loss"),
       (ewm(close, macdFast, adjust = true) -
-        ewm(close, macdSlow, adjust = true)).as("macd"),
-      bbMid.as("bb_middle"),
-      (bbMid + bbSd * bbStd).as("bb_upper"),
-      (bbMid - bbSd * bbStd).as("bb_lower"),
-      try_divide((bbMid + bbSd * bbStd) - (bbMid - bbSd * bbStd), bbMid).as("bb_width"))
+        ewm(close, macdSlow, adjust = true)).as("macd"))
 
     // Stage 3: RSI arithmetic + the second-pass signal EWMA over `macd`.
     val rs = col("_avg_gain") / (col("_avg_loss") + 1e-10)
@@ -73,6 +63,29 @@ object Technical {
         sig.as("macd_signal"),
         (col("macd") - sig).as("macd_histogram"))
       .drop("_gain", "_loss", "_avg_gain", "_avg_loss")
+  }
+
+  /** Bollinger bands alone (finite-window: rolling mean/std over bbPeriod
+    * closes via the O(n) cum-lag identity) — the standalone form the
+    * incremental backfill path composes ([[Incremental]]); [[withTechnical]]
+    * calls it with the identical expression trees, so both paths stay
+    * bit-equal to the oracle. */
+  def withBollinger(df: DataFrame,
+      bbPeriod: Int = Params.BbPeriod,
+      bbStd: Double = Params.BbStd): DataFrame = {
+    val close = col("close")
+    val s1c = Frames.withCums(df, Map("_c_bc" -> close, "_c_bc2" -> (close * close)))
+    val bbGate = Frames.cumCountGate("_c_bc", bbPeriod)
+    val bbS1 = Frames.cumRolling("_c_bc", bbPeriod)
+    val bbS2 = Frames.cumRolling("_c_bc2", bbPeriod)
+    val bbMid = when(bbGate, bbS1 / bbPeriod)
+    val bbSd = when(bbGate,
+      sqrt(greatest((bbS2 - bbS1 * bbS1 / bbPeriod) / (bbPeriod - 1), lit(0.0))))
+    s1c.select(col("*"),
+        bbMid.as("bb_middle"),
+        (bbMid + bbSd * bbStd).as("bb_upper"),
+        (bbMid - bbSd * bbStd).as("bb_lower"),
+        try_divide((bbMid + bbSd * bbStd) - (bbMid - bbSd * bbStd), bbMid).as("bb_width"))
       .drop(Frames.cumHelperCols(Seq("_c_bc", "_c_bc2")): _*)
   }
 }

@@ -114,6 +114,45 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("property: incremental finite-feature backfill == full recompute on the new rows") {
+    import graft.features.Incremental
+    for (trial <- 1 to 3) {
+      // symbol A long (full lookback present), symbol B shorter than the
+      // lookback (null-gate behavior must also match), random closes
+      val nA = Incremental.FiniteLookback + 40 + rnd.nextInt(60)
+      val nB = 5 + rnd.nextInt(Incremental.FiniteLookback - 5)
+      val a = barsOf(Seq.fill(nA)(50.0 + rnd.nextDouble() * 100), "A")
+      val b = barsOf(Seq.fill(nB)(50.0 + rnd.nextDouble() * 100), "B")
+      val full = a.unionByName(b)
+      val newFromA = nA - (1 + rnd.nextInt(20)) // last k rows of A are "new"
+      val newFromB = nB - (1 + rnd.nextInt(4))
+      val isNew = (col("symbol") === "A" && col("event_id") >= newFromA) ||
+        (col("symbol") === "B" && col("event_id") >= newFromB)
+      val got = Incremental.backfillFinite(
+        full.filter(!isNew), full.filter(isNew))
+      val want = Incremental.finiteFeatures(full).filter(isNew)
+      val cols = Seq("symbol", "event_id") ++ Incremental.FiniteFeatureCols
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).orderBy("symbol", "event_id")
+          .collect().map(_.toSeq).toSeq
+      val (g, w2) = (rows(got), rows(want))
+      assert(g.length == w2.length, s"trial $trial: row counts differ")
+      // same reals, different cum-sum association origin: compare with a
+      // tight RELATIVE tolerance (the identity is exact in math, ulp-level
+      // in fp — see Incremental's scaladoc)
+      g.zip(w2).foreach { case (gr, wr) =>
+        gr.zip(wr).zipWithIndex.foreach {
+          case ((a: java.lang.Double, b: java.lang.Double), i) =>
+            val denom = math.max(1.0, math.max(math.abs(a), math.abs(b)))
+            assert(math.abs(a - b) / denom <= 1e-9,
+              s"trial $trial row ${gr.take(2)} col ${cols(i)}: $a vs $b")
+          case ((a, b), i) =>
+            assert(a == b, s"trial $trial row ${gr.take(2)} col ${cols(i)}: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("property: upsert is idempotent and equals the max-version lookup") {
     val s = spark
     import s.implicits._
