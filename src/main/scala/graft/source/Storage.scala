@@ -83,6 +83,23 @@ object Storage {
           org.apache.spark.sql.functions.col(tsCol)))
       .write.mode("overwrite").partitionBy("day").parquet(path)
 
+  /** Schema-evolving read over a parquet directory written by different
+    * pipeline versions: `mergeSchema` unions the per-file schemas (columns
+    * added by newer writers arrive as NULL on old files), and
+    * `requiredCols` pins the expected superset so a reader fails loudly on
+    * a column that never existed instead of propagating a silent NULL
+    * stream downstream. The standard evolution path for an append-only
+    * lake where rewriting 100 TB of history for a new column is not an
+    * option. */
+  def loadEvolved(spark: SparkSession, path: String,
+      requiredCols: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    val missing = requiredCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"loadEvolved($path): columns absent from every file: ${missing.mkString(", ")}")
+    df
+  }
+
   /** Newest file matching `{symbol}_{interval}_*.{format}` by modification
     * time (the reference's cache probe, storage.py:114-137). */
   def latestCached(dir: String, symbol: String, interval: String,

@@ -105,4 +105,26 @@ class UtilSpec extends SparkSpec {
       Scoring.scoreClassifier(model, feats.drop("rsi"), fcols)
     }
   }
+
+  test("loadEvolved merges schema versions and rejects never-present columns") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve-").toString + "/t"
+    // v1 writer: two columns; v2 writer adds `sector`
+    Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "close")
+      .write.parquet(s"$dir/v=1")
+    Seq((3L, 30.0, "tech")).toDF("event_id", "close", "sector")
+      .write.parquet(s"$dir/v=2")
+    val merged = graft.source.Storage.loadEvolved(spark, dir,
+      requiredCols = Seq("event_id", "close", "sector"))
+    val rows = merged.orderBy("event_id").collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.isNullAt(rows(0).fieldIndex("sector"))),
+      "old-version rows must surface the new column as NULL")
+    assert(rows(2).getAs[String]("sector") == "tech")
+    val err = intercept[IllegalArgumentException] {
+      graft.source.Storage.loadEvolved(spark, dir, requiredCols = Seq("no_such_col"))
+    }
+    assert(err.getMessage.contains("no_such_col"))
+  }
 }
