@@ -121,6 +121,27 @@ object TextSimSql {
        |       ${r("quality_score")} AS quality_score
        |FROM rk WHERE rnk <= ceil(n * 0.5) ORDER BY doc_id""".stripMargin
 
+  /** Mirrors Corpus.curriculum(buckets=10): global quality rank on the RAW
+    * score → decile via exact integer division → md5-draw shuffle within
+    * decile → global curriculum rank. The Spark side's two bucketed
+    * numberings reproduce both ROW_NUMBERs exactly. */
+  val corpusCurriculum: String =
+    s"""WITH $statsCtesBody, q AS (
+       |  SELECT doc_id, $qualityExpr AS quality_score FROM s2
+       |), r1 AS (
+       |  SELECT doc_id,
+       |         ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS qrn,
+       |         COUNT(*) OVER () AS n
+       |  FROM q
+       |), d AS (
+       |  SELECT doc_id, CAST(1 + ((qrn - 1) * 10) // n AS BIGINT) AS decile,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM r1
+       |)
+       |SELECT doc_id, decile,
+       |       ROW_NUMBER() OVER (ORDER BY decile, ($hexDecode), doc_id) AS curriculum_rank
+       |FROM d ORDER BY doc_id""".stripMargin
+
   /** Mirrors TextStats.charEntropy: H = log2(n) − (Σ c·log2(c)) / n over
     * per-character counts; the one float sum is a sequential fold over the
     * character-sorted count list (list_sum over an ORDER BY ch aggregate),

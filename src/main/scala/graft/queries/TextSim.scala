@@ -64,6 +64,13 @@ object TextSim {
         r6(col("quality_score")).as("quality_score"))
       .orderBy("doc_id")
 
+  /** Curriculum training order: quality deciles, md5-shuffled within each
+    * decile (see [[graft.text.Corpus.curriculum]]). */
+  def corpusCurriculum(s: SparkSession, dir: String): DataFrame =
+    Corpus.curriculum(Tables.documents(s, dir))
+      .select(col("doc_id"), col("decile"), col("curriculum_rank"))
+      .orderBy("doc_id")
+
   /** PII detection + redaction over the corpus — per-class counts plus the
     * digest of the fully redacted text (regex parity with the oracle is
     * checked even where the corpus contains no PII; OpsSpec plants docs

@@ -178,4 +178,30 @@ object Corpus {
       .filter(col("quality_rank") <= ceil(col("_n") * frac))
       .drop("_n")
   }
+
+  /** Curriculum ordering: bucket the corpus into quality deciles (decile 1
+    * = best), deterministically shuffle WITHIN each decile (md5 draw), and
+    * emit the global training order — easy → hard curriculum with no
+    * quality-rank ordering artifacts inside a bucket.
+    *
+    * Both global numberings use the range-bucket + offsets scheme
+    * ([[graft.analytics.Ranking.withGlobalRowNumber]]) — no
+    * single-partition window at any point. The final pass buckets by
+    * decile (`buckets`-way parallelism); for corpora where n/buckets
+    * exceeds a comfortable partition, raise `buckets` — the decile
+    * arithmetic generalizes to any bucket count. */
+  def curriculum(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val q = TextStats.withStats(docs).select(col("doc_id"), col("quality_score"))
+    val (ranked, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      q, -col("quality_score"), Seq(col("quality_score").desc, col("doc_id")),
+      rnCol = "_qrn")
+    val withDecile = ranked
+      .withColumn("decile", expr(s"1L + ((_qrn - 1L) * $buckets) div ${n}L"))
+      .withColumn("_draw", hashDraw(col("doc_id")))
+    val (ordered, _) = graft.analytics.Ranking.withGlobalRowNumber(
+      withDecile, col("decile"),
+      Seq(col("decile"), col("_draw"), col("doc_id")),
+      rnCol = "curriculum_rank")
+    ordered.drop("_qrn", "_draw")
+  }
 }

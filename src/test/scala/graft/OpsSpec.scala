@@ -845,6 +845,30 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getDouble(2) == (30.0 - 80.0 / 3.0) / (80.0 / 3.0) * 100)
   }
 
+  test("curriculum: deciles partition by quality, rank is a decile-ordered permutation") {
+    val s = spark
+    import s.implicits._
+    // quality_score is driven by ws_tokens (punct/stopword terms are 0):
+    // longer docs score higher, so doc i's quality rises with i
+    val docs = (0L until 40L)
+      .map(i => (i, "src", Seq.fill(i.toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = graft.text.Corpus.curriculum(docs)
+      .select("doc_id", "decile", "curriculum_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 40)
+    // ranks are a permutation of 1..40
+    assert(got.map(_._3).sorted.toSeq == (1L to 40L))
+    // 40 docs into 10 deciles -> exactly 4 each; decile 1 = best = longest
+    val byDecile = got.groupBy(_._2)
+    assert(byDecile.keySet == (1L to 10L).toSet && byDecile.values.forall(_.length == 4))
+    assert(byDecile(1L).map(_._1).toSet == Set(36L, 37L, 38L, 39L))
+    // every rank in decile d precedes every rank in decile d+1
+    for (d <- 1L until 10L)
+      assert(byDecile(d).map(_._3).max < byDecile(d + 1).map(_._3).min,
+        s"decile $d ranks overlap decile ${d + 1}")
+  }
+
   test("Lake.upsert: newest version wins across multiple update batches") {
     val s = spark
     import s.implicits._
