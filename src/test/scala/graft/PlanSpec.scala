@@ -224,6 +224,16 @@ class PlanSpec extends SparkSpec {
       "day should be a partition column, not a data column")
   }
 
+  test("lake upsert plans a map-side WindowGroupLimit before the key shuffle") {
+    val p = plan(graft.queries.Analytics.lakeUpsert(spark, dir))
+    // rank-limit pushdown: Spark inserts partial + final WindowGroupLimit
+    // around the exchange, so each mapper keeps only its local top-1 per
+    // key — the shuffle moves candidates, not the whole table
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial+final WindowGroupLimit around the merge shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("compaction collapses a small-file table without changing its rows") {
     val bars = graft.source.Bars.bars(spark, dir)
       .select("symbol", "event_id", "close")
