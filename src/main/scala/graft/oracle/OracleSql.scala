@@ -1097,6 +1097,33 @@ object OracleSql {
        |WHERE in_old IS NULL OR in_new IS NULL OR (old_value IS DISTINCT FROM new_value)
        |ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.scd2Asof: state at each (user, hour) probe via the
+    * half-open interval join — equivalent to the Spark side's linear
+    * union+window "latest change at or before t" (a zero-width interval is
+    * never observable in either form). */
+  val scd2Asof: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, ts, event_id, event_type FROM o
+      |  WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type
+      |), hist AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |  FROM c
+      |), probes AS (
+      |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS at_ts FROM events
+      |)
+      |SELECT p.user_id, p.at_ts, s.event_type AS state_type, s.version
+      |FROM probes p LEFT JOIN hist s
+      |  ON s.user_id = p.user_id AND s.valid_from <= p.at_ts
+      |     AND (s.valid_to IS NULL OR p.at_ts < s.valid_to)
+      |ORDER BY p.user_id, p.at_ts""".stripMargin
+
   /** Mirrors Analytics.scd2History: keep rows where event_type changes in
     * (ts, event_id) order, then validity intervals + per-user version. */
   val scd2History: String =

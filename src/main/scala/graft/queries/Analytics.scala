@@ -586,6 +586,25 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Point-in-time lookup over the SCD-2 history
+    * ([[graft.source.Lake.pointInTime]]): the state of each user's
+    * event_type at every hour boundary they were active — linear
+    * union+window instead of a range join. */
+  def scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    val hist = graft.source.Lake.scd2(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", "event_type", Seq("event_id"))
+      .select(col("user_id"), col("valid_from"), col("event_type"), col("version"))
+    val probes = ev.select(col("user_id"),
+      date_trunc("hour", col("ts")).as("at_ts")).distinct()
+    graft.source.Lake.pointInTime(hist, probes, Seq("user_id"),
+        "valid_from", "at_ts", Seq("event_type", "version"))
+      .select(col("user_id"), col("at_ts").cast("timestamp_ntz").as("at_ts"),
+        col("event_type").as("state_type"), col("version"))
+      .orderBy("user_id", "at_ts")
+  }
+
   /** SCD-2 change history ([[graft.source.Lake.scd2]]): collapse each
     * user's event stream into validity intervals of `event_type` — the
     * dimension-history build every warehouse needs. */

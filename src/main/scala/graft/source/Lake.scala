@@ -83,6 +83,40 @@ object Lake {
     replace(df.repartition(nFiles), path)
   }
 
+  /** Point-in-time lookup against an [[scd2]] history: for every probe row,
+    * find the attribute state valid at its timestamp — WITHOUT a range
+    * join. History change rows and probes are unioned and sorted once per
+    * key; a running `last(ignoreNulls)` carries the latest change at or
+    * before each probe (change rows sort before probes at equal
+    * timestamps, so a state starting exactly at the probe time applies).
+    * One hash exchange + one window — linear, where the equivalent
+    * `valid_from <= t < valid_to` join is a range join the optimizer may
+    * degrade to a per-key quadratic. `attrCols` must be non-null in
+    * history (an SCD attribute legitimately-null would be skipped over by
+    * the ignoreNulls fill); `tieCol` orders simultaneous changes (latest
+    * wins, matching the half-open-interval semantics where a zero-width
+    * interval is never observable). */
+  def pointInTime(history: DataFrame, probes: DataFrame, keys: Seq[String],
+      validFromCol: String, probeTsCol: String, attrCols: Seq[String],
+      tieCol: String = "version"): DataFrame = {
+    val h = history.select(keys.map(col) ++
+      Seq(col(validFromCol).as("_t"), lit(false).as("_probe"),
+        col(tieCol).as("_tie")) ++ attrCols.map(col): _*)
+    val p = probes.select(keys.map(col) ++
+      Seq(col(probeTsCol).as("_t"), lit(true).as("_probe"),
+        lit(null).cast(history.schema(tieCol).dataType).as("_tie")) ++
+      attrCols.map(c => lit(null).cast(history.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_probe"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(p)
+      .select(keys.map(col) ++ Seq(col("_t"), col("_probe")) ++
+        attrCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("_probe"))
+      .drop("_probe")
+      .withColumnRenamed("_t", probeTsCol)
+  }
+
   /** Apply a [[snapshotDiff]] change set to the old snapshot, reconstructing
     * the new one: drop the keys the diff removes or rewrites, append the
     * added/changed rows with their `new_` values. `patch` is manifest-sized

@@ -869,6 +869,26 @@ class OpsSpec extends SparkSpec {
         s"decile $d ranks overlap decile ${d + 1}")
   }
 
+  test("Lake.pointInTime: probe-at-change sees it, pre-history is null, latest simultaneous change wins") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L),
+      // user 2: two simultaneous changes at t=10 — version 2 must win
+      (2L, 10L, "x", 1L), (2L, 10L, "y", 2L))
+      .toDF("user_id", "t", "state", "version")
+      .withColumn("valid_from", timestamp_micros(col("t") * 1000000L))
+    val probes = Seq((1L, 5L), (1L, 10L), (1L, 15L), (1L, 25L), (2L, 10L))
+      .toDF("user_id", "pt")
+      .withColumn("at_ts", timestamp_micros(col("pt") * 1000000L))
+    val got = graft.source.Lake.pointInTime(hist, probes, Seq("user_id"),
+        "valid_from", "at_ts", Seq("state", "version"))
+      .orderBy("user_id", "at_ts")
+      .select("user_id", "state").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(got == Seq((1L, null), (1L, "a"), (1L, "a"), (1L, "b"), (2L, "y")))
+  }
+
   test("Lake.upsert: newest version wins across multiple update batches") {
     val s = spark
     import s.implicits._
