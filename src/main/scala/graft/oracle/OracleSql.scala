@@ -840,6 +840,34 @@ object OracleSql {
        |       COUNT(*) AS n, ${r("MIN(value)")} AS v_lo, ${r("MAX(value)")} AS v_hi
        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
 
+  /** Mirrors Analytics.driftPsi: identical binning, rate and (p−q)·ln(p/q)
+    * arithmetic; the ≤~20-term per-type sum lands inside the 1e-6 rounding
+    * box under any association order. */
+  val driftPsi: String =
+    s"""WITH b AS (
+       |  SELECT event_type, (event_id % 2 = 0) AS is_base,
+       |         CAST(floor(value / 100.0) AS BIGINT) AS bin
+       |  FROM events
+       |), c AS (
+       |  SELECT event_type, is_base, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3
+       |), t AS (
+       |  SELECT event_type, is_base, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1, 2
+       |), r0 AS (
+       |  SELECT c.event_type, c.is_base, c.bin, CAST(c.n AS DOUBLE) / t.total AS rate
+       |  FROM c JOIN t USING (event_type, is_base)
+       |), pp AS (SELECT event_type, bin, rate AS p FROM r0 WHERE is_base),
+       |qq AS (SELECT event_type, bin, rate AS q FROM r0 WHERE NOT is_base),
+       |j AS (
+       |  SELECT COALESCE(pp.event_type, qq.event_type) AS event_type, pp.p, qq.q
+       |  FROM pp FULL OUTER JOIN qq
+       |    ON pp.event_type = qq.event_type AND pp.bin = qq.bin
+       |)
+       |SELECT event_type,
+       |       ${r("SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL THEN (p - q) * ln(p / q) END)")} AS psi,
+       |       COUNT(CASE WHEN p IS NOT NULL AND q IS NOT NULL THEN 1 END) AS n_bins_common,
+       |       COUNT(CASE WHEN p IS NULL OR q IS NULL THEN 1 END) AS n_bins_one_sided
+       |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val aggDistinct: String =
     """SELECT event_type, COUNT(*) AS n,
       |       COUNT(DISTINCT user_id) AS n_users,

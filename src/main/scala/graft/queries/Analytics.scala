@@ -206,6 +206,42 @@ object Analytics {
         r6(max(col("value"))).as("v_hi"))
       .orderBy("event_type", "bin")
 
+  /** Distribution drift between two data slices: Population Stability
+    * Index per event_type over the same fixed-width value bins as
+    * [[aggHistogram]]. Baseline = even event_ids, current = odd (a
+    * deterministic split standing in for "last week vs this week") —
+    * PSI = Σ_bins (p−q)·ln(p/q) over the bins BOTH sides populate, with
+    * the one-sided bin count reported next to it rather than smoothed
+    * away. Two partial+final aggregates and one broadcast-sized join of
+    * per-bin rates: the monitoring primitive that decides "retrain or
+    * not" without ever collecting a distribution to the driver. */
+  def driftPsi(s: SparkSession, dir: String, binWidth: Double = 100.0): DataFrame = {
+    val binned = Bars.readEvents(s, dir).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_base"),
+      floor(col("value") / binWidth).cast("long").as("bin"))
+    val counts = binned.groupBy("event_type", "is_base", "bin")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type", "is_base")
+      .agg(sum(col("n")).as("total"))
+    val rates = counts.join(totals, Seq("event_type", "is_base"))
+      .select(col("event_type"), col("is_base"), col("bin"),
+        (col("n").cast("double") / col("total")).as("rate"))
+    val base = rates.filter(col("is_base")).select(col("event_type"),
+      col("bin"), col("rate").as("p"))
+    val cur = rates.filter(!col("is_base")).select(col("event_type"),
+      col("bin"), col("rate").as("q"))
+    base.join(cur, Seq("event_type", "bin"), "full_outer")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("p").isNotNull && col("q").isNotNull,
+          (col("p") - col("q")) * log(col("p") / col("q")))).as("_psi"),
+        count(when(col("p").isNotNull && col("q").isNotNull, 1)).as("n_bins_common"),
+        count(when(col("p").isNull || col("q").isNull, 1)).as("n_bins_one_sided"))
+      .select(col("event_type"), r6(col("_psi")).as("psi"),
+        col("n_bins_common"), col("n_bins_one_sided"))
+      .orderBy("event_type")
+  }
+
   /** Distinct aggregation (the Expand + two-phase aggregate path): exact
     * per-type user cardinality next to the plain row count. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =

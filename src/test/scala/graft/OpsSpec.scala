@@ -845,6 +845,23 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getDouble(2) == (30.0 - 80.0 / 3.0) / (80.0 / 3.0) * 100)
   }
 
+  test("driftPsi: PSI is non-negative, near-zero on the even/odd null split") {
+    // sf0.01, not sf0.001: a null-split PSI concentrates like
+    // (bins-1)·(1/n_p + 1/n_q), so ~1000 rows per side are needed before
+    // "no drift" reads below the 0.1 rule-of-thumb threshold
+    val got = graft.queries.Analytics.driftPsi(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // every PSI term (p-q)*ln(p/q) is >= 0, so the sum must be
+    got.foreach { case (t, psi, nCommon) =>
+      assert(psi >= 0.0, s"$t: negative PSI $psi")
+      assert(nCommon > 0, s"$t: no common bins")
+      // even/odd event_ids are exchangeable draws from the same
+      // distribution -> drift must read as negligible
+      assert(psi < 0.1, s"$t: null split flagged as drift (psi=$psi)")
+    }
+  }
+
   test("curriculum: deciles partition by quality, rank is a decile-ordered permutation") {
     val s = spark
     import s.implicits._
