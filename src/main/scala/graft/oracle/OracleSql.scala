@@ -840,6 +840,19 @@ object OracleSql {
        |       COUNT(*) AS n, ${r("MIN(value)")} AS v_lo, ${r("MAX(value)")} AS v_hi
        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
 
+  /** Mirrors Analytics.topkPerUser(k=3): per-user rank by (value desc,
+    * event_id) — fully tie-broken, deterministic. */
+  val topkPerUser: String =
+    s"""WITH rk AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |           ORDER BY value DESC, event_id) AS rnk
+       |  FROM events
+       |)
+       |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, event_type,
+       |       ${r("value")} AS value
+       |FROM rk WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin
+
   /** Mirrors Analytics.driftPsi: identical binning, rate and (p−q)·ln(p/q)
     * arithmetic; the ≤~20-term per-type sum lands inside the 1e-6 rounding
     * box under any association order. */

@@ -206,6 +206,24 @@ object Analytics {
         r6(max(col("value"))).as("v_hi"))
       .orderBy("event_type", "bin")
 
+  /** Grouped top-k: each user's 3 highest-value events. Plans with
+    * partial+final WindowGroupLimit (rank-limit pushdown): every mapper
+    * keeps only its local top-3 per user BEFORE the shuffle, so the
+    * exchange moves O(users·k), not the table — the grouped complement of
+    * topk_events' global TakeOrderedAndProject. */
+  def topkPerUser(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    Bars.readEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("user_id"), col("rnk"), col("event_id"), col("event_type"),
+        r6(col("value")).as("value"))
+      .orderBy("user_id", "rnk")
+  }
+
   /** Distribution drift between two data slices: Population Stability
     * Index per event_type over the same fixed-width value bins as
     * [[aggHistogram]]. Baseline = even event_ids, current = odd (a

@@ -224,6 +224,12 @@ class PlanSpec extends SparkSpec {
       "day should be a partition column, not a data column")
   }
 
+  test("grouped top-k plans partial+final WindowGroupLimit around the shuffle") {
+    val p = plan(graft.queries.Analytics.topkPerUser(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"rank-limit pushdown missing — mappers would shuffle whole groups:\n$p")
+  }
+
   test("lake upsert plans a map-side WindowGroupLimit before the key shuffle") {
     val p = plan(graft.queries.Analytics.lakeUpsert(spark, dir))
     // rank-limit pushdown: Spark inserts partial + final WindowGroupLimit
