@@ -224,6 +224,13 @@ class PlanSpec extends SparkSpec {
       "day should be a partition column, not a data column")
   }
 
+  test("scd2_asof is linear: union+window, never a nested-loop range join") {
+    val p = plan(graft.queries.Analytics.scd2Asof(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"point-in-time lookup degraded to a quadratic join:\n$p")
+    assert(p.contains("Window"), "expected the running last() window")
+  }
+
   test("grouped top-k plans partial+final WindowGroupLimit around the shuffle") {
     val p = plan(graft.queries.Analytics.topkPerUser(spark, dir))
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
