@@ -72,9 +72,11 @@ object Lake {
     * sink and per-batch upserts leave thousands of KB-sized files per
     * partition; at 100 TB the scan's task-scheduling and footer-reading
     * overhead comes to dominate, so periodic compaction is part of the
-    * lake's steady state. Writes to a staging dir, then swaps — readers
-    * never observe a half-written table (same recovery contract as the
-    * reference's tmp-file cache writes, storage.py:60-96). */
+    * lake's steady state. Targets a flat directory; for a day-partitioned
+    * layout ([[Storage.savePartitionedByDay]]) compact each `day=...`
+    * subdirectory — which is also what bounds the rewrite to recent
+    * partitions instead of the archive. See [[replace]] for the swap's
+    * visibility contract. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetRowsPerFile: Long): Unit = {
     val df = spark.read.parquet(path)
@@ -137,10 +139,15 @@ object Lake {
 
   /** Replace the parquet table at `path` with `df` via a staging-dir swap:
     * the new contents are fully written next to the table, then two renames
-    * exchange them — a reader never lists a half-written directory. `df`
-    * MAY read from `path` itself (the read happens while the old directory
-    * is still intact; the swap only runs after the staging write action
-    * completes). */
+    * exchange them. Each rename is atomic, so a reader never lists a
+    * HALF-WRITTEN directory — but it can race the instant between the two
+    * renames and find the path briefly absent (the same contract as the
+    * reference's tmp-file cache rewrite, storage.py:60-96; lake formats
+    * close this gap with a catalog/manifest pointer swap, which needs a
+    * transaction log this plain-parquet layout deliberately doesn't have).
+    * `df` MAY read from `path` itself: the read happens while the old
+    * directory is intact, the swap only after the staging write action
+    * completes. */
   def replace(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val dest = new org.apache.hadoop.fs.Path(path)
