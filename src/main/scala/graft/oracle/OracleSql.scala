@@ -466,6 +466,49 @@ object OracleSql {
        |       CASE WHEN rn <= CAST(FLOOR(${1.0 - Params.TestSize} * n) AS BIGINT) THEN 'train' ELSE 'test' END AS split
        |FROM s ORDER BY event_id""".stripMargin
 
+  /** Mirrors Core.mlScaleTrain: train-only per-symbol stats (identical
+    * sum-of-squares arithmetic as aggStats), z-score applied to all rows;
+    * sd = 0 encodes as NULL, matching Spark's try_divide. */
+  val mlScaleTrain: String =
+    s"""$barsCte, sp AS (
+       |  SELECT symbol, event_id, close,
+       |         ROW_NUMBER() OVER (ORDER BY datetime, event_id) AS rn,
+       |         COUNT(*) OVER () AS n
+       |  FROM bars
+       |), lab AS (
+       |  SELECT symbol, event_id, close,
+       |         CASE WHEN rn <= CAST(FLOOR(${1.0 - Params.TestSize} * n) AS BIGINT)
+       |              THEN 'train' ELSE 'test' END AS split
+       |  FROM sp
+       |), st AS (
+       |  SELECT symbol, COUNT(*) AS cnt, SUM(close) AS s1, SUM(close * close) AS s2
+       |  FROM lab WHERE split = 'train' GROUP BY 1
+       |), mu AS (
+       |  SELECT symbol, s1 / cnt AS mu,
+       |         sqrt(GREATEST((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)) AS sd
+       |  FROM st
+       |)
+       |SELECT l.event_id, l.symbol, l.split,
+       |       ${r("CASE WHEN mu.sd = 0 THEN NULL ELSE (l.close - mu.mu) / mu.sd END")} AS close_z
+       |FROM lab l LEFT JOIN mu ON mu.symbol = l.symbol
+       |ORDER BY l.event_id""".stripMargin
+
+  /** Mirrors Core.targetEncode: LOO mean of the integer target per symbol
+    * (integer window sums — order-insensitive), single-row group → NULL. */
+  val targetEncode: String =
+    s"""$targetsCte, tt AS (
+       |  SELECT symbol, event_id, CAST(fwd > 0 AS BIGINT) AS target
+       |  FROM t WHERE fwd IS NOT NULL
+       |), ww AS (
+       |  SELECT symbol, event_id, target,
+       |         CAST(SUM(target) OVER (PARTITION BY symbol) AS BIGINT) AS tsum,
+       |         COUNT(*) OVER (PARTITION BY symbol) AS cnt
+       |  FROM tt
+       |)
+       |SELECT event_id, symbol, target,
+       |       ${r("CASE WHEN cnt = 1 THEN NULL ELSE CAST(tsum - target AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) END")} AS loo_target_enc
+       |FROM ww ORDER BY event_id""".stripMargin
+
   val barsResample: String =
     s"""$barsCte
        |SELECT symbol, date_trunc('hour', datetime) AS bar_start,

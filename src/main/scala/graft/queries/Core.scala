@@ -244,6 +244,51 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Leakage-free feature scaling: z-score `close` per symbol with
+    * statistics computed on the TEMPORAL TRAIN SPLIT ONLY, then applied to
+    * every row — the fit-on-train/transform-everything discipline the
+    * reference's scaler step implies (train.py fits before transform; a
+    * stat computed over test rows would leak the future into the features).
+    * Train stats per symbol are a broadcast-sized table, so the transform
+    * is one narrow projection after a broadcast join; the split numbering
+    * is the scalable bucketed row-number, not a single-partition window. */
+  def mlScaleTrain(s: SparkSession, dir: String): DataFrame = {
+    val b = bars(s, dir).select(col("symbol"), col("event_id"),
+      col("datetime"), col("close"))
+    val (withRn, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      b, unix_micros(col("datetime")), Seq(col("datetime"), col("event_id")))
+    val cut = math.floor((1.0 - Params.TestSize) * n).toLong
+    val split = withRn.withColumn("split",
+      when(col("rn") <= cut, "train").otherwise("test"))
+    val stats = split.filter(col("split") === "train")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("close")).as("s1"),
+        sum(col("close") * col("close")).as("s2"))
+      .select(col("symbol"), (col("s1") / col("n")).as("mu"),
+        sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+          lit(0.0))).as("sd"))
+    split.join(broadcast(stats), Seq("symbol"), "left")
+      .select(col("event_id"), col("symbol"), col("split"),
+        r6(try_divide(col("close") - col("mu"), col("sd"))).as("close_z"))
+      .orderBy("event_id")
+  }
+
+  /** Leave-one-out target encoding of the symbol category: each row's
+    * encoding is the mean classification target of its symbol EXCLUDING
+    * the row itself — the standard leakage guard for categorical mean
+    * encodings (a plain group mean would let every row see its own label).
+    * Integer target sums are fp-exact under any aggregation order, so the
+    * encoding is bit-portable; a single-row group encodes as NULL (0/0). */
+  def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    val t = Targets.withTarget(bars(s, dir), targetType = "classification")
+      .select(col("symbol"), col("event_id"), col("target").cast("long").as("target"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+    t.select(col("event_id"), col("symbol"), col("target"),
+        r6(try_divide((sum(col("target")).over(w) - col("target")).cast("double"),
+          (count(lit(1)).over(w) - 1).cast("double"))).as("loo_target_enc"))
+      .orderBy("event_id")
+  }
+
   /** OHLCV bar resampling: 1-min bars → 1-hour bars per symbol. The
     * market-data downsampling the reference's daily-vs-intraday split
     * implies (src/data/ingestion.py S1/S2): open/close are the
