@@ -924,6 +924,36 @@ object OracleSql {
        |       COUNT(CASE WHEN p IS NULL OR q IS NULL THEN 1 END) AS n_bins_one_sided
        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Mirrors Analytics.driftKs: identical binned rates; the running sums
+    * are window-ordered by bin (fixed accumulation order both engines). */
+  val driftKs: String =
+    s"""WITH b AS (
+       |  SELECT event_type, (event_id % 2 = 0) AS is_base,
+       |         CAST(floor(value / 100.0) AS BIGINT) AS bin
+       |  FROM events
+       |), c AS (
+       |  SELECT event_type, is_base, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3
+       |), t AS (
+       |  SELECT event_type, is_base, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1, 2
+       |), r0 AS (
+       |  SELECT c.event_type, c.is_base, c.bin, CAST(c.n AS DOUBLE) / t.total AS rate
+       |  FROM c JOIN t USING (event_type, is_base)
+       |), m AS (
+       |  SELECT event_type, bin,
+       |         SUM(CASE WHEN is_base THEN rate ELSE 0.0 END) AS p,
+       |         SUM(CASE WHEN NOT is_base THEN rate ELSE 0.0 END) AS q
+       |  FROM r0 GROUP BY 1, 2
+       |), g AS (
+       |  SELECT event_type,
+       |         abs(SUM(p) OVER (PARTITION BY event_type ORDER BY bin
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - SUM(q) OVER (PARTITION BY event_type ORDER BY bin
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS gap
+       |  FROM m
+       |)
+       |SELECT event_type, ${r("MAX(gap)")} AS ks, COUNT(*) AS n_bins
+       |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val aggDistinct: String =
     """SELECT event_type, COUNT(*) AS n,
       |       COUNT(DISTINCT user_id) AS n_users,

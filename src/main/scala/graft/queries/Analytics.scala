@@ -260,6 +260,40 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Binned Kolmogorov–Smirnov drift: max ECDF gap between the even/odd
+    * slices at [[aggHistogram]]'s bin granularity — [[driftPsi]]'s
+    * companion (PSI weighs mass ratios, KS catches location shifts PSI
+    * underweights). The running rate sums are window-ordered by bin, so
+    * they accumulate in a FIXED order — bit-identical cross-engine without
+    * any sequential-fold machinery. */
+  def driftKs(s: SparkSession, dir: String, binWidth: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Bars.readEvents(s, dir).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_base"),
+      floor(col("value") / binWidth).cast("long").as("bin"))
+    val counts = binned.groupBy("event_type", "is_base", "bin")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type", "is_base")
+      .agg(sum(col("n")).as("total"))
+    val rates = counts.join(totals, Seq("event_type", "is_base"))
+      .select(col("event_type"), col("bin"),
+        when(col("is_base"), col("n").cast("double") / col("total"))
+          .otherwise(lit(0.0)).as("p"),
+        when(!col("is_base"), col("n").cast("double") / col("total"))
+          .otherwise(lit(0.0)).as("q"))
+      // one row per (type, bin) carrying both sides' rate mass
+      .groupBy("event_type", "bin")
+      .agg(sum(col("p")).as("p"), sum(col("q")).as("q"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rates
+      .select(col("event_type"), col("bin"),
+        abs(sum(col("p")).over(w) - sum(col("q")).over(w)).as("_gap"))
+      .groupBy("event_type")
+      .agg(r6(max(col("_gap"))).as("ks"), count(lit(1)).as("n_bins"))
+      .orderBy("event_type")
+  }
+
   /** Distinct aggregation (the Expand + two-phase aggregate path): exact
     * per-type user cardinality next to the plain row count. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =

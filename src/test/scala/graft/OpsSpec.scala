@@ -862,6 +862,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("driftKs: KS in [0,1], near-zero on the null split") {
+    val got = graft.queries.Analytics.driftKs(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, ks) =>
+      assert(ks >= 0.0 && ks <= 1.0, s"$t: KS out of range: $ks")
+      // exchangeable even/odd split: the max ECDF gap concentrates near
+      // ~sqrt(ln(2/a)/n); at n~1000 per side anything over 0.1 is drift
+      assert(ks < 0.1, s"$t: null split flagged as drift (ks=$ks)")
+    }
+  }
+
   test("curriculum: deciles partition by quality, rank is a decile-ordered permutation") {
     val s = spark
     import s.implicits._
