@@ -157,28 +157,24 @@ object TextStats {
     *
     * Uses the join-free identity H = log2(n) − (Σ c·log2(c)) / n over the
     * per-character occurrence counts c. Fully NARROW per-row — no explode,
-    * no shuffle: the distinct-character list comes from
-    * `array_distinct(split(text, ''))`, each count from one literal
-    * `replace` length difference (O(alphabet · len) per row — the corpus
-    * alphabet is bounded), and the single float sum folds over the
-    * char-SORTED counts, the same sequence the oracle's
-    * `list_sum(list(... ORDER BY ch))` accumulates, so the doubles are
-    * bit-equal. (The r7 rewrite of the original explode → two doc-keyed
-    * shuffles formulation: same values, 15M-row shuffle at sf0.1 → zero.) */
+    * no shuffle: the char-sorted count array comes from the one-pass
+    * histogram expression [[graft.expr.CharCounts]] (O(len) per row; the
+    * earlier `array_distinct(split(..))` + per-char `replace` form rescanned
+    * the text once per distinct char, O(alphabet · len), and was the
+    * slowest narrow query in the sweep). The single float sum still folds
+    * over the char-SORTED counts in Spark SQL, the same sequence the
+    * oracle's `list_sum(list(... ORDER BY ch))` accumulates, so the doubles
+    * are bit-equal. (r7 history: explode → two doc-keyed shuffles, then the
+    * narrow replace form, then this.) */
   def charEntropy(docs: DataFrame): DataFrame =
     docs
-      // Spark split uses Java split(regex, -1): '' yields a TRAILING empty
-      // token — filter it or 0·log2(0) = NaN poisons the fold
       .select(col("doc_id"), col("text"),
-        expr("array_sort(filter(array_distinct(split(text, '')), c -> c != ''))")
-          .as("_cs"))
+        graft.expr.CharCounts.charCounts(col("text")).as("_cc"))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        size(col("_cs")).cast("long").as("n_distinct_chars"),
+        size(col("_cc")).cast("long").as("n_distinct_chars"),
         (log2(length(col("text"))) -
-          expr("aggregate(transform(_cs, " +
-            "c -> CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)), " +
-            "0D, (acc, x) -> acc + x * log2(x))") /
+          expr("aggregate(_cc, 0D, (acc, x) -> acc + x * log2(x))") /
           length(col("text"))).as("char_entropy"))
 
   /** Document fingerprint: lexicographic min of md5 over all char 8-grams —

@@ -220,4 +220,43 @@ class EquivSpec extends SparkSpec {
         s"doc ${r.getLong(0)} hash $h"))
     }
   }
+
+  test("CharCounts expression == split/distinct/replace count form, bit-exactly") {
+    val s = spark
+    import s.implicits._
+    // random ASCII docs + targeted edge cases: single char, all-same,
+    // whole-alphabet, and chars around the histogram's fast-path border
+    val rnd = new scala.util.Random(41L)
+    val alpha = (' ' to '~').mkString
+    val cases = Seq("a", "aaaa", alpha, alpha + alpha.reverse, " ~") ++
+      (1 to 40).map(_ => (1 to (1 + rnd.nextInt(200)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val docs = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      graft.expr.CharCounts.charCounts(col("text")).as("fast"),
+      expr("transform(array_sort(filter(array_distinct(split(text, '')), c -> c != '')), " +
+        "c -> CAST(length(text) - length(replace(text, c, '')) AS DOUBLE))").as("rel"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"doc ${r.getLong(0)}: histogram vs replace counts differ")
+    }
+    // the full charEntropy doubles must be bit-equal to the pre-rewrite form
+    val ent = graft.text.TextStats.charEntropy(docs)
+    val old = docs
+      .select(col("doc_id"), col("text"),
+        expr("array_sort(filter(array_distinct(split(text, '')), c -> c != ''))").as("_cs"))
+      .select(col("doc_id"),
+        (log2(length(col("text"))) -
+          expr("aggregate(transform(_cs, " +
+            "c -> CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)), " +
+            "0D, (acc, x) -> acc + x * log2(x))") /
+          length(col("text"))).as("old_entropy"))
+    ent.join(old, Seq("doc_id")).collect().foreach { r =>
+      val a = r.getAs[Double]("char_entropy")
+      val b = r.getAs[Double]("old_entropy")
+      assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+        s"doc ${r.getLong(0)}: entropy bits differ ($a vs $b)")
+    }
+  }
 }
