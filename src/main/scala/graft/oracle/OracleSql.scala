@@ -519,6 +519,38 @@ object OracleSql {
        |       SUM(volume) AS volume, COUNT(*) AS n_ticks
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
 
+  /** Mirrors Core.featureTargetCorr: same lag/lead feature frame, DuckDB's
+    * corr over the same null-pair-skipping semantics as Spark's; one row
+    * per feature via UNION ALL (Spark's stack). */
+  val featureTargetCorr: String = {
+    val feats = Seq(
+      "ret_1" -> "(close - prev) / prev",
+      "hl_range" -> "(high - low) / close",
+      "volume" -> "volume",
+      "close_px" -> "close")
+    val sel = feats.map { case (n, e) => s"$e AS $n" }.mkString(",\n       |         ")
+    val corrs = feats.map { case (n, _) => s"corr($n, target) AS $n" }
+      .mkString(", ")
+    val rows = feats.map { case (n, _) => s"SELECT '$n' AS feature, $n AS c FROM a" }
+      .mkString("\n       |  UNION ALL ")
+    s"""$barsCte, ff AS (
+       |  SELECT close, high, low, volume,
+       |         LAG(close, 1) OVER ($W) AS prev,
+       |         (LEAD(close, ${Params.PredictionHorizon}) OVER ($W) - close) / close AS fwd
+       |  FROM bars
+       |), f AS (
+       |  SELECT $sel,
+       |         fwd AS target
+       |  FROM ff WHERE fwd IS NOT NULL
+       |), a AS (
+       |  SELECT $corrs FROM f
+       |), st AS (
+       |  $rows
+       |)
+       |SELECT feature, ${r("c")} AS corr_target, ${r("abs(c)")} AS abs_corr
+       |FROM st ORDER BY abs_corr DESC, feature""".stripMargin
+  }
+
   /** Mirrors Core.barsGapfill: hourly resample (arg_max close = Spark's
     * max_by over the same zero-padded sort key) → per-symbol dense hour grid
     * → left join → forward fill via last_value IGNORE NULLS over the same

@@ -289,6 +289,39 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Feature-selection screen: global Pearson correlation of each candidate
+    * feature against the forward-return regression target, ranked by
+    * |corr| — the univariate relevance pass a feature store runs before
+    * training (cheap features only: one window pass for the lag/lead, then
+    * a single partial+final aggregate; output is feature-count rows, so the
+    * final reduce is trivially driver-safe at any input scale). */
+  def featureTargetCorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    val fwd = try_divide(
+      lead(col("close"), Params.PredictionHorizon).over(w) - col("close"),
+      col("close"))
+    val f = bars(s, dir)
+      .select(
+        try_divide(col("close") - prev, prev).as("ret_1"),
+        ((col("high") - col("low")) / col("close")).as("hl_range"),
+        col("volume").as("volume"),
+        col("close").as("close_px"),
+        fwd.as("target"))
+      .filter(col("target").isNotNull)
+    val feats = Seq("ret_1", "hl_range", "volume", "close_px")
+    val agg = f.agg(
+      corr(col(feats.head), col("target")).as(feats.head),
+      feats.tail.map(n => corr(col(n), col("target")).as(n)): _*)
+    agg
+      .select(expr("stack(" + feats.length + ", " +
+        feats.map(n => s"'$n', $n").mkString(", ") +
+        ") AS (feature, corr_target)"))
+      .select(col("feature"), r6(col("corr_target")).as("corr_target"),
+        r6(abs(col("corr_target"))).as("abs_corr"))
+      .orderBy(col("abs_corr").desc, col("feature"))
+  }
+
   /** OHLCV bar resampling: 1-min bars → 1-hour bars per symbol. The
     * market-data downsampling the reference's daily-vs-intraday split
     * implies (src/data/ingestion.py S1/S2): open/close are the
