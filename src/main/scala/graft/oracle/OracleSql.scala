@@ -519,6 +519,33 @@ object OracleSql {
        |       SUM(volume) AS volume, COUNT(*) AS n_ticks
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
 
+  /** Mirrors Core.mlCalibration: identical LOO score (targetEncode's
+    * window arithmetic), identical decile binning (floor·10 capped at 9),
+    * integer positive counts + double score sums per bin. */
+  val mlCalibration: String =
+    s"""$targetsCte, tt AS (
+       |  SELECT symbol, CAST(fwd > 0 AS BIGINT) AS target
+       |  FROM t WHERE fwd IS NOT NULL
+       |), ww AS (
+       |  SELECT target,
+       |         CASE WHEN cnt = 1 THEN NULL
+       |              ELSE CAST(tsum - target AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) END AS score
+       |  FROM (
+       |    SELECT target,
+       |           CAST(SUM(target) OVER (PARTITION BY symbol) AS BIGINT) AS tsum,
+       |           COUNT(*) OVER (PARTITION BY symbol) AS cnt
+       |    FROM tt
+       |  )
+       |), b AS (
+       |  SELECT LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+       |         COUNT(*) AS n, SUM(score) AS ss, CAST(SUM(target) AS BIGINT) AS st
+       |  FROM ww WHERE score IS NOT NULL GROUP BY 1
+       |)
+       |SELECT bin, n, ${r("ss / n")} AS avg_score,
+       |       ${r("CAST(st AS DOUBLE) / n")} AS frac_pos,
+       |       ${r("abs(ss / n - CAST(st AS DOUBLE) / n)")} AS calib_gap
+       |FROM b ORDER BY bin""".stripMargin
+
   /** Mirrors Core.featureTargetCorr: same lag/lead feature frame, DuckDB's
     * corr over the same null-pair-skipping semantics as Spark's; one row
     * per feature via UNION ALL (Spark's stack). */

@@ -289,6 +289,34 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Model-calibration reliability table: decile-bin a probability-like
+    * score, per bin report count, mean score, and empirical positive rate —
+    * the reliability-diagram / expected-calibration-error primitive of ML
+    * monitoring. Scored with the deterministic LOO target encoding (see
+    * [[targetEncode]]) so the whole table is oracle-replayable; a real
+    * deployment would feed model probabilities through the same shape.
+    * One window pass for the score, one partial+final aggregate to 10
+    * rows — driver-safe at any input scale. */
+  def mlCalibration(s: SparkSession, dir: String): DataFrame = {
+    val t = Targets.withTarget(bars(s, dir), targetType = "classification")
+      .select(col("symbol"), col("target").cast("long").as("target"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+    val scored = t.select(col("target"),
+        try_divide((sum(col("target")).over(w) - col("target")).cast("double"),
+          (count(lit(1)).over(w) - 1).cast("double")).as("score"))
+      .filter(col("score").isNotNull)
+    scored
+      .groupBy(least(floor(col("score") * 10), lit(9L)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("_ss"),
+        sum(col("target")).as("_st"))
+      .select(col("bin"), col("n"),
+        r6(col("_ss") / col("n")).as("avg_score"),
+        r6(col("_st").cast("double") / col("n")).as("frac_pos"),
+        r6(abs(col("_ss") / col("n") -
+          col("_st").cast("double") / col("n"))).as("calib_gap"))
+      .orderBy("bin")
+  }
+
   /** Feature-selection screen: global Pearson correlation of each candidate
     * feature against the forward-return regression target, ranked by
     * |corr| — the univariate relevance pass a feature store runs before
