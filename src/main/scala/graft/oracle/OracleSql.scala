@@ -519,6 +519,25 @@ object OracleSql {
        |       SUM(volume) AS volume, COUNT(*) AS n_ticks
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
 
+  /** Mirrors Core.classBalance: same md5 ordering (both engines emit the
+    * same hex), same per-class rank <= minority-count quota. */
+  val classBalance: String =
+    s"""$targetsCte, tt AS (
+       |  SELECT symbol, event_id, CAST(fwd > 0 AS BIGINT) AS target
+       |  FROM t WHERE fwd IS NOT NULL
+       |), c AS (
+       |  SELECT target, COUNT(*) AS cnt FROM tt GROUP BY 1
+       |), m AS (
+       |  SELECT MIN(cnt) AS min_cnt FROM c
+       |), rn AS (
+       |  SELECT symbol, event_id, target,
+       |         ROW_NUMBER() OVER (PARTITION BY target
+       |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+       |  FROM tt
+       |)
+       |SELECT event_id, symbol, target
+       |FROM rn, m WHERE rn <= min_cnt ORDER BY event_id""".stripMargin
+
   /** Mirrors Core.mlCalibration: identical LOO score (targetEncode's
     * window arithmetic), identical decile binning (floor·10 capped at 9),
     * integer positive counts + double score sums per bin. */

@@ -289,6 +289,31 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Class-imbalance correction: downsample every class to the minority
+    * class's row count, selecting per class the rows with the smallest
+    * md5(event_id) — a deterministic uniform draw without replacement
+    * (same discipline as [[graft.analytics.Sampling.stratifiedByHash]]:
+    * hash order, never rand(), so a re-run after a failure keeps the same
+    * rows). The quota rides along as a broadcast 1-row frame, so the plan
+    * stays lazy end to end — no driver-side collect. Exact quotas need a
+    * per-class global rank (one shuffle on target); with few classes that
+    * keys the window to few reducers, so at extreme scale pre-thin with
+    * [[graft.analytics.Sampling.bernoulliByHash]] at a few times the
+    * implied rate first and rank only the survivors. */
+  def classBalance(s: SparkSession, dir: String): DataFrame = {
+    val t = Targets.withTarget(bars(s, dir), targetType = "classification")
+      .select(col("event_id"), col("symbol"), col("target").cast("long").as("target"))
+    val minCnt = t.groupBy("target").agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("min_cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("target")
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    t.withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("rn") <= col("min_cnt"))
+      .select(col("event_id"), col("symbol"), col("target"))
+      .orderBy("event_id")
+  }
+
   /** Model-calibration reliability table: decile-bin a probability-like
     * score, per bin report count, mean score, and empirical positive rate —
     * the reliability-diagram / expected-calibration-error primitive of ML
