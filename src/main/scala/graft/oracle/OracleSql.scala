@@ -519,6 +519,53 @@ object OracleSql {
        |       SUM(volume) AS volume, COUNT(*) AS n_ticks
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
 
+  /** Mirrors Analytics.windowBeta: per-symbol lag return, market return as
+    * the symbol-sorted sequential fold (list_sum over ORDER BY symbol ==
+    * Spark's aggregate over array_sort'ed structs), then the standard
+    * cum−lag rolling-sum replay for the beta numerator/denominator. */
+  val windowBeta: String = {
+    val n = 20
+    val nD = s"$n.0"
+    s"""$barsCte, rr0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS ret
+       |  FROM bars
+       |), rr AS (
+       |  SELECT * FROM rr0 WHERE ret IS NOT NULL
+       |), mkt AS (
+       |  SELECT datetime,
+       |         list_sum(list(ret ORDER BY symbol)) / COUNT(*) AS mret
+       |  FROM rr GROUP BY datetime
+       |), j AS (
+       |  SELECT rr.symbol, rr.event_id, rr.datetime, rr.ret, mkt.mret
+       |  FROM rr JOIN mkt ON rr.datetime = mkt.datetime
+       |), c AS (
+       |  SELECT symbol, event_id, datetime, mret,
+       |         ${cumSum("ret")} AS _c_x,
+       |         COUNT(ret) OVER ($Wrun) AS _c_x_n,
+       |         ${cumSum("mret")} AS _c_m,
+       |         ${cumSum("ret * mret")} AS _c_xm,
+       |         ${cumSum("mret * mret")} AS _c_mm
+       |  FROM j
+       |), rolled AS (
+       |  SELECT symbol, event_id, datetime, mret,
+       |         ${cumRolling("_c_x", n)} AS sx,
+       |         ${cumRolling("_c_m", n)} AS sm,
+       |         ${cumRolling("_c_xm", n)} AS sxm,
+       |         ${cumRolling("_c_mm", n)} AS smm,
+       |         ${cumGate("_c_x", n)} AS g
+       |  FROM c
+       |), f AS (
+       |  SELECT symbol, event_id, mret,
+       |         $nD * smm - sm * sm AS varm,
+       |         $nD * sxm - sx * sm AS cov, g
+       |  FROM rolled
+       |)
+       |SELECT symbol, event_id, ${r("mret")} AS mret,
+       |       ${r("CASE WHEN g AND varm > 0.0 THEN cov / varm END")} AS beta_$n
+       |FROM f ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.classBalance: same md5 ordering (both engines emit the
     * same hex), same per-class rank <= minority-count quota. */
   val classBalance: String =

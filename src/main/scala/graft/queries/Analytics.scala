@@ -603,6 +603,61 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Rolling 20-bar market beta per symbol: the OLS slope of the symbol's
+    * 1-bar returns against the equal-weight cross-sectional market return —
+    * the classic factor-exposure window (pairs hedging, risk decomposition).
+    *
+    *   mret(t)  = Σ_{symbols s at t} ret_s(t) / n_t   (symbol-sorted fold)
+    *   beta     = (n·Σ x·m − Σx·Σm) / (n·Σm² − (Σm)²) over the last n bars
+    *
+    * Scale shape: one timestamp-keyed aggregate for the market return
+    * (partial+final; the per-timestamp group is symbol-count sized), one
+    * equi-join back on timestamp, then the same shared
+    * [[graft.features.Frames.bySymbol]] exchange + O(n) cum−lag rolling
+    * sums as every other window feature. Three shuffles total, all keyed —
+    * no broadcast of anything data-sized, no driver state.
+    *
+    * Bit-portability: the market-return float sum folds over the
+    * SYMBOL-SORTED (symbol, ret) structs — the same sequential-fold
+    * contract as charEntropy — and the rolling sums accumulate strictly
+    * left-to-right in row order, so the oracle replays every double. */
+  def windowBeta(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    import graft.features.Frames
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    val withRet = Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), col("datetime"),
+        try_divide(col("close") - prev, prev).as("ret"))
+      .filter(col("ret").isNotNull)
+    val mkt = withRet.groupBy("datetime")
+      .agg(collect_list(struct(col("symbol"), col("ret"))).as("_sr"),
+        count(lit(1)).as("_n"))
+      .select(col("datetime"),
+        (expr("aggregate(array_sort(_sr), 0D, (acc, x) -> acc + x.ret)") /
+          col("_n")).as("mret"))
+    val stage1 = withRet.join(mkt, Seq("datetime"))
+      .select(col("symbol"), col("event_id"), col("datetime"),
+        col("ret"), col("mret"),
+        (col("ret") * col("mret")).as("_xm"),
+        (col("mret") * col("mret")).as("_mm"))
+    val stage2 = Frames.withCums(stage1, Map(
+      "_c_x" -> col("ret"), "_c_m" -> col("mret"),
+      "_c_xm" -> col("_xm"), "_c_mm" -> col("_mm")))
+    val nD = lit(n.toDouble)
+    val sx = Frames.cumRolling("_c_x", n)
+    val sm = Frames.cumRolling("_c_m", n)
+    val sxm = Frames.cumRolling("_c_xm", n)
+    val smm = Frames.cumRolling("_c_mm", n)
+    val varm = nD * smm - sm * sm
+    val cov = nD * sxm - sx * sm
+    stage2
+      .select(col("symbol"), col("event_id"),
+        r6(col("mret")).as("mret"),
+        r6(when(Frames.cumCountGate("_c_x", n) && varm > 0.0, cov / varm))
+          .as(s"beta_$n"))
+      .orderBy("event_id")
+  }
+
   /** Rolling 20-bar Pearson correlation + sample covariance between close
     * and volume per symbol — the price/volume co-movement window family
     * member, computed via the same O(n) cum−lag sums as the volatility

@@ -231,6 +231,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "expected the running last() window")
   }
 
+  test("window_beta: keyed shuffles only — no cartesian, no data-sized broadcast") {
+    val df = Analytics.windowBeta(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"market-return join degraded to a quadratic shape:\n$p")
+    // one market-return aggregate + the shared symbol window exchange; the
+    // timestamp join may be hash- or sort-merge-joined, both keyed
+    assert(p.contains("Window"), "expected the rolling cum-sum window pass")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 4,
+      s"unexpected extra shuffles:\n$p")
+  }
+
   test("grouped top-k plans partial+final WindowGroupLimit around the shuffle") {
     val p = plan(graft.queries.Analytics.topkPerUser(spark, dir))
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
