@@ -1290,6 +1290,41 @@ object OracleSql {
        |FROM m ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.windowMad: frame median via quantile_cont (==
+    * Spark's two-product interp, see windowMedian), MAD via the manual
+    * two-product interpolation over the sorted abs-deviation list (the
+    * deviations are against the row's own frame median, so no windowed
+    * percentile can express it in either engine). */
+  val windowMad: String = {
+    val f = frame(21)
+    val lo = "CAST(floor(h) AS BIGINT) + 1"
+    val hi = "CAST(ceil(h) AS BIGINT) + 1"
+    val zExpr = "0.6745 * (close - med) / mad"
+    s"""$barsCte, m AS (
+       |  SELECT symbol, event_id, close,
+       |         list(close) OVER ($f) AS arr,
+       |         quantile_cont(close, 0.5) OVER ($f) AS med
+       |  FROM bars
+       |), d AS (
+       |  SELECT symbol, event_id, close, med,
+       |         list_sort(list_transform(arr, x -> abs(x - med))) AS darr
+       |  FROM m
+       |), k AS (
+       |  SELECT symbol, event_id, close, med, darr,
+       |         CAST(len(darr) - 1 AS DOUBLE) * 0.5 AS h
+       |  FROM d
+       |), mm AS (
+       |  SELECT symbol, event_id, close, med,
+       |         CASE WHEN floor(h) = ceil(h) THEN darr[$lo]
+       |              ELSE darr[$lo] * (ceil(h) - h) + darr[$hi] * (h - floor(h)) END AS mad
+       |  FROM k
+       |)
+       |SELECT symbol, event_id, ${r("med")} AS med_close, ${r("mad")} AS mad_close,
+       |       ${r(s"CASE WHEN mad > 0.0 THEN $zExpr END")} AS robust_z,
+       |       CASE WHEN mad > 0.0 THEN abs($zExpr) > 3.5 END AS is_outlier
+       |FROM mm ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Analytics.lakeUpsert: union base (v1) + changed (v2) + inserted
     * (v2, key + 1e9), keep the max-version row per key. Versions are unique
     * per key in the fixture, so ROW_NUMBER is deterministic. */

@@ -537,6 +537,38 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Rolling robust outliers: modified z-score over the 21-bar median/MAD
+    * (Iglewicz–Hoaglin 0.6745·(x−med)/MAD, |z|>3.5) — the
+    * heavy-tail-safe companion to window_outliers' mean/std z-scores (one
+    * fat-finger print inflates a rolling std enough to mask itself; the
+    * median absolute deviation doesn't budge). One collect_list window
+    * pass: median and MAD both come from codegen'd expression arithmetic
+    * over the same sorted 21-row frame (the MAD's deviations are against
+    * the row's own frame median, which no built-in windowed percentile can
+    * express); interpolation is the same two-product quantile_cont form as
+    * [[windowMedian]], mirrored manually in the oracle's list arithmetic.
+    * MAD = 0 (≥11 equal values in frame) yields NULL, like the std=0 gate. */
+  def windowMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy(col("datetime"), col("event_id"))
+      .rowsBetween(-20, 0)
+    val arr = sort_array(collect_list(col("close")).over(w))
+    val z = lit(0.6745) * (col("close") - col("_med")) / col("_mad")
+    Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), col("close"), arr.as("_arr"))
+      .select(col("symbol"), col("event_id"), col("close"), col("_arr"),
+        interp(col("_arr"), 0.5).as("_med"))
+      .select(col("symbol"), col("event_id"), col("close"), col("_med"),
+        interp(sort_array(transform(col("_arr"),
+          x => abs(x - col("_med")))), 0.5).as("_mad"))
+      .select(col("symbol"), col("event_id"),
+        r6(col("_med")).as("med_close"),
+        r6(col("_mad")).as("mad_close"),
+        r6(when(col("_mad") > 0.0, z)).as("robust_z"),
+        when(col("_mad") > 0.0, abs(z) > 3.5).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
   /** Rolling winsorization: clamp close into its own 21-bar [p05, p95]
     * band (exact quantile_cont percentiles over the same frame as
     * [[windowMedian]]) and flag clipped rows — the outlier-LIMITING
