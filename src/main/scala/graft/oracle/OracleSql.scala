@@ -1290,6 +1290,34 @@ object OracleSql {
        |FROM m ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.dqChecks: identical conditional counts (ELSE 0, so
+    * NULL comparisons fall through the same way) and the same
+    * dup-surplus sum for the uniqueness rule. */
+  val dqChecks: String = {
+    val vocab = Params.EventTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH narrow AS (
+       |  SELECT COUNT(*) AS n,
+       |         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+       |         SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS neg_value,
+       |         SUM(CASE WHEN event_type NOT IN ($vocab) THEN 1 ELSE 0 END) AS bad_type,
+       |         SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts
+       |  FROM events
+       |), dups AS (
+       |  SELECT COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS dup_id
+       |  FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id)
+       |), st AS (
+       |  SELECT 'event_id_unique' AS rule, dup_id AS v FROM dups
+       |  UNION ALL SELECT 'event_type_in_vocab', bad_type FROM narrow
+       |  UNION ALL SELECT 'ts_not_null', null_ts FROM narrow
+       |  UNION ALL SELECT 'value_non_negative', neg_value FROM narrow
+       |  UNION ALL SELECT 'value_not_null', null_value FROM narrow
+       |)
+       |SELECT rule, n AS n_checked, CAST(v AS BIGINT) AS n_violations,
+       |       ${r("CAST(v AS DOUBLE) / n")} AS violation_rate,
+       |       v = 0 AS passed
+       |FROM st, narrow ORDER BY rule""".stripMargin
+  }
+
   /** Mirrors Analytics.windowMad: frame median via quantile_cont (==
     * Spark's two-product interp, see windowMedian), MAD via the manual
     * two-product interpolation over the sorted abs-deviation list (the

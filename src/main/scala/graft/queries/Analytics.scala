@@ -537,6 +537,44 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Expectations-style data-quality gate: evaluate a fixed rule set over
+    * the raw events table and emit one row per rule (checked count,
+    * violation count, violation rate, pass flag) — the contract check a
+    * pipeline runs before promoting a batch. Column rules (not-null,
+    * range, vocabulary) fold into ONE partial+final aggregate over a
+    * single scan; the uniqueness rule needs a key-grouped count (one
+    * shuffle on the key — at extreme scale swap in the HLL± approximation
+    * the agg_distinct_approx path documents). Both legs reduce to 1-row
+    * frames, so the assembled rule table is driver-safe at any input
+    * size. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    val typesList = graft.Params.EventTypes
+    val narrow = ev.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+      sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("neg_value"),
+      sum(when(!col("event_type").isin(typesList: _*), 1L).otherwise(0L))
+        .as("bad_type"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("null_ts"))
+    val dups = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1L, col("c") - 1L)), lit(0L))
+        .as("dup_id"))
+    narrow.crossJoin(dups)
+      .select(expr("stack(5, " +
+        "'event_id_unique', dup_id, " +
+        "'event_type_in_vocab', bad_type, " +
+        "'ts_not_null', null_ts, " +
+        "'value_non_negative', neg_value, " +
+        "'value_not_null', null_value) AS (rule, n_violations)"),
+        col("n").as("n_checked"))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        r6(col("n_violations").cast("double") / col("n_checked"))
+          .as("violation_rate"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy("rule")
+  }
+
   /** Rolling robust outliers: modified z-score over the 21-bar median/MAD
     * (Iglewicz–Hoaglin 0.6745·(x−med)/MAD, |z|>3.5) — the
     * heavy-tail-safe companion to window_outliers' mean/std z-scores (one
