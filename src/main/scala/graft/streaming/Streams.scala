@@ -226,6 +226,73 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Reference histogram for the drift monitor: per (event_type, bin), the
+    * expected value-distribution rate, computed ONCE from a static
+    * historical frame (same floor-binning as the batch driftPsi). The
+    * result is bin-cardinality sized — small enough to sit in every
+    * executor for the life of the stream. */
+  def referenceRates(events: DataFrame, binWidth: Double = 100.0): DataFrame = {
+    val counts = events
+      .select(col("event_type"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum(col("n")).as("total"))
+    counts.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("bin"),
+        (col("n").cast("double") / col("total")).as("p"))
+  }
+
+  /** PSI of one (micro-)batch's value distribution against a reference —
+    * identical arithmetic to the batch [[graft.queries.Analytics.driftPsi]]
+    * ((p−q)·ln(p/q) over common bins, one-sided bins counted separately).
+    * Both join sides are bin-cardinality aggregates, so the join is tiny
+    * regardless of the batch's row count. */
+  def psiAgainst(batch: DataFrame, reference: DataFrame,
+      binWidth: Double = 100.0): DataFrame = {
+    val counts = batch
+      .select(col("event_type"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum(col("n")).as("total"))
+    val q = counts.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("bin"),
+        (col("n").cast("double") / col("total")).as("q"))
+    reference.join(q, Seq("event_type", "bin"), "full_outer")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("p").isNotNull && col("q").isNotNull,
+          (col("p") - col("q")) * log(col("p") / col("q")))).as("psi"),
+        count(when(col("p").isNotNull && col("q").isNotNull, 1))
+          .as("n_bins_common"),
+        count(when(col("p").isNull || col("q").isNull, 1))
+          .as("n_bins_one_sided"))
+  }
+
+  /** Streaming drift monitor: every micro-batch scores its own value
+    * distribution against the static reference histogram and appends one
+    * row per event_type to the monitoring table — the alerting signal a
+    * training-data pipeline watches as data arrives (PSI > 0.2 ⇒
+    * investigate before the next training run). foreachBatch + dynamic
+    * partition overwrite per `_batch_id`, so a re-delivered batch after a
+    * failure REWRITES its own partition — the same idempotent exactly-once
+    * recipe as [[sinkParquet]]. */
+  def driftMonitor(events: DataFrame, reference: DataFrame, outDir: String,
+      checkpointDir: String, binWidth: Double = 100.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        psiAgainst(batch.toDF(), reference, binWidth)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** CDC upsert sink: merge every micro-batch into the parquet table at
     * `tableDir` with newest-wins semantics ([[graft.source.Lake.upsert]])
     * and swap it in atomically ([[graft.source.Lake.replace]]). Because the

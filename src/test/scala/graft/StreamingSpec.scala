@@ -168,6 +168,39 @@ class StreamingSpec extends SparkSpec {
       s"expected a broadcast hash join, got:\n$plan")
   }
 
+  test("streaming drift monitor scores micro-batches like the batch driftPsi") {
+    val base = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val events = graft.source.Bars.readEvents(spark, dir)
+    // reference = even event_ids (driftPsi's base slice), materialized once
+    val ref = Streams.referenceRates(events.filter(col("event_id") % 2 === 0))
+      .localCheckpoint()
+    // stream the current slice (odd event_ids) through the monitor
+    val q = Streams.driftMonitor(
+      Streams.readEventStream(spark, dir).filter(col("event_id") % 2 === 1),
+      ref, out, ckpt)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    // one AvailableNow replay = one micro-batch = one row per event_type
+    assert(got.select("_batch_id").distinct().count() == 1)
+    // identical slices + identical arithmetic => the batch driftPsi values
+    val want = graft.queries.Analytics.driftPsi(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    val gotRows = got.collect()
+    assert(gotRows.length == want.size, "per-type monitor rows missing")
+    gotRows.foreach { r =>
+      val (psi, nc, ns) = want(r.getAs[String]("event_type"))
+      // driftPsi's output is r6-rounded (floor form, 1e-6); the monitor
+      // emits the raw sum — equality holds to the rounding granularity
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-6,
+        s"${r.getAs[String]("event_type")}: monitor PSI diverges from batch")
+      assert(r.getAs[Long]("n_bins_common") == nc &&
+        r.getAs[Long]("n_bins_one_sided") == ns)
+    }
+  }
+
   test("foreachBatch parquet sink is exactly-once across a checkpoint restart") {
     val base = java.nio.file.Files.createTempDirectory("graft-sink-").toString
     val out = s"$base/out"
