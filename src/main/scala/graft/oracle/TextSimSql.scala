@@ -440,7 +440,8 @@ object TextSimSql {
     * ending in `pairs`. `candCond` picks the candidate-join shape: the
     * self-dedup triangle (`x.doc_id < y.doc_id`) or the cross-corpus
     * train/eval restriction the decontamination queries use. */
-  private def minhashPairsCtesWith(candCond: String): String = {
+  private def minhashPairsCtesWith(candCond: String,
+      pairsBody: String = defaultPairsBody): String = {
     val bands = (0 until Dedup.Bands).map { b =>
       val hs = (0 until Dedup.RowsPerBand).map(rr => s"mh_${b * Dedup.RowsPerBand + rr}")
       s"SELECT doc_id, $b AS band_idx, concat_ws('|', ${hs.mkString(", ")}) AS band_val FROM sig"
@@ -464,14 +465,38 @@ object TextSimSql {
        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
        |  GROUP BY doc_a, doc_b
        |), pairs AS MATERIALIZED (
-       |  SELECT doc_a, doc_b,
-       |         CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
-       |  FROM inter
-       |  JOIN sizes za ON za.doc_id = doc_a
-       |  JOIN sizes zb ON zb.doc_id = doc_b
-       |  WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+       |  $pairsBody
        |)""".stripMargin
   }
+
+  /** Jaccard-threshold pairs clause shared by the minhash/decontam CTEs. */
+  private val defaultPairsBody: String =
+    """SELECT doc_a, doc_b,
+      |         CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes za ON za.doc_id = doc_a
+      |  JOIN sizes zb ON zb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5""".stripMargin
+
+  /** Containment pairs clause (mirrors Dedup.containmentPairs): both
+    * asymmetric containments + Jaccard, kept when the larger containment
+    * clears 0.5. */
+  private val containmentPairsBody: String =
+    """SELECT doc_a, doc_b,
+      |         CAST(n_inter AS DOUBLE) / za.n_sh AS containment_a,
+      |         CAST(n_inter AS DOUBLE) / zb.n_sh AS containment_b,
+      |         CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes za ON za.doc_id = doc_a
+      |  JOIN sizes zb ON zb.doc_id = doc_b
+      |  WHERE GREATEST(CAST(n_inter AS DOUBLE) / za.n_sh,
+      |                 CAST(n_inter AS DOUBLE) / zb.n_sh) >= 0.5""".stripMargin
+
+  val dedupContainment: String =
+    s"""${minhashPairsCtesWith("x.doc_id < y.doc_id", containmentPairsBody)}
+       |SELECT doc_a, doc_b, ${r("containment_a")} AS containment_a,
+       |       ${r("containment_b")} AS containment_b, ${r("jaccard")} AS jaccard
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   private val minhashPairsCtes: String =
     minhashPairsCtesWith("x.doc_id < y.doc_id")

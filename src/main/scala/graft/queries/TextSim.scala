@@ -144,6 +144,17 @@ object TextSim {
       .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Asymmetric containment over the LSH candidate pairs — the
+    * contamination-DIRECTION companion to dedup_minhash_pairs (which side
+    * of the pair is inside the other). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir))
+      .select(col("doc_a"), col("doc_b"),
+        r6(col("containment_a")).as("containment_a"),
+        r6(col("containment_b")).as("containment_b"),
+        r6(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** Held-out benchmark split for the decontamination queries: every 10th
     * document is the "eval" set, the rest "train" (a stand-in for the
     * benchmark corpus a real pipeline decontaminates against). */

@@ -108,6 +108,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: for each LSH candidate pair, the exact
+    * shingle containment in BOTH directions (|A∩B|/|A|, |A∩B|/|B|) next to
+    * the symmetric Jaccard — the contamination-direction signal
+    * (a benchmark document pasted inside a long training document has low
+    * Jaccard but containment ≈ 1 on the small side). Kept are pairs whose
+    * larger-direction containment clears `threshold`.
+    *
+    * Same scale shape as [[minhashPairs]]: narrow signatures, band-bucket
+    * candidate join, one array_intersect per pair. Caveat, documented
+    * honestly: candidate RECALL is still MinHash/Jaccard-driven — a pair
+    * with high containment but near-zero Jaccard may never band-collide;
+    * for guaranteed containment recall over a corpus, the shared-ngram
+    * index ([[sharedNgramPairs]]) is the primitive to compose. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sized = shingled(docs).localCheckpoint()
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    candidatePairs(minhashSignatures(docs))
+      .join(sized.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sized.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("za.sh"), col("zb.sh"))).cast("long").as("n_inter"),
+        col("za.n_sh").as("na"), col("zb.n_sh").as("nb"))
+      .filter(col("n_inter") >= 1)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("na")).as("containment_a"),
+        (col("n_inter").cast("double") / col("nb")).as("containment_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+  }
+
   /** Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs:
     * one `array_intersect` per pair against the per-doc distinct-shingle
     * arrays (`shA` for the a-side, `shB` for the b-side — the same frame for
