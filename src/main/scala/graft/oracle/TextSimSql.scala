@@ -716,22 +716,30 @@ object TextSimSql {
     * list literals, so both engines project onto bit-identical planes; the
     * projection is the usual sequential fold (exact: every term is a float
     * value times ±1.0). */
-  val simAnnLsh: String = {
+  private def lshPlaneList(k: Int): String = {
     import graft.sim.{Similarity => S}
-    def planeList(k: Int): String =
-      S.lshPlane(k, 64).map(x => if (x > 0) "1.0" else "-1.0")
-        .mkString("[", ", ", "]")
-    def planeDot(k: Int): String =
-      s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * (${planeList(k)})[i]))"
-    def bucketExpr(t: Int): String =
-      (0 until S.LshBits).map(j =>
-        s"CASE WHEN ${planeDot(t * S.LshBits + j)} > 0 THEN ${1L << j} ELSE 0 END")
-        .mkString(" + ")
-    val tableSelects = (0 until S.LshTables).map(t =>
-      s"  SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM e")
+    S.lshPlane(k, 64).map(x => if (x > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+  }
+  private def lshPlaneDot(k: Int): String =
+    s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * (${lshPlaneList(k)})[i]))"
+  private def lshBucketExpr(t: Int): String = {
+    import graft.sim.{Similarity => S}
+    (0 until S.LshBits).map(j =>
+      s"CASE WHEN ${lshPlaneDot(t * S.LshBits + j)} > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+  }
+  /** One UNION ALL branch per LSH table: (vec_id, tbl, bucket) rows. */
+  private def lshTableSelects: String = {
+    import graft.sim.{Similarity => S}
+    (0 until S.LshTables).map(t =>
+      s"  SELECT vec_id, $t AS tbl, ${lshBucketExpr(t)} AS bucket FROM e")
       .mkString("\n  UNION ALL\n")
+  }
+
+  val simAnnLsh: String = {
     s"""$embCte, asg AS (
-       |$tableSelects
+       |$lshTableSelects
        |), p AS (
        |  SELECT vec_id AS probe_id, tbl, bucket FROM asg WHERE vec_id < 10
        |), cand AS (
@@ -751,6 +759,65 @@ object TextSimSql {
        |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("cos")} AS cos
        |FROM rr WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
   }
+
+  /** Mirrors TextSim.simAnnRecall: brute truth + IVF + LSH top-3 legs
+    * (identical to their standalone oracles), scored with a left join —
+    * only the DISCRETE neighbor sets matter, and those are bit-settled by
+    * the identical cosine doubles and (cos DESC, neighbor_id) tie-break. */
+  val simAnnRecall: String =
+    s"""$ivfCte, truthp AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nv AS np FROM e WHERE vec_id < 10
+       |), tj AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id, ${cosP("pv", "v", "np", "nv")} AS cos
+       |  FROM e, truthp WHERE e.vec_id != probe_id
+       |), truth AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM tj
+       |  ) WHERE rnk <= 3
+       |), ip AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nv AS np, bucket FROM asg WHERE vec_id < 10
+       |), ij AS (
+       |  SELECT probe_id, asg.vec_id AS neighbor_id, ${cosP("pv", "v", "np", "nv")} AS cos
+       |  FROM asg JOIN ip USING (bucket) WHERE asg.vec_id != probe_id
+       |), iann AS (
+       |  SELECT 'ivf' AS method, probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM ij
+       |  ) WHERE rnk <= 3
+       |), lasg AS (
+       |$lshTableSelects
+       |), lp AS (
+       |  SELECT vec_id AS probe_id, tbl, bucket FROM lasg WHERE vec_id < 10
+       |), lcand AS (
+       |  SELECT DISTINCT probe_id, lasg.vec_id AS neighbor_id
+       |  FROM lasg JOIN lp USING (tbl, bucket) WHERE lasg.vec_id != probe_id
+       |), lj AS (
+       |  SELECT probe_id, neighbor_id,
+       |         ${cosP("pe.v", "ne.v", "pe.nv", "ne.nv")} AS cos
+       |  FROM lcand
+       |  JOIN e pe ON pe.vec_id = probe_id
+       |  JOIN e ne ON ne.vec_id = neighbor_id
+       |), lann AS (
+       |  SELECT 'lsh' AS method, probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM lj
+       |  ) WHERE rnk <= 3
+       |), ann AS (
+       |  SELECT * FROM iann UNION ALL SELECT * FROM lann
+       |), sc AS (
+       |  SELECT method, ann.probe_id, COUNT(*) AS n_returned,
+       |         SUM(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM ann LEFT JOIN truth
+       |    ON truth.probe_id = ann.probe_id AND truth.neighbor_id = ann.neighbor_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT method, probe_id, n_returned, CAST(n_hits AS BIGINT) AS n_hits,
+       |       ${r("CAST(n_hits AS DOUBLE) / 3.0")} AS recall_at_3
+       |FROM sc ORDER BY method, probe_id""".stripMargin
 
   val simQuantize: String =
     s"""WITH e AS (

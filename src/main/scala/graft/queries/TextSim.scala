@@ -211,6 +211,31 @@ object TextSim {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
       .orderBy("probe_id", "rank")
 
+  /** ANN quality measurement: recall@k of each approximate index (IVF
+    * buckets, multi-table sign-LSH) against the brute-force ground truth —
+    * the accept/reject gate for an ANN config before it serves a 100 TB
+    * retrieval corpus. Per (method, probe): how many of the true top-k the
+    * index returned, how many rows it returned at all (an under-filled
+    * bucket shows up here, not as a silent quality loss). The three top-k
+    * legs reuse the existing operators; the scoring is a tiny left join +
+    * aggregate over probe-count-sized frames. */
+  def simAnnRecall(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = Similarity.bruteTopK(emb, k = k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val ann = Similarity.ivfTopK(emb, k = k)
+        .select(lit("ivf").as("method"), col("probe_id"), col("neighbor_id"))
+      .unionByName(Similarity.lshTopK(emb, k = k)
+        .select(lit("lsh").as("method"), col("probe_id"), col("neighbor_id")))
+    ann.join(truth, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("method", "probe_id")
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("method"), col("probe_id"), col("n_returned"), col("n_hits"),
+        r6(col("n_hits").cast("double") / lit(k.toDouble)).as(s"recall_at_$k"))
+      .orderBy("method", "probe_id")
+  }
+
   /** int8 scalar quantization of every embedding, element-checked. */
   def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
