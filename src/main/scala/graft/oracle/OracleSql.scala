@@ -1290,6 +1290,43 @@ object OracleSql {
        |FROM m ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.userRfm: integer sort keys (micros / count /
+    * fixed-point monetary) make every rank bit-portable; quintiles are the
+    * same integer (rank−1)·5 // n + 1, never ntile(). */
+  val userRfm: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, value
+       |  FROM events WHERE event_type = 'purchase'
+       |), u AS (
+       |  SELECT user_id, MAX(ts_us) AS last_us, COUNT(*) AS frequency,
+       |         CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS m_i
+       |  FROM p GROUP BY 1
+       |), mx AS (
+       |  SELECT MAX(last_us) AS corpus_max FROM u
+       |), rr AS (
+       |  SELECT u.*,
+       |         ROW_NUMBER() OVER (ORDER BY last_us, user_id) AS r_rn,
+       |         ROW_NUMBER() OVER (ORDER BY frequency, user_id) AS f_rn,
+       |         ROW_NUMBER() OVER (ORDER BY m_i, user_id) AS m_rn,
+       |         COUNT(*) OVER () AS n
+       |  FROM u
+       |), sc AS (
+       |  SELECT user_id, last_us, frequency, m_i,
+       |         (r_rn - 1) * 5 // n + 1 AS r_score,
+       |         (f_rn - 1) * 5 // n + 1 AS f_score,
+       |         (m_rn - 1) * 5 // n + 1 AS m_score
+       |  FROM rr
+       |)
+       |SELECT user_id,
+       |       ${r("CAST(corpus_max - last_us AS DOUBLE) / 86400000000.0")} AS recency_days,
+       |       frequency,
+       |       ${r("CAST(m_i AS DOUBLE) / 10000.0")} AS monetary,
+       |       CAST(r_score AS BIGINT) AS r_score,
+       |       CAST(f_score AS BIGINT) AS f_score,
+       |       CAST(m_score AS BIGINT) AS m_score,
+       |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+       |FROM sc, mx ORDER BY user_id""".stripMargin
+
   /** Mirrors Analytics.dqChecks: identical conditional counts (ELSE 0, so
     * NULL comparisons fall through the same way) and the same
     * dup-surplus sum for the uniqueness rule. */

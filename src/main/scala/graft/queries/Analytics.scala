@@ -471,6 +471,51 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** RFM segmentation: per user, purchase Recency / Frequency / Monetary
+    * plus 1–5 quintile scores and the concatenated segment label — the
+    * classic behavioral-segmentation table a marketing/feature pipeline
+    * derives from an event stream.
+    *
+    * Determinism at 100 TB: all three sort keys are INTEGERS (micros
+    * timestamp, count, and monetary summed in 1e-4 fixed-point units —
+    * per-event floor-rounding is identical IEEE cross-engine and integer
+    * sums are exact under any aggregation order, so the per-user total and
+    * therefore the rank is bit-portable, where a raw double sum could flip
+    * adjacent ranks). The three global rankings use the range-bucket +
+    * offset numbering ([[graft.analytics.Ranking]]) — never a
+    * single-partition window — and the quintile is integer arithmetic on
+    * (rank, n), not ntile(), so both engines derive it from identical
+    * longs. */
+  def userRfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Ranking
+    val p = Bars.readEvents(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val u = p.groupBy("user_id").agg(
+      max(col("ts_us")).as("last_us"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col("value") * 10000 + 0.5).cast("long")).as("m_i"))
+    val mx = u.agg(max(col("last_us")).as("corpus_max"))
+    val (r1, n) = Ranking.withGlobalRowNumber(u, col("last_us"),
+      Seq(col("last_us"), col("user_id")), rnCol = "r_rn")
+    val (r2, _) = Ranking.withGlobalRowNumber(r1, col("frequency"),
+      Seq(col("frequency"), col("user_id")), rnCol = "f_rn")
+    val (r3, _) = Ranking.withGlobalRowNumber(r2, col("m_i"),
+      Seq(col("m_i"), col("user_id")), rnCol = "m_rn")
+    def score(rn: String) = expr(s"(($rn - 1) * 5) div $n + 1")
+    r3.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        r6((col("corpus_max") - col("last_us")).cast("double") /
+          lit(86400000000.0)).as("recency_days"),
+        col("frequency"),
+        r6(col("m_i").cast("double") / 10000.0).as("monetary"),
+        score("r_rn").as("r_score"),
+        score("f_rn").as("f_score"),
+        score("m_rn").as("m_score"),
+        concat(score("r_rn").cast("string"), score("f_rn").cast("string"),
+          score("m_rn").cast("string")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** Ordered funnel view → click → purchase: users completing each prefix
     * in order (graft.analytics.Behavior.funnel). */
   def funnelEvents(s: SparkSession, dir: String): DataFrame =
