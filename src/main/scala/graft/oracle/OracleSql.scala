@@ -1290,6 +1290,27 @@ object OracleSql {
        |FROM m ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.aggGini: identical fixed-point encoding, exact
+    * integer sums, identical final double tree. */
+  val aggGini: String =
+    s"""WITH t AS (
+       |  SELECT event_type, event_id,
+       |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_i
+       |  FROM events WHERE value IS NOT NULL
+       |), rr AS (
+       |  SELECT event_type, v_i,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_i, event_id) AS i
+       |  FROM t
+       |), a AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(v_i) AS BIGINT) AS s0,
+       |         CAST(SUM(i * v_i) AS BIGINT) AS s1
+       |  FROM rr GROUP BY 1
+       |)
+       |SELECT event_type, n, ${r("CAST(s0 AS DOUBLE) / 10000.0")} AS total_value,
+       |       ${r("CASE WHEN s0 <> 0 THEN (2.0 * CAST(s1 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s0 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)) END")} AS gini
+       |FROM a ORDER BY event_type""".stripMargin
+
   /** Mirrors Analytics.userRfm: integer sort keys (micros / count /
     * fixed-point monetary) make every rank bit-portable; quintiles are the
     * same integer (rank−1)·5 // n + 1, never ntile(). */

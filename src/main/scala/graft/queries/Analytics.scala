@@ -471,6 +471,39 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Gini coefficient of the value distribution per event type — the
+    * inequality/concentration profile (is 90% of revenue 5 whales?) a
+    * data-profiling pass reports next to histograms and moments.
+    *
+    *   G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)   over ascending-sorted xᵢ
+    *
+    * Bit-portability: values enter as 1e-4 fixed-point INTEGERS (per-row
+    * floor rounding, identical IEEE cross-engine), so both Σ sums are
+    * exact integer sums under any aggregation order and the final doubles
+    * are derived from identical longs. The rank window is keyed by event
+    * type (bounded cardinality); Σ i·xᵢ stays far inside long range here —
+    * at extreme row counts per group the products want a DECIMAL
+    * accumulator, noted rather than silently overflowed. */
+  def aggGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("v_i"), col("event_id"))
+    Bars.readEvents(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v_i"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v_i")).as("s0"),
+        sum(col("i") * col("v_i")).as("s1"))
+      .select(col("event_type"), col("n"),
+        r6(col("s0").cast("double") / 10000.0).as("total_value"),
+        r6(when(col("s0") =!= 0L,
+          (lit(2.0) * col("s1").cast("double") -
+            (col("n") + 1).cast("double") * col("s0").cast("double")) /
+          (col("n").cast("double") * col("s0").cast("double")))).as("gini"))
+      .orderBy("event_type")
+  }
+
   /** RFM segmentation: per user, purchase Recency / Frequency / Monetary
     * plus 1–5 quintile scores and the concatenated segment label — the
     * classic behavioral-segmentation table a marketing/feature pipeline
