@@ -387,6 +387,29 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.windowEwmVol: both adjust=false recurrences (mean
+    * of x, mean of x²) replayed in one recursive CTE with two
+    * accumulators — the same per-step `m·d + a·x` tree as the Ewma
+    * expression, so every double matches. */
+  val windowEwmVol: String = {
+    val span = 20
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), ew AS (
+       |  SELECT symbol, rn, close AS m1, close * close AS m2 FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         ew.m1 * ${d(span)} + ${a(span)} * b2.close,
+       |         ew.m2 * ${d(span)} + ${a(span)} * (b2.close * b2.close)
+       |  FROM ew JOIN b2 ON b2.symbol = ew.symbol AND b2.rn = ew.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id, ${r("ew.m1")} AS ewm_mean,
+       |       ${r("sqrt(GREATEST(ew.m2 - ew.m1 * ew.m1, 0.0))")} AS ewm_std
+       |FROM b2 JOIN ew ON ew.symbol = b2.symbol AND ew.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
   /** Self-contained RSI+MACD CTE chain for mlMatrix (names prefixed t* to
     * avoid clashing with the f* feature chain). Produces `tech(symbol,
     * event_id, rsi, macd, macd_signal, macd_histogram)`. */

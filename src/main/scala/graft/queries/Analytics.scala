@@ -471,6 +471,30 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** EWM volatility: exponentially-weighted mean AND variance/std of close
+    * per symbol (span 20, adjust=false) — the RiskMetrics-style vol
+    * estimator that reacts to regime changes faster than the fixed-window
+    * rolling std. Composed from the engine's own Catalyst Ewma window
+    * function via the identity ewm_var = ewma(x²) − ewma(x)² (biased
+    * form); both EWMAs share one window spec, so they fuse into the same
+    * WindowExec pass. The oracle replays both recurrences in one recursive
+    * CTE with two accumulators — the same bit-exact strategy as RSI's
+    * gain/loss pair. */
+  def windowEwmVol(s: SparkSession, dir: String, span: Int = 20): DataFrame = {
+    val part = Seq(col("symbol"))
+    val ord = Seq(col("datetime"), col("event_id"))
+    val b = Bars.bars(s, dir).select(col("symbol"), col("event_id"),
+      col("datetime"), col("close"), (col("close") * col("close")).as("_c2"))
+    val e1 = graft.expr.Ewma.ewmaSpanOver(col("close"), span, adjust = false, part, ord)
+    val e2 = graft.expr.Ewma.ewmaSpanOver(col("_c2"), span, adjust = false, part, ord)
+    b.select(col("symbol"), col("event_id"), e1.as("_e1"), e2.as("_e2"))
+      .select(col("symbol"), col("event_id"),
+        r6(col("_e1")).as("ewm_mean"),
+        r6(sqrt(greatest(col("_e2") - col("_e1") * col("_e1"), lit(0.0))))
+          .as("ewm_std"))
+      .orderBy("event_id")
+  }
+
   /** Gini coefficient of the value distribution per event type — the
     * inequality/concentration profile (is 90% of revenue 5 whales?) a
     * data-profiling pass reports next to histograms and moments.

@@ -231,6 +231,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "expected the running last() window")
   }
 
+  test("window_ewm_vol fuses both EWMAs into one WindowExec pass") {
+    val df = Analytics.windowEwmVol(spark, dir)
+    val windows = plan(df).linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows == 1, s"expected one fused window pass, got $windows")
+  }
+
   test("window_beta: keyed shuffles only — no cartesian, no data-sized broadcast") {
     val df = Analytics.windowBeta(spark, dir)
     val p = plan(df)
