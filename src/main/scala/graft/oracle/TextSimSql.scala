@@ -394,6 +394,19 @@ object TextSimSql {
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
 
+  /** Mirrors Dedup.exactNorm: identical regex normalizer chain (the 'g'
+    * flag is DuckDB's global-replace; Spark's regexp_replace is global by
+    * default). */
+  val dedupExactNorm: String =
+    """WITH nn AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |)
+      |SELECT md5(norm) AS norm_md5, MIN(doc_id) AS canonical_id,
+      |       COUNT(*) AS n_copies, COUNT(DISTINCT text) AS n_variants
+      |FROM nn GROUP BY norm ORDER BY canonical_id""".stripMargin
+
   /** Shared shingle CTE: distinct word-3-grams per doc. */
   private val shinglesCte: String =
     """WITH t AS (

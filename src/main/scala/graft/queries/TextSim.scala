@@ -135,6 +135,12 @@ object TextSim {
     Dedup.exact(Tables.documents(s, dir))
       .orderBy("canonical_id")
 
+  /** Normalization-aware exact dedup (lowercase/strip/collapse, then
+    * group) — catches case/punctuation/whitespace near-trivials. */
+  def dedupExactNorm(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactNorm(Tables.documents(s, dir))
+      .orderBy("canonical_id")
+
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(s, dir))
       .orderBy("doc_id")

@@ -41,6 +41,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text")).as("text_md5"), col("canonical_id"), col("n_copies"))
 
+  /** Normalization-aware exact dedup (C4-style): lowercase, strip
+    * non-alphanumerics, collapse whitespace — THEN group. Catches the
+    * near-trivial duplicates raw exact dedup misses (case changes,
+    * punctuation re-flows, double spaces) without any similarity machinery;
+    * `n_variants` counts how many distinct raw texts each normalized group
+    * absorbed. Same one-shuffle groupBy shape as [[exact]]; the normalizer
+    * is a narrow per-row regex chain shared verbatim with the oracle. */
+  def exactNorm(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col("doc_id"), col("text"), norm.as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"),
+        count_distinct(col("text")).as("n_variants"))
+      .select(md5(col("norm")).as("norm_md5"), col("canonical_id"),
+        col("n_copies"), col("n_variants"))
+  }
+
   /** Distinct word-3-gram shingles of `text`, as a per-row array column —
     * narrow, no explode/shuffle. NOTE: only valid on a frame that has a
     * `_w = split(text, ' ')` column (see [[shingled]]); referencing the
