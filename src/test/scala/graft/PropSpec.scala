@@ -178,4 +178,43 @@ class PropSpec extends SparkSpec {
       assert(rows(once) == rows(naive), "upsert diverges from max-version lookup")
     }
   }
+
+  test("property: containment bounds Jaccard and exactNorm groups are consistent") {
+    val s = spark
+    import s.implicits._
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (1 to 120).map { i =>
+      val len = 3 + rnd.nextInt(15)
+      (i.toLong, (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant containment cases: doc fully embedded in a longer doc
+    val planted = base.take(20).map { case (id, t) =>
+      (id + 1000L, t + " " + base((id.toInt + 3) % 40)._2)
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val pairs = graft.text.Dedup.containmentPairs(docs, threshold = 0.0).collect()
+    assert(pairs.nonEmpty, "no candidate pairs on planted containment data")
+    pairs.foreach { r =>
+      val (ca, cb, j) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // |A∩B|/|A| >= |A∩B|/|A∪B| always; equality iff A ⊆ ... union = A
+      assert(ca >= j - 1e-12 && cb >= j - 1e-12,
+        s"containment below jaccard on pair (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(ca <= 1.0 + 1e-12 && cb <= 1.0 + 1e-12, "containment above 1")
+    }
+
+    // exactNorm: canonical ids are group minima; variants never exceed
+    // copies; and normalization can only MERGE groups vs raw exact
+    val caseNoised = docs.select(col("doc_id") + 2000L as "doc_id",
+      upper(col("text")).as("text"))
+    val all = docs.unionByName(caseNoised)
+    val norm = graft.text.Dedup.exactNorm(all).collect()
+    norm.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3),
+        "a normalized group has more distinct variants than member rows")
+    }
+    val rawGroups = graft.text.Dedup.exact(all).count()
+    assert(norm.length < rawGroups,
+      "case-noised corpus: normalization found no extra merges")
+  }
 }
