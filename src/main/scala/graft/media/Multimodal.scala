@@ -76,6 +76,31 @@ object Multimodal {
           .as("frame_md5"))
   }
 
+  case class MediaResize(event_id: Long, kind: String, width: Int,
+    height: Int, new_width: Int, new_height: Int, scale: Double)
+
+  /** Resize planning: decode each payload's dimensions, then compute the
+    * aspect-preserving target box under `maxDim` (single scale factor,
+    * never upscale, floor to integer pixels, min 1) — the sizing pass an
+    * image-training pipeline runs before the actual resample. The pixel
+    * resample itself is the stubbed step (no codecs in this container); the
+    * Spark shape — typed records, partition-batched decoder init, narrow
+    * map, no shuffle — is the real plumbing, and the dimension arithmetic
+    * is plain IEEE ops, so the whole plan is oracle-checked. */
+  def resizePlan(events: DataFrame, maxDim: Int = 256,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaResize] = {
+    import events.sparkSession.implicits._
+    mediaRecords(events).mapPartitions { it =>
+      it.map { r =>
+        val (w, h, _) = decoder.decode(r.kind, r.payload)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val nw = math.max(1, math.floor(w * scale).toInt)
+        val nh = math.max(1, math.floor(h * scale).toInt)
+        MediaResize(r.event_id, r.kind, w, h, nw, nh, scale)
+      }
+    }
+  }
+
   /** Partition-batched decode + feature extraction. */
   def extractFeatures(events: DataFrame,
       decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {

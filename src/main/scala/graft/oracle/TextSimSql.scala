@@ -963,6 +963,33 @@ object TextSimSql {
        |FROM f ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors TextSim.multimodalResize: same byte-fold dims as
+    * multimodalDecode, then the identical scale/floor arithmetic. */
+  val multimodalResize: String = {
+    val bytes = "list_transform(range(1, length(props) + 1), " +
+      "i -> CAST(ord(substring(props, i, 1)) AS BIGINT))"
+    s"""WITH f AS (
+       |  SELECT event_id, event_type AS kind,
+       |         list_reduce(list_prepend(CAST(17 AS BIGINT), $bytes),
+       |                     (acc, b) -> acc * 31 + b) AS h
+       |  FROM events
+       |), d AS (
+       |  SELECT event_id, kind,
+       |         CAST((h % 64 + 1) * 16 AS INTEGER) AS width,
+       |         CAST(((h // 256) % 64 + 1) * 16 AS INTEGER) AS height
+       |  FROM f
+       |), sc AS (
+       |  SELECT event_id, kind, width, height,
+       |         LEAST(1.0, 256.0 / CAST(GREATEST(width, height) AS DOUBLE)) AS scale
+       |  FROM d
+       |)
+       |SELECT event_id, kind, width, height,
+       |       CAST(GREATEST(1, CAST(floor(width * scale) AS INTEGER)) AS INTEGER) AS new_width,
+       |       CAST(GREATEST(1, CAST(floor(height * scale) AS INTEGER)) AS INTEGER) AS new_height,
+       |       ${r("scale")} AS scale
+       |FROM sc ORDER BY event_id""".stripMargin
+  }
+
   val multimodalMeta: String =
     """SELECT event_id,
       |       CAST(length(props) AS BIGINT) AS payload_len,

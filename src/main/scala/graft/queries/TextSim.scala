@@ -283,6 +283,14 @@ object TextSim {
     Multimodal.extractFeatures(Bars.readEvents(s, dir)).toDF()
       .orderBy("event_id")
 
+  /** Resize planning over decoded media dims: aspect-preserving target box
+    * under 256px, never upscaled — the sizing pass before a resample. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(Bars.readEvents(s, dir)).toDF()
+      .select(col("event_id"), col("kind"), col("width"), col("height"),
+        col("new_width"), col("new_height"), r6(col("scale")).as("scale"))
+      .orderBy("event_id")
+
   /** Frame sampling over the (tiled) payload: every 4th 16-char frame with
     * a per-frame checksum — the video-frame-sample plumbing, deterministic
     * end to end. */
