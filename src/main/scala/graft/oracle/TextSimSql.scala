@@ -918,6 +918,33 @@ object TextSimSql {
        |  AND (clus.cluster_id IS NULL OR clus.cluster_id = s2.doc_id)
        |ORDER BY s2.doc_id""".stripMargin
 
+  /** Mirrors TextSim.dedupCanonical: reachability clusters (as
+    * dedupClusters) ⋈ the quality CTEs, best-quality-first rank per
+    * cluster. */
+  val dedupCanonical: String =
+    s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |), reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+       |), clus AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), $statsCtesBody, rk AS (
+       |  SELECT clus.cluster_id, clus.doc_id, ($qualityExpr) AS q,
+       |         ROW_NUMBER() OVER (PARTITION BY clus.cluster_id
+       |           ORDER BY ($qualityExpr) DESC, clus.doc_id) AS rnk,
+       |         COUNT(*) OVER (PARTITION BY clus.cluster_id) AS n_members
+       |  FROM clus JOIN s2 ON s2.doc_id = clus.doc_id
+       |)
+       |SELECT cluster_id, doc_id AS keep_id,
+       |       CAST(n_members AS BIGINT) AS n_members, ${r("q")} AS keep_quality
+       |FROM rk WHERE rnk = 1 ORDER BY cluster_id""".stripMargin
+
   val multimodalFrames: String =
     """WITH p AS (
       |  SELECT event_id, repeat(props, 64) AS payload FROM events

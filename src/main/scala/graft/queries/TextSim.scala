@@ -306,6 +306,31 @@ object TextSim {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** Quality-aware canonical selection: per near-dup cluster, KEEP the
+    * highest-quality member (tie-break min doc_id) instead of the blind
+    * minimum id — the dedup policy that preserves the best copy of each
+    * duplicated document (SemDeDup/FineWeb-style curation keeps quality,
+    * not arrival order). Cluster-keyed rank window over cluster-sized
+    * groups; quality doubles are the engine's own oracle-green
+    * quality_score, so the ordering is bit-consistent cross-engine. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.connectedComponents(Dedup.minhashPairs(docs))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val q = TextStats.withStats(docs).select(col("doc_id"), col("quality_score"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val ord = byCluster.orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members").cast("long").as("n_members"),
+        r6(col("quality_score")).as("keep_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** Per-source corpus profile: doc counts, average quality, language
     * spread — the provenance-level view a curation pipeline tracks. */
   def textSourceStats(s: SparkSession, dir: String): DataFrame =
