@@ -1313,6 +1313,71 @@ object OracleSql {
        |FROM m ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.windowAutocorr: lag returns + the standard cum−lag
+    * rolling-sum replay over the (ret, ret_prev) pair. */
+  val windowAutocorr: String = {
+    val n = 20
+    val nD = s"$n.0"
+    s"""$barsCte, rr0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS ret
+       |  FROM bars
+       |), pp0 AS (
+       |  SELECT symbol, event_id, datetime, ret,
+       |         LAG(ret, 1) OVER ($W) AS ret_prev
+       |  FROM rr0
+       |), pp AS (
+       |  SELECT * FROM pp0 WHERE ret IS NOT NULL AND ret_prev IS NOT NULL
+       |), c AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("ret")} AS _c_x,
+       |         COUNT(ret) OVER ($Wrun) AS _c_x_n,
+       |         ${cumSum("ret_prev")} AS _c_y,
+       |         ${cumSum("ret * ret_prev")} AS _c_xy,
+       |         ${cumSum("ret * ret")} AS _c_xx,
+       |         ${cumSum("ret_prev * ret_prev")} AS _c_yy
+       |  FROM pp
+       |), rolled AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_x", n)} AS sx,
+       |         ${cumRolling("_c_y", n)} AS sy,
+       |         ${cumRolling("_c_xy", n)} AS sxy,
+       |         ${cumRolling("_c_xx", n)} AS sxx,
+       |         ${cumRolling("_c_yy", n)} AS syy,
+       |         ${cumGate("_c_x", n)} AS g
+       |  FROM c
+       |), f AS (
+       |  SELECT symbol, event_id,
+       |         $nD * sxx - sx * sx AS varx,
+       |         $nD * syy - sy * sy AS vary,
+       |         $nD * sxy - sx * sy AS cov, g
+       |  FROM rolled
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("CASE WHEN g AND varx > 0.0 AND vary > 0.0 THEN cov / (sqrt(varx) * sqrt(vary)) END")} AS autocorr_1
+       |FROM f ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.barsAdjust: integer suffix-sum of split exponents +
+    * pow(2, k) — exact powers of two in both engines. */
+  val barsAdjust: String =
+    s"""$barsCte, sp AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         CASE WHEN event_id % 997 = 0 THEN 1 ELSE 0 END AS split_exp
+       |  FROM bars
+       |), k AS (
+       |  SELECT symbol, event_id, close, split_exp,
+       |         COALESCE(SUM(split_exp) OVER (PARTITION BY symbol
+       |           ORDER BY datetime, event_id
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS k
+       |  FROM sp
+       |)
+       |SELECT symbol, event_id, split_exp = 1 AS is_split,
+       |       CAST(k AS BIGINT) AS n_future_splits,
+       |       ${r("close")} AS close,
+       |       ${r("close / power(2.0, CAST(k AS DOUBLE))")} AS adj_close
+       |FROM k ORDER BY event_id""".stripMargin
+
   /** Mirrors Analytics.aggGini: identical fixed-point encoding, exact
     * integer sums, identical final double tree. */
   val aggGini: String =

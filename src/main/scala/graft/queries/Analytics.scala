@@ -471,6 +471,45 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Rolling lag-1 autocorrelation of returns per symbol (20-bar window) —
+    * the serial-correlation / mean-reversion signal (negative = choppy
+    * mean-reverting regime, positive = trending). Same O(n) cum−lag
+    * machinery as [[windowCorr]], over the (retₜ, retₜ₋₁) pair; rows
+    * where either return is missing (first two bars) are excluded before
+    * the cums so the min_samples gate counts only complete pairs. */
+  def windowAutocorr(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    import graft.features.Frames
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    val withRet = Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), col("datetime"),
+        try_divide(col("close") - prev, prev).as("ret"))
+    val paired = withRet
+      .select(col("symbol"), col("event_id"), col("datetime"),
+        col("ret"), lag(col("ret"), 1).over(w).as("ret_prev"))
+      .filter(col("ret").isNotNull && col("ret_prev").isNotNull)
+    val stage1 = paired.select(col("*"),
+      (col("ret") * col("ret_prev")).as("_xy"),
+      (col("ret") * col("ret")).as("_xx"),
+      (col("ret_prev") * col("ret_prev")).as("_yy"))
+    val stage2 = Frames.withCums(stage1, Map(
+      "_c_x" -> col("ret"), "_c_y" -> col("ret_prev"),
+      "_c_xy" -> col("_xy"), "_c_xx" -> col("_xx"), "_c_yy" -> col("_yy")))
+    val nD = lit(n.toDouble)
+    val sx = Frames.cumRolling("_c_x", n)
+    val sy = Frames.cumRolling("_c_y", n)
+    val sxy = Frames.cumRolling("_c_xy", n)
+    val sxx = Frames.cumRolling("_c_xx", n)
+    val syy = Frames.cumRolling("_c_yy", n)
+    val varx = nD * sxx - sx * sx
+    val vary = nD * syy - sy * sy
+    val cov = nD * sxy - sx * sy
+    stage2.select(col("symbol"), col("event_id"),
+        r6(when(Frames.cumCountGate("_c_x", n) && varx > 0.0 && vary > 0.0,
+          cov / (sqrt(varx) * sqrt(vary)))).as("autocorr_1"))
+      .orderBy("event_id")
+  }
+
   /** EWM volatility: exponentially-weighted mean AND variance/std of close
     * per symbol (span 20, adjust=false) — the RiskMetrics-style vol
     * estimator that reacts to regime changes faster than the fixed-window

@@ -289,6 +289,34 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Corporate-action back-adjustment: divide every bar's close by the
+    * compound split factor of all splits occurring STRICTLY AFTER it — the
+    * standard continuous-price adjustment that makes pre-split and
+    * post-split bars comparable for feature computation. Split events are
+    * a deterministic fixture (every 997th event is a 2:1 split); factors
+    * are powers of two, so the compound factor is EXACT under any
+    * evaluation order (an integer exponent sum + one pow(2, k), no float
+    * product chain) — the formulation a 100 TB backfill wants anyway,
+    * since a running float product would drift and resist re-ordering.
+    * One suffix-sum window over the shared per-symbol exchange. */
+  def barsAdjust(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("datetime"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    bars(s, dir)
+      .select(col("symbol"), col("event_id"), col("datetime"), col("close"),
+        when(col("event_id") % 997 === 0, 1L).otherwise(0L).as("split_exp"))
+      .select(col("symbol"), col("event_id"), col("close"), col("split_exp"),
+        coalesce(sum(col("split_exp")).over(w), lit(0L)).as("k"))
+      .select(col("symbol"), col("event_id"),
+        (col("split_exp") === 1L).as("is_split"),
+        col("k").as("n_future_splits"),
+        r6(col("close")).as("close"),
+        r6(col("close") / pow(lit(2.0), col("k").cast("double"))).as("adj_close"))
+      .orderBy("event_id")
+  }
+
   /** Class-imbalance correction: downsample every class to the minority
     * class's row count, selecting per class the rows with the smallest
     * md5(event_id) — a deterministic uniform draw without replacement
