@@ -298,17 +298,26 @@ object Core {
     * evaluation order (an integer exponent sum + one pow(2, k), no float
     * product chain) — the formulation a 100 TB backfill wants anyway,
     * since a running float product would drift and resist re-ordering.
-    * One suffix-sum window over the shared per-symbol exchange. */
+    *
+    * The suffix count is computed as per-symbol TOTAL − inclusive prefix
+    * sum (two O(n) frames over one exchange), NOT as a
+    * `(1 FOLLOWING, UNBOUNDED FOLLOWING)` frame — Spark executes that
+    * frame shape by rescanning the remainder of the partition for every
+    * row (O(n²) per symbol; measured 2.5 s vs 0.5 s at sf0.1, and fatal
+    * at real partition sizes). Integer arithmetic, so the two
+    * formulations are value-identical. */
   def barsAdjust(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("symbol")
+    val full = Window.partitionBy("symbol")
+    val run = Window.partitionBy("symbol")
       .orderBy(col("datetime"), col("event_id"))
-      .rowsBetween(1, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bars(s, dir)
       .select(col("symbol"), col("event_id"), col("datetime"), col("close"),
         when(col("event_id") % 997 === 0, 1L).otherwise(0L).as("split_exp"))
       .select(col("symbol"), col("event_id"), col("close"), col("split_exp"),
-        coalesce(sum(col("split_exp")).over(w), lit(0L)).as("k"))
+        (sum(col("split_exp")).over(full) -
+          sum(col("split_exp")).over(run)).as("k"))
       .select(col("symbol"), col("event_id"),
         (col("split_exp") === 1L).as("is_split"),
         col("k").as("n_future_splits"),
