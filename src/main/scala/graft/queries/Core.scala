@@ -332,20 +332,30 @@ object Core {
     * (same discipline as [[graft.analytics.Sampling.stratifiedByHash]]:
     * hash order, never rand(), so a re-run after a failure keeps the same
     * rows). The quota rides along as a broadcast 1-row frame, so the plan
-    * stays lazy end to end — no driver-side collect. Exact quotas need a
-    * per-class global rank (one shuffle on target); with few classes that
-    * keys the window to few reducers, so at extreme scale pre-thin with
-    * [[graft.analytics.Sampling.bernoulliByHash]] at a few times the
-    * implied rate first and rank only the survivors. */
+    * stays lazy end to end — no driver-side collect.
+    *
+    * The exact per-class rank comes from the range-bucket global numbering
+    * ([[graft.analytics.Ranking.withGlobalRowNumber]]) applied per class —
+    * NOT from a `row_number() OVER (PARTITION BY target ...)` window,
+    * which with a binary target funnels the whole table through two
+    * reducers. The numeric bucketing key is the integer value of the md5
+    * prefix (order-monotone w.r.t. the full hex string), so the numbering
+    * is identical to the single-window form the oracle evaluates; one
+    * numbering pass per class, both fully parallel. */
   def classBalance(s: SparkSession, dir: String): DataFrame = {
     val t = Targets.withTarget(bars(s, dir), targetType = "classification")
       .select(col("event_id"), col("symbol"), col("target").cast("long").as("target"))
     val minCnt = t.groupBy("target").agg(count(lit(1)).as("cnt"))
       .agg(min(col("cnt")).as("min_cnt"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("target")
-      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-    t.withColumn("rn", row_number().over(w).cast("long"))
-      .crossJoin(broadcast(minCnt))
+    val keyed = t
+      .withColumn("_h", md5(col("event_id").cast("string")))
+      .withColumn("_hk", expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)"))
+    val ranked = Seq(0L, 1L).map { c =>
+      graft.analytics.Ranking.withGlobalRowNumber(
+        keyed.filter(col("target") === c), col("_hk"),
+        Seq(col("_h"), col("event_id")))._1
+    }.reduce(_ unionByName _)
+    ranked.crossJoin(broadcast(minCnt))
       .filter(col("rn") <= col("min_cnt"))
       .select(col("event_id"), col("symbol"), col("target"))
       .orderBy("event_id")
