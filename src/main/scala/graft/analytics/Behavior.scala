@@ -64,4 +64,28 @@ object Behavior {
       // user has exactly one cohort week
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each ordered pair (prev_type, next_type) of consecutive events of
+    * the SAME user (ordered by ts, event_id), the transition count and the
+    * row-normalized probability p = n / Σ_next n.
+    *
+    * Scale shape: one window shuffle on `user_id` for the lag (per-user
+    * state is a single previous value, not a history), then a grouped count
+    * over at most |types|² keys — map-side partial aggregation collapses
+    * the pair stream before the tiny final shuffle, and the probability
+    * normalization is a window over that |types|²-row aggregate, never over
+    * events. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val wRow = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    counts.select(col("prev_type"), col("next_type"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(wRow)).as("p"))
+  }
 }

@@ -199,6 +199,24 @@ object Market {
         .as("pct_d"))
   }
 
+  /** Williams %R over the same n-bar extrema as the stochastic:
+    * %R = (hh − close)/(hh − ll) · −100, in [−100, 0] (0 = close at the
+    * period high). NULL until the frame is full or while hh == ll (a flat
+    * frame has no range to place the close in) — the same gating as
+    * [[withStochastic]], whose %K it mirrors (%R = %K·(−1) + 0 shifted:
+    * −100·(1 − (close−ll)/(hh−ll))). Rolling MIN/MAX extrema are
+    * order-insensitive, so the value is bit-portable natively. One window
+    * pass over the shared [[Frames.bySymbol]] exchange. */
+  def withWilliamsR(df: DataFrame, n: Int = StochWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val ll = min(col("low")).over(frame)
+    val hh = max(col("high")).over(frame)
+    val gate = count(col("close")).over(frame) === n
+    df.select(col("*"),
+      when(gate && hh > ll,
+        (hh - col("close")) / (hh - ll) * -100).as("williams_r"))
+  }
+
   /** Rolling z-score outlier flags — the data-quality gate a market
     * pipeline runs before features: per symbol, the 20-bar rolling
     * mean/std (identical cum−lag formulation to Bollinger's), then

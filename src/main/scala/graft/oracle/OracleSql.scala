@@ -225,6 +225,21 @@ object OracleSql {
        |FROM s1 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featWilliamsR (Market.withWilliamsR, n=14): the same
+    * order-insensitive rolling extrema and full-frame/flat-frame gating as
+    * featStochastic, numerator flipped to (hh − close) and scaled −100. */
+  val featWilliamsR: String = {
+    val n = graft.features.Market.StochWindow
+    s"""$barsCte
+       |SELECT symbol, event_id,
+       |       ${r(s"""CASE WHEN COUNT(close) OVER (${frame(n)}) = $n
+       |                 AND MAX(high) OVER (${frame(n)}) > MIN(low) OVER (${frame(n)})
+       |            THEN (MAX(high) OVER (${frame(n)}) - close) /
+       |                 (MAX(high) OVER (${frame(n)}) - MIN(low) OVER (${frame(n)})) * -100
+       |       END""")} AS williams_r
+       |FROM bars ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featObv: sign(Δclose)·volume running sum (first row
     * coalesces to 0; signed integer-valued terms sum exactly). */
   val featObv: String =
@@ -1251,6 +1266,22 @@ object OracleSql {
       |  UNION ALL
       |  SELECT CAST(2 AS BIGINT), 'purchase', COUNT(*) FROM r2
       |) ORDER BY stage_idx""".stripMargin
+
+  /** Mirrors Analytics.eventsMarkov (Behavior.transitionMatrix): lag over
+    * the per-user (ts, event_id) order, pair counts, row-normalized p. */
+  val eventsMarkov: String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS next_type,
+       |         LAG(event_type, 1) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |), c AS (
+       |  SELECT prev_type, next_type, COUNT(*) AS n
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT prev_type, next_type, n,
+       |       ${r("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)")} AS p
+       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
   val retentionCohorts: String =
     """WITH f AS (

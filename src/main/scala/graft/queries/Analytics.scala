@@ -619,6 +619,14 @@ object Analytics {
         Seq("view", "click", "purchase"))
       .orderBy("stage_idx")
 
+  /** First-order Markov transition matrix over per-user event sequences
+    * (graft.analytics.Behavior.transitionMatrix): transition counts +
+    * row-normalized probabilities between consecutive event types. */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.transitionMatrix(Bars.readEvents(s, dir))
+      .select(col("prev_type"), col("next_type"), col("n"), r6(col("p")).as("p"))
+      .orderBy("prev_type", "next_type")
+
   /** Weekly cohort retention triangle over events
     * (graft.analytics.Behavior.weeklyRetention). */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame =

@@ -178,6 +178,12 @@ object Core {
     keyed(Market.withStochastic(bars(s, dir)), out, out.toSet)
   }
 
+  /** Williams %R over 14-bar extrema
+    * (see [[graft.features.Market.withWilliamsR]]). */
+  def featWilliamsR(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withWilliamsR(bars(s, dir)), Seq("williams_r"),
+      Set("williams_r"))
+
   /** On-balance volume (see [[graft.features.Market.withObv]]). */
   def featObv(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withObv(bars(s, dir)), Seq("obv"), Set("obv"))
@@ -334,29 +340,36 @@ object Core {
     * rows). The quota rides along as a broadcast 1-row frame, so the plan
     * stays lazy end to end — no driver-side collect.
     *
-    * The exact per-class rank comes from the range-bucket global numbering
-    * ([[graft.analytics.Ranking.withGlobalRowNumber]]) applied per class —
-    * NOT from a `row_number() OVER (PARTITION BY target ...)` window,
-    * which with a binary target funnels the whole table through two
-    * reducers. The numeric bucketing key is the integer value of the md5
-    * prefix (order-monotone w.r.t. the full hex string), so the numbering
-    * is identical to the single-window form the oracle evaluates; one
-    * numbering pass per class, both fully parallel. */
+    * The exact per-class rank comes from ONE range-bucket global numbering
+    * ([[graft.analytics.Ranking.withGlobalRowNumber]]) over the composite
+    * order (target, md5, event_id) — NOT from a `row_number() OVER
+    * (PARTITION BY target ...)` window, which with a binary target funnels
+    * the whole table through two reducers. The bucketing key
+    * target·2^32 + int(md5[0:8]) is order-monotone w.r.t. that composite
+    * order (the md5-prefix integer is order-monotone w.r.t. the full hex
+    * string, and both addends fit a double exactly), so global rank minus
+    * the class's starting offset (= rows in lower classes, from the same
+    * tiny counts frame that yields the quota) IS the per-class rank the
+    * oracle's single window evaluates — one fully parallel numbering pass. */
   def classBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Targets.withTarget(bars(s, dir), targetType = "classification")
       .select(col("event_id"), col("symbol"), col("target").cast("long").as("target"))
-    val minCnt = t.groupBy("target").agg(count(lit(1)).as("cnt"))
-      .agg(min(col("cnt")).as("min_cnt"))
+    // O(classes) frame: per-class count → minority quota + class start offset
+    val wOff = Window.orderBy("target")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val quota = t.groupBy("target").agg(count(lit(1)).as("cnt"))
+      .select(col("target"),
+        coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("class_offset"),
+        min(col("cnt")).over(Window.partitionBy()).as("min_cnt"))
     val keyed = t
       .withColumn("_h", md5(col("event_id").cast("string")))
       .withColumn("_hk", expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)"))
-    val ranked = Seq(0L, 1L).map { c =>
-      graft.analytics.Ranking.withGlobalRowNumber(
-        keyed.filter(col("target") === c), col("_hk"),
-        Seq(col("_h"), col("event_id")))._1
-    }.reduce(_ unionByName _)
-    ranked.crossJoin(broadcast(minCnt))
-      .filter(col("rn") <= col("min_cnt"))
+    val ranked = graft.analytics.Ranking.withGlobalRowNumber(
+      keyed, col("target") * lit(4294967296L) + col("_hk"),
+      Seq(col("target"), col("_h"), col("event_id")))._1
+    ranked.join(broadcast(quota), Seq("target"))
+      .filter(col("rn") - col("class_offset") <= col("min_cnt"))
       .select(col("event_id"), col("symbol"), col("target"))
       .orderBy("event_id")
   }

@@ -971,4 +971,79 @@ class OpsSpec extends SparkSpec {
       (7L, "x", 10L, 30L, 1L), (7L, "y", 30L, 50L, 2L),
       (7L, "x", 50L, -1L, 3L), (8L, "z", 10L, -1L, 1L)))
   }
+
+  test("withWilliamsR: hand values, full-frame gate, flat-frame null") {
+    val s = spark
+    import s.implicits._
+    // (high, low, close) per bar; n=3 frames over rows (i-2..i)
+    val rows = Seq((10.0, 8.0, 9.0), (12.0, 9.0, 11.0),
+      (11.0, 7.0, 8.0), (9.0, 7.0, 9.0), (5.0, 5.0, 5.0))
+    val df = rows.zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", i.toLong, h, l, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val wr = graft.features.Market.withWilliamsR(df, n = 3)
+      .orderBy("event_id").select("williams_r").collect()
+    assert(wr(0).isNullAt(0) && wr(1).isNullAt(0), "frame gate: first n-1 null")
+    // row 2: hh=12 ll=7 -> (12-8)/5*-100 = -80; row 3: hh=12 ll=7 -> -60
+    assert(math.abs(wr(2).getDouble(0) - -80.0) < 1e-12)
+    assert(math.abs(wr(3).getDouble(0) - -60.0) < 1e-12)
+    // row 4: hh=11 ll=5 -> (11-5)/6*-100 = -100
+    assert(math.abs(wr(4).getDouble(0) - -100.0) < 1e-12)
+    // flat frame (hh == ll) stays null instead of dividing by zero
+    val flat = (0 to 3).map(i => ("F", i.toLong, 5.0, 5.0, 5.0))
+      .toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    assert(graft.features.Market.withWilliamsR(flat, n = 3)
+      .select("williams_r").collect().forall(_.isNullAt(0)))
+  }
+
+  test("transitionMatrix: pair counts and row-normalized probabilities") {
+    val s = spark
+    import s.implicits._
+    // user 1: a,b,a,b -> a->b x2, b->a x1; user 2: a,a,c -> a->a, a->c
+    // user 2's last two events share a ts: event_id breaks the tie (a before c)
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (2L, 2L, 1L, "b"), (3L, 3L, 1L, "a"), (4L, 4L, 1L, "b"),
+      (5L, 1L, 2L, "a"), (6L, 2L, 2L, "a"), (7L, 2L, 2L, "c"))
+      .toDF("event_id", "t", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val got = graft.analytics.Behavior.transitionMatrix(ev)
+      .orderBy("prev_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("a", "a", 1L, 0.25), ("a", "b", 2L, 0.5), ("a", "c", 1L, 0.25),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("classBalance composite rank: one global numbering == per-class windows") {
+    val s = spark
+    import s.implicits._
+    // the classBalance construction on a planted frame: global numbering
+    // keyed by target*2^32 + int(md5[0:8]) ordered (target, md5, event_id),
+    // minus the class start offset, must equal the per-class window rank
+    val t = (1 to 200).map(i => (i.toLong, (i % 3 == 0).compareTo(false).toLong))
+      .toDF("event_id", "target")
+    val keyed = t
+      .withColumn("_h", md5(col("event_id").cast("string")))
+      .withColumn("_hk", expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)"))
+    val ranked = Ranking.withGlobalRowNumber(
+      keyed, col("target") * lit(4294967296L) + col("_hk"),
+      Seq(col("target"), col("_h"), col("event_id")))._1
+    val wOff = Window.orderBy("target")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = t.groupBy("target").agg(count(lit(1)).as("cnt"))
+      .select(col("target"),
+        coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("class_offset"))
+    val viaComposite = ranked.join(off, Seq("target"))
+      .select(col("event_id"), (col("rn") - col("class_offset")).as("crn"))
+    val wCls = Window.partitionBy("target")
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    val viaWindow = t.select(col("event_id"),
+      row_number().over(wCls).cast("long").as("wrn"))
+    val joined = viaComposite.join(viaWindow, "event_id")
+    assert(joined.filter(col("crn") =!= col("wrn")).count() == 0)
+    assert(joined.count() == 200)
+  }
 }
