@@ -217,6 +217,147 @@ object Market {
         (hh - col("close")) / (hh - ll) * -100).as("williams_r"))
   }
 
+  val DonchianWindow = 20
+
+  /** Donchian channel over n-bar extrema: upper = rolling max(high),
+    * lower = rolling min(low), mid = (upper + lower)/2, and the close's
+    * position in the channel (0 = at the low, 1 = at the high). NULL until
+    * the frame is full; position NULL while upper == lower (a flat channel
+    * has no interior). Rolling MIN/MAX are order-insensitive, hence
+    * bit-portable natively; one window pass over the shared
+    * [[Frames.bySymbol]] exchange. */
+  def withDonchian(df: DataFrame, n: Int = DonchianWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val hh = max(col("high")).over(frame)
+    val ll = min(col("low")).over(frame)
+    val gate = count(col("close")).over(frame) === n
+    df.select(col("*"),
+      when(gate, hh).as("donchian_high"),
+      when(gate, ll).as("donchian_low"),
+      when(gate, (hh + ll) / 2).as("donchian_mid"),
+      when(gate && hh > ll,
+        (col("close") - ll) / (hh - ll)).as("donchian_pos"))
+  }
+
+  val CciWindow = 20
+
+  /** Commodity Channel Index over n bars of typical price tp = (h+l+c)/3:
+    *
+    *   cci = (tp − sma(tp, n)) / (0.015 · md),  md = mean(|tp_i − sma|)
+    *
+    * The mean deviation is around the frame's OWN mean, so it is not a
+    * windowed aggregate of any precomputed column — the frame is gathered
+    * once per row (`collect_list` over the 20-row frame, O(n·w) total) and
+    * the deviation sum is a sequential left fold over the frame-ordered
+    * array, which the oracle replays with `list_reduce` in the identical
+    * order (same bit-portability argument as the VWAP list_sum). sma itself
+    * is folded from the same array — NOT the cum−lag identity — so both
+    * engines subtract bit-identical means. NULL until the frame fills or
+    * while md == 0 (constant frame). */
+  def withCci(df: DataFrame, n: Int = CciWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val tp = ((col("high") + col("low") + col("close")) / 3).as("_tp")
+    val s1 = df.select(col("*"), tp)
+    val s2 = s1.select(col("*"),
+      when(count(col("_tp")).over(frame) === n,
+        collect_list(col("_tp")).over(frame)).as("_tparr"))
+    // fold the frame array sequentially: sum → mean, then |x−mean| sum
+    val mean = (aggregate(col("_tparr"), lit(0.0), (a, x) => a + x)
+      / n).as("_tpmean")
+    val s3 = s2.select(col("*"), mean)
+    val md = (aggregate(col("_tparr"), lit(0.0),
+      (a, x) => a + abs(x - col("_tpmean"))) / n).as("_tpmd")
+    val s4 = s3.select(col("*"), md)
+    s4.select(col("*"),
+        when(col("_tpmd") > 0.0,
+          (col("_tp") - col("_tpmean")) / (lit(0.015) * col("_tpmd")))
+          .as("cci"))
+      .drop("_tp", "_tparr", "_tpmean", "_tpmd")
+  }
+
+  val KeltnerWindow = 20
+  val KeltnerAtrWindow = 10
+  val KeltnerMult = 2.0
+
+  /** Keltner channels: EMA(typical price, 20) ± 2·ATR(10). The EMA runs
+    * through the same [[graft.expr.Ewma]] window expression as MACD
+    * (adjust = true, Polars default); the ATR is [[withAtr]]'s SMA-smoothed
+    * form. Position NULL until the ATR gate opens or while the band is
+    * degenerate (atr == 0). Both stages share the one per-symbol exchange. */
+  def withKeltner(df: DataFrame,
+      n: Int = KeltnerWindow, atrN: Int = KeltnerAtrWindow,
+      mult: Double = KeltnerMult): DataFrame = {
+    val tp = (col("high") + col("low") + col("close")) / 3
+    val s1 = withAtr(df.select(col("*"), tp.as("_ktp")), atrN)
+    val mid = graft.expr.Ewma.ewmaSpanOver(col("_ktp"), n, adjust = true,
+      Seq(col(Frames.SymbolCol)), Seq(col(Frames.TimeCol), col(Frames.TieCol)))
+    val s2 = s1.select(col("*"), mid.as("_kmid"))
+    val atr = col(s"atr_$atrN")
+    val up = col("_kmid") + lit(mult) * atr
+    val lo = col("_kmid") - lit(mult) * atr
+    s2.select(col("*"),
+        col("_kmid").as("keltner_mid"),
+        up.as("keltner_high"),
+        lo.as("keltner_low"),
+        when(atr > 0.0, (col("close") - lo) / (up - lo)).as("keltner_pos"))
+      .drop("_ktp", "_kmid", "tr", s"atr_$atrN")
+  }
+
+  val AdxWindow = 14
+
+  /** Average Directional Index (Wilder): directional movement
+    *
+    *   +DM = high − prev_high  if it exceeds both (prev_low − low) and 0
+    *   −DM = prev_low − low    if it exceeds both (high − prev_high) and 0
+    *   (first row per symbol: NULL — no prior bar)
+    *
+    * Wilder-smoothed (EWMA adjust=false, α = 1/n — [[graft.expr.Ewma]],
+    * seeded at the first non-null, i.e. row 2) together with the true
+    * range; then ±DI = 100·smooth(±DM)/smooth(TR) (NULL while
+    * smooth(TR) = 0), DX = 100·|+DI − −DI|/(+DI + −DI) (NULL when both DI
+    * are 0), and ADX = the same Wilder smoothing of DX — nulls leave the
+    * ADX state untouched, Polars ewm ignore-nulls semantics. Two window
+    * stages (DX is a derived series, same data dependency as MACD's
+    * signal), both over the one shared per-symbol exchange. */
+  def withAdx(df: DataFrame, n: Int = AdxWindow): DataFrame = {
+    val w = Frames.bySymbol
+    val prevH = lag(col("high"), 1).over(w)
+    val prevL = lag(col("low"), 1).over(w)
+    val prevC = lag(col("close"), 1).over(w)
+    val up = col("high") - prevH
+    val dn = prevL - col("low")
+    val pdm = when(up > dn && up > 0, up)
+      .otherwise(when(prevH.isNotNull, lit(0.0)))
+    val mdm = when(dn > up && dn > 0, dn)
+      .otherwise(when(prevL.isNotNull, lit(0.0)))
+    // explicitly NULL on the first row (Spark's greatest skips nulls, so
+    // an ungated greatest would emit high−low there) — all three smoothers
+    // then seed uniformly at row 2, where directional movement is defined
+    val tr = when(prevC.isNotNull, greatest(col("high") - col("low"),
+      abs(col("high") - prevC), abs(col("low") - prevC)))
+    val s1 = df.select(col("*"),
+      pdm.as("_pdm"), mdm.as("_mdm"), tr.as("_trw"))
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def wild(c: org.apache.spark.sql.Column) =
+      graft.expr.Ewma.ewmaOver(c, 1.0 / n, adjust = false, part, ord)
+    val s2 = s1.select(col("*"),
+      wild(col("_pdm")).as("_spdm"),
+      wild(col("_mdm")).as("_smdm"),
+      wild(col("_trw")).as("_str"))
+    val pdi = when(col("_str") > 0.0,
+      lit(100.0) * col("_spdm") / col("_str"))
+    val mdi = when(col("_str") > 0.0,
+      lit(100.0) * col("_smdm") / col("_str"))
+    val s3 = s2.select(col("*"), pdi.as("plus_di"), mdi.as("minus_di"))
+    val dx = when(col("plus_di") + col("minus_di") > 0.0,
+      lit(100.0) * abs(col("plus_di") - col("minus_di")) /
+        (col("plus_di") + col("minus_di")))
+    val s4 = s3.select(col("*"), dx.as("_dx"))
+    s4.select(col("*"), wild(col("_dx")).as("adx"))
+      .drop("_pdm", "_mdm", "_trw", "_spdm", "_smdm", "_str", "_dx")
+  }
+
   /** Rolling z-score outlier flags — the data-quality gate a market
     * pipeline runs before features: per symbol, the 20-bar rolling
     * mean/std (identical cum−lag formulation to Bollinger's), then

@@ -240,6 +240,161 @@ object OracleSql {
        |FROM bars ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featDonchian (Market.withDonchian, n=20): rolling
+    * MIN/MAX extrema (order-insensitive, bit-portable natively) with the
+    * full-frame gate; position gated on a non-degenerate channel. */
+  val featDonchian: String = {
+    val n = graft.features.Market.DonchianWindow
+    val f = frame(n)
+    s"""$barsCte, d1 AS (
+       |  SELECT symbol, event_id, close,
+       |         MAX(high) OVER ($f) AS hh, MIN(low) OVER ($f) AS ll,
+       |         COUNT(close) OVER ($f) AS cnt
+       |  FROM bars
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN cnt = $n THEN hh END")} AS donchian_high,
+       |       ${r(s"CASE WHEN cnt = $n THEN ll END")} AS donchian_low,
+       |       ${r(s"CASE WHEN cnt = $n THEN (hh + ll) / 2 END")} AS donchian_mid,
+       |       ${r(s"CASE WHEN cnt = $n AND hh > ll THEN (close - ll) / (hh - ll) END")} AS donchian_pos
+       |FROM d1 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featCci (Market.withCci, n=20): the frame-ordered list
+    * replays Spark's sequential `aggregate` fold (list_sum == the 0.0-seeded
+    * left fold, same argument as cumSum); mean deviation is folded from the
+    * same array with the frame's own mean, in identical op order. */
+  val featCci: String = {
+    val n = graft.features.Market.CciWindow
+    val f = frame(n)
+    s"""$barsCte, c1 AS (
+       |  SELECT symbol, event_id, datetime, (high + low + close) / 3 AS tp
+       |  FROM bars
+       |), c2 AS (
+       |  SELECT symbol, event_id, tp,
+       |         CASE WHEN COUNT(tp) OVER ($f) = $n
+       |              THEN list(tp) OVER ($f) END AS arr
+       |  FROM c1
+       |), c3 AS (
+       |  SELECT symbol, event_id, tp, arr, list_sum(arr) / $n AS m FROM c2
+       |), c4 AS (
+       |  SELECT symbol, event_id, tp, m,
+       |         list_sum(list_transform(arr, x -> abs(x - m))) / $n AS md
+       |  FROM c3
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN md > 0.0 THEN (tp - m) / (0.015 * md) END")} AS cci
+       |FROM c4 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featKeltner (Market.withKeltner): recursive-CTE replay of
+    * the adjust=true EMA(tp, 20) (MACD's recurrence: num·d + x, den·d + 1),
+    * ATR(10) via the cum−lag identity, bands mid ± 2·atr in identical op
+    * order, position gated on atr > 0. */
+  val featKeltner: String = {
+    val sp = graft.features.Market.KeltnerWindow
+    val an = graft.features.Market.KeltnerAtrWindow
+    val mu = graft.features.Market.KeltnerMult
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, k1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, close,
+       |         (high + low + close) / 3 AS tp,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         COALESCE(GREATEST(high - low,
+       |                           abs(high - LAG(close, 1) OVER ($W)),
+       |                           abs(low - LAG(close, 1) OVER ($W))),
+       |                  high - low) AS tr
+       |  FROM bars
+       |), k2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, close, rn,
+       |         ${cumSum("tr")} AS _c_tr,
+       |         COUNT(tr) OVER ($Wrun) AS _c_tr_n
+       |  FROM k1
+       |), ema AS (
+       |  SELECT symbol, rn, tp AS nm, CAST(1.0 AS DOUBLE) AS dn
+       |  FROM k1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT k1.symbol, k1.rn, ema.nm * ${d(sp)} + k1.tp, ema.dn * ${d(sp)} + 1.0
+       |  FROM ema JOIN k1 ON k1.symbol = ema.symbol AND k1.rn = ema.rn + 1
+       |), k3 AS (
+       |  SELECT symbol, event_id, close, rn,
+       |         CASE WHEN ${cumGate("_c_tr", an)}
+       |              THEN (${cumRolling("_c_tr", an)}) / $an END AS atr
+       |  FROM k2
+       |), k4 AS (
+       |  SELECT k3.symbol, k3.event_id, k3.close,
+       |         ema.nm / ema.dn AS mid,
+       |         ema.nm / ema.dn + $mu * k3.atr AS up,
+       |         ema.nm / ema.dn - $mu * k3.atr AS lo,
+       |         k3.atr
+       |  FROM k3 JOIN ema ON ema.symbol = k3.symbol AND ema.rn = k3.rn
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("mid")} AS keltner_mid,
+       |       ${r("up")} AS keltner_high,
+       |       ${r("lo")} AS keltner_low,
+       |       ${r("CASE WHEN atr > 0.0 THEN (close - lo) / (up - lo) END")} AS keltner_pos
+       |FROM k4 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featAdx (Market.withAdx, n=14): one recursive pass for
+    * the three Wilder smoothers (adjust=false: y·(1−α) + α·x, seeded at
+    * row 2 where directional movement first exists), a second for ADX over
+    * the derived DX series with null-skip state (an IS NULL == not yet
+    * seeded), replaying graft.expr.Ewma's exact update order. */
+  val featAdx: String = {
+    val n = graft.features.Market.AdxWindow
+    val aw = (1.0 / n).toString
+    val dw = (1.0 - 1.0 / n).toString
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, high, low, close,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         LAG(high, 1) OVER ($W) AS ph,
+       |         LAG(low, 1) OVER ($W) AS pl,
+       |         LAG(close, 1) OVER ($W) AS pc
+       |  FROM bars
+       |), m AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn,
+       |         CASE WHEN (high - ph) > (pl - low) AND (high - ph) > 0 THEN high - ph
+       |              WHEN ph IS NOT NULL THEN 0.0 END AS pdm,
+       |         CASE WHEN (pl - low) > (high - ph) AND (pl - low) > 0 THEN pl - low
+       |              WHEN pl IS NOT NULL THEN 0.0 END AS mdm,
+       |         CASE WHEN pc IS NOT NULL
+       |              THEN GREATEST(high - low, abs(high - pc), abs(low - pc)) END AS trw
+       |  FROM b2
+       |), st AS (
+       |  SELECT symbol, rn, pdm AS sp, mdm AS sm, trw AS str FROM m WHERE rn = 2
+       |  UNION ALL
+       |  SELECT m.symbol, m.rn,
+       |         st.sp * $dw + $aw * m.pdm,
+       |         st.sm * $dw + $aw * m.mdm,
+       |         st.str * $dw + $aw * m.trw
+       |  FROM st JOIN m ON m.symbol = st.symbol AND m.rn = st.rn + 1
+       |), dx2 AS MATERIALIZED (
+       |  SELECT m.symbol, m.event_id, m.rn,
+       |         CASE WHEN st.str > 0.0 THEN 100.0 * st.sp / st.str END AS pdi,
+       |         CASE WHEN st.str > 0.0 THEN 100.0 * st.sm / st.str END AS mdi
+       |  FROM m LEFT JOIN st ON st.symbol = m.symbol AND st.rn = m.rn
+       |), dx3 AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn, pdi, mdi,
+       |         CASE WHEN pdi + mdi > 0.0
+       |              THEN 100.0 * abs(pdi - mdi) / (pdi + mdi) END AS dx
+       |  FROM dx2
+       |), ax AS (
+       |  SELECT symbol, rn, dx AS an FROM dx3 WHERE rn = 2
+       |  UNION ALL
+       |  SELECT d.symbol, d.rn,
+       |         CASE WHEN ax.an IS NULL THEN d.dx
+       |              WHEN d.dx IS NULL THEN ax.an
+       |              ELSE ax.an * $dw + $aw * d.dx END
+       |  FROM ax JOIN dx3 d ON d.symbol = ax.symbol AND d.rn = ax.rn + 1
+       |)
+       |SELECT d.symbol, d.event_id,
+       |       ${r("d.pdi")} AS plus_di, ${r("d.mdi")} AS minus_di,
+       |       ${r("ax.an")} AS adx
+       |FROM dx3 d LEFT JOIN ax ON ax.symbol = d.symbol AND ax.rn = d.rn
+       |ORDER BY d.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featObv: sign(Δclose)·volume running sum (first row
     * coalesces to 0; signed integer-valued terms sum exactly). */
   val featObv: String =

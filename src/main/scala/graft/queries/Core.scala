@@ -184,6 +184,32 @@ object Core {
     keyed(Market.withWilliamsR(bars(s, dir)), Seq("williams_r"),
       Set("williams_r"))
 
+  /** Donchian channel over 20-bar extrema
+    * (see [[graft.features.Market.withDonchian]]). */
+  def featDonchian(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("donchian_high", "donchian_low", "donchian_mid",
+      "donchian_pos")
+    keyed(Market.withDonchian(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Commodity Channel Index, 20-bar typical-price frame
+    * (see [[graft.features.Market.withCci]]). */
+  def featCci(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withCci(bars(s, dir)), Seq("cci"), Set("cci"))
+
+  /** Keltner channels: EMA(tp, 20) ± 2·ATR(10)
+    * (see [[graft.features.Market.withKeltner]]). */
+  def featKeltner(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("keltner_mid", "keltner_high", "keltner_low", "keltner_pos")
+    keyed(Market.withKeltner(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Wilder ADX with ±DI (see [[graft.features.Market.withAdx]]). */
+  def featAdx(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("plus_di", "minus_di", "adx")
+    keyed(Market.withAdx(bars(s, dir)), out, out.toSet)
+  }
+
   /** On-balance volume (see [[graft.features.Market.withObv]]). */
   def featObv(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withObv(bars(s, dir)), Seq("obv"), Set("obv"))

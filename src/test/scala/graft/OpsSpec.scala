@@ -998,6 +998,120 @@ class OpsSpec extends SparkSpec {
       .select("williams_r").collect().forall(_.isNullAt(0)))
   }
 
+  test("withDonchian: extrema, mid, position, gates") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((10.0, 8.0, 9.0), (12.0, 9.0, 11.0),
+      (11.0, 7.0, 8.0), (9.0, 7.0, 8.5))
+    val df = rows.zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", i.toLong, h, l, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val d = graft.features.Market.withDonchian(df, n = 3)
+      .orderBy("event_id")
+      .select("donchian_high", "donchian_low", "donchian_mid", "donchian_pos")
+      .collect()
+    assert(d(0).isNullAt(0) && d(1).isNullAt(0), "frame gate")
+    // row 2: hh=12 ll=7 mid=9.5 pos=(8-7)/5=0.2
+    assert(d(2).getDouble(0) == 12.0 && d(2).getDouble(1) == 7.0)
+    assert(d(2).getDouble(2) == 9.5)
+    assert(math.abs(d(2).getDouble(3) - 0.2) < 1e-12)
+    // row 3: hh=12 ll=7 pos=(8.5-7)/5=0.3
+    assert(math.abs(d(3).getDouble(3) - 0.3) < 1e-12)
+    // flat channel: pos null, bands still emitted
+    val flat = (0 to 2).map(i => ("F", i.toLong, 5.0, 5.0, 5.0))
+      .toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val fr = graft.features.Market.withDonchian(flat, n = 3)
+      .orderBy("event_id").select("donchian_mid", "donchian_pos").collect()
+    assert(fr(2).getDouble(0) == 5.0 && fr(2).isNullAt(1))
+  }
+
+  test("withCci: hand values over a 3-bar frame") {
+    val s = spark
+    import s.implicits._
+    // tp = (h+l+c)/3 per bar: 9, 12, 6, 9
+    val rows = Seq((10.0, 8.0, 9.0), (14.0, 10.0, 12.0),
+      (8.0, 4.0, 6.0), (11.0, 7.0, 9.0))
+    val df = rows.zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", i.toLong, h, l, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val c = graft.features.Market.withCci(df, n = 3)
+      .orderBy("event_id").select("cci").collect()
+    assert(c(0).isNullAt(0) && c(1).isNullAt(0), "frame gate")
+    // row 2: frame tp {9,12,6} mean=9 md=(0+3+3)/3=2 cci=(6-9)/(0.015*2)=-100
+    assert(math.abs(c(2).getDouble(0) - -100.0) < 1e-9)
+    // row 3: frame tp {12,6,9} mean=9 md=(3+3+0)/3=2 cci=(9-9)/..=0
+    assert(math.abs(c(3).getDouble(0) - 0.0) < 1e-12)
+    // constant frame: md=0 -> null
+    val flat = (0 to 2).map(i => ("F", i.toLong, 6.0, 3.0, 3.0))
+      .toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    assert(graft.features.Market.withCci(flat, n = 3)
+      .select("cci").collect().forall(_.isNullAt(0)))
+  }
+
+  test("withKeltner: bands = EMA(tp) ± mult·ATR, position, ATR gate") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((10.0, 8.0, 9.0), (12.0, 9.0, 11.0), (11.0, 7.0, 8.0))
+    val df = rows.zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", i.toLong, h, l, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val k = graft.features.Market.withKeltner(df, n = 2, atrN = 2, mult = 1.0)
+      .orderBy("event_id")
+      .select("keltner_mid", "keltner_high", "keltner_low", "keltner_pos")
+      .collect()
+    // EMA(tp, span=2, adjust=true): alpha=2/3, decay=1/3
+    // tp = 9, 32/3, 26/3
+    // row0: mid=9 (atr gated null -> bands null)
+    assert(k(0).getDouble(0) == 9.0 && k(0).isNullAt(1) && k(0).isNullAt(3))
+    // row1: num=9*(1/3)+32/3=35/3+... wait: num=3+32/3=41/3; den=1/3+1=4/3
+    //       mid=41/4=10.25
+    assert(math.abs(k(1).getDouble(0) - 10.25) < 1e-12)
+    // tr: row0=2, row1=max(3, |12-9|, |9-9|)=3 -> atr(2) row1=(2+3)/2=2.5
+    // high=10.25+2.5=12.75 low=7.75 pos=(11-7.75)/5=0.65
+    assert(math.abs(k(1).getDouble(1) - 12.75) < 1e-12)
+    assert(math.abs(k(1).getDouble(2) - 7.75) < 1e-12)
+    assert(math.abs(k(1).getDouble(3) - 0.65) < 1e-12)
+  }
+
+  test("withAdx: seeding, DI hand values, trend direction") {
+    val s = spark
+    import s.implicits._
+    // strictly rising bars: +DM > 0 every step, -DM = 0
+    val rows = (0 until 30).map { i =>
+      ("A", i.toLong, 10.0 + i, 8.0 + i, 9.0 + i)
+    }
+    val df = rows.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val a = graft.features.Market.withAdx(df, n = 14)
+      .orderBy("event_id").select("plus_di", "minus_di", "adx").collect()
+    // row 0: no prior bar -> everything null
+    assert(a(0).isNullAt(0) && a(0).isNullAt(1) && a(0).isNullAt(2))
+    // uptrend: +DM=1, -DM=0, TR=max(2, |h-pc|=2, |l-pc|=1)=2 every row
+    // -> smoothed ratios are exactly 1/2 and 0 at every row >= 1
+    (1 until 30).foreach { i =>
+      assert(math.abs(a(i).getDouble(0) - 50.0) < 1e-9, s"plus_di row $i")
+      assert(a(i).getDouble(1) == 0.0, s"minus_di row $i")
+    }
+    // DX = 100*|50-0|/50 = 100 from row 1 -> ADX = 100 (EWMA of constant)
+    (1 until 30).foreach { i =>
+      assert(math.abs(a(i).getDouble(2) - 100.0) < 1e-9, s"adx row $i")
+    }
+    // downtrend mirror: minus_di = 50, plus_di = 0
+    val down = (0 until 5).map { i =>
+      ("D", i.toLong, 10.0 - i, 8.0 - i, 9.0 - i)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val ad = graft.features.Market.withAdx(down, n = 14)
+      .orderBy("event_id").select("plus_di", "minus_di").collect()
+    assert(ad(2).getDouble(0) == 0.0 &&
+      math.abs(ad(2).getDouble(1) - 50.0) < 1e-9)
+  }
+
   test("transitionMatrix: pair counts and row-normalized probabilities") {
     val s = spark
     import s.implicits._
