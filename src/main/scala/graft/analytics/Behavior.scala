@@ -76,6 +76,42 @@ object Behavior {
     * the pair stream before the tiny final shuffle, and the probability
     * normalization is a window over that |types|²-row aggregate, never over
     * events. */
+  /** Pairwise event-type co-occurrence with support and lift — the
+    * association-rule screen (which behaviors travel together) over the
+    * per-user distinct type sets.
+    *
+    * Scale shape: ONE user-keyed aggregate builds each user's distinct
+    * type set (bounded by the closed |types| vocabulary, never event
+    * history), pairs are generated array-side from the sorted set (no
+    * self-join on a data-sized table), and the pair counts collapse
+    * map-side into at most |types|² keys. The per-type user counts and the
+    * user total ride along as broadcast frames. */
+  def assocPairs(events: DataFrame): DataFrame = {
+    val sets = events.groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("_ts"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(_ts, (x, i) ->
+          |  transform(slice(_ts, i + 2, size(_ts)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val typeCnt = sets.select(explode(col("_ts")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val nUsers = sets.agg(count(lit(1)).as("n_users"))
+    val ta = broadcast(typeCnt
+      .select(col("event_type").as("type_a"), col("n_t").as("n_a")))
+    val tb = broadcast(typeCnt
+      .select(col("event_type").as("type_b"), col("n_t").as("n_b")))
+    val support = col("n_ab").cast("double") / col("n_users")
+    pairs.join(ta, Seq("type_a")).join(tb, Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        support.as("support"),
+        (support / ((col("n_a").cast("double") / col("n_users")) *
+          (col("n_b").cast("double") / col("n_users")))).as("lift"))
+  }
+
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))

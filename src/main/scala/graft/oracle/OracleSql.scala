@@ -1422,6 +1422,34 @@ object OracleSql {
       |  SELECT CAST(2 AS BIGINT), 'purchase', COUNT(*) FROM r2
       |) ORDER BY stage_idx""".stripMargin
 
+  /** Mirrors Analytics.assocPairs (Behavior.assocPairs): distinct user×type
+    * self-join replays the array-side pair generation (set semantics are
+    * identical); support/lift in the same op order over exact counts. */
+  val assocPairs: String = {
+    val sup = "CAST(n_ab AS DOUBLE) / n_users"
+    s"""WITH ut AS (
+       |  SELECT DISTINCT user_id, event_type FROM events
+       |), u AS (
+       |  SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+       |), t AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1
+       |), p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM ut a JOIN ut b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT type_a, type_b, n_ab,
+       |       ${r(sup)} AS support,
+       |       ${r(s"($sup) / ((CAST(ta.n_t AS DOUBLE) / n_users) * (CAST(tb.n_t AS DOUBLE) / n_users))")} AS lift
+       |FROM p
+       |JOIN t ta ON ta.event_type = type_a
+       |JOIN t tb ON tb.event_type = type_b
+       |CROSS JOIN u
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** Mirrors Analytics.eventsMarkov (Behavior.transitionMatrix): lag over
     * the per-user (ts, event_id) order, pair counts, row-normalized p. */
   val eventsMarkov: String =

@@ -207,6 +207,29 @@ object TextSimSql {
        |FROM e0 ORDER BY vec_id""".stripMargin
   }
 
+  /** Mirrors TextStats.hashFeatures(dim=64): identical md5-prefix bucketing
+    * (('0x'||hex)::BIGINT == Spark's conv(hex,16,10) for 8 hex chars) and
+    * 9th-digit-parity sign; integer counts, nothing fp-sensitive. */
+  val mlHashFeatures: String = {
+    val dim = graft.text.TextStats.HashDim
+    s"""WITH t AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |), h AS (
+       |  SELECT doc_id, md5(token) AS h FROM t
+       |), b AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(h, 1, 8))::BIGINT % $dim AS bucket,
+       |         CASE WHEN ('0x' || substring(h, 9, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM h
+       |)
+       |SELECT doc_id, bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS tf,
+       |       CAST(SUM(sgn) AS BIGINT) AS signed_tf
+       |FROM b GROUP BY doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin
+  }
+
   /** Mirrors TextStats.vocab(k=100): token occurrence + doc-frequency counts,
     * top 100 by (count desc, token asc) — integer counts and exact string
     * keys, nothing engine-sensitive. */

@@ -619,6 +619,14 @@ object Analytics {
         Seq("view", "click", "purchase"))
       .orderBy("stage_idx")
 
+  /** Pairwise event-type co-occurrence with support and lift
+    * (graft.analytics.Behavior.assocPairs). */
+  def assocPairs(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.assocPairs(Bars.readEvents(s, dir))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        r6(col("support")).as("support"), r6(col("lift")).as("lift"))
+      .orderBy("type_a", "type_b")
+
   /** First-order Markov transition matrix over per-user event sequences
     * (graft.analytics.Behavior.transitionMatrix): transition counts +
     * row-normalized probabilities between consecutive event types. */

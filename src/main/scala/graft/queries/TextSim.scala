@@ -92,6 +92,12 @@ object TextSim {
     TextStats.vocab(Tables.documents(s, dir))
       .orderBy(col("n_occurrences").desc, col("token"))
 
+  /** Hashing-trick featurization, long form
+    * (graft.text.TextStats.hashFeatures, dim=64). */
+  def mlHashFeatures(s: SparkSession, dir: String): DataFrame =
+    TextStats.hashFeatures(Tables.documents(s, dir))
+      .orderBy("doc_id", "bucket")
+
   /** C4-style corpus-level duplicated-span removal: drop every
     * non-overlapping 8-token span that appears in >= 3 documents, rebuild
     * the cleaned text (see Corpus.stripDupSpans for the scale shape). */

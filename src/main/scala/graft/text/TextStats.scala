@@ -227,4 +227,28 @@ object TextStats {
         countDistinct(col("doc_id")).as("doc_freq"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+
+  val HashDim = 64
+
+  /** Hashing-trick featurization (long form): each token is bucketed by its
+    * md5 prefix modulo `dim` with a ±1 sign from the 9th hex digit's parity
+    * — the feature-hashing scheme (Weinberger et al. 2009) that gives every
+    * doc a fixed-width sparse vector with NO driver-side vocabulary, at any
+    * corpus size. Output one row per (doc, non-empty bucket): raw term
+    * count and the sign-corrected count (the actual hashed-feature value;
+    * signs cancel colliding tokens in expectation).
+    *
+    * Scale shape: explode → one (doc_id, bucket)-keyed partial+final
+    * aggregate; everything integer-exact, md5 keeps the bucketing
+    * bit-portable across engines. */
+  def hashFeatures(docs: DataFrame, dim: Int = HashDim): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("_h", md5(col("token")))
+      .select(col("doc_id"),
+        (expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)") % dim)
+          .as("bucket"),
+        when(expr("CAST(conv(substring(_h, 9, 1), 16, 10) AS BIGINT)") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("_sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"), sum(col("_sgn")).as("signed_tf"))
 }

@@ -1112,6 +1112,46 @@ class OpsSpec extends SparkSpec {
       math.abs(ad(2).getDouble(1) - 50.0) < 1e-9)
   }
 
+  test("hashFeatures: bucket range, per-doc mass conservation, sign bounds") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta"))
+      .toDF("doc_id", "text")
+    val hf = graft.text.TextStats.hashFeatures(docs, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hf.forall { case (_, b, _, _) => b >= 0 && b < 8 }, "bucket range")
+    // token mass is conserved per doc regardless of collisions
+    assert(hf.filter(_._1 == 1L).map(_._3).sum == 4L)
+    assert(hf.filter(_._1 == 2L).map(_._3).sum == 2L)
+    // signed count bounded by the raw count; equal-token rows fully aligned
+    assert(hf.forall { case (_, _, tf, st) => math.abs(st) <= tf })
+    // the same token always lands in the same bucket with the same sign:
+    // doc 2 is two copies of one token -> one row, |signed| == tf == 2
+    val d2 = hf.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == 2L && math.abs(d2.head._4) == 2L)
+  }
+
+  test("assocPairs: planted co-occurrence counts, support and lift") {
+    val s = spark
+    import s.implicits._
+    // u1 {a,b,c}, u2 {a,b}, u3 {a}
+    val ev = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "a"),
+      (5L, 2L, "a"), (6L, 2L, "b"), (7L, 3L, "a"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+    val got = graft.analytics.Behavior.assocPairs(ev)
+      .orderBy("type_a", "type_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    def ~=(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // n_users=3, n_a=3, n_b=2, n_c=1
+    assert(~=(got(0)._4, 2.0 / 3) && ~=(got(0)._5, 1.0))   // ab
+    assert(~=(got(1)._4, 1.0 / 3) && ~=(got(1)._5, 1.0))   // ac
+    assert(~=(got(2)._4, 1.0 / 3) && ~=(got(2)._5, 1.5))   // bc
+  }
+
   test("transitionMatrix: pair counts and row-normalized probabilities") {
     val s = spark
     import s.implicits._
