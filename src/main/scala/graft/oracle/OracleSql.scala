@@ -1529,6 +1529,71 @@ object OracleSql {
 
   /** Mirrors Analytics.windowAutocorr: lag returns + the standard cum−lag
     * rolling-sum replay over the (ret, ret_prev) pair. */
+  /** Mirrors Analytics.windowTrend (n=20): ROW_NUMBER position, three
+    * cum−lag rolling sums, constant Σt/Σt², identical op order
+    * throughout. */
+  val windowTrend: String = {
+    val n = 20
+    val nD = s"$n.0"
+    val st = (n * (n - 1) / 2.0).toString
+    val stt = (n * (n - 1) * (2 * n - 1) / 6.0).toString
+    s"""$barsCte, t0 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         CAST(ROW_NUMBER() OVER ($W) AS DOUBLE) AS j
+       |  FROM bars
+       |), t1 AS (
+       |  SELECT symbol, event_id, datetime, close, j,
+       |         ${cumSum("close")} AS _c_y,
+       |         COUNT(close) OVER ($Wrun) AS _c_y_n,
+       |         ${cumSum("j * close")} AS _c_jy,
+       |         ${cumSum("close * close")} AS _c_y2
+       |  FROM t0
+       |), t2 AS (
+       |  SELECT symbol, event_id, j,
+       |         ${cumRolling("_c_y", n)} AS sy,
+       |         ${cumRolling("_c_jy", n)} AS sjy,
+       |         ${cumRolling("_c_y2", n)} AS syy,
+       |         ${cumGate("_c_y", n)} AS g
+       |  FROM t1
+       |), t3 AS (
+       |  SELECT symbol, event_id, sy, syy, g,
+       |         sjy - (j - ${(n - 1).toDouble}) * sy AS sty
+       |  FROM t2
+       |), t4 AS (
+       |  SELECT symbol, event_id, sy, g,
+       |         $nD * sty - $st * sy AS num,
+       |         $nD * $stt - $st * $st AS dent,
+       |         $nD * syy - sy * sy AS vary
+       |  FROM t3
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("CASE WHEN g THEN num / dent END")} AS trend_slope,
+       |       ${r("CASE WHEN g THEN (sy - (num / dent) * " + st + ") / " + nD + " END")} AS trend_intercept,
+       |       ${r("CASE WHEN g AND vary > 0.0 THEN (num * num) / (dent * vary) END")} AS trend_r2
+       |FROM t4 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.seasonalityProfile: per (symbol, hour) grouped
+    * sums over returns — plain SUM on both sides (see aggStats note). */
+  val seasonalityProfile: String =
+    s"""$barsCte, r0 AS (
+       |  SELECT symbol, event_id,
+       |         CAST(hour(datetime) AS BIGINT) AS hod, volume,
+       |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS ret
+       |  FROM bars
+       |), r1 AS (
+       |  SELECT * FROM r0 WHERE ret IS NOT NULL
+       |), g AS (
+       |  SELECT symbol, hod, COUNT(*) AS n_bars,
+       |         SUM(ret) AS sr, SUM(abs(ret)) AS sar, SUM(volume) AS sv
+       |  FROM r1 GROUP BY symbol, hod
+       |)
+       |SELECT symbol, hod, n_bars,
+       |       ${r("sr / n_bars")} AS avg_ret,
+       |       ${r("sar / n_bars")} AS avg_abs_ret,
+       |       ${r("sv / n_bars")} AS avg_volume
+       |FROM g ORDER BY symbol, hod""".stripMargin
+
   val windowAutocorr: String = {
     val n = 20
     val nD = s"$n.0"

@@ -682,6 +682,61 @@ object TextSimSql {
     * with (ccos DESC, cent_id) rank ties, centroid means as sequential
     * folds over vec_id-sorted members — every downstream cosine compares
     * identical doubles, so the discrete assignments match exactly. */
+  /** Mirrors Similarity.pqEncode (m=4, k=8, iters=2): generic-over-subspace
+    * replay of the two unrolled Lloyd rounds — list_slice subvectors,
+    * sequential-fold L2², (d, cent_id) argmin tie-break, ORDER BY vec_id
+    * canonical mean updates — the kmeans oracle's recipe keyed by
+    * (subspace, code). */
+  val simPq: String = {
+    import graft.sim.{Similarity => S}
+    val m = S.PqM
+    val k = S.PqK
+    val sw = S.PqDims / S.PqM
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, m AS subspace,
+       |         list_slice(v, m * $sw + 1, m * $sw + $sw) AS sv
+       |  FROM e0, UNNEST(range(0, $m)) u(m)
+       |), c0 AS (
+       |  SELECT subspace, vec_id AS cent_id, sv AS cv FROM sub WHERE vec_id < $k
+       |), s1 AS (
+       |  SELECT sub.vec_id, sub.subspace, sub.sv, c0.cent_id,
+       |         ${l2("sv", "cv")} AS d
+       |  FROM sub JOIN c0 ON c0.subspace = sub.subspace
+       |), a1 AS (
+       |  SELECT vec_id, subspace, sv, cent_id AS code,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+       |                            ORDER BY d, cent_id) AS crank
+       |  FROM s1
+       |), b1 AS (
+       |  SELECT vec_id, subspace, sv, code FROM a1 WHERE crank = 1
+       |), x1 AS (
+       |  SELECT subspace, code, vec_id, i - 1 AS idx, sv[i] AS x
+       |  FROM b1, UNNEST(range(1, len(sv) + 1)) u(i)
+       |), m1 AS (
+       |  SELECT subspace, code, idx,
+       |         list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
+       |  FROM x1 GROUP BY subspace, code, idx
+       |), c1 AS (
+       |  SELECT subspace, code AS cent_id, list(c ORDER BY idx) AS cv
+       |  FROM m1 GROUP BY subspace, code
+       |), s2 AS (
+       |  SELECT sub.vec_id, sub.subspace, c1.cent_id, ${l2("sv", "cv")} AS d
+       |  FROM sub JOIN c1 ON c1.subspace = sub.subspace
+       |), a2 AS (
+       |  SELECT vec_id, subspace, cent_id AS code, d,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+       |                            ORDER BY d, cent_id) AS crank
+       |  FROM s2
+       |)
+       |SELECT vec_id, subspace, code, ${r("d")} AS qerr
+       |FROM a2 WHERE crank = 1 ORDER BY vec_id, subspace""".stripMargin
+  }
+
   val simKmeans: String = {
     import graft.sim.{Similarity => S}
     val k = S.KmeansK

@@ -477,6 +477,78 @@ object Analytics {
     * machinery as [[windowCorr]], over the (retₜ, retₜ₋₁) pair; rows
     * where either return is missing (first two bars) are excluded before
     * the cums so the min_samples gate counts only complete pairs. */
+  /** Rolling OLS trend: per symbol, regress close on the bar position
+    * t = 0..n−1 within each 20-bar frame — slope (trend strength per bar),
+    * intercept, and r² (trend quality), the linear-regression channel next
+    * to the autocorrelation screen.
+    *
+    * With a FULL frame, Σt and Σt² are compile-time constants; the one
+    * varying cross-term Σ t·y folds out of two O(n) cum−lag rolling sums
+    * via Σ(j − j_start)·y = Σ j·y − j_start·Σ y over the global per-symbol
+    * row number j. No per-row frame gather — three running sums, one
+    * window pass, same exchange as the rest of the family. j·y products
+    * grow with absolute row position; the oracle replays the identical op
+    * order so the comparison is exact regardless. */
+  def windowTrend(s: SparkSession, dir: String, n: Int = 20): DataFrame =
+    windowTrendOf(Bars.bars(s, dir), n)
+
+  def windowTrendOf(b: DataFrame, n: Int): DataFrame = {
+    import graft.features.Frames
+    val w = Frames.bySymbol
+    val y = col("close")
+    val stage1 = b
+      .select(col("symbol"), col("event_id"), col("datetime"), y,
+        row_number().over(w).cast("double").as("_j"))
+      .select(col("*"), (col("_j") * y).as("_jy"), (y * y).as("_y2"))
+    val stage2 = Frames.withCums(stage1, Map(
+      "_c_y" -> y, "_c_jy" -> col("_jy"), "_c_y2" -> col("_y2")))
+    val nD = lit(n.toDouble)
+    val st = lit(n * (n - 1) / 2.0)
+    val stt = lit(n * (n - 1) * (2 * n - 1) / 6.0)
+    val sy = Frames.cumRolling("_c_y", n)
+    val sjy = Frames.cumRolling("_c_jy", n)
+    val syy = Frames.cumRolling("_c_y2", n)
+    val jstart = col("_j") - lit((n - 1).toDouble)
+    val sty = sjy - jstart * sy
+    val denT = nD * stt - st * st
+    val num = nD * sty - st * sy
+    val slope = num / denT
+    val varY = nD * syy - sy * sy
+    val gate = Frames.cumCountGate("_c_y", n)
+    stage2.select(col("symbol"), col("event_id"),
+        r6(when(gate, slope)).as("trend_slope"),
+        r6(when(gate, (sy - slope * st) / nD)).as("trend_intercept"),
+        r6(when(gate && varY > 0.0,
+          (num * num) / (denT * varY))).as("trend_r2"))
+      .orderBy("event_id")
+  }
+
+  /** Average return / absolute return / volume by hour of day per symbol —
+    * the intraday seasonality profile. One partial+final aggregate over at
+    * most |symbols|·24 groups; plain grouped sums (magnitudes are O(price),
+    * association noise is absorbed by the 1e-6 rounding, as with
+    * agg_stats). */
+  def seasonalityProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.features.Frames
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    val withRet = Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"),
+        hour(col("datetime")).cast("long").as("hod"),
+        col("volume"), try_divide(col("close") - prev, prev).as("ret"))
+      .filter(col("ret").isNotNull)
+    withRet.groupBy("symbol", "hod")
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("ret")).as("_sr"),
+        sum(abs(col("ret"))).as("_sar"),
+        sum(col("volume")).as("_sv"))
+      .select(col("symbol"), col("hod"), col("n_bars"),
+        r6(col("_sr") / col("n_bars")).as("avg_ret"),
+        r6(col("_sar") / col("n_bars")).as("avg_abs_ret"),
+        r6(col("_sv") / col("n_bars")).as("avg_volume"))
+      .orderBy("symbol", "hod")
+  }
+
   def windowAutocorr(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
     import graft.features.Frames
     val w = Frames.bySymbol

@@ -260,6 +260,15 @@ object TextSim {
       .select(col("vec_id"), col("cluster"), r6(col("cos")).as("cos"))
       .orderBy("vec_id")
 
+  /** Product-quantization codes + quantization error
+    * (graft.sim.Similarity.pqEncode: 4 subspaces × 8 centroids, 2 Lloyd
+    * iterations). */
+  def simPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("subspace"), col("code"),
+        r6(col("qerr")).as("qerr"))
+      .orderBy("vec_id", "subspace")
+
   /** SemDeDup: connected components over embedding near-dup pairs; one
     * canonical vector kept per semantic cluster. */
   def simSemanticDedup(s: SparkSession, dir: String): DataFrame =

