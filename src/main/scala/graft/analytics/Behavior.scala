@@ -76,6 +76,34 @@ object Behavior {
     * the pair stream before the tiny final shuffle, and the probability
     * normalization is a window over that |types|²-row aggregate, never over
     * events. */
+  /** Per-user activity cadence: event count, active span, and
+    * inter-arrival gap stats (mean/min/max, seconds). The mean gap is
+    * (span)/(n−1) — the telescoping identity, no gap materialization —
+    * while min/max come from one lag pass.
+    *
+    * Scale shape: the lag window and the final aggregate share the
+    * user_id hash partitioning, so the second stage reuses the first's
+    * exchange; state per user is O(1). */
+  def userCadence(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val gap = (us - lag(us, 1).over(w)).cast("double") / 1e6
+    events
+      .select(col("user_id"), col("ts"), gap.as("_gap"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("double") / 1e6).as("span_s"),
+        min(col("_gap")).as("min_gap_s"),
+        max(col("_gap")).as("max_gap_s"))
+      .select(col("user_id"), col("n_events"), col("span_s"),
+        when(col("n_events") > 1,
+          col("span_s") / (col("n_events") - 1).cast("double"))
+          .as("mean_gap_s"),
+        col("min_gap_s"), col("max_gap_s"))
+  }
+
   /** Pairwise event-type co-occurrence with support and lift — the
     * association-rule screen (which behaviors travel together) over the
     * per-user distinct type sets.

@@ -303,6 +303,65 @@ object Market {
       .drop("_ktp", "_kmid", "tr", s"atr_$atrN")
   }
 
+  val AmihudWindow = 20
+
+  /** Amihud illiquidity: rolling mean of |return| per unit of dollar
+    * volume — the standard price-impact proxy. Zero-volume bars
+    * contribute NULL (no trade to move the price through) and are
+    * excluded from the mean; the frame is gated on n ROWS observed with
+    * at least one non-null ratio, and the mean divides by the non-null
+    * count. Scaled ×1e6 like the literature. All O(n) cum−lag sums over
+    * the one shared per-symbol exchange. */
+  def withAmihud(df: DataFrame, n: Int = AmihudWindow): DataFrame = {
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    val ret = (col("close") - prev) / prev
+    val dv = col("close") * col("volume")
+    val s1 = df.select(col("*"),
+      when(dv > 0.0, abs(ret) / dv * 1e6).as("_ilq"))
+    val s2 = Frames.withCums(s1, Map("_c_ilq" -> col("_ilq"),
+      "_c_one" -> lit(1.0)))
+    val rows = Frames.cumRolling("_c_one", n)
+    val cnt = col("_c_ilq_n") -
+      coalesce(lag(col("_c_ilq_n"), n).over(w), lit(0L))
+    s2.select(col("*"),
+        when(rows === n.toDouble && cnt > 0,
+          Frames.cumRolling("_c_ilq", n) / cnt).as(s"amihud_$n"))
+      .drop("_ilq")
+      .drop(Frames.cumHelperCols(Seq("_c_ilq", "_c_one")): _*)
+  }
+
+  val RollWindow = 20
+
+  /** Roll's implied spread: 2·√(−cov(Δp_t, Δp_{t−1})) over a rolling
+    * frame when the serial covariance of price changes is negative
+    * (bid-ask bounce), NULL otherwise — the classic trade-cost estimate
+    * from prices alone. Population covariance over the n-pair frame via
+    * the same cum−lag identity as the autocorrelation screen; rows
+    * before both diffs exist are excluded. */
+  def withRollSpread(df: DataFrame, n: Int = RollWindow): DataFrame = {
+    val w = Frames.bySymbol
+    val dp = col("close") - lag(col("close"), 1).over(w)
+    val s1 = df.select(col("*"), dp.as("_dp"))
+      .select(col("*"), lag(col("_dp"), 1).over(w).as("_dpl"))
+      .select(col("*"),
+        when(col("_dp").isNotNull && col("_dpl").isNotNull,
+          col("_dp") * col("_dpl")).as("_xy"),
+        when(col("_dpl").isNotNull, col("_dp")).as("_x"),
+        col("_dpl").as("_y"))
+    val s2 = Frames.withCums(s1, Map("_c_rx" -> col("_x"),
+      "_c_ry" -> col("_y"), "_c_rxy" -> col("_xy")))
+    val nD = lit(n.toDouble)
+    val cov = (nD * Frames.cumRolling("_c_rxy", n) -
+      Frames.cumRolling("_c_rx", n) * Frames.cumRolling("_c_ry", n)) /
+      (nD * nD)
+    s2.select(col("*"),
+        when(Frames.cumCountGate("_c_rxy", n) && cov < 0.0,
+          lit(2.0) * sqrt(-cov)).as(s"roll_spread_$n"))
+      .drop("_dp", "_dpl", "_xy", "_x", "_y")
+      .drop(Frames.cumHelperCols(Seq("_c_rx", "_c_ry", "_c_rxy")): _*)
+  }
+
   val AdxWindow = 14
 
   /** Average Directional Index (Wilder): directional movement

@@ -240,6 +240,78 @@ object OracleSql {
        |FROM bars ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featAmihud (Market.withAmihud, n=20): null-skipping
+    * running sums (list_sum over the frame-ordered list == Spark's
+    * windowed sum), row-count vs non-null-count gating, mean over the
+    * non-null count. */
+  val featAmihud: String = {
+    val n = graft.features.Market.AmihudWindow
+    s"""$barsCte, i0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN close * volume > 0.0
+       |              THEN abs((close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W))
+       |                   / (close * volume) * 1000000.0 END AS ilq
+       |  FROM bars
+       |), i1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("ilq")} AS _c_ilq,
+       |         COUNT(ilq) OVER ($Wrun) AS _c_ilq_n,
+       |         CAST(COUNT(*) OVER ($Wrun) AS DOUBLE) AS _c_one
+       |  FROM i0
+       |), i2 AS (
+       |  SELECT symbol, event_id,
+       |         _c_one - COALESCE(LAG(_c_one, $n) OVER ($W), 0.0) AS rows_n,
+       |         _c_ilq_n - COALESCE(LAG(_c_ilq_n, $n) OVER ($W), 0) AS cnt,
+       |         ${cumRolling("_c_ilq", n)} AS ssum
+       |  FROM i1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN rows_n = $n.0 AND cnt > 0 THEN ssum / cnt END")} AS amihud_$n
+       |FROM i2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featRollSpread (Market.withRollSpread, n=20): the
+    * autocorrelation oracle's cum−lag machinery with nulls KEPT in-frame
+    * (list_sum skips them exactly like Spark's windowed sum); population
+    * covariance, spread only when cov < 0. */
+  val featRollSpread: String = {
+    val n = graft.features.Market.RollWindow
+    val nD = s"$n.0"
+    s"""$barsCte, p0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         close - LAG(close, 1) OVER ($W) AS dp
+       |  FROM bars
+       |), p1 AS (
+       |  SELECT symbol, event_id, datetime, dp,
+       |         LAG(dp, 1) OVER ($W) AS dpl
+       |  FROM p0
+       |), p2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN dp IS NOT NULL AND dpl IS NOT NULL
+       |              THEN dp * dpl END AS xy,
+       |         CASE WHEN dpl IS NOT NULL THEN dp END AS x,
+       |         dpl AS y
+       |  FROM p1
+       |), p3 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("x")} AS _c_rx,
+       |         ${cumSum("y")} AS _c_ry,
+       |         ${cumSum("xy")} AS _c_rxy,
+       |         COUNT(xy) OVER ($Wrun) AS _c_rxy_n
+       |  FROM p2
+       |), p4 AS (
+       |  SELECT symbol, event_id,
+       |         ($nD * (${cumRolling("_c_rxy", n)}) -
+       |          (${cumRolling("_c_rx", n)}) * (${cumRolling("_c_ry", n)})) /
+       |         ($nD * $nD) AS cov,
+       |         ${cumGate("_c_rxy", n)} AS g
+       |  FROM p3
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("CASE WHEN g AND cov < 0.0 THEN 2.0 * sqrt(-cov) END")} AS roll_spread_$n
+       |FROM p4 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featDonchian (Market.withDonchian, n=20): rolling
     * MIN/MAX extrema (order-insensitive, bit-portable natively) with the
     * full-frame gate; position gated on a non-degenerate channel. */
@@ -688,6 +760,55 @@ object OracleSql {
 
   /** Mirrors Core.targetEncode: LOO mean of the integer target per symbol
     * (integer window sums — order-insensitive), single-row group → NULL. */
+  /** Mirrors Core.targetEncodeOof (k=5): md5-prefix fold assignment
+    * (('0x'||hex)::BIGINT == Spark's conv for 8 hex chars), per-(symbol,
+    * fold) integer sums, other-folds mean; NULL when the other folds are
+    * empty (0/0 -> try_divide NULL == the CASE guard). */
+  val targetEncodeOof: String = {
+    val k = 5
+    s"""$targetsCte, tt AS (
+       |  SELECT symbol, event_id, CAST(fwd > 0 AS BIGINT) AS target,
+       |         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % $k AS fold
+       |  FROM t WHERE fwd IS NOT NULL
+       |), bf AS (
+       |  SELECT symbol, fold, CAST(SUM(target) AS BIGINT) AS f_sum,
+       |         COUNT(*) AS f_cnt
+       |  FROM tt GROUP BY symbol, fold
+       |), bs AS (
+       |  SELECT symbol, CAST(SUM(f_sum) AS BIGINT) AS s_sum,
+       |         CAST(SUM(f_cnt) AS BIGINT) AS s_cnt
+       |  FROM bf GROUP BY symbol
+       |)
+       |SELECT tt.event_id, tt.symbol, tt.fold, tt.target,
+       |       ${r("CASE WHEN bs.s_cnt - bf.f_cnt = 0 THEN NULL ELSE CAST(bs.s_sum - bf.f_sum AS DOUBLE) / CAST(bs.s_cnt - bf.f_cnt AS DOUBLE) END")} AS oof_target_enc
+       |FROM tt
+       |JOIN bf ON bf.symbol = tt.symbol AND bf.fold = tt.fold
+       |JOIN bs ON bs.symbol = tt.symbol
+       |ORDER BY tt.event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.userCadence: per-user count/span/gap stats over
+    * integer-microsecond timestamps; mean gap via the telescoping
+    * span/(n−1) identity on both sides. */
+  val userCadence: String =
+    s"""WITH g0 AS (
+       |  SELECT user_id, ts,
+       |         CAST(epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (
+       |           PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE)
+       |         / 1000000.0 AS gap
+       |  FROM events
+       |), g1 AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE)
+       |           / 1000000.0 AS span_s,
+       |         MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s
+       |  FROM g0 GROUP BY user_id
+       |)
+       |SELECT user_id, n_events, ${r("span_s")} AS span_s,
+       |       ${r("CASE WHEN n_events > 1 THEN span_s / CAST(n_events - 1 AS DOUBLE) END")} AS mean_gap_s,
+       |       ${r("min_gap_s")} AS min_gap_s, ${r("max_gap_s")} AS max_gap_s
+       |FROM g1 ORDER BY user_id""".stripMargin
+
   val targetEncode: String =
     s"""$targetsCte, tt AS (
        |  SELECT symbol, event_id, CAST(fwd > 0 AS BIGINT) AS target

@@ -691,6 +691,16 @@ object Analytics {
         Seq("view", "click", "purchase"))
       .orderBy("stage_idx")
 
+  /** Per-user cadence stats (graft.analytics.Behavior.userCadence). */
+  def userCadence(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.userCadence(Bars.readEvents(s, dir))
+      .select(col("user_id"), col("n_events"),
+        r6(col("span_s")).as("span_s"),
+        r6(col("mean_gap_s")).as("mean_gap_s"),
+        r6(col("min_gap_s")).as("min_gap_s"),
+        r6(col("max_gap_s")).as("max_gap_s"))
+      .orderBy("user_id")
+
   /** Pairwise event-type co-occurrence with support and lift
     * (graft.analytics.Behavior.assocPairs). */
   def assocPairs(s: SparkSession, dir: String): DataFrame =

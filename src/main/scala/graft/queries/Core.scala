@@ -210,6 +210,42 @@ object Core {
     keyed(Market.withAdx(bars(s, dir)), out, out.toSet)
   }
 
+  /** Amihud illiquidity ×1e6 over a 20-bar frame
+    * (see [[graft.features.Market.withAmihud]]). */
+  def featAmihud(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withAmihud(bars(s, dir)), Seq("amihud_20"),
+      Set("amihud_20"))
+
+  /** Roll implied spread over a 20-pair frame
+    * (see [[graft.features.Market.withRollSpread]]). */
+  def featRollSpread(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withRollSpread(bars(s, dir)), Seq("roll_spread_20"),
+      Set("roll_spread_20"))
+
+  /** Out-of-fold target encoding: each row's symbol encoding is the mean
+    * classification target over the OTHER k−1 md5-assigned folds — the
+    * k-fold leakage guard production pipelines use where leave-one-out
+    * ([[targetEncode]]) is too fine-grained. (symbol × fold) sums are a
+    * tiny broadcast frame; integer target sums are fp-exact under any
+    * aggregation order, so the encoding is bit-portable. NULL when the
+    * other folds hold no rows of the symbol. */
+  def targetEncodeOof(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val t = Targets.withTarget(bars(s, dir), targetType = "classification")
+      .select(col("symbol"), col("event_id"), col("target").cast("long").as("target"))
+      .withColumn("fold",
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % k)
+    val byFold = t.groupBy("symbol", "fold")
+      .agg(sum(col("target")).as("f_sum"), count(lit(1)).as("f_cnt"))
+    val bySym = byFold.groupBy("symbol")
+      .agg(sum(col("f_sum")).as("s_sum"), sum(col("f_cnt")).as("s_cnt"))
+    t.join(broadcast(byFold), Seq("symbol", "fold"))
+      .join(broadcast(bySym), Seq("symbol"))
+      .select(col("event_id"), col("symbol"), col("fold"), col("target"),
+        r6(try_divide((col("s_sum") - col("f_sum")).cast("double"),
+          (col("s_cnt") - col("f_cnt")).cast("double"))).as("oof_target_enc"))
+      .orderBy("event_id")
+  }
+
   /** On-balance volume (see [[graft.features.Market.withObv]]). */
   def featObv(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withObv(bars(s, dir)), Seq("obv"), Set("obv"))

@@ -1112,6 +1112,94 @@ class OpsSpec extends SparkSpec {
       math.abs(ad(2).getDouble(1) - 50.0) < 1e-9)
   }
 
+  test("withAmihud: zero-volume bars excluded, mean over non-null count") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((10.0, 5.0), (11.0, 5.0), (12.0, 0.0), (13.0, 2.0))
+    val df = rows.zipWithIndex.map { case ((c, v), i) =>
+      ("A", i.toLong, c, c, c, v)
+    }.toDF("symbol", "event_id", "high", "low", "close", "volume")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val a = graft.features.Market.withAmihud(df, n = 2)
+      .orderBy("event_id").select("amihud_2").collect()
+    assert(a(0).isNullAt(0), "first frame not full")
+    val ilq1 = math.abs((11.0 - 10.0) / 10.0) / (11.0 * 5.0) * 1e6
+    val ilq3 = math.abs((13.0 - 12.0) / 12.0) / (13.0 * 2.0) * 1e6
+    assert(math.abs(a(1).getDouble(0) - ilq1) < 1e-9, "single non-null in frame")
+    assert(math.abs(a(2).getDouble(0) - ilq1) < 1e-9,
+      "zero-volume bar contributes nothing; prior ratio carries the mean")
+    assert(math.abs(a(3).getDouble(0) - ilq3) < 1e-9)
+    // all-zero-volume frame: cnt = 0 -> null
+    val dead = (0 to 3).map(i => ("D", i.toLong, 5.0, 5.0, 5.0, 0.0))
+      .toDF("symbol", "event_id", "high", "low", "close", "volume")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    assert(graft.features.Market.withAmihud(dead, n = 2)
+      .select("amihud_2").collect().forall(_.isNullAt(0)))
+  }
+
+  test("withRollSpread: bid-ask bounce yields 2*sqrt(-cov); trend yields null") {
+    val s = spark
+    import s.implicits._
+    // alternating 10, 11, 10, 11... -> dp alternates +1/-1, cov = -1,
+    // spread = 2
+    val bounce = (0 until 10).map { i =>
+      ("A", i.toLong, if (i % 2 == 0) 10.0 else 11.0)
+    }.toDF("symbol", "event_id", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val b = graft.features.Market.withRollSpread(bounce, n = 4)
+      .orderBy("event_id").select("roll_spread_4").collect()
+    assert((0 to 4).forall(b(_).isNullAt(0)), "gate: 4 pairs need 6 rows")
+    (5 until 10).foreach { i =>
+      assert(math.abs(b(i).getDouble(0) - 2.0) < 1e-9, s"row $i")
+    }
+    // strict uptrend: dp = +1 constantly -> cov = 0, not negative -> null
+    val trend = (0 until 10).map(i => ("T", i.toLong, 10.0 + i))
+      .toDF("symbol", "event_id", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    assert(graft.features.Market.withRollSpread(trend, n = 4)
+      .select("roll_spread_4").collect().forall(_.isNullAt(0)))
+  }
+
+  test("targetEncodeOof: encoding equals the recomputed other-folds mean") {
+    val s = spark
+    val enc = graft.queries.Core
+      .targetEncodeOof(spark, "/root/testdata/sf0.001").collect()
+    assert(enc.nonEmpty)
+    // recompute per (symbol, fold): mean target over the OTHER folds
+    val bySymFold = enc.groupBy(r => (r.getString(1), r.getLong(2)))
+      .map { case (k, rs) => k -> (rs.map(_.getLong(3)).sum, rs.length) }
+    val bySym = enc.groupBy(_.getString(1))
+      .map { case (k, rs) => k -> (rs.map(_.getLong(3)).sum, rs.length) }
+    enc.foreach { r =>
+      val (fs, fc) = bySymFold((r.getString(1), r.getLong(2)))
+      val (ss, sc) = bySym(r.getString(1))
+      if (r.isNullAt(4)) assert(sc == fc, s"null row ${r.getLong(0)}")
+      else assert(math.abs(r.getDouble(4) - (ss - fs).toDouble / (sc - fc)) < 1e-6,
+        s"row ${r.getLong(0)}")
+    }
+    // no fold sees its own labels: encodings differ across folds for a
+    // symbol unless the other-folds means coincide — sanity: >1 distinct
+    // encoding overall
+    assert(enc.map(_.getDouble(4)).distinct.length > 1)
+  }
+
+  test("userCadence: planted gaps — span, telescoping mean, min/max") {
+    val s = spark
+    import s.implicits._
+    // user 1 at t = 0s, 10s, 40s: span 40, gaps {10, 30}, mean 20
+    // user 2 at t = 5s: single event -> null gaps
+    val ev = Seq((1L, 0L, 1L), (2L, 10L, 1L), (3L, 40L, 1L), (4L, 5L, 2L))
+      .toDF("event_id", "t", "user_id")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val got = graft.analytics.Behavior.userCadence(ev)
+      .orderBy("user_id").collect()
+    assert(got(0).getLong(1) == 3L && got(0).getDouble(2) == 40.0)
+    assert(got(0).getDouble(3) == 20.0)
+    assert(got(0).getDouble(4) == 10.0 && got(0).getDouble(5) == 30.0)
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(2) == 0.0 &&
+      got(1).isNullAt(3) && got(1).isNullAt(4) && got(1).isNullAt(5))
+  }
+
   test("windowTrendOf: exact fit on a linear series, constant-series gating") {
     val s = spark
     import s.implicits._
