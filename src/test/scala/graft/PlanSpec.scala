@@ -165,10 +165,27 @@ class PlanSpec extends SparkSpec {
         "withObv" -> M.withObv(b),
         "withMfi" -> M.withMfi(b),
         "withOutliers" -> M.withOutliers(b),
-        "withRollingCorr" -> M.withRollingCorr(b))) {
+        "withRollingCorr" -> M.withRollingCorr(b),
+        "withWilliamsR" -> M.withWilliamsR(b),
+        "withDonchian" -> M.withDonchian(b),
+        "withCci" -> M.withCci(b),
+        "withKeltner" -> M.withKeltner(b),
+        "withAdx" -> M.withAdx(b),
+        "withAmihud" -> M.withAmihud(b),
+        "withRollSpread" -> M.withRollSpread(b))) {
       assert(countOp(df, "Exchange hashpartitioning") == 1,
         s"$name regressed to multiple hash exchanges:\n${plan(df)}")
     }
+  }
+
+  test("withAdx fuses the three Wilder smoothers into one window pass") {
+    val df = graft.features.Market.withAdx(
+      graft.source.Bars.bars(spark, dir))
+    // stage A: lags; stage B: the three ewma smoothers (ONE fused
+    // WindowExec); stage C: the adx smoother over the derived dx — at
+    // most 4 Window operators over the single exchange
+    val windows = plan(df).linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows <= 4, s"withAdx regressed to $windows window passes:\n${plan(df)}")
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffled join") {
