@@ -417,6 +417,193 @@ object Market {
       .drop("_pdm", "_mdm", "_trw", "_spdm", "_smdm", "_str", "_dx")
   }
 
+  val AroonWindow = 25
+
+  /** Aroon indicator over the last n bars: how recently the frame's
+    * extreme printed.
+    *
+    *   aroon_up   = (n − bars_since_high) / n · 100
+    *   aroon_down = (n − bars_since_low)  / n · 100
+    *   aroon_osc  = aroon_up − aroon_down
+    *
+    * "Bars since" is the distance to the MOST RECENT occurrence of the
+    * frame max/min (ties resolve to the latest bar — deterministic, and
+    * what a fresh extreme means economically). Computed by gathering the
+    * frame once per row ([[withCci]]'s collect_list pattern, O(n·w)) and
+    * locating the extremum from the frame's end — the oracle replays the
+    * identical list_position(list_reverse(...)) lookup, and the only
+    * doubles involved are exact integer positions scaled at the end, so
+    * the value is bit-portable trivially. NULL until the frame fills. */
+  def withAroon(df: DataFrame, n: Int = AroonWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val gate = count(col("close")).over(frame) === n
+    val s1 = df.select(col("*"),
+      when(gate, collect_list(col("high")).over(frame)).as("_ah"),
+      when(gate, collect_list(col("low")).over(frame)).as("_al"))
+    val sinceHigh =
+      (array_position(reverse(col("_ah")), array_max(col("_ah"))) - 1)
+        .cast("double")
+    val sinceLow =
+      (array_position(reverse(col("_al")), array_min(col("_al"))) - 1)
+        .cast("double")
+    val up = ((lit(n.toDouble) - sinceHigh) * 100.0 / n).as("aroon_up")
+    val dn = ((lit(n.toDouble) - sinceLow) * 100.0 / n).as("aroon_down")
+    s1.select(col("*"), up, dn)
+      .select(col("*"), (col("aroon_up") - col("aroon_down")).as("aroon_osc"))
+      .drop("_ah", "_al")
+  }
+
+  val VortexWindow = 14
+
+  /** Vortex indicator over n bars:
+    *
+    *   vm+ = |high − prev_low|,  vm− = |low − prev_high|
+    *   vi± = rollsum(vm±, n) / rollsum(tr, n)
+    *
+    * with tr the ATR true range, NULL on the first bar per symbol (no
+    * prior bar, same seeding as [[withAdx]]'s directional movement).
+    * Rolling sums via the O(n) cum−lag identity; gated on n non-null
+    * true ranges and a positive range sum. One shared per-symbol
+    * exchange. */
+  def withVortex(df: DataFrame, n: Int = VortexWindow): DataFrame = {
+    val w = Frames.bySymbol
+    val prevC = lag(col("close"), 1).over(w)
+    val prevH = lag(col("high"), 1).over(w)
+    val prevL = lag(col("low"), 1).over(w)
+    val tr = when(prevC.isNotNull, greatest(col("high") - col("low"),
+      abs(col("high") - prevC), abs(col("low") - prevC)))
+    val s1 = df.select(col("*"),
+      abs(col("high") - prevL).as("_vmp"),
+      abs(col("low") - prevH).as("_vmm"),
+      tr.as("_vtr"))
+    val s2 = Frames.withCums(s1, Map("_c_vmp" -> col("_vmp"),
+      "_c_vmm" -> col("_vmm"), "_c_vtr" -> col("_vtr")))
+    val strr = Frames.cumRolling("_c_vtr", n)
+    val gate = Frames.cumCountGate("_c_vtr", n) && strr > 0.0
+    s2.select(col("*"),
+        when(gate, Frames.cumRolling("_c_vmp", n) / strr).as("vi_plus"),
+        when(gate, Frames.cumRolling("_c_vmm", n) / strr).as("vi_minus"))
+      .drop("_vmp", "_vmm", "_vtr")
+      .drop(Frames.cumHelperCols(Seq("_c_vmp", "_c_vmm", "_c_vtr")): _*)
+  }
+
+  val CmfWindow = 20
+
+  /** Chaikin money flow over n bars:
+    *
+    *   mfm = ((close − low) − (high − close)) / (high − low)   (0 on a
+    *         flat bar — no range to place the close in, standard CMF)
+    *   cmf = rollsum(mfm · volume, n) / rollsum(volume, n)
+    *
+    * Rolling sums via the cum−lag identity (sequential-fold
+    * bit-portability); gated on n observed rows and positive rolling
+    * volume. One window pass over the shared per-symbol exchange. */
+  def withCmf(df: DataFrame, n: Int = CmfWindow): DataFrame = {
+    val mfm = when(col("high") > col("low"),
+      ((col("close") - col("low")) - (col("high") - col("close"))) /
+        (col("high") - col("low"))).otherwise(lit(0.0))
+    val s1 = df.select(col("*"), (mfm * col("volume")).as("_mfv"))
+    val s2 = Frames.withCums(s1, Map("_c_mfv" -> col("_mfv"),
+      "_c_cv" -> col("volume")))
+    val vs = Frames.cumRolling("_c_cv", n)
+    s2.select(col("*"),
+        when(Frames.cumCountGate("_c_cv", n) && vs > 0.0,
+          Frames.cumRolling("_c_mfv", n) / vs).as(s"cmf_$n"))
+      .drop("_mfv")
+      .drop(Frames.cumHelperCols(Seq("_c_mfv", "_c_cv")): _*)
+  }
+
+  val RangeVolWindow = 20
+  /** 1/(4·ln 2) Parkinson normalizer and the 2·ln2 − 1 Garman–Klass
+    * drift coefficient, computed once in Scala and embedded as the SAME
+    * double literal on both engines. */
+  val FourLn2: Double = 4.0 * math.log(2.0)
+  val GkCoef: Double = 2.0 * math.log(2.0) - 1.0
+
+  /** Range-based volatility estimators over n bars — the OHLC
+    * information the close-to-close realized vol throws away:
+    *
+    *   parkinson    = √( rollmean(ln(h/l)², n) / (4·ln 2) )
+    *   garman_klass = √( rollmean(0.5·ln(h/l)² − (2·ln2−1)·ln(c/o)², n) )
+    *
+    * Garman–Klass is NULL when the frame mean goes negative (the
+    * estimator is undefined there — large drift, narrow ranges).
+    * Prices are strictly positive so the logs are total. Rolling means
+    * via the cum−lag identity over the one shared exchange. */
+  def withRangeVol(df: DataFrame, n: Int = RangeVolWindow): DataFrame = {
+    val lhl = log(col("high") / col("low"))
+    val lco = log(col("close") / col("open"))
+    val s1 = df.select(col("*"),
+      (lhl * lhl).as("_hl2"),
+      (lit(0.5) * (lhl * lhl) - lit(GkCoef) * (lco * lco)).as("_gkt"))
+    val s2 = Frames.withCums(s1, Map("_c_hl2" -> col("_hl2"),
+      "_c_gkt" -> col("_gkt")))
+    val gate = Frames.cumCountGate("_c_hl2", n)
+    val parkMean = Frames.cumRolling("_c_hl2", n) / n / lit(FourLn2)
+    val gkMean = Frames.cumRolling("_c_gkt", n) / n
+    s2.select(col("*"),
+        when(gate, sqrt(parkMean)).as(s"parkinson_$n"),
+        when(gate && gkMean >= 0.0, sqrt(gkMean)).as(s"garman_klass_$n"))
+      .drop("_hl2", "_gkt")
+      .drop(Frames.cumHelperCols(Seq("_c_hl2", "_c_gkt")): _*)
+  }
+
+  val UlcerWindow = 14
+
+  /** Ulcer index over n bars — downside-only volatility:
+    *
+    *   dd    = 100 · (close − rollmax(close, n)) / rollmax(close, n)
+    *   ulcer = √( rollmean(dd², n) )
+    *
+    * The drawdown needs a full n-bar frame (rolling MAX is
+    * order-insensitive, bit-portable natively), and the squared-drawdown
+    * mean needs n drawdowns — so the index warms up after 2n−1 bars,
+    * enforced by the cum count gate counting non-null dd² only. */
+  def withUlcer(df: DataFrame, n: Int = UlcerWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val gate0 = count(col("close")).over(frame) === n
+    val rmax = max(col("close")).over(frame)
+    val dd = when(gate0 && rmax > 0.0,
+      (col("close") - rmax) / rmax * 100.0)
+    val s1 = df.select(col("*"), (dd * dd).as("_dd2"))
+    val s2 = Frames.withCums(s1, Map("_c_dd2" -> col("_dd2")))
+    s2.select(col("*"),
+        when(Frames.cumCountGate("_c_dd2", n),
+          sqrt(Frames.cumRolling("_c_dd2", n) / n)).as(s"ulcer_$n"))
+      .drop("_dd2")
+      .drop(Frames.cumHelperCols(Seq("_c_dd2")): _*)
+  }
+
+  val TrixSpan = 15
+
+  /** TRIX — 1-bar rate of change of a triple-smoothed EMA:
+    *
+    *   e1 = ema(close, span), e2 = ema(e1, span), e3 = ema(e2, span)
+    *   trix = 100 · (e3 − lag(e3, 1)) / lag(e3, 1)
+    *
+    * Each smoothing runs through the same [[graft.expr.Ewma]] window
+    * expression as MACD (adjust = true); the three stages are data-
+    * dependent (e2 consumes e1's output), so they plan as chained
+    * WindowExecs over the ONE shared per-symbol exchange — the same
+    * shape as MACD's signal line. The oracle replays all three
+    * recurrences with chained recursive CTEs. NULL on the first bar
+    * (no prior e3); prices are positive so e3 never hits zero, but the
+    * guard is mirrored in the oracle regardless. */
+  def withTrix(df: DataFrame, n: Int = TrixSpan): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def ema(c: org.apache.spark.sql.Column) =
+      graft.expr.Ewma.ewmaSpanOver(c, n, adjust = true, part, ord)
+    val s1 = df.select(col("*"), ema(col("close")).as("_e1"))
+    val s2 = s1.select(col("*"), ema(col("_e1")).as("_e2"))
+    val s3 = s2.select(col("*"), ema(col("_e2")).as("_e3"))
+    val prev = lag(col("_e3"), 1).over(Frames.bySymbol)
+    s3.select(col("*"),
+        when(prev.isNotNull && prev =!= 0.0,
+          (col("_e3") - prev) / prev * 100.0).as("trix"))
+      .drop("_e1", "_e2", "_e3")
+  }
+
   /** Rolling z-score outlier flags — the data-quality gate a market
     * pipeline runs before features: per symbol, the 20-bar rolling
     * mean/std (identical cum−lag formulation to Bollinger's), then

@@ -312,6 +312,199 @@ object OracleSql {
        |FROM p4 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featAroon (Market.withAroon, n=25): gather the frame
+    * once per row (list OVER, frame-ordered like the CCI array) and
+    * locate the most recent extremum via list_position(list_reverse) —
+    * identical tie resolution to Spark's array_position(reverse). The
+    * only doubles are exact integer positions scaled at the end. */
+  val featAroon: String = {
+    val n = graft.features.Market.AroonWindow
+    val f = frame(n)
+    s"""$barsCte, ar1 AS (
+       |  SELECT symbol, event_id,
+       |         CASE WHEN COUNT(close) OVER ($f) = $n
+       |              THEN list(high) OVER ($f) END AS ah,
+       |         CASE WHEN COUNT(close) OVER ($f) = $n
+       |              THEN list(low) OVER ($f) END AS al
+       |  FROM bars
+       |), ar2 AS (
+       |  SELECT symbol, event_id,
+       |         ($n.0 - CAST(list_position(list_reverse(ah), list_max(ah)) - 1 AS DOUBLE)) * 100.0 / $n AS up,
+       |         ($n.0 - CAST(list_position(list_reverse(al), list_min(al)) - 1 AS DOUBLE)) * 100.0 / $n AS dn
+       |  FROM ar1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("up")} AS aroon_up, ${r("dn")} AS aroon_down,
+       |       ${r("up - dn")} AS aroon_osc
+       |FROM ar2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featVortex (Market.withVortex, n=14): first-bar-NULL
+    * true range (the ADX seeding), null-skipping running sums via the
+    * cum−lag identity, gate on n non-null ranges with a positive sum. */
+  val featVortex: String = {
+    val n = graft.features.Market.VortexWindow
+    s"""$barsCte, v0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         abs(high - LAG(low, 1) OVER ($W)) AS vmp,
+       |         abs(low - LAG(high, 1) OVER ($W)) AS vmm,
+       |         CASE WHEN LAG(close, 1) OVER ($W) IS NOT NULL
+       |              THEN GREATEST(high - low,
+       |                            abs(high - LAG(close, 1) OVER ($W)),
+       |                            abs(low - LAG(close, 1) OVER ($W))) END AS vtr
+       |  FROM bars
+       |), v1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("vmp")} AS _c_vmp,
+       |         ${cumSum("vmm")} AS _c_vmm,
+       |         ${cumSum("vtr")} AS _c_vtr,
+       |         COUNT(vtr) OVER ($Wrun) AS _c_vtr_n
+       |  FROM v0
+       |), v2 AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_vtr", n)} AS str,
+       |         ${cumRolling("_c_vmp", n)} AS smp,
+       |         ${cumRolling("_c_vmm", n)} AS smm,
+       |         ${cumGate("_c_vtr", n)} AS g
+       |  FROM v1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("CASE WHEN g AND str > 0.0 THEN smp / str END")} AS vi_plus,
+       |       ${r("CASE WHEN g AND str > 0.0 THEN smm / str END")} AS vi_minus
+       |FROM v2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featCmf (Market.withCmf, n=20): flat bars contribute
+    * a 0 money-flow multiplier; cum−lag rolling sums, gate on n rows
+    * with positive rolling volume. */
+  val featCmf: String = {
+    val n = graft.features.Market.CmfWindow
+    s"""$barsCte, c0 AS (
+       |  SELECT symbol, event_id, datetime, volume,
+       |         CASE WHEN high > low
+       |              THEN ((close - low) - (high - close)) / (high - low)
+       |              ELSE 0.0 END * volume AS mfv
+       |  FROM bars
+       |), c1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("mfv")} AS _c_mfv,
+       |         ${cumSum("volume")} AS _c_cv,
+       |         COUNT(volume) OVER ($Wrun) AS _c_cv_n
+       |  FROM c0
+       |), c2 AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_mfv", n)} AS fs,
+       |         ${cumRolling("_c_cv", n)} AS vs,
+       |         ${cumGate("_c_cv", n)} AS g
+       |  FROM c1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("CASE WHEN g AND vs > 0.0 THEN fs / vs END")} AS cmf_$n
+       |FROM c2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featRangeVol (Market.withRangeVol, n=20): the
+    * Parkinson/Garman–Klass constants are the SAME Scala-computed double
+    * literals on both engines; logs are total (prices > 0); cum−lag
+    * rolling means; GK NULL where its frame mean goes negative. */
+  val featRangeVol: String = {
+    val n = graft.features.Market.RangeVolWindow
+    val fourLn2 = graft.features.Market.FourLn2
+    val gk = graft.features.Market.GkCoef
+    s"""$barsCte, rv0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ln(high / low) * ln(high / low) AS hl2,
+       |         0.5 * (ln(high / low) * ln(high / low)) -
+       |           $gk * (ln(close / open) * ln(close / open)) AS gkt
+       |  FROM bars
+       |), rv1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("hl2")} AS _c_hl2,
+       |         COUNT(hl2) OVER ($Wrun) AS _c_hl2_n,
+       |         ${cumSum("gkt")} AS _c_gkt
+       |  FROM rv0
+       |), rv2 AS (
+       |  SELECT symbol, event_id,
+       |         (${cumRolling("_c_hl2", n)}) / $n / $fourLn2 AS pm,
+       |         (${cumRolling("_c_gkt", n)}) / $n AS gm,
+       |         ${cumGate("_c_hl2", n)} AS g
+       |  FROM rv1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("CASE WHEN g THEN sqrt(pm) END")} AS parkinson_$n,
+       |       ${r("CASE WHEN g AND gm >= 0.0 THEN sqrt(gm) END")} AS garman_klass_$n
+       |FROM rv2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featUlcer (Market.withUlcer, n=14): order-insensitive
+    * rolling MAX drawdown base, squared-drawdown rolling mean via the
+    * cum−lag identity counting non-null dd² only (2n−1 bar warm-up). */
+  val featUlcer: String = {
+    val n = graft.features.Market.UlcerWindow
+    val f = frame(n)
+    s"""$barsCte, u0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN COUNT(close) OVER ($f) = $n
+       |                   AND MAX(close) OVER ($f) > 0.0
+       |              THEN (close - MAX(close) OVER ($f)) / MAX(close) OVER ($f) * 100.0
+       |         END AS dd
+       |  FROM bars
+       |), u1 AS (
+       |  SELECT symbol, event_id, datetime, dd * dd AS dd2
+       |  FROM u0
+       |), u2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("dd2")} AS _c_dd2,
+       |         COUNT(dd2) OVER ($Wrun) AS _c_dd2_n
+       |  FROM u1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN ${cumGate("_c_dd2", n)} THEN sqrt((${cumRolling("_c_dd2", n)}) / $n) END")} AS ulcer_$n
+       |FROM u2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featTrix (Market.withTrix, span=15): three chained
+    * recursive-CTE replays of the adjust=true EWMA recurrence (the
+    * featMacd machinery applied to its own output twice), then the
+    * 1-bar rate of change of the third smoothing. */
+  val featTrix: String = {
+    val n = graft.features.Market.TrixSpan
+    val dn = d(n)
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, x1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), e1 AS (
+       |  SELECT symbol, rn, close AS nf, CAST(1.0 AS DOUBLE) AS df FROM x1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x1.symbol, x1.rn, e1.nf * $dn + x1.close, e1.df * $dn + 1.0
+       |  FROM e1 JOIN x1 ON x1.symbol = e1.symbol AND x1.rn = e1.rn + 1
+       |), m1 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v1 FROM e1
+       |), e2 AS (
+       |  SELECT symbol, rn, v1 AS nf, CAST(1.0 AS DOUBLE) AS df FROM m1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m1.symbol, m1.rn, e2.nf * $dn + m1.v1, e2.df * $dn + 1.0
+       |  FROM e2 JOIN m1 ON m1.symbol = e2.symbol AND m1.rn = e2.rn + 1
+       |), m2 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v2 FROM e2
+       |), e3 AS (
+       |  SELECT symbol, rn, v2 AS nf, CAST(1.0 AS DOUBLE) AS df FROM m2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m2.symbol, m2.rn, e3.nf * $dn + m2.v2, e3.df * $dn + 1.0
+       |  FROM e3 JOIN m2 ON m2.symbol = e3.symbol AND m2.rn = e3.rn + 1
+       |), m3 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v3 FROM e3
+       |), tt AS (
+       |  SELECT symbol, rn, v3,
+       |         LAG(v3, 1) OVER (PARTITION BY symbol ORDER BY rn) AS pv
+       |  FROM m3
+       |)
+       |SELECT x1.symbol, x1.event_id,
+       |       ${r("CASE WHEN pv IS NOT NULL AND pv <> 0.0 THEN (v3 - pv) / pv * 100.0 END")} AS trix
+       |FROM x1 JOIN tt ON tt.symbol = x1.symbol AND tt.rn = x1.rn
+       |ORDER BY x1.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featDonchian (Market.withDonchian, n=20): rolling
     * MIN/MAX extrema (order-insensitive, bit-portable natively) with the
     * full-frame gate; position gated on a non-degenerate channel. */

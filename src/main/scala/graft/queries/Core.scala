@@ -222,6 +222,47 @@ object Core {
     keyed(Market.withRollSpread(bars(s, dir)), Seq("roll_spread_20"),
       Set("roll_spread_20"))
 
+  /** Aroon up/down/oscillator over 25-bar extremum recency
+    * (see [[graft.features.Market.withAroon]]). */
+  def featAroon(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("aroon_up", "aroon_down", "aroon_osc")
+    keyed(Market.withAroon(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Vortex VI+/VI− over 14-bar movement/range sums
+    * (see [[graft.features.Market.withVortex]]). */
+  def featVortex(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("vi_plus", "vi_minus")
+    keyed(Market.withVortex(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Chaikin money flow over 20-bar flow/volume sums
+    * (see [[graft.features.Market.withCmf]]). */
+  def featCmf(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq(s"cmf_${graft.features.Market.CmfWindow}")
+    keyed(Market.withCmf(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Parkinson + Garman–Klass range volatility over 20 bars
+    * (see [[graft.features.Market.withRangeVol]]). */
+  def featRangeVol(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.features.Market.RangeVolWindow
+    val out = Seq(s"parkinson_$n", s"garman_klass_$n")
+    keyed(Market.withRangeVol(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Ulcer index over 14-bar drawdowns
+    * (see [[graft.features.Market.withUlcer]]). */
+  def featUlcer(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq(s"ulcer_${graft.features.Market.UlcerWindow}")
+    keyed(Market.withUlcer(bars(s, dir)), out, out.toSet)
+  }
+
+  /** TRIX — triple-EMA rate of change, span 15
+    * (see [[graft.features.Market.withTrix]]). */
+  def featTrix(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
+
   /** Out-of-fold target encoding: each row's symbol encoding is the mean
     * classification target over the OTHER k−1 md5-assigned folds — the
     * k-fold leakage guard production pipelines use where leave-one-out

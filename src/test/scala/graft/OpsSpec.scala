@@ -1112,6 +1112,122 @@ class OpsSpec extends SparkSpec {
       math.abs(ad(2).getDouble(1) - 50.0) < 1e-9)
   }
 
+  test("withAroon: extremum recency, most-recent tie resolution, gate") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((10.0, 8.0, 9.0), (12.0, 9.0, 11.0),
+      (11.0, 7.0, 8.0), (9.0, 7.0, 8.5))
+    val df = rows.zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", i.toLong, h, l, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val a = graft.features.Market.withAroon(df, n = 3)
+      .orderBy("event_id").select("aroon_up", "aroon_down", "aroon_osc")
+      .collect()
+    assert(a(0).isNullAt(0) && a(1).isNullAt(0), "frame gate")
+    // row 2: highs {10,12,11} max 1 bar ago -> up=(3-1)/3*100=66.67;
+    //        lows {8,9,7} min now -> down=100
+    assert(math.abs(a(2).getDouble(0) - 200.0 / 3) < 1e-12)
+    assert(a(2).getDouble(1) == 100.0)
+    assert(math.abs(a(2).getDouble(2) - (200.0 / 3 - 100.0)) < 1e-12)
+    // row 3: highs {12,11,9} max 2 bars ago -> up=33.33;
+    //        lows {9,7,7}: min 7 TIES -> most recent (now) wins -> down=100
+    assert(math.abs(a(3).getDouble(0) - 100.0 / 3) < 1e-12)
+    assert(a(3).getDouble(1) == 100.0)
+  }
+
+  test("withVortex: hand values, first-bar seeding, warm-up gate") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((10.0, 8.0, 9.0), (12.0, 9.0, 11.0), (11.0, 7.0, 8.0))
+    val df = rows.zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", i.toLong, h, l, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val v = graft.features.Market.withVortex(df, n = 2)
+      .orderBy("event_id").select("vi_plus", "vi_minus").collect()
+    // rows 0-1: tr null on row 0 -> only 1 non-null tr in the frame
+    assert(v(0).isNullAt(0) && v(1).isNullAt(0), "warm-up gate")
+    // row 2: vm+ {|12-8|=4, |11-9|=2} vm- {|9-10|=1, |7-12|=5}
+    //        tr {3, 4} -> vi+ = 6/7, vi- = 6/7
+    assert(math.abs(v(2).getDouble(0) - 6.0 / 7) < 1e-12)
+    assert(math.abs(v(2).getDouble(1) - 6.0 / 7) < 1e-12)
+  }
+
+  test("withCmf: flow accumulation, flat bar contributes zero") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((10.0, 8.0, 9.0, 100.0), (12.0, 9.0, 11.0, 200.0),
+      (10.0, 10.0, 10.0, 50.0))
+    val df = rows.zipWithIndex.map { case ((h, l, c, v), i) =>
+      ("A", i.toLong, h, l, c, v)
+    }.toDF("symbol", "event_id", "high", "low", "close", "volume")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val c = graft.features.Market.withCmf(df, n = 2)
+      .orderBy("event_id").select("cmf_2").collect()
+    assert(c(0).isNullAt(0), "frame gate")
+    // row 1: mfv {0 (mfm=((9-8)-(10-9))/2=0), 200*(1/3)} vol {100,200}
+    //        -> cmf = (200/3)/300 = 2/9
+    assert(math.abs(c(1).getDouble(0) - 2.0 / 9) < 1e-12)
+    // row 2 (flat bar, mfm=0): cmf = (200/3 + 0)/(200+50) = 4/15
+    assert(math.abs(c(2).getDouble(0) - 4.0 / 15) < 1e-12)
+  }
+
+  test("withRangeVol: Parkinson/GK hand values, GK null on negative mean") {
+    val s = spark
+    import s.implicits._
+    // (open, high, low, close): row0 pure-range ln4, row1 pure-range ln2
+    val rows = Seq((2.0, 4.0, 1.0, 2.0), (1.0, 2.0, 1.0, 1.0),
+      (1.0, 2.0, 2.0, 2.0), (1.0, 2.0, 2.0, 2.0))
+    val df = rows.zipWithIndex.map { case ((o, h, l, c), i) =>
+      ("A", i.toLong, o, h, l, c)
+    }.toDF("symbol", "event_id", "open", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val r = graft.features.Market.withRangeVol(df, n = 2)
+      .orderBy("event_id").select("parkinson_2", "garman_klass_2").collect()
+    assert(r(0).isNullAt(0), "frame gate")
+    // row 1: hl2 {(ln4)², (ln2)²} = 5(ln2)² -> park = sqrt(5·ln2/8)
+    assert(math.abs(r(1).getDouble(0) - 0.6581922119335398) < 1e-12)
+    // gk mean = 2.5(ln2)²/2 -> ln2·sqrt(1.25)
+    assert(math.abs(r(1).getDouble(1) - 0.7749621070721793) < 1e-12)
+    // row 3: both bars drift-only (lhl=0, lco=ln2) -> gk mean < 0 -> NULL,
+    // parkinson still defined (= 0)
+    assert(r(3).getDouble(0) == 0.0 && r(3).isNullAt(1))
+  }
+
+  test("withUlcer: squared-drawdown mean, 2n−1 warm-up") {
+    val s = spark
+    import s.implicits._
+    val closes = Seq(10.0, 8.0, 9.0, 6.0)
+    val df = closes.zipWithIndex.map { case (c, i) =>
+      ("A", i.toLong, c + 1, c - 1, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val u = graft.features.Market.withUlcer(df, n = 2)
+      .orderBy("event_id").select("ulcer_2").collect()
+    // dd defined from row 1; dd² count reaches 2 at row 2 (2n−1 = 3 bars)
+    assert(u(0).isNullAt(0) && u(1).isNullAt(0), "warm-up")
+    // dd: row1 = -20 (peak 10), row2 = 0 (peak 9), row3 = -100/3 (peak 9)
+    assert(math.abs(u(2).getDouble(0) - 14.142135623730951) < 1e-12)
+    assert(math.abs(u(3).getDouble(0) - 23.570226039551585) < 1e-12)
+  }
+
+  test("withTrix: triple-EMA rate of change hand values") {
+    val s = spark
+    import s.implicits._
+    val closes = Seq(2.0, 4.0, 8.0)
+    val df = closes.zipWithIndex.map { case (c, i) =>
+      ("A", i.toLong, c + 1, c - 1, c)
+    }.toDF("symbol", "event_id", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+    val t = graft.features.Market.withTrix(df, n = 2)
+      .orderBy("event_id").select("trix").collect()
+    assert(t(0).isNullAt(0), "no prior e3 on the first bar")
+    // span=2 adjust=true: e3 = [2, 2.84375, 4.711367774...]
+    assert(math.abs(t(1).getDouble(0) - 42.1875) < 1e-9)
+    assert(math.abs(t(2).getDouble(0) - 65.6744711819814) < 1e-9)
+  }
+
   test("withAmihud: zero-volume bars excluded, mean over non-null count") {
     val s = spark
     import s.implicits._

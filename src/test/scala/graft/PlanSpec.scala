@@ -172,7 +172,13 @@ class PlanSpec extends SparkSpec {
         "withKeltner" -> M.withKeltner(b),
         "withAdx" -> M.withAdx(b),
         "withAmihud" -> M.withAmihud(b),
-        "withRollSpread" -> M.withRollSpread(b))) {
+        "withRollSpread" -> M.withRollSpread(b),
+        "withAroon" -> M.withAroon(b),
+        "withVortex" -> M.withVortex(b),
+        "withCmf" -> M.withCmf(b),
+        "withRangeVol" -> M.withRangeVol(b),
+        "withUlcer" -> M.withUlcer(b),
+        "withTrix" -> M.withTrix(b))) {
       assert(countOp(df, "Exchange hashpartitioning") == 1,
         s"$name regressed to multiple hash exchanges:\n${plan(df)}")
     }
