@@ -899,6 +899,52 @@ object OracleSql {
        |)""".stripMargin
   }
 
+  /** Mirrors Analytics.graphPagerank (Graph.pageRank over the symmetrized
+    * supplier↔part graph): every damped iteration replayed with a chained
+    * CTE — teleport base embedded as the SAME Scala-computed double
+    * literal, rank/outdeg and the damped sum in identical association
+    * order. Grouped double sums are order-free only to ~1 ulp; 10
+    * iterations keep the drift ~1e-14 relative, far inside the 6-decimal
+    * floor rounding. */
+  val graphPagerank: String = {
+    val d = graft.analytics.Graph.PrDamping
+    val t = 1.0 - graft.analytics.Graph.PrDamping
+    val iters = graft.analytics.Graph.PrIters
+    val rks = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.node,
+         |         CAST($t AS DOUBLE) / nn.n + $d * COALESCE(c.s, 0.0) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank / e.outdeg) AS s
+         |    FROM ew e JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY 1
+         |  ) c ON c.node = nodes.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p0 AS (
+       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+       |                  'p' || CAST(l_partkey AS VARCHAR) AS b
+       |  FROM lineitem
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM p0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM p0
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+       |), ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM edges
+       |), nn AS (
+       |  SELECT COUNT(*) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+       |),
+       |$rks
+       |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def targetsCte: String =
     s"""$barsCte, t AS (
        |  SELECT symbol, event_id, (LEAD(close, ${Params.PredictionHorizon}) OVER ($W) - close) / close AS fwd

@@ -70,6 +70,49 @@ object TextSimSql {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextStats.withGopherQuality: identical signal arithmetic
+    * (replace-and-measure symbol counts, list_filter alpha words,
+    * list_contains stopword hits), flags compare the same unrounded
+    * doubles, rounding applied only to the emitted signals. */
+  val qualityGopher: String = {
+    val T = TextStats
+    val stopHits = T.GopherStopwords
+      .map(w => s"CAST(list_contains(toks, '$w') AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), g2 AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+       |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+       |     CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+       |      / len(toks) AS symbol_word_ratio,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+       |      / len(toks) AS alpha_word_frac,
+       |    $stopHits AS stop_hits
+       |  FROM g
+       |), g3 AS (
+       |  SELECT *,
+       |    n_words >= ${T.GopherMinWords} AND n_words <= ${T.GopherMaxWords} AS pw,
+       |    mean_word_len >= ${T.GopherMinMeanLen} AND mean_word_len <= ${T.GopherMaxMeanLen} AS pl,
+       |    symbol_word_ratio <= ${T.GopherMaxSymbolRatio} AS ps,
+       |    alpha_word_frac >= ${T.GopherMinAlphaFrac} AS pa,
+       |    stop_hits >= ${T.GopherMinStopHits} AS pst
+       |  FROM g2
+       |)
+       |SELECT doc_id, n_words,
+       |  ${r("mean_word_len")} AS mean_word_len,
+       |  ${r("symbol_word_ratio")} AS symbol_word_ratio,
+       |  ${r("alpha_word_frac")} AS alpha_word_frac,
+       |  stop_hits,
+       |  CAST(pw AS INT) AS pass_words, CAST(pl AS INT) AS pass_word_len,
+       |  CAST(ps AS INT) AS pass_symbols, CAST(pa AS INT) AS pass_alpha,
+       |  CAST(pst AS INT) AS pass_stopwords,
+       |  CAST(pw AND pl AND ps AND pa AND pst AS INT) AS keep
+       |FROM g3 ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors TextStats.repetition: DuckDB's `/` on integers is float
     * division (NULL-free here: n_tokens >= 1, n_bigrams >= 1 or the whole
     * row side is NULL via the left join, exactly like Spark's). range(1,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.analytics.{Relational, TimeWindows}
+import graft.analytics.{Graph, Relational, TimeWindows}
 import graft.source.{Bars, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,6 +18,14 @@ object Analytics {
     df.select(col("n_name"), (col("revenue") + lit(0.0)).as("revenue"), col("n_items"))
       .orderBy("n_name")
   }
+
+  /** PageRank authority over the symmetrized supplier↔part co-occurrence
+    * graph, 10 damped iterations (see [[graft.analytics.Graph.pageRank]]).
+    * The oracle replays every iteration with chained CTEs. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(Graph.supplierPartEdges(s, dir))
+      .select(col("node"), r6(col("rank")).as("rank"))
+      .orderBy("node")
 
   /** As-of join: for each purchase, the user's most recent prior-or-equal
     * error event. */

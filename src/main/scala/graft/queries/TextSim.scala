@@ -26,6 +26,19 @@ object TextSim {
       .select(col("doc_id"), col("predicted_lang"), col("lang"), col("is_correct"))
       .orderBy("doc_id")
 
+  /** Gopher heuristic quality gates: raw signals + per-rule flags + keep
+    * (see [[graft.text.TextStats.withGopherQuality]]). */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    TextStats.withGopherQuality(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_words"),
+        r6(col("mean_word_len")).as("mean_word_len"),
+        r6(col("symbol_word_ratio")).as("symbol_word_ratio"),
+        r6(col("alpha_word_frac")).as("alpha_word_frac"),
+        col("stop_hits"), col("pass_words"), col("pass_word_len"),
+        col("pass_symbols"), col("pass_alpha"), col("pass_stopwords"),
+        col("keep"))
+      .orderBy("doc_id")
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextStats.repetition(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_tokens"),

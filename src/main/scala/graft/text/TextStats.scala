@@ -76,6 +76,67 @@ object TextStats {
           log(col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+    * Models", appendix A — the published heuristic document filters). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2
+
+  /** Gopher quality-rule bundle: the five published heuristic gates a
+    * training-data pipeline applies before repetition/dedup filtering —
+    *
+    *  - word count within [50, 100000]
+    *  - mean word length within [3, 10]
+    *  - symbol-to-word ratio (`#` and `...`) ≤ 0.1
+    *  - ≥80% of words contain an alphabetic character
+    *  - ≥2 distinct stopwords from the 8-word list present
+    *
+    * Emits each raw signal, the per-rule pass flag, and the conjunction
+    * `keep`. Narrow per-row projection (no shuffle, codegen'd splits +
+    * higher-order array functions); flags compare the UNROUNDED doubles,
+    * identically re-derived in the oracle, so the booleans are
+    * bit-portable. */
+  def withGopherQuality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("long")
+    val meanLen = length(regexp_replace(col("text"), lit(" "), lit("")))
+      .cast("double") / size(toks)
+    val hashCnt = (length(col("text")) -
+      length(expr("replace(text, '#', '')"))).cast("double")
+    val ellCnt = (length(col("text")) -
+      length(expr("replace(text, '...', '')"))).cast("double") / 3.0
+    val symRatio = (hashCnt + ellCnt) / size(toks)
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / size(toks)
+    val stopHits = GopherStopwords.map(w =>
+      array_contains(toks, w).cast("long")).reduce(_ + _)
+    val s1 = docs.select(col("doc_id"),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_word_ratio"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+    val passWords = col("n_words") >= GopherMinWords &&
+      col("n_words") <= GopherMaxWords
+    val passLen = col("mean_word_len") >= GopherMinMeanLen &&
+      col("mean_word_len") <= GopherMaxMeanLen
+    val passSym = col("symbol_word_ratio") <= GopherMaxSymbolRatio
+    val passAlpha = col("alpha_word_frac") >= GopherMinAlphaFrac
+    val passStop = col("stop_hits") >= GopherMinStopHits
+    s1.select(col("*"),
+      passWords.cast("int").as("pass_words"),
+      passLen.cast("int").as("pass_word_len"),
+      passSym.cast("int").as("pass_symbols"),
+      passAlpha.cast("int").as("pass_alpha"),
+      passStop.cast("int").as("pass_stopwords"),
+      (passWords && passLen && passSym && passAlpha && passStop)
+        .cast("int").as("keep"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models", appendix A — the public repetition filters an LLM
     * training-data pipeline applies): per document,

@@ -1228,6 +1228,73 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(t(2).getDouble(0) - 65.6744711819814) < 1e-9)
   }
 
+  test("withGopherQuality: each rule gates independently, keep is the conjunction") {
+    val s = spark
+    import s.implicits._
+    val fifty = (1 to 50).map(_ => "the").mkString(" ") // 50 'the's
+    val docs = Seq(
+      // passes words/len?: 50 words, mean len 3... 'the' len 3 -> pass len;
+      // stop_hits = 1 ('the' only) -> fails stopword rule
+      (1L, fifty),
+      // 50 words incl 8 distinct stopwords -> passes stopwords
+      (2L, ((1 to 42).map(_ => "word") ++ graft.text.TextStats.GopherStopwords).mkString(" ")),
+      // too short
+      (3L, "the of and that"),
+      // symbol-heavy: hashes + ellipses
+      (4L, (1 to 50).map(_ => "the").mkString(" ") + " # # # ... ... ...")
+    ).toDF("doc_id", "text")
+    val g = graft.text.TextStats.withGopherQuality(docs)
+      .orderBy("doc_id").collect()
+    val cols = g.head.schema.fieldNames.zipWithIndex.toMap
+    def f(r: org.apache.spark.sql.Row, c: String): Int = r.getInt(cols(c))
+    // doc 1: 50 words of 'the' -> pass words/len/symbols/alpha, stop_hits=1
+    assert(g(0).getLong(cols("n_words")) == 50L)
+    assert(f(g(0), "pass_words") == 1 && f(g(0), "pass_word_len") == 1)
+    assert(g(0).getLong(cols("stop_hits")) == 1L && f(g(0), "pass_stopwords") == 0)
+    assert(f(g(0), "keep") == 0)
+    // doc 2: all 8 stopwords present -> keep (mean len 31/8? no: 42*4+8*avg)
+    assert(g(1).getLong(cols("stop_hits")) == 8L)
+    assert(f(g(1), "keep") == 1)
+    // doc 3: 4 words -> fails word count even with stopwords
+    assert(f(g(2), "pass_words") == 0 && f(g(2), "keep") == 0)
+    // doc 4: 56 words, 3 hashes + 3 ellipses -> symbol ratio 6/56 > 0.1
+    assert(math.abs(g(3).getDouble(cols("symbol_word_ratio")) - 6.0 / 56) < 1e-12)
+    assert(f(g(3), "pass_symbols") == 0 && f(g(3), "keep") == 0)
+    // the 6 symbol tokens have no alphabetic char, but 50/56 = 0.893 >= 0.8
+    assert(f(g(3), "pass_alpha") == 1)
+  }
+
+  test("pageRank: hand values on a 3-chain, mass conservation") {
+    val s = spark
+    import s.implicits._
+    // a - b - c symmetrized: outdeg a=1 b=2 c=1
+    val und = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val r1 = graft.analytics.Graph.pageRank(edges, iters = 1)
+      .orderBy("node").collect()
+    // teleport = 0.15/3 = 0.05
+    // a: 0.05 + 0.85*(1/3)/2 = 0.19166..; b: 0.05 + 0.85*(1/3 + 1/3) = 0.61666..
+    assert(math.abs(r1(0).getDouble(1) - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r1(1).getDouble(1) - (0.05 + 0.85 * 2 / 3)) < 1e-12)
+    // symmetry: a and c identical
+    assert(r1(0).getDouble(1) == r1(2).getDouble(1))
+    val r10 = graft.analytics.Graph.pageRank(edges, iters = 10)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(r10.sum - 1.0) < 1e-9, "rank mass conserved")
+    // replay the recurrence exactly: a=c, b oscillate toward the
+    // stationary point (b* = 18/37) at rate 0.85 per step
+    val tp = (1.0 - 0.85) / 3.0
+    var (a, b) = (1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 10) {
+      val (na, nb) = (tp + 0.85 * (b / 2), tp + 0.85 * (a + a))
+      a = na; b = nb
+    }
+    val b10 = graft.analytics.Graph.pageRank(edges, iters = 10)
+      .filter(col("node") === "b").head().getDouble(1)
+    assert(math.abs(b10 - b) < 1e-12)
+  }
+
   test("withAmihud: zero-volume bars excluded, mean over non-null count") {
     val s = spark
     import s.implicits._
