@@ -26,13 +26,17 @@ object Bars {
     * Single source of truth shared with the oracle SQL builders. */
   val DefaultSymbols: Int = graft.Params.Symbols
 
-  /** Read the shared events table, normalizing its timestamp column.
+  /** Read the shared events table, normalizing its timestamp column to
+    * session-zoned TimestampType (µs, UTC session).
     *
-    * The driver-generated parquet stores `ts` as INT64 TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects by default; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long of
-    * nanoseconds, which we truncate to µs TimestampType — the same
-    * truncation DuckDB applies, so both engines see identical values.
+    * Driver-generated parquet has shipped `ts` in two physical forms across
+    * regenerations: INT64 TIMESTAMP(NANOS) (arrives as a long of nanoseconds
+    * under `spark.sql.legacy.parquet.nanosAsLong`, truncated to µs here —
+    * the same truncation DuckDB applies) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ; cast to TimestampType
+    * is an exact micros identity under the UTC session timezone, matching
+    * DuckDB's naive read). Dispatching on the observed schema keeps every
+    * downstream `unix_micros`/window/watermark on one canonical type.
     * This mirrors the reference's defensive datetime normalization at the
     * ingest edge (reference: src/data/ingestion.py:63-104, 177-180).
     */
@@ -42,6 +46,9 @@ object Bars {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -19,10 +19,14 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw events schema as the parquet file source needs it (ts read as long
-    * nanos — the same nanosAsLong normalization as Bars.readEvents). */
+  /** Raw events schema as the parquet file source needs it. The file stores
+    * `ts` as TIMESTAMP(MICROS, isAdjustedToUTC=false) → declared NTZ here
+    * (a file-stream source cannot schema-dispatch like Bars.readEvents, so
+    * the declared type must match the files); readEventStreamFrom casts it
+    * to session-zoned TimestampType, the same canonical type the batch
+    * ingest emits. */
   val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -61,11 +65,10 @@ object Streams {
     * state carry). */
   def readEventStreamFrom(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream.schema(EventsSchema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Watermarked tumbling counts — the streaming twin of

@@ -89,7 +89,7 @@ class StreamingSpec extends SparkSpec {
     val splitDir = java.nio.file.Paths.get("/tmp", s"graft-stream-split-$cacheKey")
     if (!java.nio.file.Files.exists(splitDir.resolve("2.parquet"))) {
       java.nio.file.Files.createDirectories(splitDir)
-      val raw = spark.read.parquet(s"$dir/events.parquet") // ts stays long nanos
+      val raw = spark.read.parquet(s"$dir/events.parquet") // ts stays as stored (NTZ)
         .orderBy("ts", "event_id").collect()
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val thirds = raw.grouped((raw.length + 2) / 3).toSeq
