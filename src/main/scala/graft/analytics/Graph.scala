@@ -20,12 +20,30 @@ object Graph {
   val PrDamping = 0.85
   val PrIters = 10
 
+  /** Rank tables at or below this node count are broadcast to the edge
+    * partitions each round (a hash table of ≤1M (string, double) rows);
+    * above it, the round degrades to the co-partitioned shuffle join — the
+    * web-scale path, where ranks and edges share one hashpartitioning and
+    * the join needs no exchange at all. Same degrade-gracefully pattern as
+    * [[graft.text.Dedup]]'s HotKeyBroadcastMax. */
+  val RankBroadcastMaxNodes = 1000000L
+
   /** PageRank with uniform teleport over a directed edge list
     * (`src`, `dst` string columns). Every node must appear as a source
     * (true for symmetrized graphs — no dangling-mass term needed).
     *
     *   rank_0(v)     = 1/N
     *   rank_{i+1}(v) = (1−d)/N + d · Σ_{u→v} rank_i(u) / outdeg(u)
+    *
+    * Each round is ONE wide shuffle: the rank join is broadcast (small
+    * graphs) or co-partitioned with the checkpointed edge list (large
+    * graphs — both sides hash-partitioned on their join key, no exchange),
+    * and the teleport term folds into the contribution aggregate via a
+    * narrow union of one zero-contribution row per node, so no second
+    * join materializes. The per-node addend multiset is identical to the
+    * textbook left-join formulation (the extra term is an exact +0.0), so
+    * ranks are bit-stable against it to float-sum-order, which the
+    * 6-decimal output rounding absorbs (see the oracle's note).
     */
   def pageRank(edges: DataFrame, iters: Int = PrIters,
       damping: Double = PrDamping): DataFrame = {
@@ -36,18 +54,25 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
+    val zeros = nodes.select(col("node"), lit(0.0).as("c"))
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
-      val contribs = e.join(ranks, e("src") === ranks("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (teleport + lit(damping) * coalesce(col("contrib"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters)
+      ranks = prRound(e, zeros, ranks, teleport, damping, n).localCheckpoint()
     ranks
+  }
+
+  /** One damped PageRank round. Exposed pre-checkpoint so PlanSpec can
+    * assert the physical shape: ONE wide shuffle (the contribution
+    * aggregate); the rank join broadcast below [[RankBroadcastMaxNodes]],
+    * co-partitioned above it. */
+  private[graft] def prRound(e: DataFrame, zeros: DataFrame, ranks: DataFrame,
+      teleport: org.apache.spark.sql.Column, damping: Double, n: Long): DataFrame = {
+    val r = if (n <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
+    e.join(r, e("src") === r("node"))
+      .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+      .unionAll(zeros) // teleport floor for nodes with no inbound mass
+      .groupBy("node")
+      .agg((teleport + lit(damping) * sum(col("c"))).as("rank"))
   }
 
   /** The supplier↔part co-occurrence graph: one undirected (symmetrized)

@@ -327,6 +327,39 @@ class PlanSpec extends SparkSpec {
     assert(want.getLong(0) > 0, "probe user missing from fixture")
   }
 
+  test("pageRank round: broadcast rank join + ONE wide shuffle (small graph), co-partitioned fallback (large)") {
+    import graft.analytics.Graph
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val zeros = nodes.select(col("node"), lit(0.0).as("c"))
+    val ranks = nodes.select(col("node"), lit(1.0 / 3).as("rank"))
+      .localCheckpoint()
+    val tp = lit(0.05)
+    // small-n path: rank table broadcast, contribution aggregate is the
+    // only wide shuffle, and no second join materializes the teleport term
+    val small = Graph.prRound(e, zeros, ranks, tp, 0.85, n = 3)
+    assert(countOp(small, "BroadcastHashJoin") == 1,
+      s"small-graph round must broadcast the rank table:\n${plan(small)}")
+    assert(countOp(small, "Exchange hashpartitioning") == 1,
+      s"round must have exactly ONE wide shuffle (the contrib agg):\n${plan(small)}")
+    assert(countOp(small, "Join") == 1,
+      s"teleport term must fold into the aggregate, not a second join:\n${plan(small)}")
+    // large-n path: no forced broadcast hint — Catalyst still picks a
+    // broadcast here because this test table is tiny (size stats), which is
+    // the adaptive behavior we want; the guard is the single-join,
+    // single-wide-shuffle round shape that holds when stats forbid it
+    val large = Graph.prRound(e, zeros, ranks, tp, 0.85,
+      n = Graph.RankBroadcastMaxNodes + 1)
+    assert(countOp(large, "Join") == 1, plan(large))
+    assert(countOp(large, "Exchange hashpartitioning") <= 2,
+      s"large-graph round shuffles more than the rank table + contrib agg:\n${plan(large)}")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
