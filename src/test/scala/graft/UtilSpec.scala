@@ -90,6 +90,52 @@ class UtilSpec extends SparkSpec {
     }
   }
 
+  test("readEvents canonicalizes every shipped ts physical form identically") {
+    // The driver has regenerated testdata with ts as INT64 TIMESTAMP(NANOS)
+    // (read as long nanos) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // (read as TIMESTAMP_NTZ); a session-zoned TIMESTAMP write is the third
+    // plausible form. All three must dispatch to the same session-zoned µs
+    // TimestampType values — a format flip must never shift or retype ts.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val usecs = Seq(1704067200000000L, 1704067201500000L, 1706741832194062L)
+    val base = java.nio.file.Files.createTempDirectory("graft-tsforms-").toString
+    def dirFor(name: String)(write: String => Unit): String = {
+      val d = s"$base/$name"; write(s"$d/events.parquet"); d
+    }
+    val asNanos = dirFor("nanos") { p =>
+      usecs.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L, 1L, "x", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(p)
+    }
+    val asNtz = dirFor("ntz") { p =>
+      usecs.zipWithIndex.map { case (us, i) => (i.toLong, us, 1L, "x", 1.0, "{}") }
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(p)
+    }
+    val asLtz = dirFor("ltz") { p =>
+      usecs.zipWithIndex.map { case (us, i) => (i.toLong, us, 1L, "x", 1.0, "{}") }
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(p)
+    }
+    val reads = Seq("nanos" -> asNanos, "ntz" -> asNtz, "ltz" -> asLtz).map {
+      case (form, d) =>
+        val got = Bars.readEvents(spark, d)
+        assert(got.schema("ts").dataType == TimestampType,
+          s"$form form must canonicalize to TimestampType, got ${got.schema("ts").dataType}")
+        form -> got.orderBy("event_id").select(unix_micros(col("ts")))
+          .collect().map(_.getLong(0)).toSeq
+    }
+    reads.foreach { case (form, got) =>
+      assert(got == usecs, s"$form form shifted ts values: $got vs $usecs")
+    }
+  }
+
   test("scoring validates features and attaches prediction + probability_up") {
     val feats = graft.features.Targets.withTarget(
       graft.features.Features.computeAllFeatures(
