@@ -381,11 +381,16 @@ object Dedup {
     * changes (reached in <= diameter rounds; near-dup clusters are shallow).
     * Deterministic: the fixpoint is unique regardless of iteration order.
     *
-    * Scale shape: each round is one shuffle join + one grouped min — no
-    * driver-side graph state (the driver only sees the converged-yet? count).
-    * For graphs with deep chains at 100 TB, swap the per-hop propagation for
-    * the large-star/small-star variant (O(log n) rounds); near-dup graphs
-    * are overwhelmingly star-shaped, so plain propagation stays cheap.
+    * Scale shape: the symmetric edge list is hash-partitioned on `dst` ONCE
+    * and reused every round; the label table joins it broadcast while the
+    * node count stays at or below [[HotKeyBroadcastMax]] (co-partitioned
+    * shuffle fallback above — dedup graphs with >1M *connected* nodes are
+    * the rare regime), so each round is ONE wide shuffle (the grouped min)
+    * — no driver-side graph state (the driver only sees the converged-yet?
+    * label sum). For graphs with deep chains at 100 TB, swap the per-hop
+    * propagation for the large-star/small-star variant (O(log n) rounds);
+    * near-dup graphs are overwhelmingly star-shaped, so plain propagation
+    * stays cheap.
     *
     * @return (id, label) — one row per node appearing in `pairs`
     */
@@ -397,10 +402,13 @@ object Dedup {
     // checkpoint blocks are freed by the ContextCleaner when the RDD is
     // GC'd. (A prior version leaked the final labels cache.)
     val p = pairs.localCheckpoint()
+    // partitioned by the join key once; every round's label join reuses it
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    val nNodes = labels.count()
     // Labels only ever decrease under min-propagation, so the label sum is
     // a strictly decreasing convergence measure: unchanged sum == fixpoint.
     // One tiny aggregate over the fresh checkpoint per round instead of a
@@ -414,7 +422,8 @@ object Dedup {
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+      val l = if (nNodes <= HotKeyBroadcastMax) broadcast(labels) else labels
+      val viaNeighbor = edges.join(l, edges("dst") === l("id"))
         .select(edges("src").as("id"), col("label"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))

@@ -42,6 +42,39 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("property: pageRank conserves mass and is invariant to edge order (random symmetric graphs)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 4) {
+      val nNodes = 4 + rnd.nextInt(12)
+      // random undirected edges over nNodes, symmetrized, no isolated nodes:
+      // chain i→i+1 guarantees connectivity so every node has in+out mass
+      val chain = (0 until nNodes - 1).map(i => (s"n$i", s"n${i + 1}"))
+      val extra = Seq.fill(nNodes)((s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}"))
+        .filter { case (a, b) => a != b }
+      val und = (chain ++ extra).distinct
+      val edges = und.toDF("a", "b")
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val ranks = graft.analytics.Graph.pageRank(edges, iters = 6)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(ranks.size == nNodes, s"trial $trial: lost nodes")
+      assert(math.abs(ranks.values.sum - 1.0) < 1e-9,
+        s"trial $trial: rank mass ${ranks.values.sum} != 1")
+      assert(ranks.values.forall(_ > 0), s"trial $trial: non-positive rank")
+      // permuting the edge list (and its partitioning) must not change
+      // ranks beyond float-sum-order noise
+      val shuffled = edges.orderBy(rand(seed = trial)).repartition(7)
+      val ranks2 = graft.analytics.Graph.pageRank(shuffled, iters = 6)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      ranks.foreach { case (n, v) =>
+        assert(math.abs(ranks2(n) - v) < 1e-12,
+          s"trial $trial node $n: edge order changed rank $v -> ${ranks2(n)}")
+      }
+    }
+  }
+
   test("property: bucketed global row numbering == single-partition window (random keys)") {
     val s = spark
     import s.implicits._
