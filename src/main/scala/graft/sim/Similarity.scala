@@ -199,7 +199,15 @@ object Similarity {
     * the fold for a plain SUM (ulp-level assignment ties are noise there);
     * the fold is the oracle-checkable form. Empty clusters drop out of the
     * update identically on both sides. Per-iteration localCheckpoint cuts
-    * the growing lineage like connected components does. */
+    * the growing lineage like connected components does.
+    *
+    * The per-round argmax is a struct-max aggregate, NOT a row_number
+    * window: the window form shuffles all n·k scored rows (each dragging
+    * two d-dim arrays) to rank them, while max(struct(cos, −cent_id, …))
+    * collapses the k candidates per vector map-side — the shuffle carries
+    * n partial maxima. Tie-break identical by construction: struct
+    * ordering compares cos first, then −cent_id (larger = smaller id), the
+    * same winner as ORDER BY cos DESC, cent_id ASC. */
   def kmeans(embeddings: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame = {
     require(k > 0 && iters > 0, s"kmeans: need k > 0, iters > 0 (got $k, $iters)")
@@ -208,14 +216,13 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
     var assigned: DataFrame = null
     for (round <- 1 to iters) {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
       assigned = vecs.crossJoin(broadcast(cents))
         .withColumn("ccos", cosPre("v", "cv", "nv", "nc"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cluster"),
-          col("ccos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cent_id")).as("_nid"),
+          col("cent_id"), col("v"))).as("_b"))
+        .select(col("vec_id"), col("_b.v").as("v"),
+          col("_b.cent_id").as("cluster"), col("_b.ccos").as("ccos"))
         .localCheckpoint()
       if (round < iters) {
         val comps = assigned
