@@ -374,17 +374,23 @@ object Analytics {
     val ev = Bars.readEvents(s, dir).select(col("event_id"), col("ts"))
     val (numbered, n) = graft.analytics.Ranking.withGlobalRowNumber(
       ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")))
-    // materialize once: k fold branches + the output sort's sampling pass
-    // all read the numbered frame
+    // materialize once: the fold explode + the output sort's sampling pass
+    // both read the numbered frame
     val withRn = numbered.localCheckpoint()
-    val folds = (1 to k).map { f =>
-      val trainEnd = f.toLong * n / (k + 1)
-      val valEnd = (f + 1).toLong * n / (k + 1)
-      withRn.filter(col("rn") <= valEnd)
-        .select(lit(f).cast("long").as("fold"), col("event_id"),
-          when(col("rn") <= trainEnd, "train").otherwise("validate").as("role"))
-    }
-    folds.reduce(_ unionByName _).orderBy("fold", "event_id")
+    // one scan, not k: explode the fold index and keep (row, fold) pairs
+    // where the row falls inside fold f's expanding window — the identical
+    // per-fold boundary arithmetic the branch-per-fold union form used
+    // `div`, not `/`: SQL `/` on longs is true division; the fold
+    // boundaries use the same integral division as the oracle
+    val trainEnd = expr(s"fold * ${n}L div ${k + 1}L")
+    val valEnd = expr(s"(fold + 1L) * ${n}L div ${k + 1}L")
+    withRn
+      .select(col("rn"), col("event_id"),
+        explode(expr(s"sequence(1L, ${k}L)")).as("fold"))
+      .filter(col("rn") <= valEnd)
+      .select(col("fold"), col("event_id"),
+        when(col("rn") <= trainEnd, "train").otherwise("validate").as("role"))
+      .orderBy("fold", "event_id")
   }
 
   /** Left-anti join: customers with no big-ticket (>300k) order. The orders
