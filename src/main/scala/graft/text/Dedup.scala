@@ -422,11 +422,7 @@ object Dedup {
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val l = if (nNodes <= HotKeyBroadcastMax) broadcast(labels) else labels
-      val viaNeighbor = edges.join(l, edges("dst") === l("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
+      val next = ccRound(edges, labels, nNodes)
         .localCheckpoint() // eager: one job per round, lineage truncated
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -439,6 +435,20 @@ object Dedup {
     // large-star/small-star, which converges in O(log² n) rounds
     // regardless of diameter — never return a non-minimum labeling.
     if (!converged) connectedComponentsStar(p) else labels
+  }
+
+  /** One min-label propagation round. Exposed pre-checkpoint so PlanSpec
+    * can assert the shape: the label table joins the dst-partitioned edge
+    * list broadcast at or below [[HotKeyBroadcastMax]] nodes (co-partitioned
+    * shuffle fallback above); the grouped min is the round's one wide
+    * shuffle. */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame,
+      nNodes: Long): DataFrame = {
+    val l = if (nNodes <= HotKeyBroadcastMax) broadcast(labels) else labels
+    val viaNeighbor = edges.join(l, edges("dst") === l("id"))
+      .select(edges("src").as("id"), col("label"))
+    labels.union(viaNeighbor)
+      .groupBy("id").agg(min("label").as("label"))
   }
 
   /** Connected components via alternating large-star/small-star

@@ -360,6 +360,23 @@ class PlanSpec extends SparkSpec {
       s"large-graph round shuffles more than the rank table + contrib agg:\n${plan(large)}")
   }
 
+  test("connectedComponents round: broadcast label join + ONE wide shuffle") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+      .localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")).localCheckpoint()
+    val labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    val round = graft.text.Dedup.ccRound(edges, labels, nNodes = 5)
+    assert(countOp(round, "BroadcastHashJoin") == 1,
+      s"small-graph CC round must broadcast the label table:\n${plan(round)}")
+    assert(countOp(round, "Exchange hashpartitioning") == 1,
+      s"CC round must have exactly ONE wide shuffle (the grouped min):\n${plan(round)}")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
