@@ -585,6 +585,28 @@ object TextSimSql {
        |SELECT doc_a, doc_b, ${r("jaccard")} AS jaccard
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors TextSim.dedupThresholdSweep: each verified pair joins the
+    * threshold bins it clears; per-bin counts/distinct/min/max are
+    * order-free, so no float-sum caveat applies. */
+  val dedupThresholdSweep: String =
+    s"""$minhashPairsCtes, sweep AS (
+       |  SELECT p.doc_a, p.doc_b, p.jaccard, t.t10
+       |  FROM pairs p CROSS JOIN generate_series(5, 9) AS t(t10)
+       |  WHERE p.jaccard >= t.t10 / 10.0
+       |), pr AS (
+       |  SELECT t10, COUNT(*) AS n_pairs,
+       |         MIN(jaccard) AS mnj, MAX(jaccard) AS mxj
+       |  FROM sweep GROUP BY 1
+       |), d AS (
+       |  SELECT t10, COUNT(DISTINCT doc) AS n_dup_docs FROM (
+       |    SELECT t10, doc_a AS doc FROM sweep
+       |    UNION ALL SELECT t10, doc_b FROM sweep
+       |  ) GROUP BY 1
+       |)
+       |SELECT pr.t10 / 10.0 AS threshold, pr.n_pairs, d.n_dup_docs,
+       |       ${r("mnj")} AS min_jaccard, ${r("mxj")} AS max_jaccard
+       |FROM pr JOIN d ON d.t10 = pr.t10 ORDER BY threshold""".stripMargin
+
   /** Cross-corpus (train ⋈ eval) pair CTEs: candidates span the mod-10
     * corpus split instead of the self-join triangle. Mirrors
     * Dedup.crossCorpusPairs over TextSim's corpusSplit. */

@@ -169,6 +169,23 @@ object TextSim {
       .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Dedup threshold sweep: pair count, flagged-doc count and the exact
+    * Jaccard range surviving at each threshold in {0.5 … 0.9} — the
+    * pick-your-threshold curve a curation team plots before committing a
+    * corpus-wide dedup pass. ONE pair-generation pass (the expensive LSH +
+    * verify branch, materialized once): each verified pair explodes into
+    * the threshold bins it clears (narrow, ≤5 rows per pair) and two
+    * grouped aggregates produce the curve. Stats are count/distinct/min/
+    * max only — order-free, so the oracle matches bit-exactly with no
+    * float-sum caveat. */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdSweep(
+        Dedup.minhashPairs(Tables.documents(s, dir)).localCheckpoint())
+      .select(col("threshold"), col("n_pairs"), col("n_dup_docs"),
+        r6(col("min_jaccard")).as("min_jaccard"),
+        r6(col("max_jaccard")).as("max_jaccard"))
+      .orderBy("threshold")
+
   /** Asymmetric containment over the LSH candidate pairs — the
     * contamination-DIRECTION companion to dedup_minhash_pairs (which side
     * of the pair is inside the other). */

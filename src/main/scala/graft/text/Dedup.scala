@@ -126,6 +126,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Dedup threshold sweep over verified pairs (doc_a, doc_b, jaccard):
+    * per threshold t10/10 in {0.5 … 0.9}, the pair count, distinct flagged
+    * docs and exact Jaccard range among pairs clearing t. Each pair
+    * explodes into the bins it clears (narrow, ≤5 rows per pair); the two
+    * grouped aggregates use only count/distinct/min/max — order-free, so
+    * the oracle matches bit-exactly with no float-sum caveat. */
+  def thresholdSweep(pairs: DataFrame): DataFrame = {
+    val sweep = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(expr("sequence(5L, 9L)")).as("t10"))
+      .filter(col("jaccard") >= col("t10").cast("double") / 10)
+    val perPair = sweep.groupBy("t10")
+      .agg(count(lit(1)).as("n_pairs"), min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    val perDoc = sweep.select(col("t10"), col("doc_a").as("doc"))
+      .unionAll(sweep.select(col("t10"), col("doc_b").as("doc")))
+      .groupBy("t10").agg(countDistinct(col("doc")).as("n_dup_docs"))
+    perPair.join(perDoc, "t10")
+      .select((col("t10").cast("double") / 10).as("threshold"),
+        col("n_pairs"), col("n_dup_docs"), col("min_jaccard"),
+        col("max_jaccard"))
+  }
+
   /** Asymmetric containment pairs: for each LSH candidate pair, the exact
     * shingle containment in BOTH directions (|A∩B|/|A|, |A∩B|/|B|) next to
     * the symmetric Jaccard — the contamination-direction signal

@@ -100,6 +100,25 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain) // salt-replicate loses and invents nothing
   }
 
+  test("thresholdSweep: planted pair jaccards bin cumulatively with exact ranges") {
+    val s = spark
+    import s.implicits._
+    // pairs at 0.95, 0.72, 0.55: bins are cumulative-from-above
+    val pairs = Seq(
+      (1L, 2L, 0.95), (3L, 4L, 0.72), (5L, 6L, 0.55), (1L, 3L, 0.55)
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.text.Dedup.thresholdSweep(pairs)
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0.5, 4L, 6L, 0.55, 0.95),  // all pairs; docs 1..6
+      (0.6, 2L, 4L, 0.72, 0.95),  // docs {1,2,3,4}
+      (0.7, 2L, 4L, 0.72, 0.95),
+      (0.8, 1L, 2L, 0.95, 0.95),
+      (0.9, 1L, 2L, 0.95, 0.95)))
+  }
+
   test("crossCorpusPairs flags planted train/eval dups; decontaminate drops exactly those") {
     val s = spark
     import s.implicits._
