@@ -1072,6 +1072,52 @@ object OracleSql {
        |       SUM(volume) AS volume, COUNT(*) AS n_ticks
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
 
+  /** Mirrors Core.xsecRank / CrossSection.xsecRank: hourly arg_max close,
+    * per-symbol bucket-lag return, then the per-bucket cross-section —
+    * row_number/ntile on the unique (ret DESC, symbol) key and the
+    * symbol-ordered list_sum fold (== Spark's sequential window Sum) for
+    * the population mean/std behind the z-score. */
+  val xsecRank: String = {
+    val key = "lpad(CAST(epoch_us(datetime) AS VARCHAR), 20, '0') || '_' || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+    val cum = "PARTITION BY bucket ORDER BY symbol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val full = "PARTITION BY bucket ORDER BY symbol ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    s"""$barsCte, h AS (
+       |  SELECT symbol, date_trunc('hour', datetime) AS bucket,
+       |         arg_max(close, $key) AS close
+       |  FROM bars GROUP BY 1, 2
+       |), rr AS (
+       |  SELECT symbol, bucket,
+       |         (close - LAG(close, 1) OVER (PARTITION BY symbol ORDER BY bucket))
+       |           / LAG(close, 1) OVER (PARTITION BY symbol ORDER BY bucket) AS ret
+       |  FROM h
+       |), r2 AS (
+       |  SELECT * FROM rr WHERE ret IS NOT NULL
+       |), c AS (
+       |  SELECT symbol, bucket, ret,
+       |         COUNT(*) OVER (PARTITION BY bucket) AS xsec_n,
+       |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ret DESC, symbol) AS xsec_rank,
+       |         NTILE(5) OVER (PARTITION BY bucket ORDER BY ret DESC, symbol) AS xsec_quintile,
+       |         COALESCE(list_sum(list(ret) OVER ($cum)), 0.0) AS _cs,
+       |         COALESCE(list_sum(list(ret * ret) OVER ($cum)), 0.0) AS _cq
+       |  FROM r2
+       |), d AS (
+       |  SELECT symbol, bucket, ret, xsec_n, xsec_rank, xsec_quintile,
+       |         LAST_VALUE(_cs) OVER ($full) AS _s,
+       |         LAST_VALUE(_cq) OVER ($full) AS _q
+       |  FROM c
+       |), f AS (
+       |  SELECT symbol, bucket, ret, xsec_n, xsec_rank, xsec_quintile,
+       |         _s / CAST(xsec_n AS DOUBLE) AS mean,
+       |         _q / CAST(xsec_n AS DOUBLE)
+       |           - (_s / CAST(xsec_n AS DOUBLE)) * (_s / CAST(xsec_n AS DOUBLE)) AS var
+       |  FROM d
+       |)
+       |SELECT symbol, bucket, ${r("ret")} AS ret, xsec_n, xsec_rank, xsec_quintile,
+       |       ${r("CASE WHEN xsec_n > 1 THEN CAST(xsec_rank - 1 AS DOUBLE) / CAST(xsec_n - 1 AS DOUBLE) END")} AS xsec_pct,
+       |       ${r("CASE WHEN var > 0.0 THEN (ret - mean) / sqrt(var) END")} AS xsec_z
+       |FROM f ORDER BY bucket, symbol""".stripMargin
+  }
+
   /** Mirrors Analytics.windowBeta: per-symbol lag return, market return as
     * the symbol-sorted sequential fold (list_sum over ORDER BY symbol ==
     * Spark's aggregate over array_sort'ed structs), then the standard

@@ -585,6 +585,21 @@ object Core {
         r6(col("close")).as("close"), col("is_gap"), col("n_ticks"))
       .orderBy("symbol", "bar_start")
 
+  /** Cross-sectional hourly momentum ranking: at each hour bucket, every
+    * symbol's 1-hour return ranked / ntile(5)-bucketed / z-scored against
+    * its peers — the across-symbols pass the reference's per-symbol loop
+    * cannot express (see [[graft.analytics.CrossSection.xsecRank]] for the
+    * one-exchange scale shape and the fold bit-parity contract). */
+  def xsecRank(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.CrossSection.xsecRank(
+        hourlyBars(s, dir).select(col("symbol"),
+          col("bar_start").as("bucket"), col("close")))
+      .select(col("symbol"), col("bucket"), r6(col("ret")).as("ret"),
+        col("xsec_n"), col("xsec_rank").cast("long").as("xsec_rank"),
+        col("xsec_quintile").cast("long").as("xsec_quintile"),
+        r6(col("xsec_pct")).as("xsec_pct"), r6(col("xsec_z")).as("xsec_z"))
+      .orderBy("bucket", "symbol")
+
   /** P8: schema-normalizing vertical union (reference src/main.py:98-125):
     * branch b arrives with scrambled column order and float32 close; the
     * normalization pass re-orders + casts before unionByName. */

@@ -1560,4 +1560,57 @@ class OpsSpec extends SparkSpec {
     assert(joined.filter(col("crn") =!= col("wrn")).count() == 0)
     assert(joined.count() == 200)
   }
+
+  test("xsecRank: planted cross-sections — ties, sparse symbols, zero-variance, singleton") {
+    val s = spark
+    import s.implicits._
+    val hourly = Seq(
+      // bucket 0: baseline closes (no rets emitted)
+      ("A", 0L, 10.0), ("B", 0L, 20.0), ("C", 0L, 40.0), ("D", 0L, 5.0),
+      // bucket 1: A,B tie at ret=0.1; C at -0.25; D absent (sparse)
+      ("A", 1L, 11.0), ("B", 1L, 22.0), ("C", 1L, 30.0),
+      // bucket 2: A,B,C flat (ret 0); D returns vs bucket 0 (ret 1.0)
+      ("A", 2L, 11.0), ("B", 2L, 22.0), ("C", 2L, 30.0), ("D", 2L, 10.0),
+      // bucket 3: all flat -> zero cross-sectional variance
+      ("A", 3L, 11.0), ("B", 3L, 22.0), ("C", 3L, 30.0), ("D", 3L, 10.0),
+      // E alone in buckets 4/5 -> singleton cross-section at 5
+      ("E", 4L, 10.0), ("E", 5L, 12.0)
+    ).toDF("symbol", "bucket", "close")
+    val got = graft.analytics.CrossSection.xsecRank(hourly)
+      .orderBy("bucket", "symbol")
+      .select("symbol", "bucket", "ret", "xsec_n", "xsec_rank",
+        "xsec_quintile", "xsec_pct", "xsec_z")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getInt(4), r.getInt(5),
+        if (r.isNullAt(6)) null else r.getDouble(6),
+        r.isNullAt(7)))
+    // bucket 1: tie at 0.1 broken by symbol (A=1, B=2); pct spans [0, 1]
+    val b1 = got.filter(_._2 == 1L).toSeq
+    assert(b1 == Seq(
+      ("A", 1L, 0.1, 3L, 1, 1, 0.0, false),
+      ("B", 1L, 0.1, 3L, 2, 2, 0.5, false),
+      ("C", 1L, -0.25, 3L, 3, 3, 1.0, false)))
+    // bucket 2: sparse D rejoins with ret vs its LAST PRESENT bucket (0)
+    val b2 = got.filter(_._2 == 2L).toSeq
+    assert(b2 == Seq(
+      ("A", 2L, 0.0, 4L, 2, 2, 1.0 / 3, false),
+      ("B", 2L, 0.0, 4L, 3, 3, 2.0 / 3, false),
+      ("C", 2L, 0.0, 4L, 4, 4, 1.0, false),
+      ("D", 2L, 1.0, 4L, 1, 1, 0.0, false)))
+    // z-scores in bucket 2: mean 0.25, var 0.1875; flat symbols share one z
+    val z2 = graft.analytics.CrossSection.xsecRank(hourly)
+      .filter(col("bucket") === 2L).orderBy("symbol")
+      .select("xsec_z").collect().map(_.getDouble(0))
+    val sd = math.sqrt(0.1875)
+    assert(z2.take(3).forall(z => math.abs(z - (0.0 - 0.25) / sd) < 1e-12))
+    assert(math.abs(z2(3) - (1.0 - 0.25) / sd) < 1e-12)
+    // bucket 3: zero variance -> z null for every member, ranks by symbol
+    val b3 = got.filter(_._2 == 3L).toSeq
+    assert(b3.map(t => (t._1, t._5, t._8)) ==
+      Seq(("A", 1, true), ("B", 2, true), ("C", 3, true), ("D", 4, true)))
+    // bucket 5: singleton -> rank 1, pct null, z null
+    assert(got.filter(_._2 == 5L).toSeq ==
+      Seq(("E", 5L, 0.2, 1L, 1, 1, null, true)))
+  }
 }

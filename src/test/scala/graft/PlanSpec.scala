@@ -184,6 +184,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("xsecRank: one bucket exchange carries every cross-sectional window") {
+    val df = Core.xsecRank(spark, dir)
+    // hourly agg (symbol, hour) + symbol lag + ONE bucket exchange for the
+    // rank/ntile/count/fold windows — 3 hash exchanges total, all keyed
+    assert(countOp(df, "Exchange hashpartitioning") == 3,
+      s"xsecRank shuffle count regressed:\n${plan(df)}")
+    assert(countOp(df, "Exchange rangepartitioning") == 1) // output sort only
+  }
+
   test("withAdx fuses the three Wilder smoothers into one window pass") {
     val df = graft.features.Market.withAdx(
       graft.source.Bars.bars(spark, dir))
