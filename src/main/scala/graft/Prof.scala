@@ -69,6 +69,9 @@ object Prof {
     time("text_stats full")(SparkEntry.queries("text_stats")(spark, dir))
     time("curate_docs full")(SparkEntry.queries("curate_docs")(spark, dir))
     time("topk_importance full")(SparkEntry.queries("topk_importance")(spark, dir))
+    val edges = graft.analytics.Graph.coPurchaseEdges(spark, dir)
+    time("co-purchase edges (distinct)")(edges)
+    time("graph_triangles full")(SparkEntry.queries("graph_triangles")(spark, dir))
     spark.stop()
   }
 }

@@ -1072,6 +1072,28 @@ object OracleSql {
        |       SUM(volume) AS volume, COUNT(*) AS n_ticks
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, bar_start""".stripMargin
 
+  /** Checks Analytics.graphTriangles with an INDEPENDENT algorithm: the
+    * id-ordered 3-way edge join (a<b<c) enumerates each triangle once, vs
+    * Spark's degree-oriented compact-forward — agreement on the integer
+    * per-node counts validates the algorithm, not just the translation. */
+  val graphTriangles: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), t AS (
+       |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.pa = e1.pb
+       |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+       |), n AS (
+       |  SELECT a AS node FROM t
+       |  UNION ALL SELECT b FROM t
+       |  UNION ALL SELECT c FROM t
+       |)
+       |SELECT node, COUNT(*) AS n_triangles
+       |FROM n GROUP BY 1 ORDER BY node""".stripMargin
+
   /** Mirrors Core.xsecRank / CrossSection.xsecRank: hourly arg_max close,
     * per-symbol bucket-lag return, then the per-bucket cross-section —
     * row_number/ntile on the unique (ret DESC, symbol) key and the

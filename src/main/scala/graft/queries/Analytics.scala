@@ -27,6 +27,17 @@ object Analytics {
       .select(col("node"), r6(col("rank")).as("rank"))
       .orderBy("node")
 
+  /** Per-part triangle participation over the order co-purchase graph —
+    * the local clustering signal behind "bought-together" bundles (see
+    * [[graft.analytics.Graph.triangleCounts]] for the degree-oriented
+    * algorithm and its hub-node scale bound). The oracle counts the same
+    * triangles with an INDEPENDENT id-ordered 3-way join — an algorithmic
+    * cross-check, not a translation replay (all-integer output, so no
+    * float-parity constraint forces mirroring). */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(Graph.coPurchaseEdges(s, dir))
+      .orderBy("node")
+
   /** As-of join: for each purchase, the user's most recent prior-or-equal
     * error event. */
   def joinAsof(s: SparkSession, dir: String): DataFrame = {

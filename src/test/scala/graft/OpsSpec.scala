@@ -1613,4 +1613,25 @@ class OpsSpec extends SparkSpec {
     assert(got.filter(_._2 == 5L).toSeq ==
       Seq(("E", 5L, 0.2, 1L, 1, 1, null, true)))
   }
+
+  test("triangleCounts: degree orientation finds triangles id-order would drop") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} + {1,2,4}; hub 1 has the HIGHEST degree, so every
+    // triangle edge is oriented against id order (3->2->1) — an id-ordered
+    // wedge join finds zero of these, the (deg, node) orientation finds both
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (1L, 5L), (1L, 6L), (2L, 7L)
+    ).toDF("a", "b")
+    val got = graft.analytics.Graph.triangleCounts(edges)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L)))
+    // no cartesian/nested-loop anywhere in the plan — all equi-joins
+    val plan = graft.analytics.Graph.triangleCounts(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
