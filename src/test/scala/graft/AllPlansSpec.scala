@@ -1,0 +1,44 @@
+package graft
+
+/** Blanket physical-plan guard over EVERY registered query: no plan may
+  * contain a CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+  * on the allowlisted queries whose cross side is a scalar or
+  * centroid-table by construction (O(1)/O(k) rows — documented in each
+  * query's scaladoc). A new query that accidentally plans a cartesian or
+  * an unkeyed join fails here before any benchmark or scale run sees it.
+  */
+class AllPlansSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
+    * the broadcast side is a single-row aggregate (corpus doc count,
+    * global threshold, split boundary) or a fixed centroid table. */
+  private val bnlAllowed: Set[String] = Set(
+    // 1-row aggregate cross side (doc/user count, corpus max, dup scalar):
+    "text_tfidf", "text_logprob", "user_rfm", "dq_checks", "assoc_pairs",
+    "corpus_mixture", "sim_ann_recall",
+    // broadcast centroid / probe tables (16 / 10 rows by construction):
+    "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk")
+
+  test("no registered query plans a CartesianProduct; BNLJ only on scalar-side allowlist") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val bnlSeen = scala.collection.mutable.Set[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin")) {
+        bnlSeen += name
+        if (!bnlAllowed(name)) offenders += s"$name: BroadcastNestedLoopJoin (not allowlisted)"
+      }
+    }
+    assert(offenders.isEmpty, s"plan guard violations:\n  ${offenders.mkString("\n  ")}")
+    // the allowlist must stay exact — a stale entry would mask a future
+    // regression on that query
+    val stale = bnlAllowed -- bnlSeen
+    assert(stale.isEmpty, s"allowlisted but no BNLJ in plan (remove): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}
