@@ -250,4 +250,30 @@ class PropSpec extends SparkSpec {
     assert(norm.length < rawGroups,
       "case-noised corpus: normalization found no extra merges")
   }
+
+  test("property: triangleCounts == brute-force enumeration (random graphs)") {
+    val s = spark
+    import s.implicits._
+    for (round <- 1 to 6) {
+      val n = 5 + rnd.nextInt(20)
+      val p = 0.15 + rnd.nextDouble() * 0.45
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        // brute force: every id-ordered vertex triple that closes
+        val es = edges.toSet
+        val naive = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for (a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+             if es((a, b)) && es((b, c)) && es((a, c))) {
+          naive(a) += 1; naive(b) += 1; naive(c) += 1
+        }
+        val got = graft.analytics.Graph.triangleCounts(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == naive.toMap,
+          s"round $round (n=$n, |E|=${edges.size}): $got vs ${naive.toMap}")
+      }
+    }
+  }
 }
