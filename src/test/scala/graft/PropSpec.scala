@@ -251,6 +251,47 @@ class PropSpec extends SparkSpec {
       "case-noised corpus: normalization found no extra merges")
   }
 
+  test("property: xsecRank invariants on random panels (permutation ranks, z sum 0, pct bounds)") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 4) {
+      val nSym = 2 + rnd.nextInt(6)
+      val nBuck = 3 + rnd.nextInt(8)
+      val rows = for {
+        sym <- 0 until nSym; b <- 0 until nBuck
+        if rnd.nextDouble() < 0.8 // sparse panel
+      } yield (sym.toString, b.toLong, 50.0 + rnd.nextDouble() * 100.0)
+      val got = graft.analytics.CrossSection.xsecRank(
+        rows.toDF("symbol", "bucket", "close")).collect()
+      val byBucket = got.groupBy(_.getLong(1))
+      for ((_, g) <- byBucket) {
+        val n = g.head.getLong(3)
+        assert(g.length == n)
+        // ranks and quintiles: 1..n permutation / ntile within bounds
+        assert(g.map(_.getInt(4)).sorted.toSeq == (1 to n.toInt).toSeq)
+        assert(g.forall(r => r.getInt(5) >= 1 && r.getInt(5) <= 5))
+        // pct: null iff singleton, else spans [0, 1]
+        if (n == 1) assert(g.head.isNullAt(6))
+        else {
+          val ps = g.map(_.getDouble(6))
+          assert(math.abs(ps.min) < 1e-12 && math.abs(ps.max - 1.0) < 1e-12)
+        }
+        // z-scores: when defined, sum to ~0 (population standardization)
+        val zs = g.filterNot(_.isNullAt(7)).map(_.getDouble(7))
+        if (zs.nonEmpty) assert(math.abs(zs.sum) < 1e-8 * g.length)
+        // rank order agrees with return order (desc, symbol tie-break)
+        val sorted = g.sortBy(_.getInt(4))
+        sorted.sliding(2).foreach {
+          case Array(hi, lo) =>
+            val (rh, rl) = (hi.getDouble(2), lo.getDouble(2))
+            assert(rh > rl ||
+              (rh == rl && hi.getString(0) < lo.getString(0)))
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("property: triangleCounts == brute-force enumeration (random graphs)") {
     val s = spark
     import s.implicits._
