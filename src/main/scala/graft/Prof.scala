@@ -72,6 +72,8 @@ object Prof {
     val edges = graft.analytics.Graph.coPurchaseEdges(spark, dir)
     time("co-purchase edges (distinct)")(edges)
     time("graph_triangles full")(SparkEntry.queries("graph_triangles")(spark, dir))
+    time("supplier-part edges")(graft.analytics.Graph.supplierPartEdges(spark, dir))
+    time("graph_pagerank full")(SparkEntry.queries("graph_pagerank")(spark, dir))
     spark.stop()
   }
 }
