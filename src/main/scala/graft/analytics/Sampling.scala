@@ -22,6 +22,24 @@ object Sampling {
   def bernoulliByHash(df: DataFrame, key: Column, hexPrefixLt: String): DataFrame =
     df.filter(substring(md5(key.cast("string")), 1, hexPrefixLt.length) < lit(hexPrefixLt))
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    * Inf. Proc. Letters 2006): the k rows with the LARGEST ln(u)/w, where
+    * u is a 48-bit md5-derived uniform in (0,1) and w the row's positive
+    * weight — equivalent to k sequential weighted draws, but embarrassingly
+    * parallel: the whole draw plans as ONE TakeOrderedAndProject
+    * (per-partition partial top-k, driver merges k·P candidate rows),
+    * no shuffle of the data, deterministic across runs/partitionings.
+    * 2^48 divides exactly, so u is the same double in every engine; the
+    * only cross-engine fp surface is one ln() call. */
+  def weightedByHash(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(281474976710656.0) // 2^48
+    df.withColumn("_wk", log(u) / weight)
+      .orderBy(col("_wk").desc, key)
+      .limit(k)
+      .drop("_wk")
+  }
+
   /** Stratified exact-quota sample: per stratum, the `quota` rows with the
     * smallest md5(key) — a deterministic uniform draw without replacement.
     * One shuffle on the stratum key; rank ties broken by the key itself.

@@ -1607,6 +1607,23 @@ object OracleSql {
        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
        |ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.sampleWeighted / Sampling.weightedByHash: the same
+    * 48-bit md5 uniform (('0x'||hex)::BIGINT == Spark's conv(hex,16,10)),
+    * the same ln(u)/w key, top-100 with the doc_id tie-break. 2^48 divides
+    * exactly, so u is bit-identical; ln() is the one shared fp surface. */
+  val sampleWeighted: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars,
+       |         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT::DOUBLE + 0.5)
+       |              / 281474976710656.0)
+       |           / CAST(n_chars AS DOUBLE) AS wk
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, source, n_chars FROM t
+       |  ORDER BY wk DESC, doc_id LIMIT 100
+       |)
+       |SELECT doc_id, source, n_chars FROM s ORDER BY doc_id""".stripMargin
+
   val windowFirstLast: String =
     s"""$barsCte
        |SELECT symbol, event_id,

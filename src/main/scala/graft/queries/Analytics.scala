@@ -204,6 +204,18 @@ object Analytics {
       .select(col("event_type"), col("strat_rn"), col("event_id"))
       .orderBy("event_type", "strat_rn")
 
+  /** Length-weighted document sample: 100 docs drawn without replacement
+    * with probability proportional to n_chars — the quality/length-biased
+    * corpus subsample step (see
+    * [[graft.analytics.Sampling.weightedByHash]] for the one-pass A-ES
+    * top-k shape). */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Sampling.weightedByHash(
+        Tables.documents(s, dir), col("doc_id"),
+        col("n_chars").cast("double"), 100)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Statistical aggregates per symbol: Pearson correlation and sample
     * covariance of open vs close (both engines accumulate co-moments;
     * round(6) absorbs merge-order ulps). */

@@ -1614,6 +1614,31 @@ class OpsSpec extends SparkSpec {
       Seq(("E", 5L, 0.2, 1L, 1, 1, null, true)))
   }
 
+  test("weightedByHash: weight-proportional inclusion, partition-invariant, exact k, top-k plan") {
+    val s = spark
+    import s.implicits._
+    // 1000 heavy (w=10) + 1000 light (w=1) rows: heavy inclusion odds are
+    // ~10x, so a 200-row draw should be dominated by heavy rows
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i < 1000) 10.0 else 1.0)).toDF("id", "w")
+    val picked = graft.analytics.Sampling
+      .weightedByHash(rows, col("id"), col("w"), 200)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 200 && picked.distinct.length == 200)
+    val heavy = picked.count(_ < 1000L)
+    assert(heavy >= 160 && heavy <= 199,
+      s"heavy-row share $heavy/200 not ~10x-biased") // E[heavy] ≈ 186
+    // deterministic under repartitioning and row order
+    val shuffled = graft.analytics.Sampling
+      .weightedByHash(rows.orderBy(col("id").desc).repartition(7), col("id"), col("w"), 200)
+      .collect().map(_.getLong(0))
+    assert(shuffled.sorted.toSeq == picked.sorted.toSeq)
+    // the draw is ONE TakeOrderedAndProject — no shuffle of the data
+    val plan = graft.analytics.Sampling.weightedByHash(rows, col("id"), col("w"), 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("triangleCounts: degree orientation finds triangles id-order would drop") {
     val s = spark
     import s.implicits._
