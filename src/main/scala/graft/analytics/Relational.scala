@@ -54,26 +54,41 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, tie: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val lSide = left.select(
       Seq(col(key).as("_k"), col(leftTime).as("_t"), col(tie).as("_tie"),
-        lit(1).as("_is_left")) ++
+        lit(1).as("_is_left"),
+        lit(null).cast(right.schema(rightTime).dataType).as("_r__t")) ++
       lCols.map(c => col(c).as(s"_l_$c")) ++
       valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
     val rSide = right.select(
       Seq(col(key).as("_k"), col(rightTime).as("_t"), col(tie).as("_tie"),
-        lit(0).as("_is_left")) ++
+        lit(0).as("_is_left"), col(rightTime).as("_r__t")) ++
       lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
       valueCols.map(c => col(c).as(s"_r_$c")): _*)
     val w = Window.partitionBy("_k")
       .orderBy(col("_t"), col("_is_left"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(lSide.unionByName(rSide))((df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    val filled = (valueCols.map(c => s"_asof_$c" -> s"_r_$c") :+
+        ("_asof__t" -> "_r__t"))
+      .foldLeft(lSide.unionByName(rSide)) { case (df, (out, in)) =>
+        df.withColumn(out, last(col(in), ignoreNulls = true).over(w))
+      }
+    // tolerance (merge_asof-style): a match older than the bound is no
+    // match — nulled per row; integer-microsecond arithmetic, so the gate
+    // replays exactly cross-engine. Null _asof__t (no match at all) makes
+    // the predicate null, which `when` treats as false — still null out.
+    def gated(c: String) = toleranceMicros match {
+      case Some(m) => when(
+        unix_micros(col("_t")) - unix_micros(col("_asof__t")) <= m,
+        col(s"_asof_$c")).as(s"asof_$c")
+      case None => col(s"_asof_$c").as(s"asof_$c")
+    }
     filled.filter(col("_is_left") === 1)
       .select(lCols.map(c => col(s"_l_$c").as(c)) ++
-        valueCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+        valueCols.map(gated): _*)
   }
 
   /** Skew-safe equi-join: salt the skewed (left) side's key into

@@ -1455,6 +1455,33 @@ object OracleSql {
       |)
       |SELECT event_id, user_id, last_error_id FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.joinAsofTol: the joinAsof replay plus the matched
+    * timestamp riding the same window, gated at 1 hour in exact integer
+    * microseconds (null last-t -> null predicate -> nulled match, same as
+    * Spark's `when`). */
+  val joinAsofTol: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, event_id AS tie, 1 AS is_left,
+      |         CAST(NULL AS TIMESTAMP) AS r_t,
+      |         event_id, CAST(NULL AS BIGINT) AS r_event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 0, ts, CAST(NULL AS BIGINT), event_id
+      |  FROM events WHERE event_type = 'error'
+      |), m AS (
+      |  SELECT is_left, event_id, k AS user_id, t,
+      |         LAST_VALUE(r_event_id IGNORE NULLS) OVER (
+      |           PARTITION BY k ORDER BY t, is_left, tie
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,
+      |         LAST_VALUE(r_t IGNORE NULLS) OVER (
+      |           PARTITION BY k ORDER BY t, is_left, tie
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+      |  FROM u
+      |)
+      |SELECT event_id, user_id,
+      |       CASE WHEN epoch_us(t) - epoch_us(lt) <= 3600000000 THEN le END AS last_error_id
+      |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
+
   val windowTumbling: String =
     s"""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
        |       ${r("SUM(value)")} AS value_sum

@@ -54,6 +54,26 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** As-of join with a merge_asof-style tolerance: the most recent prior
+    * error only counts within 1 hour of the purchase — staler matches null
+    * out (integer-microsecond gate, replayed exactly by the oracle). Same
+    * linear union+window plan as [[joinAsof]]; the matched timestamp rides
+    * the same window pass, so the tolerance adds no exchange. */
+  def joinAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    Relational.asofJoin(purchases, errors,
+        key = "user_id", leftTime = "ts", rightTime = "ts", tie = "event_id",
+        valueCols = Seq("event_id"),
+        toleranceMicros = Some(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id").as("last_error_id"))
+      .orderBy("event_id")
+  }
+
   /** Tumbling 1h event-time windows (batch mode of the streaming operator). */
   def windowTumbling(s: SparkSession, dir: String): DataFrame =
     TimeWindows.tumbling(Bars.readEvents(s, dir))

@@ -1614,6 +1614,35 @@ class OpsSpec extends SparkSpec {
       Seq(("E", 5L, 0.2, 1L, 1, 1, null, true)))
   }
 
+  test("asofJoin tolerance: boundary-inclusive gate nulls stale matches, no-match stays null") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq(
+      (1L, 10L, ts(100)), // prior error at 95 (gap 5s) -> match
+      (2L, 10L, ts(500)), // last error still 95 (gap 405s > 60) -> null
+      (3L, 10L, ts(155)), // gap exactly 60s -> boundary-inclusive match
+      (4L, 20L, ts(100))  // user with no errors -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((90L, 10L, ts(95))).toDF("event_id", "user_id", "ts")
+    val got = graft.analytics.Relational.asofJoin(left, right,
+        key = "user_id", leftTime = "ts", rightTime = "ts", tie = "event_id",
+        valueCols = Seq("event_id"), toleranceMicros = Some(60L * 1000000L))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some(90L)), (2L, None), (3L, Some(90L)), (4L, None)))
+    // tolerance=None must stay byte-compatible with the original operator
+    val untol = graft.analytics.Relational.asofJoin(left, right,
+        key = "user_id", leftTime = "ts", rightTime = "ts", tie = "event_id",
+        valueCols = Seq("event_id"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(untol.toSeq == Seq(
+      (1L, Some(90L)), (2L, Some(90L)), (3L, Some(90L)), (4L, None)))
+  }
+
   test("weightedByHash: weight-proportional inclusion, partition-invariant, exact k, top-k plan") {
     val s = spark
     import s.implicits._
