@@ -251,6 +251,40 @@ class PropSpec extends SparkSpec {
       "case-noised corpus: normalization found no extra merges")
   }
 
+  test("property: asofJoin (±tolerance) == per-row brute force on random event streams") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (_ <- 1 to 4) {
+      val nUsers = 1 + rnd.nextInt(5)
+      val lefts = (0 until 40).map { i =>
+        (100L + i, rnd.nextInt(nUsers).toLong, ts(rnd.nextInt(1000).toLong))
+      }
+      val rights = (0 until 40).map { i =>
+        (500L + i, rnd.nextInt(nUsers).toLong, ts(rnd.nextInt(1000).toLong))
+      }
+      val tol = (10 + rnd.nextInt(300)).toLong
+      val got = graft.analytics.Relational.asofJoin(
+          lefts.toDF("event_id", "user_id", "ts"),
+          rights.toDF("event_id", "user_id", "ts"),
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          tie = "event_id", valueCols = Seq("event_id"),
+          toleranceMicros = Some(tol * 1000000L))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      val want = lefts.map { case (lid, u, lt) =>
+        // latest right at-or-before lt for the user, ties by max event_id,
+        // then the tolerance gate
+        val cands = rights.filter(r => r._2 == u && !r._3.after(lt))
+        val best = if (cands.isEmpty) None
+          else Some(cands.maxBy(r => (r._3.getTime, r._1)))
+        lid -> best.filter(b => lt.getTime - b._3.getTime <= tol * 1000L).map(_._1)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("property: xsecRank invariants on random panels (permutation ranks, z sum 0, pct bounds)") {
     val s = spark
     import s.implicits._
