@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{DotProduct, Ewma}
+import graft.expr.{Cusum, DotProduct, Ewma}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             boolLit(ignoreNulls, "ignoreNulls"))
         case _ => throw new IllegalArgumentException(
           "usage: ewma(col, alpha, adjust[, ignoreNulls])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cusum"),
+      new ExpressionInfo(classOf[Cusum].getName, "cusum"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, drift) => Cusum(child, doubleLit(drift, "drift"))
+        case _ => throw new IllegalArgumentException(
+          "usage: cusum(col, drift) OVER (PARTITION BY ... ORDER BY ...)")
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),

@@ -28,6 +28,14 @@ object Params {
     * Spark queries and the oracle SQL builders. */
   val Symbols = 32
 
+  /** CUSUM drift allowance / alarm threshold over 1-bar close DIFFERENCES
+    * (`window_cusum`) — diffs are mean-≈0 on the synthetic series (σ≈70),
+    * unlike returns, whose Jensen-positive mean saturates the upper side.
+    * Classic tuning: k = σ/2 absorbs in-control noise, h = 5σ raises the
+    * alarm. Shared verbatim with the oracle's recursive replay. */
+  val CusumDrift = 35.0
+  val CusumThreshold = 350.0
+
   /** The events table's closed event-type vocabulary (TESTDATA.md) — the
     * explicit value list for pivot/unpivot on BOTH the Spark and oracle
     * sides, so the four uses cannot drift apart. */

@@ -1455,6 +1455,38 @@ object OracleSql {
       |)
       |SELECT event_id, user_id, last_error_id FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.windowCusum / expr.Cusum: recursive-CTE replay of
+    * S_t = GREATEST(0, S_{t-1} + (x − k)) per symbol in identical
+    * association order (0.0-seeded, lower side on −x); alarms compare the
+    * UNROUNDED statistic against h, exactly as the Spark side does. */
+  val windowCusum: String = {
+    val k = Params.CusumDrift
+    val h = Params.CusumThreshold
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, rr0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         close - LAG(close, 1) OVER ($W) AS ret
+       |  FROM bars
+       |), x1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, ret, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM rr0 WHERE ret IS NOT NULL
+       |), e AS (
+       |  SELECT symbol, rn,
+       |         GREATEST(0.0, 0.0 + (ret - $k)) AS su,
+       |         GREATEST(0.0, 0.0 + (-ret - $k)) AS sd
+       |  FROM x1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x1.symbol, x1.rn,
+       |         GREATEST(0.0, e.su + (x1.ret - $k)),
+       |         GREATEST(0.0, e.sd + (-x1.ret - $k))
+       |  FROM e JOIN x1 ON x1.symbol = e.symbol AND x1.rn = e.rn + 1
+       |)
+       |SELECT x1.symbol, x1.event_id,
+       |       ${r("su")} AS cusum_up, ${r("sd")} AS cusum_down,
+       |       su > $h AS alarm_up, sd > $h AS alarm_down
+       |FROM x1 JOIN e ON e.symbol = x1.symbol AND e.rn = x1.rn
+       |ORDER BY x1.event_id""".stripMargin
+  }
+
   /** Mirrors Analytics.joinAsofTol: the joinAsof replay plus the matched
     * timestamp riding the same window, gated at 1 hour in exact integer
     * microseconds (null last-t -> null predicate -> nulled match, same as

@@ -224,6 +224,36 @@ object Analytics {
       .select(col("event_type"), col("strat_rn"), col("event_id"))
       .orderBy("event_type", "strat_rn")
 
+  /** Two-sided CUSUM change-point detection per symbol (Page 1954): the
+    * upper/lower drift statistics S⁺/S⁻ over 1-bar close differences
+    * (mean-≈0; see [[graft.Params.CusumDrift]] for the k/h tuning). The
+    * self-referencing recursion max(0, S + (x − k)) is inexpressible with
+    * built-in window aggregates — it runs as the custom
+    * [[graft.expr.Cusum]] AggregateWindowFunction, both sides fused into
+    * the ONE shared symbol exchange; the oracle replays the recursion
+    * with a recursive CTE in identical op order. */
+  def windowCusum(s: SparkSession, dir: String): DataFrame = {
+    import graft.features.Frames
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    val rets = Bars.bars(s, dir)
+      .select(col("symbol"), col("event_id"), col("datetime"),
+        (col("close") - prev).as("ret"))
+      .filter(col("ret").isNotNull)
+    val pb = Seq(col("symbol"))
+    val ob = Seq(col("datetime"), col("event_id"))
+    rets
+      .withColumn("_su",
+        graft.expr.Cusum.cusumOver(col("ret"), graft.Params.CusumDrift, pb, ob))
+      .withColumn("_sd",
+        graft.expr.Cusum.cusumOver(-col("ret"), graft.Params.CusumDrift, pb, ob))
+      .select(col("symbol"), col("event_id"),
+        r6(col("_su")).as("cusum_up"), r6(col("_sd")).as("cusum_down"),
+        (col("_su") > graft.Params.CusumThreshold).as("alarm_up"),
+        (col("_sd") > graft.Params.CusumThreshold).as("alarm_down"))
+      .orderBy("event_id")
+  }
+
   /** Length-weighted document sample: 100 docs drawn without replacement
     * with probability proportional to n_chars — the quality/length-biased
     * corpus subsample step (see

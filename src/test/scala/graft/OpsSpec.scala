@@ -1614,6 +1614,32 @@ class OpsSpec extends SparkSpec {
       Seq(("E", 5L, 0.2, 1L, 1, 1, null, true)))
   }
 
+  test("Cusum: hand-computed recursion, null transparency, SQL registration") {
+    val s = spark
+    import s.implicits._
+    // k=1: series 3, -1, 4, null, -10, 2
+    //   S+ : max(0,0+2)=2, max(0,2-2)=0, max(0,0+3)=3, 3 (null), max(0,3-11)=0, max(0,0+1)=1
+    val df = Seq(
+      (1L, Some(3.0)), (2L, Some(-1.0)), (3L, Some(4.0)),
+      (4L, None), (5L, Some(-10.0)), (6L, Some(2.0))
+    ).toDF("i", "x")
+    val got = df.withColumn("s", graft.expr.Cusum.cusumOver(
+        col("x"), 1.0, Seq(lit(1)), Seq(col("i"))))
+      .orderBy("i").select("s").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(2.0, 0.0, 3.0, 3.0, 0.0, 1.0))
+    // SQL registration via GraftExtensions
+    df.createOrReplaceTempView("cusum_in")
+    val viaSql = s.sql(
+      "SELECT cusum(x, 1.0) OVER (ORDER BY i) AS s FROM cusum_in ORDER BY i")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.toSeq == got.toSeq)
+    // constructor guard: negative / non-finite drift must throw
+    intercept[IllegalArgumentException] {
+      graft.expr.Cusum(org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(col("x")), -1.0)
+    }
+  }
+
   test("asofJoin tolerance: boundary-inclusive gate nulls stale matches, no-match stays null") {
     val s = spark
     import s.implicits._

@@ -184,6 +184,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("window_cusum: both CUSUM sides fused over the one symbol exchange") {
+    val df = Analytics.windowCusum(spark, dir)
+    assert(countOp(df, "Exchange hashpartitioning") == 1,
+      s"window_cusum regressed to multiple hash exchanges:\n${plan(df)}")
+    assert(plan(df).contains("cusum"), "custom Cusum window function not in plan")
+  }
+
   test("xsecRank: one bucket exchange carries every cross-sectional window") {
     val df = Core.xsecRank(spark, dir)
     // hourly agg (symbol, hour) + symbol lag + ONE bucket exchange for the
