@@ -183,6 +183,51 @@ object Streams {
       }
   }
 
+  case class CusumPoint(symbol: String, event_id: Long,
+    cusum_up: Double, cusum_down: Double, alarm_up: Boolean, alarm_down: Boolean)
+  /** Per-symbol CUSUM recurrence state: previous close + both drift
+    * accumulators. */
+  case class CusumState(hasPrev: Boolean, prevClose: Double,
+    sUp: Double, sDown: Double)
+
+  /** Streaming two-sided CUSUM drift monitor: the batch `window_cusum`
+    * recursion (graft.expr.Cusum over 1-bar close diffs) carried as
+    * per-symbol state — max(0, S + (x − k)) in the exact association order
+    * of the Catalyst expression, so streaming and batch agree bit-for-bit
+    * row for row. The first tick per symbol emits nothing (the batch query
+    * filters the null-diff row), matching the batch row set exactly.
+    * Ordering contract as [[streamingRsi]]. */
+  def streamingCusum(ticks: Dataset[BarTick],
+      drift: Double = graft.Params.CusumDrift,
+      threshold: Double = graft.Params.CusumThreshold): Dataset[CusumPoint] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sym, it, state: GroupState[CusumState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            CusumState(hasPrev = false, 0.0, 0.0, 0.0))
+          val out = sorted.flatMap { e =>
+            if (!st.hasPrev) {
+              st = st.copy(hasPrev = true, prevClose = e.close)
+              None
+            } else {
+              val x = e.close - st.prevClose
+              val su = math.max(0.0, st.sUp + (x - drift))
+              val sd = math.max(0.0, st.sDown + (-x - drift))
+              st = CusumState(hasPrev = true, e.close, su, sd)
+              Some(CusumPoint(sym, e.event_id, su, sd,
+                su > threshold, sd > threshold))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Deterministic symbol → sector dimension: the small static side of the
     * stream-static enrichment join (a real deployment reads this from a
     * dimension table; the derivation is fixed so batch and streaming specs

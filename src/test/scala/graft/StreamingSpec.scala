@@ -78,6 +78,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM equals the batch window_cusum bit-for-bit") {
+    val stream = Streams.streamingCusum(
+      Streams.tickStream(Streams.readEventStream(spark, dir)))
+    val q = stream.writeStream.format("memory").queryName("stream_cusum")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_cusum")
+    // batch side UNROUNDED (the query's r6 is an output-boundary concern)
+    val want = graft.queries.Analytics.windowCusum(spark, dir)
+    assert(got.count() == want.count(),
+      s"row sets differ: ${got.count()} vs ${want.count()}")
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("g.cusum_up"), round(col("w.cusum_up"), 6),
+        col("g.cusum_down"), round(col("w.cusum_down"), 6),
+        col("g.alarm_up"), col("w.alarm_up"),
+        col("g.alarm_down"), col("w.alarm_down"))
+      .collect()
+    joined.foreach { r =>
+      assert(!r.anyNull, s"row set mismatch: $r")
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-7 &&
+        math.abs(r.getDouble(2) - r.getDouble(3)) < 5e-7)
+      assert(r.getBoolean(4) == r.getBoolean(5) &&
+        r.getBoolean(6) == r.getBoolean(7))
+    }
+  }
+
   test("streaming RSI state carries across micro-batches (time-split files)") {
     // stage the events as 3 time-ordered files with increasing mtimes so the
     // file source replays them as 3 separate micro-batches
