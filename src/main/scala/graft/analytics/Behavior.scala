@@ -152,4 +152,25 @@ object Behavior {
     counts.select(col("prev_type"), col("next_type"), col("n"),
       (col("n").cast("double") / sum(col("n")).over(wRow)).as("p"))
   }
+
+  /** Top-k L-step user journey paths — the path-analysis companion to
+    * [[transitionMatrix]] (which sees only pairwise structure; a frequent
+    * 3-step funnel like view>click>purchase is invisible in the pairs).
+    * Sliding event-type windows per user via lead(1..L−1), counted
+    * globally, top-k via TakeOrderedAndProject (no global sort). One
+    * user-keyed exchange + one count aggregate — path cardinality is
+    * |vocab|^L (125 here), so the aggregate is tiny at any data scale. */
+  def topPaths(events: DataFrame, steps: Int = 3, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val legs = col("event_type") +:
+      (1 until steps).map(i => lead(col("event_type"), i).over(w))
+    events
+      .select(concat_ws(">", legs: _*).as("path"),
+        legs.last.isNotNull.as("_complete"))
+      .filter(col("_complete"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -1455,6 +1455,22 @@ object OracleSql {
       |)
       |SELECT event_id, user_id, last_error_id FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.eventsPaths / Behavior.topPaths: identical lead
+    * windows, '>'-joined, completeness gate on the furthest lead, same
+    * (n DESC, path) tie-broken top-20. Integer counts over a 125-path
+    * space — nothing fp-sensitive. */
+  val eventsPaths: String = {
+    val pw = "PARTITION BY user_id ORDER BY ts, event_id"
+    s"""WITH p AS (
+       |  SELECT event_type || '>' || LEAD(event_type, 1) OVER ($pw)
+       |           || '>' || LEAD(event_type, 2) OVER ($pw) AS path,
+       |         LEAD(event_type, 2) OVER ($pw) IS NOT NULL AS complete
+       |  FROM events
+       |)
+       |SELECT path, COUNT(*) AS n FROM p WHERE complete
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+  }
+
   /** Mirrors Analytics.windowCusum / expr.Cusum: recursive-CTE replay of
     * S_t = GREATEST(0, S_{t-1} + (x − k)) per symbol in identical
     * association order (0.0-seeded, lower side on −x); alarms compare the

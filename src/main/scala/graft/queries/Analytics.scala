@@ -804,6 +804,13 @@ object Analytics {
       .select(col("prev_type"), col("next_type"), col("n"), r6(col("p")).as("p"))
       .orderBy("prev_type", "next_type")
 
+  /** Top-20 3-step user journey paths
+    * (graft.analytics.Behavior.topPaths) — the funnel shapes the pairwise
+    * Markov matrix cannot see. */
+  def eventsPaths(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.topPaths(Bars.readEvents(s, dir))
+      .orderBy(col("n").desc, col("path"))
+
   /** Weekly cohort retention triangle over events
     * (graft.analytics.Behavior.weeklyRetention). */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame =

@@ -1614,6 +1614,26 @@ class OpsSpec extends SparkSpec {
       Seq(("E", 5L, 0.2, 1L, 1, 1, null, true)))
   }
 
+  test("topPaths: sliding 3-step windows per user, cross-user counting, top-k plan") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: a,b,c,a -> paths a>b>c, b>c>a; user 2: a,b,c -> a>b>c
+    // user 3: a,b (too short -> no complete path)
+    val ev = Seq(
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "b"), (3L, 1L, ts(3), "c"),
+      (4L, 1L, ts(4), "a"),
+      (5L, 2L, ts(1), "a"), (6L, 2L, ts(2), "b"), (7L, 2L, ts(3), "c"),
+      (8L, 3L, ts(1), "a"), (9L, 3L, ts(2), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.analytics.Behavior.topPaths(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a>b>c", 2L), ("b>c>a", 1L)))
+    // (top-k plan shape is guarded in PlanSpec over the parquet-backed
+    // query — on a tiny LocalRelation the optimizer proves maxRows <= k
+    // and eliminates the limit, so no TakeOrderedAndProject appears here)
+  }
+
   test("Cusum: hand-computed recursion, null transparency, SQL registration") {
     val s = spark
     import s.implicits._

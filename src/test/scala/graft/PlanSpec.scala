@@ -184,6 +184,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("events_paths: top-k paths plan as TakeOrderedAndProject") {
+    val df = Analytics.eventsPaths(spark, dir)
+    assert(countOp(df, "TakeOrderedAndProject") == 1,
+      s"events_paths top-k regressed to a global sort:\n${plan(df)}")
+  }
+
   test("window_cusum: both CUSUM sides fused over the one symbol exchange") {
     val df = Analytics.windowCusum(spark, dir)
     assert(countOp(df, "Exchange hashpartitioning") == 1,
