@@ -57,8 +57,7 @@ object CrossSection {
     val mean = col("_s") / n
     val variance = col("_q") / n - mean * mean
     rets
-      .withColumn("xsec_n", count(lit(1)).over(byBucket.orderBy("symbol")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("xsec_n", count(lit(1)).over(wAll))
       .withColumn("xsec_rank", row_number().over(wRank))
       .withColumn("xsec_quintile", ntile(quantiles).over(wRank))
       .withColumn("_cs", sum(col("ret")).over(wCum))
