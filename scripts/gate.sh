@@ -1,11 +1,14 @@
 #!/usr/bin/env bash
 # Full pre-round gate: unit tests, oracle compare at two SFs, smoke, and
-# the partition-invariance replay. Expect every step green.
-set -e
+# the partition-invariance replay. Every step's exit code is load-bearing
+# (pipefail — a failing suite or oracle compare fails the gate even through
+# the tail), and the smoke step asserts Smoke's terminal success marker,
+# not a nonzero line count a partial run could satisfy.
+set -euo pipefail
 cd /root/repo
 sbt -batch test 2>&1 | tail -3
 python3 scripts/check.py /root/testdata/sf0.01 /tmp/gate_sf001 | tail -1
 python3 scripts/check.py /root/testdata/sf0.001 /tmp/gate_sf0001 | tail -1
 SPARK_GRAFT_CPUS=7 sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_p7" >/dev/null 2>&1
 python3 scripts/check.py /root/testdata/sf0.01 /tmp/gate_p7 --no-run | tail -1
-sbt -client "runMain graft.Smoke" 2>&1 | grep -c '\[smoke\]'
+sbt -client "runMain graft.Smoke" 2>&1 | grep -F '[smoke] ALL OK'

@@ -13,6 +13,8 @@ object Smoke {
       val c = fn(spark, dir).count()
       println(s"[smoke] $name rows=$c")
     }
+    // Terminal marker gate.sh greps for — only reached if every query ran.
+    println("[smoke] ALL OK")
     spark.stop()
   }
 }

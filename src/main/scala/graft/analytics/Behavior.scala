@@ -165,9 +165,13 @@ object Behavior {
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val legs = col("event_type") +:
       (1 until steps).map(i => lead(col("event_type"), i).over(w))
+    // Complete = ALL legs non-null, not just the furthest lead: concat_ws
+    // skips nulls, so a null event_type mid-window would otherwise emit a
+    // truncated path flagged complete while the oracle's `||` concatenation
+    // nulls the whole path — both engines agree only under the all-legs gate.
     events
       .select(concat_ws(">", legs: _*).as("path"),
-        legs.last.isNotNull.as("_complete"))
+        legs.map(_.isNotNull).reduce(_ && _).as("_complete"))
       .filter(col("_complete"))
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))

@@ -34,51 +34,123 @@ object Graph {
     * shuffles on u / v. */
   val AdjBroadcastMaxEdges = 8000000L
 
-  /** PageRank with uniform teleport over a directed edge list
-    * (`src`, `dst` string columns). Every node must appear as a source
-    * (true for symmetrized graphs — no dangling-mass term needed).
+  /** PageRank with uniform teleport over an ARBITRARY directed edge list
+    * (`src`, `dst` string columns). The node set is src ∪ dst, so a raw
+    * link graph keeps its dst-only nodes (the web-corpus case: pages that
+    * are linked to but never crawled as sources), and dangling nodes
+    * (outdeg = 0) redistribute their mass uniformly each round:
     *
     *   rank_0(v)     = 1/N
-    *   rank_{i+1}(v) = (1−d)/N + d · Σ_{u→v} rank_i(u) / outdeg(u)
+    *   rank_{i+1}(v) = (1−d)/N + d · (Σ_{u→v} rank_i(u) / outdeg(u) + D_i/N)
+    *   D_i           = Σ_{dangling u} rank_i(u)
     *
-    * Each round is ONE wide shuffle: the rank join is broadcast (small
-    * graphs) or co-partitioned with the checkpointed edge list (large
-    * graphs — both sides hash-partitioned on their join key, no exchange),
-    * and the teleport term folds into the contribution aggregate via a
-    * narrow union of one zero-contribution row per node, so no second
-    * join materializes. The per-node addend multiset is identical to the
-    * textbook left-join formulation (the extra term is an exact +0.0), so
-    * ranks are bit-stable against it to float-sum-order, which the
-    * 6-decimal output rounding absorbs (see the oracle's note).
+    * so total rank mass stays exactly 1 on any graph (the PropSpec
+    * invariant). Each round is ONE wide shuffle: the rank join is broadcast
+    * (small graphs) or co-partitioned with the checkpointed edge list
+    * (large graphs — both sides hash-partitioned on their join key, no
+    * exchange), and the teleport term folds into the contribution aggregate
+    * via a narrow union of one zero-contribution row per node, so no second
+    * join materializes. The dangling mass D_i is the standard Pregel-style
+    * per-round scalar aggregate: one tiny job over the checkpointed ranks
+    * joined to the (checkpointed, broadcast-sized-or-not) dangling node
+    * set — two doubles of driver state, never a collected vertex set; on
+    * graphs with NO dangling nodes (every symmetrized graph) the aggregate
+    * is skipped entirely and the addend is an exact +0.0, so ranks are
+    * bit-identical to the historic source-only formulation and the
+    * symmetric-graph oracle needs no dangling term. The per-node addend
+    * multiset matches the textbook left-join formulation (the zero rows add
+    * exact +0.0), so ranks are bit-stable against it to float-sum-order,
+    * which the 6-decimal output rounding absorbs (see the oracle's note).
+    *
+    * @param tol when set, stop as soon as the L1 rank delta of a round is
+    *   at or below it (checked against the previous round; one extra
+    *   co-partitioned join + scalar aggregate per round). At 100× scale
+    *   wasted rounds are the dominant iterative cost, and PageRank's
+    *   geometric convergence makes the last rounds no-ops on
+    *   fast-converging graphs. An early exit after round k returns ranks
+    *   bit-identical to `pageRank(iters = k)` — the rounds already run are
+    *   not approximated, only the remaining ones skipped.
     */
   def pageRank(edges: DataFrame, iters: Int = PrIters,
-      damping: Double = PrDamping): DataFrame = {
+      damping: Double = PrDamping, tol: Option[Double] = None): DataFrame =
+    pageRankWithRounds(edges, iters, damping, tol)._1
+
+  /** [[pageRank]] plus the number of rounds actually run — the observable
+    * the early-exit spec pins (fewer rounds on a fast-converging graph,
+    * output bit-identical to the fixed-round run of the same length). */
+  private[graft] def pageRankWithRounds(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = PrDamping, tol: Option[Double] = None): (DataFrame, Int) = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — partitioned by src once, reused all rounds
     val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
     val n = nodes.count()
+    // dangling = dst-only nodes (no outgoing edge); their per-round rank
+    // sum is the redistribution term. Checkpointed once, reused all rounds.
+    val dangling = nodes.join(
+        edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val nDangling = dangling.count()
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
     val zeros = nodes.select(col("node"), lit(0.0).as("c"))
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters)
-      ranks = prRound(e, zeros, ranks, teleport, damping, n).localCheckpoint()
-    ranks
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      val dmOverN =
+        if (nDangling == 0L) 0.0
+        else {
+          val row = ranks.join(dangling, "node").agg(sum(col("rank"))).head()
+          (if (row.isNullAt(0)) 0.0 else row.getDouble(0)) / n.toDouble
+        }
+      val next = prRound(e, zeros, ranks, teleport, damping, n, dmOverN)
+        .localCheckpoint()
+      tol.foreach { t =>
+        // both sides are hash-partitioned on node (groupBy output /
+        // checkpointed prior round) — the delta join needs no exchange
+        val row = next
+          .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
+          .agg(sum(abs(col("rank") - col("_prev")))).head()
+        converged = !row.isNullAt(0) && row.getDouble(0) <= t
+      }
+      ranks = next
+      round += 1
+    }
+    (ranks, round)
   }
 
   /** One damped PageRank round. Exposed pre-checkpoint so PlanSpec can
     * assert the physical shape: ONE wide shuffle (the contribution
     * aggregate); the rank join broadcast below [[RankBroadcastMaxNodes]],
-    * co-partitioned above it. */
+    * co-partitioned above it. `dmOverN` is the round's dangling mass D/N
+    * already reduced to a driver scalar (exact +0.0 on dangling-free
+    * graphs, preserving bit-parity with the historic round). */
   private[graft] def prRound(e: DataFrame, zeros: DataFrame, ranks: DataFrame,
-      teleport: org.apache.spark.sql.Column, damping: Double, n: Long): DataFrame = {
+      teleport: org.apache.spark.sql.Column, damping: Double, n: Long,
+      dmOverN: Double = 0.0): DataFrame = {
     val r = if (n <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
     e.join(r, e("src") === r("node"))
       .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
       .unionAll(zeros) // teleport floor for nodes with no inbound mass
       .groupBy("node")
-      .agg((teleport + lit(damping) * sum(col("c"))).as("rank"))
+      .agg((teleport + lit(damping) * (sum(col("c")) + lit(dmOverN))).as("rank"))
+  }
+
+  /** The customer→part endorsement graph: a genuinely DIRECTED edge per
+    * distinct (customer, part) purchase pair — parts never link out, so
+    * every part node is dangling and the graph exercises the full
+    * generalized-PageRank surface (dst-only nodes + dangling mass). */
+  def customerPartEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.source.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.source.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      .distinct()
   }
 
   /** The supplier↔part co-occurrence graph: one undirected (symmetrized)

@@ -30,11 +30,19 @@ object Sampling {
     * (per-partition partial top-k, driver merges k·P candidate rows),
     * no shuffle of the data, deterministic across runs/partitionings.
     * 2^48 divides exactly, so u is the same double in every engine; the
-    * only cross-engine fp surface is one ln() call. */
+    * only cross-engine fp surface is one ln() call.
+    *
+    * Non-positive weights are filtered out up front — they are outside the
+    * A-ES contract and would otherwise corrupt the draw silently and
+    * engine-dependently: w=0 gives ln(u)/0 = −Inf in Spark but NULL in
+    * DuckDB's division (divergent ordering), and w<0 flips ln(u)/w positive
+    * so the row always wins. The oracle applies the same `weight > 0`
+    * predicate, so both engines agree independent of the data contract. */
   def weightedByHash(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
     val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("double")
     val u = (h + lit(0.5)) / lit(281474976710656.0) // 2^48
-    df.withColumn("_wk", log(u) / weight)
+    df.filter(weight > lit(0.0))
+      .withColumn("_wk", log(u) / weight)
       .orderBy(col("_wk").desc, key)
       .limit(k)
       .drop("_wk")

@@ -945,6 +945,56 @@ object OracleSql {
        |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Mirrors Analytics.graphPagerankDirected (generalized Graph.pageRank
+    * over the directed customer→part graph): nodes from src ∪ dst, and each
+    * iteration's dangling mass D_{k−1} = Σ rank over the dst-only node set
+    * replayed as its own CTE, folded in as d · (contrib + D/N) — the same
+    * association order as the Spark round (which reduces D to a driver
+    * scalar; both engines compute sum-then-divide, so the only cross-engine
+    * surface is double-sum order, ~1e-13 relative over 10 rounds, far
+    * inside the 6-decimal floor rounding). */
+  val graphPagerankDirected: String = {
+    val d = graft.analytics.Graph.PrDamping
+    val t = 1.0 - graft.analytics.Graph.PrDamping
+    val iters = graft.analytics.Graph.PrIters
+    val rks = (1 to iters).map { k =>
+      s"""dm$k AS (
+         |  SELECT COALESCE(SUM(r.rank), 0.0) AS m
+         |  FROM r${k - 1} r JOIN dangling g ON g.node = r.node
+         |), r$k AS (
+         |  SELECT nodes.node,
+         |         CAST($t AS DOUBLE) / nn.n
+         |           + $d * (COALESCE(c.s, 0.0) + dm$k.m / nn.n) AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dm$k
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank / e.outdeg) AS s
+         |    FROM ew e JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY 1
+         |  ) c ON c.node = nodes.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |                  'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+       |), ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), dangling AS MATERIALIZED (
+       |  SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT src FROM edges)
+       |), nn AS (
+       |  SELECT COUNT(*) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+       |),
+       |$rks
+       |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def targetsCte: String =
     s"""$barsCte, t AS (
        |  SELECT symbol, event_id, (LEAD(close, ${Params.PredictionHorizon}) OVER ($W) - close) / close AS fwd
@@ -1693,6 +1743,7 @@ object OracleSql {
        |              / 281474976710656.0)
        |           / CAST(n_chars AS DOUBLE) AS wk
        |  FROM documents
+       |  WHERE CAST(n_chars AS DOUBLE) > 0.0  -- A-ES positive-weight contract
        |), s AS (
        |  SELECT doc_id, source, n_chars FROM t
        |  ORDER BY wk DESC, doc_id LIMIT 100

@@ -27,6 +27,17 @@ object Analytics {
       .select(col("node"), r6(col("rank")).as("rank"))
       .orderBy("node")
 
+  /** Generalized PageRank over the genuinely DIRECTED customer→part
+    * endorsement graph: every part node is dst-only (dangling), so this
+    * exercises the src∪dst node set and the per-round dangling-mass
+    * redistribution end-to-end against the oracle's chained-CTE replay
+    * (which recomputes D_i/N per round in SQL — cross-engine sum-order
+    * drift stays orders below the 6-decimal floor rounding). */
+  def graphPagerankDirected(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(Graph.customerPartEdges(s, dir))
+      .select(col("node"), r6(col("rank")).as("rank"))
+      .orderBy("node")
+
   /** Per-part triangle participation over the order co-purchase graph —
     * the local clustering signal behind "bought-together" bundles (see
     * [[graft.analytics.Graph.triangleCounts]] for the degree-oriented

@@ -19,16 +19,27 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw events schema as the parquet file source needs it. The file stores
-    * `ts` as TIMESTAMP(MICROS, isAdjustedToUTC=false) → declared NTZ here
-    * (a file-stream source cannot schema-dispatch like Bars.readEvents, so
-    * the declared type must match the files); readEventStreamFrom casts it
-    * to session-zoned TimestampType, the same canonical type the batch
-    * ingest emits. */
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw events schema as the parquet file source needs it, derived from the
+    * files actually on disk at stream-build time. A file-stream source
+    * cannot schema-dispatch per batch like Bars.readEvents, but the driver
+    * has shipped `ts` in two physical forms across testdata regenerations
+    * (INT64 TIMESTAMP(NANOS) → LongType under nanosAsLong; TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TIMESTAMP_NTZ), so hardcoding either breaks
+    * silently at the next regeneration. One batch footer read resolves the
+    * observed form; [[readEventStreamFrom]] then applies the matching
+    * normalization so every downstream window/watermark sees one canonical
+    * session-zoned TimestampType — identical to the batch ingest. Any third
+    * physical form fails fast here rather than mid-stream. */
+  def eventsSchemaOf(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = spark.read.parquet(dir).schema
+    s("ts").dataType match {
+      case LongType | TimestampNTZType | TimestampType => s
+      case other => throw new IllegalStateException(
+        s"events ts has unsupported physical type $other in $dir; " +
+          "expected INT64 TIMESTAMP(NANOS), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
 
   /** Spark's file stream source requires a directory; the shared corpus is a
     * single parquet file. Stage a per-sfDir symlink directory under /tmp
@@ -65,10 +76,15 @@ object Streams {
     * state carry). */
   def readEventStreamFrom(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(EventsSchema)
+    val schema = eventsSchemaOf(spark, dir)
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
-    reader.parquet(dir)
-      .withColumn("ts", col("ts").cast(TimestampType))
+    val raw = reader.parquet(dir)
+    schema("ts").dataType match {
+      case LongType => // INT64 TIMESTAMP(NANOS): ns→µs truncation, as batch
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Watermarked tumbling counts — the streaming twin of

@@ -1314,6 +1314,53 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(b10 - b) < 1e-12)
   }
 
+  test("pageRank: directed graph with sinks — dst-only nodes kept, dangling mass redistributed, mass conserved") {
+    val s = spark
+    import s.implicits._
+    // a→b, a→c, b→c: c is dst-only (dangling, outdeg 0); N=3
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r1 = graft.analytics.Graph.pageRank(edges, iters = 1)
+      .orderBy("node").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r1.keySet == Set("a", "b", "c"), "dst-only node c must be in the node set")
+    // round 1: D0 = rank0(c) = 1/3, D0/N = 1/9; teleport = 0.05
+    val tp = (1.0 - 0.85) / 3.0
+    val dm = (1.0 / 3.0) / 3.0
+    assert(math.abs(r1("a") - (tp + 0.85 * (0.0 + dm))) < 1e-12)
+    assert(math.abs(r1("b") - (tp + 0.85 * (1.0 / 6.0 + dm))) < 1e-12)
+    assert(math.abs(r1("c") - (tp + 0.85 * (1.0 / 6.0 + 1.0 / 3.0 + dm))) < 1e-12)
+    assert(math.abs(r1.values.sum - 1.0) < 1e-12, "dangling redistribution conserves mass after 1 round")
+    val r10 = graft.analytics.Graph.pageRank(edges, iters = 10)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(r10.sum - 1.0) < 1e-9, "mass conserved over 10 rounds on a dangling graph")
+    assert(r10.forall(_ > 0.0))
+  }
+
+  test("pageRank: tol early exit stops in fewer rounds, bit-identical to the fixed run of that length") {
+    val s = spark
+    import s.implicits._
+    // complete K4 symmetrized: uniform 1/4 is the stationary point from r0,
+    // so per-round deltas are pure float noise — converges almost at once
+    val nodes4 = Seq("a", "b", "c", "d")
+    val edges = (for { u <- nodes4; v <- nodes4 if u != v } yield (u, v))
+      .toDF("src", "dst")
+    val (ranks, rounds) = graft.analytics.Graph.pageRankWithRounds(
+      edges, iters = 50, tol = Some(1e-12))
+    assert(rounds < 50, s"expected early exit on K4, ran all $rounds rounds")
+    // bit-identical to running exactly that many fixed rounds
+    val fixed = graft.analytics.Graph.pageRank(edges, iters = rounds)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ranks.collect().foreach { r =>
+      assert(r.getDouble(1) == fixed(r.getString(0)),
+        s"node ${r.getString(0)}: early-exit rank differs from fixed-$rounds run")
+    }
+    // and within tol-scale distance of the full 50-round run
+    val full = graft.analytics.Graph.pageRank(edges, iters = 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ranks.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - full(r.getString(0))) < 1e-9)
+    }
+  }
+
   test("withAmihud: zero-volume bars excluded, mean over non-null count") {
     val s = spark
     import s.implicits._
