@@ -916,7 +916,95 @@ object TextSimSql {
        |FROM rr WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
   }
 
-  /** Mirrors TextSim.simAnnRecall: brute truth + IVF + LSH top-3 legs
+  /** PQ-ADC CTE chain shared by simAnnPq and simAnnRecall's pq leg.
+    * Assumes `e` (embCte) and `asg` (ivfCte) are in scope. Replays the
+    * simPq training chain under pq-prefixed names (same two unrolled Lloyd
+    * rounds, same tie-breaks), keeps the FINAL codebook `pqc1`, builds the
+    * per-probe asymmetric distance table `pqdt` (probe subvector → each
+    * sub-centroid, exact sequential-fold L2²), and scores bucket-restricted
+    * candidates by summing their m code lookups in subspace order —
+    * `list_sum(list(dsub ORDER BY subspace))`, the same sequential fold the
+    * engine computes, so `adist` compares identical doubles. */
+  private def pqAdcCtes: String = {
+    import graft.sim.{Similarity => S}
+    val m = S.PqM
+    val k = S.PqK
+    val sw = S.PqDims / S.PqM
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""pqsub AS (
+       |  SELECT vec_id, m AS subspace,
+       |         list_slice(v, m * $sw + 1, m * $sw + $sw) AS sv
+       |  FROM e, UNNEST(range(0, $m)) u(m)
+       |), pqcc0 AS (
+       |  SELECT subspace, vec_id AS cent_id, sv AS cv FROM pqsub WHERE vec_id < $k
+       |), pqs1 AS (
+       |  SELECT pqsub.vec_id, pqsub.subspace, pqsub.sv, pqcc0.cent_id,
+       |         ${l2("sv", "cv")} AS d
+       |  FROM pqsub JOIN pqcc0 ON pqcc0.subspace = pqsub.subspace
+       |), pqa1 AS (
+       |  SELECT vec_id, subspace, sv, cent_id AS code,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+       |                            ORDER BY d, cent_id) AS crank
+       |  FROM pqs1
+       |), pqb1 AS (
+       |  SELECT vec_id, subspace, sv, code FROM pqa1 WHERE crank = 1
+       |), pqx1 AS (
+       |  SELECT subspace, code, vec_id, i - 1 AS idx, sv[i] AS x
+       |  FROM pqb1, UNNEST(range(1, len(sv) + 1)) u(i)
+       |), pqm1 AS (
+       |  SELECT subspace, code, idx,
+       |         list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS c
+       |  FROM pqx1 GROUP BY subspace, code, idx
+       |), pqc1 AS (
+       |  SELECT subspace, code AS cent_id, list(c ORDER BY idx) AS cv
+       |  FROM pqm1 GROUP BY subspace, code
+       |), pqs2 AS (
+       |  SELECT pqsub.vec_id, pqsub.subspace, pqc1.cent_id, ${l2("sv", "cv")} AS d
+       |  FROM pqsub JOIN pqc1 ON pqc1.subspace = pqsub.subspace
+       |), pqcodes AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT vec_id, subspace, cent_id AS code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+       |                              ORDER BY d, cent_id) AS crank
+       |    FROM pqs2
+       |  ) WHERE crank = 1
+       |), pqp AS (
+       |  SELECT vec_id AS probe_id, bucket FROM asg WHERE vec_id < 10
+       |), pqdt AS (
+       |  SELECT s.vec_id AS probe_id, s.subspace, c.cent_id AS code,
+       |         ${l2("s.sv", "c.cv")} AS dsub
+       |  FROM pqsub s JOIN pqc1 c ON c.subspace = s.subspace
+       |  WHERE s.vec_id < 10
+       |), pqcand AS (
+       |  SELECT pqp.probe_id, asg.vec_id AS neighbor_id
+       |  FROM asg JOIN pqp USING (bucket) WHERE asg.vec_id != pqp.probe_id
+       |), pqag AS (
+       |  SELECT sc.probe_id, sc.neighbor_id,
+       |         list_sum(list(sc.dsub ORDER BY sc.subspace)) AS adist
+       |  FROM (
+       |    SELECT pqcand.probe_id, pqcand.neighbor_id, k.subspace, pqdt.dsub
+       |    FROM pqcand
+       |    JOIN pqcodes k ON k.vec_id = pqcand.neighbor_id
+       |    JOIN pqdt ON pqdt.probe_id = pqcand.probe_id
+       |            AND pqdt.subspace = k.subspace AND pqdt.code = k.code
+       |  ) sc GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** Mirrors TextSim.simAnnPq (Similarity.ivfPqTopK): IVF bucket routing +
+    * PQ asymmetric-distance scoring, ranked (adist ASC, neighbor_id). */
+  val simAnnPq: String =
+    s"""$ivfCte, $pqAdcCtes, rr AS (
+       |  SELECT probe_id, neighbor_id, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rnk
+       |  FROM pqag
+       |)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("adist")} AS adist
+       |FROM rr WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Mirrors TextSim.simAnnRecall: brute truth + IVF + LSH + PQ-ADC top-3 legs
     * (identical to their standalone oracles), scored with a left join —
     * only the DISCRETE neighbor sets matter, and those are bit-settled by
     * the identical cosine doubles and (cos DESC, neighbor_id) tie-break. */
@@ -962,8 +1050,15 @@ object TextSimSql {
        |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
        |    FROM lj
        |  ) WHERE rnk <= 3
+       |), $pqAdcCtes, pqann AS (
+       |  SELECT 'pq' AS method, probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rnk
+       |    FROM pqag
+       |  ) WHERE rnk <= 3
        |), ann AS (
        |  SELECT * FROM iann UNION ALL SELECT * FROM lann
+       |  UNION ALL SELECT * FROM pqann
        |), sc AS (
        |  SELECT method, ann.probe_id, COUNT(*) AS n_returned,
        |         SUM(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits

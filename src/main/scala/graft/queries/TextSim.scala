@@ -253,8 +253,19 @@ object TextSim {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
       .orderBy("probe_id", "rank")
 
+  /** IVF-PQ asymmetric-distance ANN: probe → IVF bucket → ADC lookup over
+    * PQ codes (see [[graft.sim.Similarity.ivfPqTopK]]) — the index shape
+    * billion-vector retrieval serves, where candidate scoring never touches
+    * raw vectors. Output is L2²-ranked (ascending), recall-gated by the
+    * `pq` leg of sim_ann_recall. */
+  def simAnnPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        r6(col("adist")).as("adist"))
+      .orderBy("probe_id", "rank")
+
   /** ANN quality measurement: recall@k of each approximate index (IVF
-    * buckets, multi-table sign-LSH) against the brute-force ground truth —
+    * buckets, multi-table sign-LSH, IVF-PQ ADC) against the brute-force ground truth —
     * the accept/reject gate for an ANN config before it serves a 100 TB
     * retrieval corpus. Per (method, probe): how many of the true top-k the
     * index returned, how many rows it returned at all (an under-filled
@@ -269,6 +280,8 @@ object TextSim {
         .select(lit("ivf").as("method"), col("probe_id"), col("neighbor_id"))
       .unionByName(Similarity.lshTopK(emb, k = k)
         .select(lit("lsh").as("method"), col("probe_id"), col("neighbor_id")))
+      .unionByName(Similarity.ivfPqTopK(emb, k = k)
+        .select(lit("pq").as("method"), col("probe_id"), col("neighbor_id")))
     ann.join(truth, Seq("probe_id", "neighbor_id"), "left")
       .groupBy("method", "probe_id")
       .agg(count(lit(1)).as("n_returned"),

@@ -340,15 +340,32 @@ object Similarity {
     * updates are a (subspace, code, dim)-keyed partial+final aggregate.
     * Per-iteration localCheckpoint cuts the growing lineage, like CC. */
   def pqEncode(embeddings: DataFrame, m: Int = PqM, k: Int = PqK,
-      iters: Int = PqIters, dims: Int = PqDims): DataFrame = {
+      iters: Int = PqIters, dims: Int = PqDims): DataFrame =
+    pqTrain(embeddings, m, k, iters, dims)._1
+      .select(col("vec_id"), col("subspace"), col("code"), col("d").as("qerr"))
+
+  /** The exploded (vector × subspace) frame: one row per (vec_id, subspace)
+    * with the raw `dims/m`-wide subvector slice — the shared input of PQ
+    * training and ADC probe-table construction. Narrow per-row. */
+  private def subspaceSlices(embeddings: DataFrame, m: Int, dims: Int): DataFrame = {
     require(m > 0 && dims % m == 0, s"pq: $m subspaces must divide $dims dims")
     val sw = dims / m
-    val sub = embeddings
+    embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("v"))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         expr(s"slice(v, subspace * $sw + 1, $sw)").as("sv"))
+  }
+
+  /** PQ training core: returns (codes, codebook) where `codes` is the final
+    * per-(vec_id, subspace) assignment (with its L2² distance `d`) and
+    * `codebook` is the (subspace, cent_id, cv) table that PRODUCED that
+    * assignment — exactly the table an asymmetric-distance scan must build
+    * its lookup rows against ([[ivfPqTopK]]). */
+  private[graft] def pqTrain(embeddings: DataFrame, m: Int = PqM, k: Int = PqK,
+      iters: Int = PqIters, dims: Int = PqDims): (DataFrame, DataFrame) = {
+    val sub = subspaceSlices(embeddings, m, dims)
     var cents = sub.filter(col("vec_id") < k)
       .select(col("subspace"), col("vec_id").as("cent_id"), col("sv").as("cv"))
     var assigned: DataFrame = null
@@ -378,7 +395,57 @@ object Similarity {
             expr("transform(s, e -> e.c)").as("cv"))
       }
     }
-    assigned.select(col("vec_id"), col("subspace"), col("code"),
-      col("d").as("qerr"))
+    (assigned, cents)
+  }
+
+  /** IVF-PQ asymmetric-distance ANN search (Jégou et al. 2011's IVFADC):
+    * the coarse IVF router restricts each probe to its own bucket, and
+    * candidates are scored NOT against their raw vectors but against their
+    * PQ codes via an asymmetric distance table — per probe, the exact L2²
+    * from each of its m subvectors to each of the k sub-centroids (an m·k
+    * lookup table), so a candidate's distance is m table lookups summed
+    * instead of a d-dim float scan. This is the shape billion-vector
+    * retrieval actually runs: raw vectors never leave storage; the scan
+    * touches only codes (m·log₂k bits/vector) plus a broadcast codebook.
+    *
+    * Scale shape: codebook (m·k rows) and per-probe distance tables
+    * (probes·m·k rows) broadcast; candidate generation is IVF-bucket-
+    * restricted (never all-pairs); the per-pair sum over m subspaces
+    * collapses map-side. The subspace sum folds sequentially over the
+    * subspace-sorted lookups (the kmeans parity contract) so the oracle's
+    * `list_sum(list(dsub ORDER BY subspace))` compares identical doubles;
+    * ranking ties break on (adist, neighbor_id). Recall@k against the
+    * brute-force truth is measured by the `pq` leg of sim_ann_recall — the
+    * same accept/reject gate the IVF and LSH indexes carry. */
+  def ivfPqTopK(embeddings: DataFrame, numProbes: Int = 10, k: Int = 3,
+      numCentroids: Int = 16, m: Int = PqM, pqK: Int = PqK,
+      iters: Int = PqIters, dims: Int = PqDims): DataFrame = {
+    val assigned = ivfAssign(embeddings, numCentroids)
+    val (codes, codebook) = pqTrain(embeddings, m, pqK, iters, dims)
+    val probes = assigned.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("bucket"))
+    // ADC lookup table: probes · m · k rows of exact subvector→centroid L2²
+    val dtable = subspaceSlices(embeddings, m, dims)
+      .filter(col("vec_id") < numProbes)
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col("vec_id").as("probe_id"), col("subspace"),
+        col("cent_id").as("code"), l2sq("sv", "cv").as("dsub"))
+    val cand = assigned.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
+    cand
+      .join(codes.select(col("vec_id").as("neighbor_id"),
+        col("subspace"), col("code")), Seq("neighbor_id"))
+      .join(broadcast(dtable), Seq("probe_id", "subspace", "code"))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("dsub")))).as("s"))
+      .select(col("probe_id"), col("neighbor_id"),
+        expr("aggregate(s, 0D, (acc, e) -> acc + e.dsub)").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"))
   }
 }

@@ -1361,6 +1361,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: exact-codebook fixture — ADC distance equals exact L2², bucket-restricted ranking") {
+    val s = spark
+    import s.implicits._
+    // Every subvector is exactly pattern A or B per subspace, and vec0/vec1
+    // carry the pure patterns — so PQ's first-k init IS the optimal codebook,
+    // Lloyd means reproduce it exactly (means of identical values), and the
+    // asymmetric distance MUST equal the exact L2² to the candidate.
+    val A = Seq(1.0f, 2.0f, 1.0f, 2.0f)
+    val B = Seq(9.0f, 1.0f, 9.0f, 1.0f)
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      0L -> (A ++ A), 1L -> (B ++ B),
+      2L -> (A ++ B), 3L -> (B ++ A), 4L -> (A ++ A), 5L -> (B ++ B))
+    val emb = rows.toDF("vec_id", "embedding")
+    val m = 2; val dims = 8; val sw = dims / m
+    val got = graft.sim.Similarity.ivfPqTopK(emb, numProbes = 2, k = 5,
+      numCentroids = 2, m = m, pqK = 2, iters = 2, dims = dims).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // expected: per probe, same-IVF-bucket candidates ranked by exact L2²
+    // (replicating the engine's fold order: per-subspace sequential fold,
+    // then subspace-ordered sum — bit-exact, so compare with ==)
+    val buckets = graft.sim.Similarity.ivfAssign(emb, 2)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = rows.toMap.map { case (id, v) => id -> v.map(_.toDouble) }
+    def l2sqExact(x: Seq[Double], y: Seq[Double]): Double =
+      (0 until m).map { sub =>
+        (sub * sw until (sub + 1) * sw)
+          .foldLeft(0.0)((acc, i) => acc + (x(i) - y(i)) * (x(i) - y(i)))
+      }.foldLeft(0.0)(_ + _)
+    val expected = (0L to 1L).flatMap { p =>
+      rows.map(_._1).filter(c => c != p && buckets(c) == buckets(p))
+        .map(c => (c, l2sqExact(vecs(p), vecs(c))))
+        .sortBy { case (c, d) => (d, c) }
+        .zipWithIndex
+        .map { case ((c, d), i) => (p, (i + 1).toLong, c, d) }
+    }
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == expected,
+      s"got ${got.toSeq} expected $expected")
+    assert(expected.exists(_._4 == 0.0),
+      "fixture must contain an exact duplicate (vec4/vec5) proving adist hits 0")
+  }
+
   test("withAmihud: zero-volume bars excluded, mean over non-null count") {
     val s = spark
     import s.implicits._
