@@ -309,6 +309,50 @@ object TextSimSql {
        |       COALESCE(string_agg(CASE WHEN NOT drop_it THEN span END, ' ' ORDER BY span_idx), '') AS clean_text
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors Corpus.stripDupSpansMaximal: the dedupSpans flagging plus
+    * gaps-and-islands run detection — run_start = dropped span whose
+    * predecessor (by span_idx) is not dropped; run id = running sum of
+    * starts; max_run_spans = the longest per-doc island of dropped spans.
+    * All-integer/window logic, no fp anywhere. */
+  val dedupSpansMaximal: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id, i AS span_idx,
+       |         array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS span
+       |  FROM s, UNNEST(range(0, (len(toks) + 7) // 8)) u(i)
+       |), cnt AS (
+       |  SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM b GROUP BY span
+       |), k AS (
+       |  SELECT b.doc_id, b.span_idx, b.span, (cnt.n_docs >= 3) AS drop_it
+       |  FROM b JOIN cnt USING (span)
+       |), rs AS (
+       |  SELECT *, (drop_it AND COALESCE(NOT LAG(drop_it) OVER (
+       |           PARTITION BY doc_id ORDER BY span_idx), TRUE)) AS run_start
+       |  FROM k
+       |), ri AS (
+       |  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END) OVER (
+       |           PARTITION BY doc_id ORDER BY span_idx
+       |           ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM rs
+       |), runs AS (
+       |  SELECT doc_id, run_id, COUNT(*) AS run_len
+       |  FROM ri WHERE drop_it GROUP BY 1, 2
+       |), mr AS (
+       |  SELECT doc_id, MAX(run_len) AS max_run_spans FROM runs GROUP BY 1
+       |), agg AS (
+       |  SELECT doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |         CAST(SUM(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_dropped,
+       |         CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_runs_dropped,
+       |         COALESCE(string_agg(CASE WHEN NOT drop_it THEN span END, ' ' ORDER BY span_idx), '') AS clean_text
+       |  FROM ri GROUP BY doc_id
+       |)
+       |SELECT agg.doc_id, n_spans, n_spans_dropped, n_runs_dropped,
+       |       CAST(COALESCE(mr.max_run_spans, 0) AS BIGINT) AS max_run_spans,
+       |       clean_text
+       |FROM agg LEFT JOIN mr USING (doc_id) ORDER BY agg.doc_id""".stripMargin
+
   /** Mirrors Corpus.chunk (chunkSize=32, stride=24): window offsets 0, 24,
     * 48, … — keep a window iff it is the first or the previous window ended
     * before the document did. DuckDB range() excludes the stop like Spark's

@@ -116,8 +116,12 @@ object TextSim {
     * the cleaned text (see Corpus.stripDupSpans for the scale shape). */
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
     Corpus.stripDupSpans(Tables.documents(s, dir))
-      .select(col("doc_id"), col("n_spans"), col("n_spans_dropped"),
-        col("clean_text"))
+      .orderBy("doc_id")
+
+  /** Span removal with maximal-run accounting: adjacent duplicated spans
+    * merge into one removal event (see Corpus.stripDupSpansMaximal). */
+  def dedupSpansMaximal(s: SparkSession, dir: String): DataFrame =
+    Corpus.stripDupSpansMaximal(Tables.documents(s, dir))
       .orderBy("doc_id")
 
   def textTfidf(s: SparkSession, dir: String): DataFrame =

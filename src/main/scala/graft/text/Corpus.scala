@@ -140,7 +140,19 @@ object Corpus {
     * aggregate. Span strings compare exactly, so the kept set and the
     * rebuilt text are bit-identical on any engine. */
   def stripDupSpans(docs: DataFrame, spanTokens: Int = 8,
-      maxDocs: Int = 3): DataFrame = {
+      maxDocs: Int = 3): DataFrame =
+    flaggedSpans(docs, spanTokens, maxDocs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_spans_dropped"),
+        cleanTextAgg)
+
+  /** Shared front half of the span-dedup family: cut into non-overlapping
+    * `spanTokens`-token spans, count corpus-wide document frequency, flag
+    * spans appearing in >= `maxDocs` documents (`_drop`). */
+  private def flaggedSpans(docs: DataFrame, spanTokens: Int,
+      maxDocs: Int): DataFrame = {
     require(spanTokens > 0 && maxDocs > 1,
       s"stripDupSpans: need spanTokens > 0, maxDocs > 1 (got $spanTokens, $maxDocs)")
     val spans = docs
@@ -152,16 +164,60 @@ object Corpus {
       .agg(countDistinct(col("doc_id")).as("_n_docs"))
     spans.join(counts, Seq("span"))
       .withColumn("_drop", col("_n_docs") >= maxDocs)
-      .groupBy("doc_id")
+  }
+
+  private def cleanTextAgg =
+    array_join(
+      transform(
+        array_sort(collect_list(
+          when(!col("_drop"), struct(col("span_idx"), col("span"))))),
+        x => x.getField("span")),
+      " ").as("clean_text")
+
+  /** [[stripDupSpans]] with maximal-span accounting (Lee et al. 2022's
+    * longest-match semantics approximated on fixed windows): runs of
+    * ADJACENT duplicated spans within a document merge into ONE maximal
+    * removed span before the drop accounting, so a 20-token duplicated
+    * region reports as one removal event (`n_runs_dropped`, with
+    * `max_run_spans` the longest merged run in windows) instead of 2–3
+    * independent window hits — the per-removal statistics a curation run
+    * audits. The kept text is identical to [[stripDupSpans]] (merging
+    * adjacent drops changes what a removal IS, not which tokens survive);
+    * the known fixed-window boundary artifact remains: a duplicated run's
+    * tail shorter than `spanTokens` shares its window with following
+    * unique text, so that window's df stays low and the tail survives
+    * (true longest-match needs suffix automata — out of scope; the spec
+    * pins this residue explicitly).
+    *
+    * Scale shape: adds one doc_id-keyed sort window (run detection via
+    * lag + running sum — bounded by tokens/spanTokens rows per doc) and a
+    * (doc_id, run)-keyed count on the dropped subset; everything else is
+    * [[stripDupSpans]]'s cost envelope. */
+  def stripDupSpansMaximal(docs: DataFrame, spanTokens: Int = 8,
+      maxDocs: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_idx")
+    val run = flaggedSpans(docs, spanTokens, maxDocs)
+      .withColumn("_run_start",
+        col("_drop") && coalesce(!lag(col("_drop"), 1).over(w), lit(true)))
+      .withColumn("_run_id",
+        sum(when(col("_run_start"), 1L).otherwise(0L)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    val maxRun = run.filter(col("_drop"))
+      .groupBy("doc_id", "_run_id").agg(count(lit(1)).as("_run_len"))
+      .groupBy("doc_id").agg(max(col("_run_len")).as("max_run_spans"))
+    run.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_spans"),
         sum(when(col("_drop"), 1L).otherwise(0L)).as("n_spans_dropped"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(!col("_drop"), struct(col("span_idx"), col("span"))))),
-            x => x.getField("span")),
-          " ").as("clean_text"))
+        sum(when(col("_run_start"), 1L).otherwise(0L)).as("n_runs_dropped"),
+        cleanTextAgg)
+      .join(maxRun, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), col("n_spans_dropped"),
+        col("n_runs_dropped"),
+        coalesce(col("max_run_spans"), lit(0L)).as("max_run_spans"),
+        col("clean_text"))
   }
 
   def qualityQuota(docs: DataFrame, frac: Double = 0.5): DataFrame = {

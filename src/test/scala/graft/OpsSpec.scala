@@ -674,6 +674,57 @@ class OpsSpec extends SparkSpec {
       (5L, 2L, 0L, "q r s")))
   }
 
+  test("stripDupSpansMaximal: 20-token duplicated run removed as ONE maximal span; tail residue pinned") {
+    val s = spark
+    import s.implicits._
+    // a 20-token run (t0..t19) planted at the front of 3 docs, followed by
+    // doc-specific text. spanTokens=8: windows [t0..t7] and [t8..t15] are
+    // corpus-duplicated (df=3 >= maxDocs=3) and ADJACENT -> one maximal
+    // removed span of 2 windows. Window 3 = [t16..t19 + 4 unique tokens]
+    // differs per doc (df=1), so the 4-token tail survives — the documented
+    // fixed-window boundary artifact this spec pins.
+    val run = (0 until 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run u1a u1b u1c u1d extra1"),
+      (2L, s"$run u2a u2b u2c u2d extra2"),
+      (3L, s"$run u3a u3b u3c u3d extra3"),
+      (4L, "plain doc with no duplication at all"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Corpus.stripDupSpansMaximal(docs, spanTokens = 8, maxDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // doc 1: 25 tokens -> 4 windows; windows 0,1 dropped as ONE run of 2
+    assert(got(0) == ((1L, 4L, 2L, 1L, 2L,
+      "t16 t17 t18 t19 u1a u1b u1c u1d extra1")),
+      s"got ${got(0)}")
+    assert(got(1)._3 == 2L && got(1)._4 == 1L && got(1)._5 == 2L)
+    assert(got(2)._4 == 1L, "three adjacent-window docs each report ONE removal event")
+    assert(got(3) == ((4L, 1L, 0L, 0L, 0L, "plain doc with no duplication at all")))
+    // same kept text as the non-merging operator (merging changes the
+    // accounting, never the surviving tokens)
+    val plain = graft.text.Corpus.stripDupSpans(docs, spanTokens = 8, maxDocs = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(plain.map(_._2).toSeq == got.map(_._6).toSeq)
+  }
+
+  test("stripDupSpansMaximal: two separated duplicated regions count as two runs") {
+    val s = spark
+    import s.implicits._
+    // spanTokens=2: docs share spans "a b" (idx 0) and "e f" (idx 2) but
+    // diverge at idx 1 — two non-adjacent drops -> 2 runs of length 1
+    val docs = Seq(
+      (1L, "a b m1 m1 e f"), (2L, "a b m2 m2 e f"), (3L, "a b m3 m3 e f"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Corpus.stripDupSpansMaximal(docs, spanTokens = 2, maxDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { r =>
+      assert(r._2 == 2L && r._3 == 2L && r._4 == 1L,
+        s"expected 2 dropped spans in 2 runs of max length 1, got $r")
+    }
+  }
+
   test("unigramLogprob: corpus-wide unigram probabilities, per-doc mean") {
     val s = spark
     import s.implicits._
