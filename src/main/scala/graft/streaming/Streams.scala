@@ -357,6 +357,85 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Per-micro-batch late-data accounting — the observability the watermark
+    * discipline needs: every stateful operator silently expires data older
+    * than the watermark, and without a counter a production ingest cannot
+    * distinguish "no late data" from "late data quietly dropped". Each
+    * batch appends one row (on-time / late-accepted / late-dropped counts +
+    * the watermark used), where the watermark replicates the engine's
+    * global-watermark advance exactly: max event time over all PREVIOUS
+    * micro-batches minus `delayUs`, never the current batch's own rows.
+    *
+    *  - on-time:       ts >= previous max event time (stream is in order)
+    *  - late-accepted: watermark <= ts < previous max (out of order but
+    *                   inside the allowed lateness — a watermarked agg
+    *                   still folds it in)
+    *  - late-dropped:  ts < watermark (a watermarked stateful op would
+    *                   expire it)
+    *
+    * Exactly-once across restarts: the (batch_id, prev-max-before,
+    * max-after) ledger lives beside the checkpoint, so a re-delivered
+    * batch re-reads the PRE-batch ledger state and recomputes identical
+    * counts into its own dynamically-overwritten `_batch_id` partition —
+    * the [[sinkParquet]] recipe applied to the accounting itself. Driver
+    * state is three longs; the per-batch cost is one count aggregate. */
+  def lateDataMonitor(events: DataFrame, outDir: String, checkpointDir: String,
+      delayUs: Long = 3600L * 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val ledger = new org.apache.hadoop.fs.Path(checkpointDir, "graft_late_ledger")
+        val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val (lastId, pBefore, mAfter) =
+          if (fs.exists(ledger)) {
+            val in = fs.open(ledger)
+            val line = scala.io.Source.fromInputStream(in).mkString.trim
+            in.close()
+            val a = line.split(" ")
+            (a(0).toLong, a(1).toLong, a(2).toLong)
+          } else (-1L, Long.MinValue, Long.MinValue)
+        // replayed batch: classify against the PRE-batch state, not the
+        // state its own first delivery already advanced
+        val prevMax = if (batchId == lastId) pBefore else mAfter
+        val wm = if (prevMax == Long.MinValue) Long.MinValue else prevMax - delayUs
+        val (onTime, lateAcc, lateDrop) =
+          if (prevMax == Long.MinValue)
+            (lit(true), lit(false), lit(false))
+          else
+            (col("tus") >= lit(prevMax),
+              col("tus") < lit(prevMax) && col("tus") >= lit(wm),
+              col("tus") < lit(wm))
+        val s = batch.toDF().select(unix_micros(col("ts")).as("tus"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(onTime, 1L).otherwise(0L)).as("on_t"),
+            sum(when(lateAcc, 1L).otherwise(0L)).as("acc"),
+            sum(when(lateDrop, 1L).otherwise(0L)).as("drp"),
+            coalesce(max(col("tus")), lit(Long.MinValue)).as("mx"))
+          .head()
+        val newMax = math.max(prevMax, s.getLong(4))
+        import spark.implicits._
+        Seq((batchId, s.getLong(0), coalesce0(s, 1), coalesce0(s, 2),
+            coalesce0(s, 3), wm))
+          .toDF("_batch_id", "n_rows", "n_on_time", "n_late_accepted",
+            "n_late_dropped", "watermark_us")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(outDir)
+        val o = fs.create(ledger, true)
+        o.write(s"$batchId $prevMax $newMax".getBytes("UTF-8"))
+        o.close()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** sum(when(...)) over an empty batch is null — account it as 0. */
+  private def coalesce0(r: org.apache.spark.sql.Row, i: Int): Long =
+    if (r.isNullAt(i)) 0L else r.getLong(i)
+
   /** CDC upsert sink: merge every micro-batch into the parquet table at
     * `tableDir` with newest-wins semantics ([[graft.source.Lake.upsert]])
     * and swap it in atomically ([[graft.source.Lake.replace]]). Because the

@@ -351,4 +351,53 @@ class PropSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: approx_count_distinct stays inside the rsd envelope (random cardinalities + dup factors)") {
+    val s = spark
+    import s.implicits._
+    // HLL++ with rsd=0.02 (the agg_distinct_approx setting): the estimate's
+    // standard error is 2% of the true cardinality; 3σ = 6% is the envelope.
+    // Duplication factor must not move the estimate at all — HLL sees a set.
+    for (trial <- 1 to 5) {
+      val n = 500 + rnd.nextInt(8000)
+      val dup = 1 + rnd.nextInt(4)
+      val vals = rnd.shuffle(
+        (0 until n).flatMap(i => Seq.fill(dup)(s"v${trial}_$i")))
+      val est = vals.toDF("v").repartition(4)
+        .agg(approx_count_distinct(col("v"), 0.02)).head().getLong(0)
+      val relErr = math.abs(est - n).toDouble / n
+      assert(relErr <= 0.06,
+        s"trial $trial: HLL estimate $est vs exact $n (dup=$dup) — " +
+          s"rel err $relErr beyond 3x rsd=0.02")
+      // duplication invariance: same value set, different multiplicity
+      val est1 = vals.distinct.toDF("v").repartition(4)
+        .agg(approx_count_distinct(col("v"), 0.02)).head().getLong(0)
+      assert(est == est1, s"trial $trial: duplication moved the HLL estimate")
+    }
+  }
+
+  test("property: percentile_approx median stays within one rank of the exact frame median (random series/windows)") {
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(50)
+      val w = 2 + rnd.nextInt(20)
+      val xs = Seq.fill(n)(math.rint((rnd.nextDouble() - 0.5) * 2e8) / 100.0)
+      val frame = Window.partitionBy("symbol")
+        .orderBy(col("datetime"), col("event_id")).rowsBetween(-(w - 1), 0)
+      val got = column(barsOf(xs).select(col("symbol"), col("event_id"),
+        expr("percentile_approx(close, 0.5D, 10000)").over(frame).as("m")), "m")
+      xs.indices.foreach { i =>
+        val fr = xs.slice(math.max(0, i - (w - 1)), i + 1).sorted
+        // percentile_approx returns an ACTUAL element; with accuracy 10000
+        // and frames of <= 21 rows the rank error bound n/10000 < 1, so the
+        // returned element's rank may differ from the exact median rank by
+        // at most one
+        val mid = ((fr.length + 1) * 0.5).ceil.toInt - 1 // 0-based exact rank
+        val admissible = (math.max(0, mid - 1) to math.min(fr.length - 1, mid + 1))
+          .map(fr(_)).toSet
+        assert(got(i).isDefined && admissible.contains(got(i).get),
+          s"trial $trial row $i (w=$w): approx median ${got(i)} not within " +
+            s"one rank of exact (${fr.mkString(",")})")
+      }
+    }
+  }
 }

@@ -251,6 +251,56 @@ class StreamingSpec extends SparkSpec {
     assert(second.select("event_id").distinct().count() == 1000)
   }
 
+  test("late-data monitor: planted late rows counted as accepted vs dropped, restart-idempotent") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-late-").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    def writeFile(name: String, rows: Seq[(Long, java.sql.Timestamp)], mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.map { case (id, t) => (id, t, id % 7, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dest = java.nio.file.Paths.get(in, name)
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+      ()
+    }
+    // batch 0: in-order history up to 10:30 (first batch: everything on-time)
+    writeFile("f0.parquet", Seq(
+      1L -> ts("2024-01-01 10:00:00"), 2L -> ts("2024-01-01 10:10:00"),
+      3L -> ts("2024-01-01 10:30:00")), mtime = 1000000L)
+    // batch 1 vs watermark 09:30 (= 10:30 − 1h): one on-time row, two
+    // late-but-accepted (incl. the exact watermark boundary), one dropped
+    writeFile("f1.parquet", Seq(
+      4L -> ts("2024-01-01 10:40:00"), 5L -> ts("2024-01-01 10:00:00"),
+      6L -> ts("2024-01-01 09:30:00"), 7L -> ts("2024-01-01 08:00:00")),
+      mtime = 2000000L)
+    def run(): Unit =
+      Streams.lateDataMonitor(
+        Streams.readEventStreamFrom(spark, in, maxFilesPerTrigger = Some(1)),
+        out, ckpt).awaitTermination(120000)
+    run()
+    val got = spark.read.parquet(out)
+      .select(col("_batch_id").cast("long"), col("n_rows"), col("n_on_time"),
+        col("n_late_accepted"), col("n_late_dropped"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.length == 2, s"expected 2 micro-batches, got ${got.toSeq}")
+    assert(got(0) == ((0L, 3L, 3L, 0L, 0L)), s"batch 0: ${got(0)}")
+    assert(got(1) == ((1L, 4L, 1L, 2L, 1L)), s"batch 1: ${got(1)}")
+    // restart from the same checkpoint: nothing new, counts unchanged
+    run()
+    val again = spark.read.parquet(out)
+    assert(again.count() == 2, "restart duplicated monitor rows")
+    assert(again.agg(sum("n_late_dropped")).head().getLong(0) == 1L)
+  }
+
   test("streaming CDC upsert sink converges to the batch merge state") {
     val s = spark
     import s.implicits._
