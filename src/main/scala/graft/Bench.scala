@@ -152,9 +152,16 @@ object Bench {
     }
     val headlineJson = headlineKeys("feature_pipeline_", throughput) +
       headlineKeys("feature_pipeline_10m_", throughput10m)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$samplesJson,""" +
-      headlineJson + s""""sf":"$sfDir"}""")
+      headlineJson + s""""sf":"$sfDir"}"""
+    println(json)
+    // The driver keeps only a short stdout tail, which truncates the
+    // per-query sample arrays — persist the full blob so round-over-round
+    // regressions can be diffed without a re-run (see BENCH.md).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
