@@ -517,6 +517,33 @@ object TextSimSql {
       |       COUNT(*) AS n_copies, COUNT(DISTINCT text) AS n_variants
       |FROM nn GROUP BY norm ORDER BY canonical_id""".stripMargin
 
+  /** Bloom-decontamination replay: identical md5-slice positions
+    * (('0x'||hex8)::BIGINT == Spark's conv(hex,16,10)), the set-bit list
+    * from the eval side, 4 IN-probes for candidacy, exact-digest IN for the
+    * confirmed flag. */
+  val decontamBloom: String = {
+    val m = Dedup.BloomBits
+    def pos(j: Int) = s"('0x' || substring(h, ${j * 8 + 1}, 8))::BIGINT % $m"
+    val posList = (0 until Dedup.BloomHashes).map(pos).mkString("[", ", ", "]")
+    val probes = (0 until Dedup.BloomHashes)
+      .map(j => s"${pos(j)} IN (SELECT p FROM bits)").mkString(" AND ")
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+       |  FROM documents
+       |), ev AS (
+       |  SELECT h FROM n WHERE doc_id % 10 = 0
+       |), tr AS (
+       |  SELECT doc_id, h FROM n WHERE doc_id % 10 <> 0
+       |), bits AS (
+       |  SELECT DISTINCT UNNEST($posList) AS p FROM ev
+       |)
+       |SELECT doc_id, h AS norm_md5,
+       |       CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END AS confirmed
+       |FROM tr WHERE $probes
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared shingle CTE: distinct word-3-grams per doc. */
   private val shinglesCte: String =
     """WITH t AS (
@@ -1305,4 +1332,70 @@ object TextSimSql {
       |       md5(props) AS payload_md5,
       |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** BM25 replay: identical IEEE arithmetic in the same association order
+    * as TextStats.bm25 (per-term tf via list_filter, ONE corpus-stats row,
+    * idf = ln(1 + (N-df+0.5)/(df+0.5)), rank on the unrounded score). */
+  val textBm25: String = {
+    val q = TextStats.Bm25Query
+    val k1 = TextStats.Bm25K1
+    val b = TextStats.Bm25B
+    val tfCols = q.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${q(i)}')) AS BIGINT) AS tf_$i")
+      .mkString(",\n    ")
+    val dfCols = q.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n    ")
+    val nHit = q.indices.map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val score = q.indices.map { i =>
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5) + 1.0)"
+      s"$idf * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0}) / " +
+        s"(CAST(tf_$i AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / " +
+        s"(CAST(sum_dl AS DOUBLE) / n_docs)))"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), tf AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM d
+       |), st AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |    $dfCols
+       |  FROM tf
+       |), sc AS (
+       |  SELECT doc_id, dl, $nHit AS n_hit, $score AS score
+       |  FROM tf CROSS JOIN st
+       |)
+       |SELECT doc_id, dl, n_hit, bm25 FROM (
+       |  SELECT doc_id, dl, n_hit, ${r("score")} AS bm25, score
+       |  FROM sc WHERE n_hit > 0
+       |  ORDER BY score DESC, doc_id LIMIT ${TextStats.Bm25TopK}
+       |) ORDER BY bm25 DESC, doc_id""".stripMargin
+  }
+
+  /** Inverted-index replay: exact per-term stats from the token pairs, the
+    * posting sample via the same rank-≤-k filter before aggregation. */
+  val textInvertedIndex: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+       |), a AS (
+       |  SELECT term, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df,
+       |         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |  FROM toks GROUP BY 1
+       |), p AS (
+       |  SELECT DISTINCT term, doc_id FROM toks
+       |), rk AS (
+       |  SELECT term, doc_id,
+       |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |  FROM p
+       |), samp AS (
+       |  SELECT term,
+       |         array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), '|')
+       |           AS postings
+       |  FROM rk WHERE rn <= ${TextStats.PostingSampleK} GROUP BY 1
+       |)
+       |SELECT term, cf, df, min_doc, max_doc, postings
+       |FROM a JOIN samp USING (term) ORDER BY term""".stripMargin
 }

@@ -221,6 +221,16 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter decontamination probe over the same train/eval split:
+    * bloom candidates with confirmed-vs-false-positive accounting (see
+    * [[graft.text.Dedup.bloomDecontam]]; m=256 deliberately small so FP
+    * rows exist at test scale). */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val (train, eval) = corpusSplit(Tables.documents(s, dir))
+    Dedup.bloomDecontam(train, eval)
+      .orderBy("doc_id")
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir))
       .orderBy("doc_id")
@@ -421,4 +431,19 @@ object TextSim {
       .select(col("doc_id"), r6(col("quality_score")).as("quality_score"))
       .orderBy("doc_id")
   }
+
+  /** BM25 top-50 retrieval for the fixed query term set
+    * [[graft.text.TextStats.Bm25Query]] (ranked on the unrounded score,
+    * rounded for display). */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextStats.bm25(Tables.documents(s, dir))
+      .select(col("doc_id"), col("dl"), col("n_hit"),
+        r6(col("bm25")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+
+  /** Inverted-index build: per-term exact stats + bounded posting sample
+    * (see [[graft.text.TextStats.invertedIndex]]). */
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextStats.invertedIndex(Tables.documents(s, dir))
+      .orderBy("term")
 }

@@ -251,6 +251,60 @@ object Dedup {
         .select(col("train_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Bloom-filter bits/hashes for [[bloomDecontam]]. `BloomBits` is
+    * deliberately TINY (256) so the false-positive accounting is actually
+    * exercised at test scale; a production run sizes m ≈ n·k/ln2 bits
+    * (e.g. 10^8 eval docs × 4 hashes → ~55 MB of set positions — still one
+    * broadcast). Past broadcast size, the same positions pack into a real
+    * long[] bitmap; membership stays a narrow per-row check either way. */
+  val BloomBits = 256
+  val BloomHashes = 4
+
+  /** The j-th bloom position of an md5 hex digest column: 8 hex chars
+    * sliced per hash (md5's 32 hex chars yield exactly 4 independent 32-bit
+    * values), decoded to an integer, mod m. Identical arithmetic in DuckDB
+    * via ('0x'||substring)::BIGINT. */
+  private def bloomPositions(h: Column, m: Int): Seq[Column] =
+    (0 until BloomHashes).map { j =>
+      conv(substring(h, j * 8 + 1, 8), 16, 10).cast("long") % m
+    }
+
+  /** Bloom-filter decontamination probe — the membership-test shape an
+    * actual 100 TB run uses when the eval/benchmark set is too large to
+    * string-join but its BITS fit in one broadcast: every eval document's
+    * C4-normalized text is md5'd into [[BloomHashes]] positions of an
+    * m-bit filter; a training document is a CANDIDATE when all of its
+    * positions are set (no false negatives, by construction), and an exact
+    * digest semi-join then resolves candidates into confirmed contamination
+    * vs false positives — the measured FP accounting that tells an operator
+    * whether m is sized right.
+    *
+    * Scale shape: the filter is ONE aggregate row (the sorted set-bit
+    * positions), broadcast; the train side is a narrow scan + 4 integer
+    * array_contains probes — no shuffle touches the training corpus. The
+    * verify join's build side (eval digests) broadcasts.
+    *
+    * @return (doc_id, norm_md5, confirmed) — one row per bloom CANDIDATE;
+    *         confirmed=0 rows are the filter's false positives
+    */
+  def bloomDecontam(train: DataFrame, eval: DataFrame,
+      m: Int = BloomBits): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val evalH = eval.select(md5(norm).as("h"))
+    val bloom = evalH
+      .select(explode(array(bloomPositions(col("h"), m): _*)).as("p"))
+      .agg(sort_array(collect_set(col("p"))).as("bits"))
+    val trainH = train.select(col("doc_id"), md5(norm).as("h"))
+    val hit = bloomPositions(col("h"), m)
+      .map(p => array_contains(col("bits"), p)).reduce(_ && _)
+    trainH.crossJoin(broadcast(bloom))
+      .filter(hit)
+      .join(evalH.distinct().withColumn("confirmed", lit(1)), Seq("h"), "left")
+      .select(col("doc_id"), col("h").as("norm_md5"),
+        coalesce(col("confirmed"), lit(0)).as("confirmed"))
+  }
+
   /** How many rows a single LSH bucket may hold before the pair-generating
     * self-join routes it through the salt-replicate path, and how many
     * sub-keys a hot bucket is spread over. A bucket of width B yields B²/2

@@ -312,4 +312,97 @@ object TextStats {
           lit(1L)).otherwise(lit(-1L)).as("_sgn"))
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("tf"), sum(col("_sgn")).as("signed_tf"))
+
+  /** BM25 (Robertson/Sparck Jones; the Okapi formulation with the
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf) retrieval over a FIXED query term
+    * set — the keyword-search primitive a corpus-curation pipeline uses for
+    * targeted subset pulls ("all docs about X") and contamination probes.
+    *
+    * Scale shape — deliberately NOT the explode→groupBy tfidf pipeline:
+    * per-term tf and the doc length are narrow per-row array ops
+    * (`size(filter(toks, _ = t))`), so the only aggregate is ONE single-row
+    * corpus-stats reduction (N, Σdl, per-term df — partial+final, bytes of
+    * state), broadcast back with a crossJoin. The top-k is a
+    * TakeOrderedAndProject. A 100 TB corpus pays one narrow scan + a
+    * scalar broadcast — no token-keyed shuffle at all.
+    *
+    * Ranking sorts on the UNROUNDED double (both engines compute identical
+    * IEEE arithmetic; ties broken by doc_id), callers round for display. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("dup", "join", "spark", "window")
+  val Bm25TopK = 50
+
+  def bm25(docs: DataFrame, query: Seq[String] = Bm25Query,
+      k1: Double = Bm25K1, b: Double = Bm25B,
+      topK: Int = Bm25TopK): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val toks = split(col("text"), " ")
+    val withTf = docs.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        query.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        query.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i")): _*)
+    // avgdl as integer-sum / count: exact in both engines (no accumulation
+    // -order dependence an AVG over doubles could introduce)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val termScores = query.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(
+        (col("n_docs").cast("double") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      // tf=0 contributes exactly 0.0 (0/denom) — no CASE needed
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    val nHit = query.indices
+      .map(i => (col(s"tf_$i") > 0).cast("int")).reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), nHit.as("n_hit"),
+        termScores.reduce(_ + _).as("bm25"))
+      .filter(col("n_hit") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** How many doc ids an inverted-index posting row retains (sorted prefix).
+    * Exact df/cf/min/max are kept for every term; the materialized posting
+    * list is a bounded SAMPLE because a viral term's full posting list at
+    * corpus scale is itself big data — a real serving index stores it as
+    * delta-encoded blocks, not one aggregate value, and the unbounded
+    * collect_list would be the straggler. */
+  val PostingSampleK = 100
+
+  /** Inverted index build: one row per term with exact collection stats
+    * (cf = total occurrences, df = doc frequency, min/max doc id) and the
+    * first [[PostingSampleK]] doc ids as a '|'-joined posting sample.
+    *
+    * Scale shape: stats come from a token-keyed partial+final aggregate
+    * (hot terms collapse map-side); the posting sample bounds per-term
+    * state BEFORE aggregation with a rank-filter (row_number ≤ k inside the
+    * term partition), so no executor ever holds an unbounded posting list. */
+  def invertedIndex(docs: DataFrame, sampleK: Int = PostingSampleK): DataFrame = {
+    val pairs = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val stats = pairs.groupBy("term").agg(
+      count(lit(1)).as("cf"),
+      countDistinct(col("doc_id")).as("df"),
+      min(col("doc_id")).as("min_doc"),
+      max(col("doc_id")).as("max_doc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    val sample = pairs.select("term", "doc_id").distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= sampleK)
+      .groupBy("term")
+      .agg(concat_ws("|",
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
+        .as("postings"))
+    stats.join(sample, Seq("term")).orderBy("term")
+  }
 }

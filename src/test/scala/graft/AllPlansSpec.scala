@@ -15,11 +15,13 @@ class AllPlansSpec extends SparkSpec {
     * the broadcast side is a single-row aggregate (corpus doc count,
     * global threshold, split boundary) or a fixed centroid table. */
   private val bnlAllowed: Set[String] = Set(
-    // 1-row aggregate cross side (doc/user count, corpus max, dup scalar):
+    // 1-row aggregate cross side (doc/user count, corpus max, dup scalar,
+    // BM25 corpus stats, bloom set-bit positions):
     "text_tfidf", "text_logprob", "user_rfm", "dq_checks", "assoc_pairs",
-    "corpus_mixture", "sim_ann_recall",
+    "corpus_mixture", "sim_ann_recall", "text_bm25", "decontam_bloom",
     // broadcast centroid / probe tables (16 / 10 rows by construction):
-    "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk")
+    "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk",
+    "sim_ann_pq")
 
   test("no registered query plans a CartesianProduct; BNLJ only on scalar-side allowlist") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -1874,4 +1874,61 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bm25: planted tf/df/dl against the closed-form score; zero-hit docs filtered") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a b x"), (2L, "a x y z"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextStats.bm25(docs, query = Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // N=3, avgdl=4 (all dl=4), df_a=2, df_b=1
+    val idfA = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val idfB = math.log((3.0 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    // dl=avgdl -> denom = tf + k1; tf=2: 2.2*2/3.2; tf=1: 2.2/2.2 = 1
+    val s1 = idfA * (2 * 2.2) / (2 + 1.2) + idfB
+    val s2 = idfA
+    assert(got.length == 2)                       // doc 3 has no query term
+    assert(got(0)._1 == 1L && got(0)._3 == 2)
+    assert(got(1)._1 == 2L && got(1)._3 == 1)
+    assert(math.abs(got(0)._4 - s1) < 1e-9, s"got ${got(0)._4}, want $s1")
+    assert(math.abs(got(1)._4 - s2) < 1e-9)
+  }
+
+  test("invertedIndex: exact cf/df/min/max, posting sample capped and sorted") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextStats.invertedIndex(docs, sampleK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("a", 2L, 1L, 1L, 1L, "1"),
+      ("b", 3L, 3L, 1L, 3L, "1|2"),   // df exact (3) though sample capped at 2
+      ("c", 1L, 1L, 2L, 2L, "2")))
+  }
+
+  test("bloomDecontam: exact dup always a candidate (no false negatives); tiny m yields accounted FPs") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "Hello,   World!"),          // normalizes to eval doc 10's text
+      (2L, "completely different text"),
+      (3L, "another unrelated doc"))
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, "hello world"), (11L, "benchmark question two"))
+      .toDF("doc_id", "text")
+    // default m: the normalized duplicate MUST be flagged and confirmed
+    val big = graft.text.Dedup.bloomDecontam(train, eval)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(big.get(1L).contains(1), s"dup doc must be confirmed, got $big")
+    // m=2: both bits saturate -> every train doc becomes a candidate, and
+    // the non-matching ones surface as confirmed=0 false positives
+    val tiny = graft.text.Dedup.bloomDecontam(train, eval, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(tiny.get(1L).contains(1))
+    assert(tiny.exists(_._2 == 0), s"expected FP rows at m=2, got $tiny")
+  }
 }
