@@ -36,6 +36,12 @@ object Params {
   val CusumDrift = 35.0
   val CusumThreshold = 350.0
 
+  /** Holt linear-trend smoothing weights (`window_holt`): α smooths the
+    * level, β the trend — textbook mid-range defaults. Shared verbatim
+    * with the oracle's recursive replay. */
+  val HoltAlpha = 0.3
+  val HoltBeta = 0.1
+
   /** The events table's closed event-type vocabulary (TESTDATA.md) — the
     * explicit value list for pivot/unpivot on BOTH the Spark and oracle
     * sides, so the four uses cannot drift apart. */

@@ -822,6 +822,35 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.windowHolt / expr.Holt: recursive-CTE replay of the
+    * exact level/trend recurrence — l' = α·x + (1-α)·(l+b) inlined into
+    * b' = β·(l'-l) + (1-β)·b, the same tree the Catalyst expression
+    * evaluates (so every double matches); seed l₁=x₁, b₁=0. */
+  val windowHolt: String = {
+    val al = Params.HoltAlpha.toString
+    val be = Params.HoltBeta.toString
+    val dal = (1.0 - Params.HoltAlpha).toString
+    val dbe = (1.0 - Params.HoltBeta).toString
+    val nl = s"$al * b2.close + $dal * (h.l + h.b)"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn FROM bars
+       |), h AS (
+       |  SELECT symbol, rn, close AS l, CAST(0.0 AS DOUBLE) AS b
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         $nl,
+       |         $be * (($nl) - h.l) + $dbe * h.b
+       |  FROM h JOIN b2 ON b2.symbol = h.symbol AND b2.rn = h.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id,
+       |       ${r("h.l")} AS holt_level,
+       |       ${r("h.b")} AS holt_trend,
+       |       ${r("h.l + h.b")} AS holt_forecast
+       |FROM b2 JOIN h ON h.symbol = b2.symbol AND h.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
   /** Mirrors Analytics.windowEwmVol: both adjust=false recurrences (mean
     * of x, mean of x²) replayed in one recursive CTE with two
     * accumulators — the same per-step `m·d + a·x` tree as the Ewma

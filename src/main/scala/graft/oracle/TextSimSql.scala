@@ -1375,6 +1375,40 @@ object TextSimSql {
        |) ORDER BY bm25 DESC, doc_id""".stripMargin
   }
 
+  /** PMI-collocation replay: DuckDB lists are 1-indexed (w[i], w[i+1] over
+    * generate_series(1, len-1) == Spark's 0-based sequence(0, size-2));
+    * identical ln-ratio association order; top-k cut on the unrounded
+    * score, display order on the rounded one — same as textBm25. */
+  val corpusColloc: String =
+    s"""WITH wd AS (
+       |  SELECT string_split(text, ' ') AS w FROM documents
+       |), tok AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+       |), uni AS (
+       |  SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+       |), tu AS (
+       |  SELECT COUNT(*) AS t_un FROM tok
+       |), bi AS (
+       |  SELECT w[i] AS t1, w[i + 1] AS t2
+       |  FROM wd, UNNEST(generate_series(1, len(w) - 1)) u(i)
+       |  WHERE len(w) >= 2
+       |), tb AS (
+       |  SELECT COUNT(*) AS t_bi FROM bi
+       |), pc AS (
+       |  SELECT t1, t2, COUNT(*) AS n_pair FROM bi GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 5
+       |), sc AS (
+       |  SELECT t1, t2, n_pair, ua.c AS c_a, ub.c AS c_b,
+       |         ln((CAST(n_pair AS DOUBLE) / t_bi) /
+       |            ((CAST(ua.c AS DOUBLE) / t_un) * (CAST(ub.c AS DOUBLE) / t_un))) AS score
+       |  FROM pc JOIN uni ua ON pc.t1 = ua.t JOIN uni ub ON pc.t2 = ub.t
+       |  CROSS JOIN tu CROSS JOIN tb
+       |)
+       |SELECT t1, t2, n_pair, c_a, c_b, pmi FROM (
+       |  SELECT t1, t2, n_pair, c_a, c_b, ${r("score")} AS pmi, score
+       |  FROM sc ORDER BY score DESC, t1, t2 LIMIT 50
+       |) ORDER BY pmi DESC, t1, t2""".stripMargin
+
   /** Inverted-index replay: exact per-term stats from the token pairs, the
     * posting sample via the same rank-≤-k filter before aggregation. */
   val textInvertedIndex: String =

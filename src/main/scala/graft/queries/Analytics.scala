@@ -265,6 +265,23 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Holt double-exponential smoothing per symbol: level, trend and the
+    * one-step forecast from ONE recursion pass of the custom
+    * [[graft.expr.Holt]] window function (same WindowExec shape as the
+    * EWMA family — one hashpartitioning(symbol) exchange, O(1) state). */
+  def windowHolt(s: SparkSession, dir: String): DataFrame = {
+    val pb = Seq(col("symbol"))
+    val ob = Seq(col("datetime"), col("event_id"))
+    Bars.bars(s, dir)
+      .withColumn("_h", graft.expr.Holt.holtOver(col("close"),
+        graft.Params.HoltAlpha, graft.Params.HoltBeta, pb, ob))
+      .select(col("symbol"), col("event_id"),
+        r6(col("_h.level")).as("holt_level"),
+        r6(col("_h.trend")).as("holt_trend"),
+        r6(col("_h.level") + col("_h.trend")).as("holt_forecast"))
+      .orderBy("event_id")
+  }
+
   /** Length-weighted document sample: 100 docs drawn without replacement
     * with probability proportional to n_chars — the quality/length-biased
     * corpus subsample step (see

@@ -446,4 +446,12 @@ object TextSim {
   def textInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextStats.invertedIndex(Tables.documents(s, dir))
       .orderBy("term")
+
+  /** Top-50 adjacent-bigram PMI collocations (count ≥ 5; see
+    * [[graft.text.TextStats.collocations]]). */
+  def corpusColloc(s: SparkSession, dir: String): DataFrame =
+    TextStats.collocations(Tables.documents(s, dir))
+      .select(col("t1"), col("t2"), col("n_pair"), col("c_a"), col("c_b"),
+        r6(col("pmi")).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
 }

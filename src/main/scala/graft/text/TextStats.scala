@@ -405,4 +405,48 @@ object TextStats {
         .as("postings"))
     stats.join(sample, Seq("term")).orderBy("term")
   }
+
+  /** Collocation mining: adjacent-bigram pointwise mutual information
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over the corpus bigram /
+    * unigram totals — the multi-word-expression detector (Church & Hanks
+    * 1990) tokenizer-training runs use to decide merge candidates. Only
+    * bigrams seen ≥ `minCount` times qualify (PMI of rare pairs is noise);
+    * top `k` by PMI, ranked on the unrounded double, ties broken (t1, t2).
+    *
+    * Scale shape: per-doc adjacent pairs are a narrow array transform
+    * (docs with <2 tokens contribute nothing), exploded into ONE
+    * bigram-keyed partial+final aggregate; unigram counts and the two
+    * scalar totals reduce the same way, and the unigram table joins back
+    * onto the (already minCount-thinned) bigram frame twice — broadcast
+    * when the vocab is small, plain shuffle join at web-corpus vocab. */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val tUni = toks.agg(count(lit(1)).as("t_un"))
+    val bi = docs
+      .withColumn("_w", split(col("text"), " "))
+      .filter(size(col("_w")) >= 2)
+      .select(explode(expr(
+        // _w[i] is 0-based in Spark SQL: i ranges over 0..n-2
+        "transform(sequence(0, size(_w) - 2), " +
+          "i -> struct(_w[i] AS t1, _w[i+1] AS t2))")).as("b"))
+      .select(col("b.t1"), col("b.t2"))
+    val tBi = bi.agg(count(lit(1)).as("t_bi"))
+    val pairCounts = bi.groupBy("t1", "t2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val pmi =
+      log((col("n_pair").cast("double") / col("t_bi")) /
+        ((col("c_a").cast("double") / col("t_un")) *
+          (col("c_b").cast("double") / col("t_un"))))
+    pairCounts
+      .join(uni.select(col("t").as("t1"), col("c").as("c_a")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("c").as("c_b")), Seq("t2"))
+      .crossJoin(broadcast(tUni))
+      .crossJoin(broadcast(tBi))
+      .select(col("t1"), col("t2"), col("n_pair"), col("c_a"), col("c_b"),
+        pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
 }

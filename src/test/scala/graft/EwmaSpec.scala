@@ -120,4 +120,36 @@ class EwmaSpec extends SparkSpec {
       assert(math.abs(x.get * 2 - y.get) < 1e-9) // linear operator: scale by 2
     }
   }
+
+  test("holt level/trend recursion matches the imperative reference loop bit-exactly") {
+    val out = barsOf(close).select(col("symbol"), col("event_id"),
+      graft.expr.Holt.holtOver(col("close"), 0.3, 0.1,
+        Seq(col("symbol")), Seq(col("datetime"), col("event_id"))).as("h"))
+      .select(col("symbol"), col("event_id"),
+        col("h.level").as("level"), col("h.trend").as("trend"))
+    // independent imperative replay of l' = α·x + (1-α)(l+b),
+    // b' = β(l'-l) + (1-β)b, seeded l₁=x₁, b₁=0
+    var l = 0.0; var b = 0.0; var started = false
+    val want = close.map { x =>
+      if (!started) { l = x; b = 0.0; started = true }
+      else {
+        val nl = 0.3 * x + 0.7 * (l + b)
+        val nb = 0.1 * (nl - l) + 0.9 * b
+        l = nl; b = nb
+      }
+      (l, b)
+    }
+    assertSeq(column(out, "level"), want.map(_._1), tol = 0.0)
+    assertSeq(column(out, "trend"), want.map(_._2), tol = 0.0)
+  }
+
+  test("holt trend converges to the slope on a perfect linear ramp") {
+    val ramp = (1 to 60).map(i => 10.0 + 2.5 * i)
+    val out = barsOf(ramp).select(col("symbol"), col("event_id"),
+      graft.expr.Holt.holtOver(col("close"), 0.3, 0.1,
+        Seq(col("symbol")), Seq(col("datetime"), col("event_id"))).as("h"))
+      .select(col("symbol"), col("event_id"), col("h.trend").as("trend"))
+    val last = column(out, "trend").last.get
+    assert(math.abs(last - 2.5) < 0.05, s"trend $last should approach 2.5")
+  }
 }

@@ -1910,6 +1910,23 @@ class OpsSpec extends SparkSpec {
       ("c", 1L, 1L, 2L, 2L, "2")))
   }
 
+  test("collocations: planted bigram/unigram counts against the closed-form PMI; minCount thins") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> only (a,b) passes minCount=2
+    // unigrams: a=3, b=3, c=1; t_un=7, t_bi=5
+    val got = graft.text.TextStats.collocations(docs, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.length == 1)
+    val (t1, t2, np, ca, cb, pmi) = got(0)
+    assert((t1, t2, np, ca, cb) == (("a", "b", 3L, 3L, 3L)))
+    val want = math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7)))
+    assert(math.abs(pmi - want) < 1e-9, s"got $pmi, want $want")
+  }
+
   test("bloomDecontam: exact dup always a candidate (no false negatives); tiny m yields accounted FPs") {
     val s = spark
     import s.implicits._
