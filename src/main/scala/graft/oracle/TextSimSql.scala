@@ -1375,6 +1375,33 @@ object TextSimSql {
        |) ORDER BY bm25 DESC, doc_id""".stripMargin
   }
 
+  /** Bigram-LM replay: same 1-indexed bigram extraction as corpusColloc,
+    * identical add-one-smoothing arithmetic, per-doc sum over the
+    * position-ordered list (sequential-fold contract). */
+  val textLogprobBigram: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), tok AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS t1 FROM documents
+       |), uni AS (
+       |  SELECT t1, COUNT(*) AS c1 FROM tok GROUP BY 1
+       |), vb AS (
+       |  SELECT COUNT(DISTINCT t1) AS v FROM tok
+       |), bi AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS t1, w[i + 1] AS t2
+       |  FROM s, UNNEST(generate_series(1, len(w) - 1)) u(i)
+       |  WHERE len(w) >= 2
+       |), pair AS (
+       |  SELECT t1, t2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+       |), j AS (
+       |  SELECT doc_id, pos,
+       |         -log2((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v)) AS nlp
+       |  FROM bi JOIN pair USING (t1, t2) JOIN uni USING (t1) CROSS JOIN vb
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |       ${r("list_sum(list(nlp ORDER BY pos)) / COUNT(*)")} AS bigram_nll
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** PMI-collocation replay: DuckDB lists are 1-indexed (w[i], w[i+1] over
     * generate_series(1, len-1) == Spark's 0-based sequence(0, size-2));
     * identical ln-ratio association order; top-k cut on the unrounded

@@ -447,6 +447,14 @@ object TextSim {
     TextStats.invertedIndex(Tables.documents(s, dir))
       .orderBy("term")
 
+  /** Bigram-LM document scores: mean −log2 p(t₂|t₁), add-one smoothed
+    * (see [[graft.text.TextStats.bigramLogprob]]). */
+  def textLogprobBigram(s: SparkSession, dir: String): DataFrame =
+    TextStats.bigramLogprob(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("bigram_nll")).as("bigram_nll"))
+      .orderBy("doc_id")
+
   /** Top-50 adjacent-bigram PMI collocations (count ≥ 5; see
     * [[graft.text.TextStats.collocations]]). */
   def corpusColloc(s: SparkSession, dir: String): DataFrame =

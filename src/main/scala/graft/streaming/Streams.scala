@@ -244,6 +244,42 @@ object Streams {
       }
   }
 
+  case class HoltPoint(symbol: String, event_id: Long,
+      level: Double, trend: Double)
+  case class HoltState(started: Boolean, l: Double, b: Double)
+
+  /** Stateful streaming Holt smoothing — the same level/trend recurrence as
+    * the batch [[graft.expr.Holt]] window function (identical JVM double
+    * arithmetic in the identical order, so streaming == batch bit-for-bit),
+    * carried across micro-batches in two doubles of state per symbol. The
+    * live forecaster a monitoring pipeline runs against the same definition
+    * its backfill used. */
+  def streamingHolt(ticks: Dataset[BarTick],
+      alpha: Double = graft.Params.HoltAlpha,
+      beta: Double = graft.Params.HoltBeta): Dataset[HoltPoint] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sym, it, state: GroupState[HoltState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(HoltState(started = false, 0.0, 0.0))
+          val out = sorted.map { e =>
+            if (!st.started) st = HoltState(started = true, e.close, 0.0)
+            else {
+              val nl = alpha * e.close + (1.0 - alpha) * (st.l + st.b)
+              val nb = beta * (nl - st.l) + (1.0 - beta) * st.b
+              st = HoltState(started = true, nl, nb)
+            }
+            HoltPoint(sym, e.event_id, st.l, st.b)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Deterministic symbol → sector dimension: the small static side of the
     * stream-static enrichment join (a real deployment reads this from a
     * dimension table; the derivation is fixed so batch and streaming specs

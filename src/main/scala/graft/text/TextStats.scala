@@ -406,6 +406,45 @@ object TextStats {
     stats.join(sample, Seq("term")).orderBy("term")
   }
 
+  /** Bigram language-model score per document: mean negative log2 of the
+    * add-one-smoothed conditional p(t₂|t₁) = (c(t₁,t₂)+1)/(c(t₁)+V) under
+    * the corpus's own bigram counts — the next step up from
+    * [[unigramLogprob]]'s unigram filter: repeated boilerplate scores LOW
+    * (predictable transitions), token-salad gibberish scores HIGH even when
+    * its unigrams are common, which is exactly the failure mode a
+    * unigram-only quality filter misses. Docs with <2 tokens are excluded
+    * (no bigram evidence).
+    *
+    * Scale shape: narrow per-row bigram arrays → one bigram-keyed and one
+    * unigram-keyed partial+final aggregate, token-keyed joins back (the
+    * tfidf cost class), scalar vocab-size broadcast; the per-doc sum folds
+    * over the position-sorted list (sequential-fold contract, oracle
+    * bit-equal). */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val bi = docs.withColumn("_w", split(col("text"), " "))
+      .filter(size(col("_w")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(_w) - 2), " +
+          "i -> struct(_w[i] AS t1, _w[i+1] AS t2))")).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.t1"), col("b.t2"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("t1"))
+    val uni = toks.groupBy("t1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("t1")).as("v"))
+    val pair = bi.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    bi.join(pair, Seq("t1", "t2"))
+      .join(uni, Seq("t1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        (-log2((col("c12").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v")))).as("nlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("nlp")))).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("aggregate(_s, 0D, (acc, x) -> acc + x.nlp)") /
+          col("n_bigrams")).as("bigram_nll"))
+  }
+
   /** Collocation mining: adjacent-bigram pointwise mutual information
     * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over the corpus bigram /
     * unigram totals — the multi-word-expression detector (Church & Hanks

@@ -19,7 +19,7 @@ class AllPlansSpec extends SparkSpec {
     // BM25 corpus stats, bloom set-bit positions):
     "text_tfidf", "text_logprob", "user_rfm", "dq_checks", "assoc_pairs",
     "corpus_mixture", "sim_ann_recall", "text_bm25", "decontam_bloom",
-    "corpus_colloc",
+    "corpus_colloc", "text_logprob_bigram",
     // broadcast centroid / probe tables (16 / 10 rows by construction):
     "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk",
     "sim_ann_pq")

@@ -1910,6 +1910,24 @@ class OpsSpec extends SparkSpec {
       ("c", 1L, 1L, 2L, 2L, "2")))
   }
 
+  test("bigramLogprob: planted counts against add-one-smoothed conditionals; short docs excluded") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // unigrams a=3 b=2 x=1, V=3; pairs (a,b)=2, (b,a)=1
+    // nlp(a,b) = -log2(3/6) = 1; nlp(b,a) = -log2(2/5)
+    val got = graft.text.TextStats.bigramLogprob(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nlpBA = -math.log(2.0 / 5) / math.log(2.0)
+    assert(got.length == 2)                       // doc 3 has no bigram
+    assert(got(0)._1 == 1L && got(0)._2 == 1L)
+    assert(math.abs(got(0)._3 - 1.0) < 1e-12)
+    assert(got(1)._1 == 2L && got(1)._2 == 2L)
+    assert(math.abs(got(1)._3 - (1.0 + nlpBA) / 2) < 1e-12)
+  }
+
   test("collocations: planted bigram/unigram counts against the closed-form PMI; minCount thins") {
     val s = spark
     import s.implicits._

@@ -104,6 +104,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt equals the batch window_holt bit-for-bit") {
+    val stream = Streams.streamingHolt(
+      Streams.tickStream(Streams.readEventStream(spark, dir)))
+    val q = stream.writeStream.format("memory").queryName("stream_holt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_holt")
+    val want = graft.queries.Analytics.windowHolt(spark, dir)
+    assert(got.count() == want.count(),
+      s"row sets differ: ${got.count()} vs ${want.count()}")
+    // batch output is r6-rounded at the query boundary; compare at that
+    // granularity (same contract as the CUSUM parity test)
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("g.level"), col("w.holt_level"),
+        col("g.trend"), col("w.holt_trend"))
+      .collect()
+    joined.foreach { r =>
+      assert(!r.anyNull, s"row set mismatch: $r")
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-7 &&
+        math.abs(r.getDouble(2) - r.getDouble(3)) < 5e-7, s"holt mismatch: $r")
+    }
+  }
+
   test("streaming RSI state carries across micro-batches (time-split files)") {
     // stage the events as 3 time-ordered files with increasing mtimes so the
     // file source replays them as 3 separate micro-batches
