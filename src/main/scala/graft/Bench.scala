@@ -158,10 +158,13 @@ object Bench {
     println(json)
     // The driver keeps only a short stdout tail, which truncates the
     // per-query sample arrays — persist the full blob so round-over-round
-    // regressions can be diffed without a re-run (see BENCH.md).
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // regressions can be diffed without a re-run (see BENCH.md). Full
+    // sweeps only: a dev-filtered run must not clobber the last full
+    // sweep's record.
+    if (headline)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_out.json"),
+        (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -50,10 +50,11 @@ object Graph {
     * (large graphs — both sides hash-partitioned on their join key, no
     * exchange), and the teleport term folds into the contribution aggregate
     * via a narrow union of one zero-contribution row per node, so no second
-    * join materializes. The dangling mass D_i is the standard Pregel-style
-    * per-round scalar aggregate: one tiny job over the checkpointed ranks
-    * joined to the (checkpointed, broadcast-sized-or-not) dangling node
-    * set — two doubles of driver state, never a collected vertex set; on
+    * join materializes. The dangling mass D_i is computed IN-PLAN: a 1-row
+    * aggregate over the checkpointed ranks joined to the checkpointed
+    * dangling node set, crossJoined (broadcast) into the round — so a
+    * dangling graph still runs ONE job per round, with no per-round driver
+    * scalar action and never a collected vertex set; on
     * graphs with NO dangling nodes (every symmetrized graph) the aggregate
     * is skipped entirely and the addend is an exact +0.0, so ranks are
     * bit-identical to the historic source-only formulation and the
@@ -98,14 +99,9 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     var round = 0
     var converged = false
+    val dangOpt = if (nDangling == 0L) None else Some(dangling)
     while (round < iters && !converged) {
-      val dmOverN =
-        if (nDangling == 0L) 0.0
-        else {
-          val row = ranks.join(dangling, "node").agg(sum(col("rank"))).head()
-          (if (row.isNullAt(0)) 0.0 else row.getDouble(0)) / n.toDouble
-        }
-      val next = prRound(e, zeros, ranks, teleport, damping, n, dmOverN)
+      val next = prRound(e, zeros, ranks, teleport, damping, n, dangOpt)
         .localCheckpoint()
       tol.foreach { t =>
         // both sides are hash-partitioned on node (groupBy output /
@@ -124,18 +120,32 @@ object Graph {
   /** One damped PageRank round. Exposed pre-checkpoint so PlanSpec can
     * assert the physical shape: ONE wide shuffle (the contribution
     * aggregate); the rank join broadcast below [[RankBroadcastMaxNodes]],
-    * co-partitioned above it. `dmOverN` is the round's dangling mass D/N
-    * already reduced to a driver scalar (exact +0.0 on dangling-free
-    * graphs, preserving bit-parity with the historic round). */
+    * co-partitioned above it. `dangling`, when present, is the
+    * checkpointed dangling-node set: its rank mass D/N is computed IN-PLAN
+    * as a 1-row aggregate crossJoined (broadcast) into the round, so a
+    * dangling graph still runs ONE job per round — no per-round driver
+    * scalar action. On dangling-free graphs (None) the addend is an exact
+    * +0.0 literal, preserving bit-parity with the historic round. */
   private[graft] def prRound(e: DataFrame, zeros: DataFrame, ranks: DataFrame,
       teleport: org.apache.spark.sql.Column, damping: Double, n: Long,
-      dmOverN: Double = 0.0): DataFrame = {
+      dangling: Option[DataFrame] = None): DataFrame = {
     val r = if (n <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
-    e.join(r, e("src") === r("node"))
+    val contribs = e.join(r, e("src") === r("node"))
       .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
       .unionAll(zeros) // teleport floor for nodes with no inbound mass
       .groupBy("node")
-      .agg((teleport + lit(damping) * (sum(col("c")) + lit(dmOverN))).as("rank"))
+      .agg(sum(col("c")).as("_s"))
+    dangling match {
+      case None =>
+        contribs.select(col("node"),
+          (teleport + lit(damping) * (col("_s") + lit(0.0))).as("rank"))
+      case Some(dang) =>
+        val dm = ranks.join(dang, "node")
+          .agg((coalesce(sum(col("rank")), lit(0.0)) / lit(n.toDouble)).as("_dm"))
+        contribs.crossJoin(broadcast(dm))
+          .select(col("node"),
+            (teleport + lit(damping) * (col("_s") + col("_dm"))).as("rank"))
+    }
   }
 
   /** The customer→part endorsement graph: a genuinely DIRECTED edge per

@@ -20,6 +20,10 @@ class AllPlansSpec extends SparkSpec {
     "text_tfidf", "text_logprob", "user_rfm", "dq_checks", "assoc_pairs",
     "corpus_mixture", "sim_ann_recall", "text_bm25", "decontam_bloom",
     "corpus_colloc", "text_logprob_bigram",
+    // NOTE: graph_pagerank_directed's per-round dangling-mass crossJoin is
+    // a BNLJ inside each round's plan, but rounds materialize eagerly via
+    // localCheckpoint during query construction, so the registered query's
+    // executedPlan is an RDD scan — nothing to allowlist.
     // broadcast centroid / probe tables (16 / 10 rows by construction):
     "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk",
     "sim_ann_pq")
