@@ -1375,6 +1375,54 @@ object TextSimSql {
        |) ORDER BY bm25 DESC, doc_id""".stripMargin
   }
 
+  /** BPE-merge replay — an INDEPENDENT re-derivation, not an injected
+    * merge list: each of the 8 rounds recounts weighted symbol pairs,
+    * picks the (freq DESC, lhs, rhs) winner, and re-folds every word's
+    * symbol list with a recursive CTE implementing the same greedy
+    * left-to-right non-overlapping merge as the Spark-side aggregate()
+    * fold. Recursion depth = max word length; each round's vocab is
+    * MATERIALIZED so cost stays linear in rounds. */
+  val tokenizerBpe: String = {
+    val k = graft.text.Bpe.DefaultMerges
+    val rounds = (1 to k).map { i =>
+      val prev = s"v${i - 1}"
+      s"""p$i AS (
+         |  SELECT sym[i] AS a, sym[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS freq
+         |  FROM $prev, UNNEST(generate_series(1, len(sym) - 1)) u(i)
+         |  WHERE len(sym) >= 2 GROUP BY 1, 2
+         |), b$i AS MATERIALIZED (
+         |  SELECT a, b, a || b AS ab, freq FROM p$i
+         |  ORDER BY freq DESC, a, b LIMIT 1
+         |), m$i AS (
+         |  SELECT wid, cnt, sym, 0 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
+         |  UNION ALL
+         |  SELECT m.wid, m.cnt, m.sym, m.i + 1,
+         |         CASE WHEN len(m.out) > 0 AND m.out[-1] = (SELECT a FROM b$i)
+         |                   AND m.sym[m.i + 1] = (SELECT b FROM b$i)
+         |              THEN list_concat(m.out[1:len(m.out) - 1], [(SELECT ab FROM b$i)])
+         |              ELSE list_concat(m.out, [m.sym[m.i + 1]]) END
+         |  FROM m$i m WHERE m.i < len(m.sym)
+         |), v$i AS MATERIALIZED (
+         |  SELECT wid, cnt, out AS sym FROM m$i WHERE i = len(sym)
+         |)""".stripMargin
+    }.mkString(", ")
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"ab AS merged, freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE v0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY word) AS wid, cnt,
+       |         list_transform(generate_series(1, length(word)),
+       |                        i -> substring(word, i, 1)) AS sym
+       |  FROM (
+       |    SELECT word, COUNT(*) AS cnt
+       |    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |    GROUP BY word)
+       |), $rounds
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Bigram-LM replay: same 1-indexed bigram extraction as corpusColloc,
     * identical add-one-smoothing arithmetic, per-doc sum over the
     * position-ordered list (sequential-fold contract). */

@@ -447,6 +447,14 @@ object TextSim {
     TextStats.invertedIndex(Tables.documents(s, dir))
       .orderBy("term")
 
+  /** BPE merge learning over the word-type table: the first 8 merges with
+    * their pair frequencies (see [[graft.text.Bpe.learnMerges]]; the
+    * oracle re-derives every round independently — chained recursive-CTE
+    * folds, not an injected replay). */
+  def tokenizerBpe(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.learnMerges(Tables.documents(s, dir))
+      .orderBy("merge_rank")
+
   /** Bigram-LM document scores: mean −log2 p(t₂|t₁), add-one smoothed
     * (see [[graft.text.TextStats.bigramLogprob]]). */
   def textLogprobBigram(s: SparkSession, dir: String): DataFrame =

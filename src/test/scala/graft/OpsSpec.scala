@@ -1910,6 +1910,34 @@ class OpsSpec extends SparkSpec {
       ("c", 1L, 1L, 2L, 2L, "2")))
   }
 
+  test("bpe: planted word counts drive merge order; early exhaustion stops the loop") {
+    val s = spark
+    import s.implicits._
+    // words: aa x3, ab x1, b x1 -> round 1 merges (a,a) freq 3; round 2
+    // merges (a,b) freq 1; round 3 finds no pairs -> stops at 2 merges
+    val docs = Seq((1L, "aa ab"), (2L, "aa aa b")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.learnMerges(docs, merges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 3L),
+      (2L, "a", "b", "ab", 1L)))
+  }
+
+  test("bpe: greedy left-to-right non-overlapping fold ('bbb' -> [bb, b], then bbb)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "bbb bbb")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.learnMerges(docs, merges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // "bbb" has pairs (b,b)x2 per word; the fold merges only the FIRST,
+    // leaving [bb, b] — so round 2 learns (bb, b), not (b, bb)
+    assert(got.toSeq == Seq(
+      (1L, "b", "b", "bb", 4L),
+      (2L, "bb", "b", "bbb", 2L)))
+  }
+
   test("bigramLogprob: planted counts against add-one-smoothed conditionals; short docs excluded") {
     val s = spark
     import s.implicits._
