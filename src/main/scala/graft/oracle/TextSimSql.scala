@@ -1382,8 +1382,11 @@ object TextSimSql {
     * left-to-right non-overlapping merge as the Spark-side aggregate()
     * fold. Recursion depth = max word length; each round's vocab is
     * MATERIALIZED so cost stays linear in rounds. */
-  val tokenizerBpe: String = {
-    val k = graft.text.Bpe.DefaultMerges
+  /** Shared BPE round chain: "WITH RECURSIVE v0 … v<k>" where v<k> is the
+    * word-type table after k merges (word, cnt, sym) and b1..bk hold each
+    * round's winning pair. Used by tokenizerBpe (reads b·) and
+    * tokenizerSegment (reads the final v·). */
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       val prev = s"v${i - 1}"
       s"""p$i AS (
@@ -1394,33 +1397,52 @@ object TextSimSql {
          |  SELECT a, b, a || b AS ab, freq FROM p$i
          |  ORDER BY freq DESC, a, b LIMIT 1
          |), m$i AS (
-         |  SELECT wid, cnt, sym, 0 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
+         |  SELECT word, cnt, sym, 0 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
          |  UNION ALL
-         |  SELECT m.wid, m.cnt, m.sym, m.i + 1,
+         |  SELECT m.word, m.cnt, m.sym, m.i + 1,
          |         CASE WHEN len(m.out) > 0 AND m.out[-1] = (SELECT a FROM b$i)
          |                   AND m.sym[m.i + 1] = (SELECT b FROM b$i)
          |              THEN list_concat(m.out[1:len(m.out) - 1], [(SELECT ab FROM b$i)])
          |              ELSE list_concat(m.out, [m.sym[m.i + 1]]) END
          |  FROM m$i m WHERE m.i < len(m.sym)
          |), v$i AS MATERIALIZED (
-         |  SELECT wid, cnt, out AS sym FROM m$i WHERE i = len(sym)
+         |  SELECT word, cnt, out AS sym FROM m$i WHERE i = len(sym)
          |)""".stripMargin
     }.mkString(", ")
-    val sel = (1 to k).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
-        s"ab AS merged, freq FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""WITH RECURSIVE v0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY word) AS wid, cnt,
+       |  SELECT word, cnt,
        |         list_transform(generate_series(1, length(word)),
        |                        i -> substring(word, i, 1)) AS sym
        |  FROM (
        |    SELECT word, COUNT(*) AS cnt
        |    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
        |    GROUP BY word)
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  val tokenizerBpe: String = {
+    val k = graft.text.Bpe.DefaultMerges
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"ab AS merged, freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""${bpeCtes(k)}
        |$sel
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Segmentation replay: the final v<k> IS the segmented word-type table;
+    * the corpus application is one word join + per-doc aggregate. */
+  val tokenizerSegment: String = {
+    val k = graft.text.Bpe.DefaultMerges
+    s"""${bpeCtes(k)}, dw AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(sym)) AS BIGINT) AS n_subwords,
+       |       ${r("CAST(SUM(len(sym)) AS DOUBLE) / COUNT(*)")} AS subwords_per_word
+       |FROM dw JOIN v$k USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Bigram-LM replay: same 1-indexed bigram extraction as corpusColloc,

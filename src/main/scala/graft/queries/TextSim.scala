@@ -455,6 +455,24 @@ object TextSim {
     graft.text.Bpe.learnMerges(Tables.documents(s, dir))
       .orderBy("merge_rank")
 
+  /** BPE segmentation applied to the corpus: per-doc word/subword counts
+    * under the 8-merge model — the fertility measurement (subwords per
+    * word) a tokenizer-training run reports. ONE word-keyed join against
+    * the segmented word-type table; text is never re-scanned per merge. */
+  def tokenizerSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.Bpe.segmented(docs)
+      .select(col("word"), col("n_subwords").as("_ns"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(v, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("_ns")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        r6(col("n_subwords").cast("double") / col("n_words"))
+          .as("subwords_per_word"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram-LM document scores: mean −log2 p(t₂|t₁), add-one smoothed
     * (see [[graft.text.TextStats.bigramLogprob]]). */
   def textLogprobBigram(s: SparkSession, dir: String): DataFrame =

@@ -57,7 +57,20 @@ object Bpe {
 
   /** Learn `merges` BPE merges; returns (merge_rank, lhs, rhs, merged,
     * freq) — the merge table, one row per learned merge in order. */
-  def learnMerges(docs: DataFrame, merges: Int = DefaultMerges): DataFrame = {
+  def learnMerges(docs: DataFrame, merges: Int = DefaultMerges): DataFrame =
+    run(docs, merges)._1
+
+  /** The word-type table AFTER the learned merges: (word, cnt,
+    * n_subwords) — i.e. each word's BPE segmentation length under the
+    * `merges`-merge model. The corpus-side application is then one
+    * word-keyed join (broadcast when the vocab fits, plain shuffle join at
+    * web-corpus vocab) — raw text is never re-scanned per merge. */
+  def segmented(docs: DataFrame, merges: Int = DefaultMerges): DataFrame =
+    run(docs, merges)._2
+      .select(col("word"), col("cnt"),
+        size(col("sym")).cast("long").as("n_subwords"))
+
+  private def run(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var vocab = wordTypes(docs).localCheckpoint()
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -84,7 +97,7 @@ object Bpe {
           .localCheckpoint()
       }
     }
-    spark.createDataFrame(
+    val mergeTable = spark.createDataFrame(
       spark.sparkContext.parallelize(out.result().map(Row.fromTuple), 1),
       StructType(Seq(
         StructField("merge_rank", LongType, nullable = false),
@@ -92,5 +105,6 @@ object Bpe {
         StructField("rhs", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("freq", LongType, nullable = false))))
+    (mergeTable, vocab)
   }
 }

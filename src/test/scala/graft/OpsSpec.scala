@@ -1938,6 +1938,19 @@ class OpsSpec extends SparkSpec {
       (2L, "bb", "b", "bbb", 2L)))
   }
 
+  test("bpe segmented: per-word subword counts reflect the learned merges") {
+    val s = spark
+    import s.implicits._
+    // merges learned: (a,a)->aa then (a,b)->ab; so aa->1 subword,
+    // ab->1, b->1, and the unmerged 'ba' stays 2 chars
+    val docs = Seq((1L, "aa ab"), (2L, "aa aa b ba")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.segmented(docs, merges = 2)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("aa", 3L, 1L), ("ab", 1L, 1L), ("b", 1L, 1L), ("ba", 1L, 2L)))
+  }
+
   test("bigramLogprob: planted counts against add-one-smoothed conditionals; short docs excluded") {
     val s = spark
     import s.implicits._
