@@ -177,4 +177,25 @@ object Behavior {
       .orderBy(col("n").desc, col("path"))
       .limit(k)
   }
+
+  /** Per-user Shannon entropy of the event-type distribution — the
+    * behavioral-diversity signal (0 = single-minded, log2(#types) =
+    * uniform) that segments bots/scrapers (near-zero) from organic
+    * sessions. Two user-keyed aggregates + one type-keyed join back; the
+    * per-user sum folds over the event_type-sorted list (sequential-fold
+    * contract, oracle bit-equal — event types are unique per user, so the
+    * sort order is total). */
+  def userTypeEntropy(events: DataFrame): DataFrame = {
+    val c = events.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val tot = c.groupBy("user_id").agg(sum(col("c")).as("n"))
+    c.join(tot, Seq("user_id"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        (-(col("c").cast("double") / col("n")) *
+          log2(col("c").cast("double") / col("n"))).as("h"))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_types"),
+        array_sort(collect_list(struct(col("event_type"), col("h")))).as("_s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("aggregate(_s, 0D, (acc, x) -> acc + x.h)").as("type_entropy"))
+  }
 }

@@ -239,6 +239,37 @@ object Market {
         (col("close") - ll) / (hh - ll)).as("donchian_pos"))
   }
 
+  val IchimokuTenkan = 9
+  val IchimokuKijun = 26
+  val IchimokuSenkouB = 52
+  val IchimokuShift = 26
+
+  /** Ichimoku Kinko Hyo (the 9/26/52 cloud): conversion/base lines are
+    * rolling (highest-high + lowest-low)/2 midpoints, and the two senkou
+    * spans are their combination shifted BACK 26 bars (the cloud above
+    * today was computed 26 bars ago — the causal, feature-safe reading of
+    * the traditional forward plot; no lookahead anywhere). Every component
+    * is NULL until its frame fills, and the spans additionally need the
+    * 26-bar shift history — the same full-frame gating as Donchian.
+    * Rolling MIN/MAX are order-insensitive, so every output is natively
+    * bit-portable to the oracle's window replay. */
+  def withIchimoku(df: DataFrame): DataFrame = {
+    def f(n: Int) = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    def mid(n: Int) =
+      when(count(col("close")).over(f(n)) === n,
+        (max(col("high")).over(f(n)) + min(col("low")).over(f(n))) / 2)
+    val s1 = df.select(col("*"),
+      mid(IchimokuTenkan).as("ichimoku_tenkan"),
+      mid(IchimokuKijun).as("ichimoku_kijun"),
+      mid(IchimokuSenkouB).as("_spanb_raw"))
+    s1.select(col("*"),
+      lag((col("ichimoku_tenkan") + col("ichimoku_kijun")) / 2, IchimokuShift)
+        .over(Frames.bySymbol).as("ichimoku_senkou_a"),
+      lag(col("_spanb_raw"), IchimokuShift)
+        .over(Frames.bySymbol).as("ichimoku_senkou_b"))
+      .drop("_spanb_raw")
+  }
+
   val CciWindow = 20
 
   /** Commodity Channel Index over n bars of typical price tp = (h+l+c)/3:

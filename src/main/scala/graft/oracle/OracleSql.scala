@@ -525,6 +525,34 @@ object OracleSql {
        |FROM d1 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featIchimoku (Market.withIchimoku, 9/26/52): rolling
+    * MIN/MAX midpoints with full-frame gates; the senkou spans are the
+    * 26-bar LAG of the combined lines (causal reading, no lookahead). */
+  val featIchimoku: String = {
+    import graft.features.{Market => M}
+    def mid(n: Int, tag: String) =
+      s"CASE WHEN COUNT(close) OVER (${frame(n)}) = $n THEN " +
+        s"(MAX(high) OVER (${frame(n)}) + MIN(low) OVER (${frame(n)})) / 2 END AS $tag"
+    s"""$barsCte, i1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${mid(M.IchimokuTenkan, "tenkan")},
+       |         ${mid(M.IchimokuKijun, "kijun")},
+       |         ${mid(M.IchimokuSenkouB, "spanb_raw")}
+       |  FROM bars
+       |), i2 AS (
+       |  SELECT symbol, event_id, tenkan, kijun,
+       |         LAG((tenkan + kijun) / 2, ${M.IchimokuShift}) OVER ($W) AS senkou_a,
+       |         LAG(spanb_raw, ${M.IchimokuShift}) OVER ($W) AS senkou_b
+       |  FROM i1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r("tenkan")} AS ichimoku_tenkan,
+       |       ${r("kijun")} AS ichimoku_kijun,
+       |       ${r("senkou_a")} AS ichimoku_senkou_a,
+       |       ${r("senkou_b")} AS ichimoku_senkou_b
+       |FROM i2 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featCci (Market.withCci, n=20): the frame-ordered list
     * replays Spark's sequential `aggregate` fold (list_sum == the 0.0-seeded
     * left fold, same argument as cumSum); mean deviation is folded from the
@@ -1108,6 +1136,23 @@ object OracleSql {
   /** Mirrors Analytics.userCadence: per-user count/span/gap stats over
     * integer-microsecond timestamps; mean gap via the telescoping
     * span/(n−1) identity on both sides. */
+  /** Mirrors Analytics.eventsEntropy (Behavior.userTypeEntropy): identical
+    * -p·log2(p) arithmetic; the per-user sum replays the event_type-sorted
+    * sequential fold. */
+  val eventsEntropy: String =
+    s"""WITH c AS (
+       |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1
+       |), h AS (
+       |  SELECT user_id, event_type, n,
+       |         -(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n) AS h
+       |  FROM c JOIN t USING (user_id)
+       |)
+       |SELECT user_id, MAX(n) AS n_events, CAST(COUNT(*) AS BIGINT) AS n_types,
+       |       ${r("list_sum(list(h ORDER BY event_type))")} AS type_entropy
+       |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val userCadence: String =
     s"""WITH g0 AS (
        |  SELECT user_id, ts,

@@ -816,6 +816,14 @@ object Analytics {
         r6(col("max_gap_s")).as("max_gap_s"))
       .orderBy("user_id")
 
+  /** Per-user event-type Shannon entropy
+    * (graft.analytics.Behavior.userTypeEntropy). */
+  def eventsEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.userTypeEntropy(Bars.readEvents(s, dir))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        r6(col("type_entropy")).as("type_entropy"))
+      .orderBy("user_id")
+
   /** Pairwise event-type co-occurrence with support and lift
     * (graft.analytics.Behavior.assocPairs). */
   def assocPairs(s: SparkSession, dir: String): DataFrame =

@@ -197,6 +197,14 @@ object Core {
   def featCci(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withCci(bars(s, dir)), Seq("cci"), Set("cci"))
 
+  /** Ichimoku 9/26/52 cloud, causal (spans lagged 26 bars)
+    * (see [[graft.features.Market.withIchimoku]]). */
+  def featIchimoku(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("ichimoku_tenkan", "ichimoku_kijun",
+      "ichimoku_senkou_a", "ichimoku_senkou_b")
+    keyed(Market.withIchimoku(bars(s, dir)), out, out.toSet)
+  }
+
   /** Keltner channels: EMA(tp, 20) ± 2·ATR(10)
     * (see [[graft.features.Market.withKeltner]]). */
   def featKeltner(s: SparkSession, dir: String): DataFrame = {

@@ -95,4 +95,30 @@ class FeatureSpec extends SparkSpec {
     assert(featureCols == Features.FeatureCols.toSet)
     assert(Features.FeatureCols.length == 49)
   }
+
+  test("ichimoku: midpoints from rolling extrema, spans lagged 26, nulls until frames fill") {
+    // 100 bars so the 52-frame + 26-shift senkou_b goes non-null (i >= 77)
+    val close = (1 to 100).map(i => 100.0 + 10 * math.sin(i / 5.0))
+    val out = Market.withIchimoku(barsOf(close))
+    val highs = close.map(_ * 1.01)
+    val lows = close.map(_ * 0.99)
+    def mid(n: Int, i: Int): Option[Double] =
+      if (i < n - 1) None
+      else Some((highs.slice(i - n + 1, i + 1).max +
+        lows.slice(i - n + 1, i + 1).min) / 2)
+    def cmp(got: Seq[Option[Double]], want: Int => Option[Double], tag: String): Unit =
+      got.zipWithIndex.foreach { case (g, i) =>
+        val w = want(i)
+        assert(g.isDefined == w.isDefined, s"$tag null gate at $i: $g vs $w")
+        g.zip(w).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"$tag at $i: $a vs $b") }
+      }
+    cmp(column(out, "ichimoku_tenkan"), mid(9, _), "tenkan")
+    cmp(column(out, "ichimoku_kijun"), mid(26, _), "kijun")
+    cmp(column(out, "ichimoku_senkou_a"), i =>
+      for (t <- mid(9, i - 26); k <- mid(26, i - 26)) yield (t + k) / 2,
+      "senkou_a")
+    cmp(column(out, "ichimoku_senkou_b"), i =>
+      if (i - 26 < 0) None else mid(52, i - 26), "senkou_b")
+  }
 }

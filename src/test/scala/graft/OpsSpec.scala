@@ -1938,6 +1938,23 @@ class OpsSpec extends SparkSpec {
       (2L, "bb", "b", "bbb", 2L)))
   }
 
+  test("userTypeEntropy: uniform 2-type user = 1 bit, single-type user = 0") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "click"), (1L, "click"), (1L, "view"), (1L, "view"),
+      (2L, "click"),
+      (3L, "click"), (3L, "view"), (3L, "view"), (3L, "view"))
+      .toDF("user_id", "event_type")
+    val got = graft.analytics.Behavior.userTypeEntropy(ev)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 4L, 2L, 1.0)))
+    assert(got(1)._1 == 2L && got(1)._4 == 0.0)
+    val h3 = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75)) / math.log(2.0)
+    assert(math.abs(got(2)._4 - h3) < 1e-12)
+  }
+
   test("bpe segmented: per-word subword counts reflect the learned merges") {
     val s = spark
     import s.implicits._
