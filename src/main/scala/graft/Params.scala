@@ -42,6 +42,12 @@ object Params {
   val HoltAlpha = 0.3
   val HoltBeta = 0.1
 
+  /** Kaufman Adaptive MA (`window_kama`): efficiency-ratio window and the
+    * classic fast/slow EMA spans (10/2/30). */
+  val KamaWindow = 10
+  val KamaFast = 2
+  val KamaSlow = 30
+
   /** The events table's closed event-type vocabulary (TESTDATA.md) — the
     * explicit value list for pivot/unpivot on BOTH the Spark and oracle
     * sides, so the four uses cannot drift apart. */

@@ -239,6 +239,39 @@ object Market {
         (col("close") - ll) / (hh - ll)).as("donchian_pos"))
   }
 
+  /** Kaufman Adaptive MA: efficiency ratio er = |Δclose over n bars| /
+    * Σ|1-bar diffs| maps each row to α = (er·(fast−slow)+slow)² and the
+    * custom [[graft.expr.Kama]] window function runs the data-dependent
+    * recursion v' = v + α·(close − v) in one WindowExec pass. Rolling
+    * volatility uses the cum−lag identity (bit-portable accumulation
+    * order); flat windows (vol = 0) read er = 0 (maximum smoothing); α is
+    * NULL until the window fills, seeding the recursion at the first
+    * complete row. Emits er, kama_alpha, kama. */
+  def withKama(df: DataFrame, n: Int = graft.Params.KamaWindow): DataFrame = {
+    val fastSC = 2.0 / (graft.Params.KamaFast + 1.0)
+    val slowSC = 2.0 / (graft.Params.KamaSlow + 1.0)
+    val w = Frames.bySymbol
+    val wrun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val diff = col("close") - lag(col("close"), 1).over(w)
+    val s1 = df.withColumn("_absd", abs(diff))
+    val s2 = s1.select(col("*"),
+      sum(col("_absd")).over(wrun).as("_cum"),
+      count(col("_absd")).over(w.rowsBetween(-(n - 1), 0)).as("_cnt"),
+      abs(col("close") - lag(col("close"), n).over(w)).as("_change"))
+    val s3 = s2.withColumn("_vol",
+      col("_cum") - coalesce(lag(col("_cum"), n).over(w), lit(0.0)))
+    val er = when(col("_cnt") === n,
+      when(col("_vol") > 0, col("_change") / col("_vol")).otherwise(lit(0.0)))
+    s3.withColumn("er", er)
+      .withColumn("_a0", col("er") * lit(fastSC - slowSC) + lit(slowSC))
+      .withColumn("kama_alpha", col("_a0") * col("_a0"))
+      .withColumn("kama", graft.expr.Kama.kamaOver(col("close"),
+        col("kama_alpha"), Seq(col("symbol")),
+        Seq(col("datetime"), col("event_id"))))
+      .drop("_absd", "_cum", "_cnt", "_change", "_vol", "_a0")
+  }
+
   val IchimokuTenkan = 9
   val IchimokuKijun = 26
   val IchimokuSenkouB = 52

@@ -879,6 +879,51 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.windowKama / expr.Kama: identical efficiency-ratio
+    * arithmetic (cum−lag rolling volatility, 0-on-flat guard, α = (er·C₁ +
+    * C₂)² with the SAME precomputed double constants), then the
+    * data-dependent recursion v' = v + α·(close − v) replayed as a
+    * recursive CTE seeded at the first complete-window row (rn = n+1 —
+    * α is non-null exactly from there, uniformly per symbol). */
+  val windowKama: String = {
+    val n = Params.KamaWindow
+    val c1 = (2.0 / (Params.KamaFast + 1.0) - 2.0 / (Params.KamaSlow + 1.0)).toString
+    val c2 = (2.0 / (Params.KamaSlow + 1.0)).toString
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, close, ROW_NUMBER() OVER ($W) AS rn,
+       |         ABS(close - LAG(close, 1) OVER ($W)) AS absd,
+       |         ABS(close - LAG(close, $n) OVER ($W)) AS change
+       |  FROM bars
+       |), k1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, rn, close, change,
+       |         SUM(absd) OVER ($Wrun) AS cum,
+       |         COUNT(absd) OVER (${frame(n)}) AS cnt
+       |  FROM b2
+       |), k2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn, close, change, cnt,
+       |         cum - COALESCE(LAG(cum, $n) OVER ($W), 0.0) AS vol
+       |  FROM k1
+       |), k3 AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn, close, er,
+       |         (er * $c1 + $c2) * (er * $c1 + $c2) AS alpha
+       |  FROM (
+       |    SELECT *, CASE WHEN cnt = $n THEN
+       |             CASE WHEN vol > 0 THEN change / vol ELSE 0.0 END END AS er
+       |    FROM k2)
+       |), kr AS (
+       |  SELECT symbol, rn, close AS v FROM k3 WHERE rn = ${n + 1}
+       |  UNION ALL
+       |  SELECT k.symbol, k.rn, kr.v + k.alpha * (k.close - kr.v)
+       |  FROM kr JOIN k3 k ON k.symbol = kr.symbol AND k.rn = kr.rn + 1
+       |)
+       |SELECT k3.symbol, k3.event_id,
+       |       ${r("k3.er")} AS er,
+       |       ${r("k3.alpha")} AS kama_alpha,
+       |       ${r("kr.v")} AS kama
+       |FROM k3 LEFT JOIN kr ON kr.symbol = k3.symbol AND kr.rn = k3.rn
+       |ORDER BY k3.event_id""".stripMargin
+  }
+
   /** Mirrors Analytics.windowEwmVol: both adjust=false recurrences (mean
     * of x, mean of x²) replayed in one recursive CTE with two
     * accumulators — the same per-step `m·d + a·x` tree as the Ewma

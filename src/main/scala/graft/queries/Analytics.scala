@@ -282,6 +282,22 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Kaufman Adaptive MA per symbol: the efficiency ratio (directional
+    * change over path volatility, 10-bar window) maps each row to its own
+    * smoothing α ∈ [slow², fast²], and the custom [[graft.expr.Kama]]
+    * window function runs the data-dependent recursion in one WindowExec
+    * pass. Rolling volatility uses the cum−lag identity (running sums
+    * accumulate in row order on both engines — the bit-portable rolling
+    * formulation); α is NULL until the window fills, seeding the recursion
+    * at the first complete row. */
+  def windowKama(s: SparkSession, dir: String): DataFrame =
+    graft.features.Market.withKama(Bars.bars(s, dir))
+      .select(col("symbol"), col("event_id"),
+        r6(col("er")).as("er"),
+        r6(col("kama_alpha")).as("kama_alpha"),
+        r6(col("kama")).as("kama"))
+      .orderBy("event_id")
+
   /** Length-weighted document sample: 100 docs drawn without replacement
     * with probability proportional to n_chars — the quality/length-biased
     * corpus subsample step (see

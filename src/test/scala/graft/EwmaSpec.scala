@@ -143,6 +143,40 @@ class EwmaSpec extends SparkSpec {
     assertSeq(column(out, "trend"), want.map(_._2), tol = 0.0)
   }
 
+  test("kama recursion matches the imperative reference loop (random walk)") {
+    val rnd = new scala.util.Random(7)
+    val closes = Seq.iterate(100.0, 40)(c => c + rnd.nextDouble() * 2 - 1)
+    val out = graft.features.Market.withKama(barsOf(closes))
+    // independent imperative replay
+    val n = 10
+    val fsc = 2.0 / 3.0; val ssc = 2.0 / 31.0
+    val cum = closes.indices.map { i =>
+      (1 to i).map(j => math.abs(closes(j) - closes(j - 1))).sum
+    }
+    var v = 0.0; var started = false
+    val want = closes.indices.map { i =>
+      if (i < n) (None, None)
+      else {
+        val vol = cum(i) - (if (i >= n) cum(i - n) else 0.0)
+        val change = math.abs(closes(i) - closes(i - n))
+        val er = if (vol > 0) change / vol else 0.0
+        val a0 = er * (fsc - ssc) + ssc
+        val alpha = a0 * a0
+        if (!started) { v = closes(i); started = true }
+        else v = v + alpha * (closes(i) - v)
+        (Some(er), Some(v))
+      }
+    }
+    val gotEr = column(out, "er")
+    val gotKama = column(out, "kama")
+    want.zipWithIndex.foreach { case ((er, k), i) =>
+      assert(gotEr(i).isDefined == er.isDefined, s"er gate at $i")
+      er.foreach(e => assert(math.abs(gotEr(i).get - e) < 1e-9, s"er at $i"))
+      assert(gotKama(i).isDefined == k.isDefined, s"kama gate at $i")
+      k.foreach(x => assert(math.abs(gotKama(i).get - x) < 1e-9, s"kama at $i"))
+    }
+  }
+
   test("holt trend converges to the slope on a perfect linear ramp") {
     val ramp = (1 to 60).map(i => 10.0 + 2.5 * i)
     val out = barsOf(ramp).select(col("symbol"), col("event_id"),
