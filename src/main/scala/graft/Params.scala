@@ -48,6 +48,16 @@ object Params {
   val KamaFast = 2
   val KamaSlow = 30
 
+  /** Chande Momentum Oscillator window (`feat_chande`). */
+  val ChandeWindow = 14
+
+  /** Detrended Price Oscillator window (`feat_dpo`); displacement is the
+    * classic n/2 + 1. */
+  val DpoWindow = 20
+
+  /** Elder Ray EMA span (`feat_elder_ray`) — Elder's classic 13-bar EMA. */
+  val ElderSpan = 13
+
   /** The events table's closed event-type vocabulary (TESTDATA.md) — the
     * explicit value list for pivot/unpivot on BOTH the Spark and oracle
     * sides, so the four uses cannot drift apart. */

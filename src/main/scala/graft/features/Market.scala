@@ -711,4 +711,133 @@ object Market {
       .select(col("*"),
         min(col("drawdown")).over(running).as("max_drawdown"))
   }
+
+  /** Chande Momentum Oscillator over n bars — RSI's unsmoothed sibling:
+    *
+    *   up  = max(Δclose, 0)     dn = max(−Δclose, 0)   (null first bar)
+    *   cmo = 100 · (Σup − Σdn) / (Σup + Σdn)   over the last n deltas
+    *
+    * Unlike RSI there is no EWMA recurrence — both rolling sums come from
+    * the same O(n) cum−lag identity as every other rolling feature, so the
+    * oracle replays them with sequential list_sum folds. NULL until n
+    * deltas are in frame or when the frame is flat (Σup + Σdn = 0). */
+  def withChande(df: DataFrame, n: Int = graft.Params.ChandeWindow): DataFrame = {
+    val delta = col("close") - lag(col("close"), 1).over(Frames.bySymbol)
+    val s1 = df.select(col("*"),
+      ((delta > 0).cast("double") * delta).as("_up"),
+      ((delta < 0).cast("double") * (-delta)).as("_dn"))
+    val s2 = Frames.withCums(s1, Map("_c_up" -> col("_up"),
+      "_c_dn" -> col("_dn")))
+    val su = Frames.cumRolling("_c_up", n)
+    val sd = Frames.cumRolling("_c_dn", n)
+    s2.select(col("*"),
+        when(Frames.cumCountGate("_c_up", n) && (su + sd) > 0.0,
+          (su - sd) / (su + sd) * 100.0).as(s"cmo_$n"))
+      .drop("_up", "_dn")
+      .drop(Frames.cumHelperCols(Seq("_c_up", "_c_dn")): _*)
+  }
+
+  /** Detrended Price Oscillator — price vs a displaced moving average:
+    *
+    *   dpo = close[t − (n/2 + 1)] − SMA(close, n)[t]
+    *
+    * Strips the n-bar trend so shorter cycles stand out. Both terms are
+    * causal (a backward shift and a trailing SMA), one lag + one cum−lag
+    * rolling mean over the shared per-symbol exchange. NULL until both the
+    * SMA frame is full and the displaced close exists. */
+  def withDpo(df: DataFrame, n: Int = graft.Params.DpoWindow): DataFrame = {
+    val shift = n / 2 + 1
+    val s1 = Frames.withCums(df, Map("_c_dc" -> col("close")))
+    val shifted = lag(col("close"), shift).over(Frames.bySymbol)
+    s1.select(col("*"),
+        when(Frames.cumCountGate("_c_dc", n) && shifted.isNotNull,
+          shifted - Frames.cumRolling("_c_dc", n) / n).as(s"dpo_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_dc")): _*)
+  }
+
+  /** Elder Ray — bull/bear power against a 13-bar EMA baseline:
+    *
+    *   ema13 = ewm_mean(close, span, adjust=true)
+    *   elder_bull = high − ema13      elder_bear = low − ema13
+    *
+    * The EMA runs through the same [[graft.expr.Ewma]] Catalyst window
+    * expression as MACD; the oracle replays the adjust=true num/den
+    * recurrence in a recursive CTE. One window pass over the shared
+    * per-symbol exchange. */
+  def withElderRay(df: DataFrame, span: Int = graft.Params.ElderSpan): DataFrame = {
+    val ema = graft.expr.Ewma.ewmaSpanOver(col("close"), span, adjust = true,
+      Seq(col(Frames.SymbolCol)), Seq(col(Frames.TimeCol), col(Frames.TieCol)))
+    df.select(col("*"), ema.as(s"ema_$span"))
+      .select(col("*"),
+        (col("high") - col(s"ema_$span")).as("elder_bull"),
+        (col("low") - col(s"ema_$span")).as("elder_bear"))
+  }
+
+  /** Heikin-Ashi candles — the smoothed OHLC transform charting stacks use:
+    *
+    *   ha_close = (open + high + low + close) / 4            (narrow)
+    *   ha_open  = (ha_open[t−1] + ha_close[t−1]) / 2,
+    *              seeded (open₁ + close₁) / 2                 (recursive)
+    *   ha_high  = max(high, ha_open, ha_close)
+    *   ha_low   = min(low,  ha_open, ha_close)
+    *
+    * The ha_open recursion is EXACTLY the adjust=false EWMA recurrence with
+    * α = 0.5 over x[t] = ha_close[t−1] (seeded with x₁ = (open₁+close₁)/2):
+    * y = y·0.5 + 0.5·x — so it reuses the [[graft.expr.Ewma]] window
+    * expression verbatim instead of needing its own stateful operator, and
+    * the oracle replays the identical per-step tree in a recursive CTE.
+    * Two chained window passes (the lag, then the recurrence) over the one
+    * shared per-symbol exchange. */
+  def withHeikinAshi(df: DataFrame): DataFrame = {
+    val s1 = df.select(col("*"),
+      ((col("open") + col("high") + col("low") + col("close")) / 4.0)
+        .as("ha_close"))
+    val s2 = s1.select(col("*"),
+      coalesce(lag(col("ha_close"), 1).over(Frames.bySymbol),
+        (col("open") + col("close")) / 2.0).as("_ha_x"))
+    val haOpen = graft.expr.Ewma.ewmaOver(col("_ha_x"), 0.5, adjust = false,
+      Seq(col(Frames.SymbolCol)), Seq(col(Frames.TimeCol), col(Frames.TieCol)))
+    s2.select(col("*"), haOpen.as("ha_open"))
+      .select(col("*"),
+        greatest(col("high"), col("ha_open"), col("ha_close")).as("ha_high"),
+        least(col("low"), col("ha_open"), col("ha_close")).as("ha_low"))
+      .drop("_ha_x")
+  }
+
+  /** Classic floor-trader pivot points — today's support/resistance levels
+    * from YESTERDAY's daily high/low/close:
+    *
+    *   P  = (H + L + C) / 3
+    *   R1 = 2P − L    S1 = 2P − H    R2 = P + (H − L)    S2 = P − (H − L)
+    *
+    * The day table is |symbols|×|days| rows — a partial+final aggregate
+    * collapses the bar stream map-side, the per-symbol day lag runs on that
+    * tiny frame, and the result BROADCASTS back onto the bars (no second
+    * shuffle of the fact stream — the join key (symbol, date) is derived,
+    * so co-partitioning can't be assumed; at 100 TB the day table is still
+    * only ~730 rows per symbol-year). Last close of the day is max_by on
+    * event_id — deterministic, order-insensitive, bit-portable (DuckDB
+    * arg_max). First day per symbol has no prior day → NULL levels. */
+  def withPivotPoints(df: DataFrame): DataFrame = {
+    val day = df
+      .groupBy(col(Frames.SymbolCol), to_date(col(Frames.TimeCol)).as("_d"))
+      .agg(max(col("high")).as("_dh"), min(col("low")).as("_dl"),
+        max_by(col("close"), col(Frames.TieCol)).as("_dc"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(Frames.SymbolCol).orderBy("_d")
+    val prev = day.select(col(Frames.SymbolCol), col("_d"),
+      lag(col("_dh"), 1).over(wd).as("_ph"),
+      lag(col("_dl"), 1).over(wd).as("_pl"),
+      lag(col("_dc"), 1).over(wd).as("_pc"))
+    val p = (col("_ph") + col("_pl") + col("_pc")) / 3.0
+    val piv = prev.select(col(Frames.SymbolCol), col("_d"),
+      p.as("pivot"),
+      (p * 2.0 - col("_pl")).as("pivot_r1"),
+      (p * 2.0 - col("_ph")).as("pivot_s1"),
+      (p + (col("_ph") - col("_pl"))).as("pivot_r2"),
+      (p - (col("_ph") - col("_pl"))).as("pivot_s2"))
+    df.withColumn("_d", to_date(col(Frames.TimeCol)))
+      .join(broadcast(piv), Seq(Frames.SymbolCol, "_d"), "left")
+      .drop("_d")
+  }
 }

@@ -505,6 +505,143 @@ object OracleSql {
        |ORDER BY x1.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featChande (Market.withChande, n=14): null-propagating
+    * up/down deltas, both rolling sums via the sequential cum−lag fold,
+    * flat-frame (Σup+Σdn = 0) gated like the Spark side. */
+  val featChande: String = {
+    val n = Params.ChandeWindow
+    s"""$barsCte, c1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         close - LAG(close, 1) OVER ($W) AS delta
+       |  FROM bars
+       |), c2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CAST(delta > 0 AS DOUBLE) * delta AS _up,
+       |         CAST(delta < 0 AS DOUBLE) * (-delta) AS _dn
+       |  FROM c1
+       |), c3 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("_up")} AS _c_up,
+       |         COUNT(_up) OVER ($Wrun) AS _c_up_n,
+       |         ${cumSum("_dn")} AS _c_dn
+       |  FROM c2
+       |), c4 AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_up", n)} AS su,
+       |         ${cumRolling("_c_dn", n)} AS sd,
+       |         ${cumGate("_c_up", n)} AS g
+       |  FROM c3
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN g AND (su + sd) > 0.0 THEN (su - sd) / (su + sd) * 100.0 END")} AS cmo_$n
+       |FROM c4 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featDpo (Market.withDpo, n=20, shift=11): displaced lag
+    * minus the cum−lag rolling mean, both gates mirrored. */
+  val featDpo: String = {
+    val n = Params.DpoWindow
+    val shift = n / 2 + 1
+    s"""$barsCte, dp1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("close")} AS _c_dc,
+       |         COUNT(close) OVER ($Wrun) AS _c_dc_n
+       |  FROM bars
+       |), dp2 AS (
+       |  SELECT symbol, event_id,
+       |         LAG(close, $shift) OVER ($W) AS shifted,
+       |         ${cumRolling("_c_dc", n)} AS sm,
+       |         ${cumGate("_c_dc", n)} AS g
+       |  FROM dp1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN g AND shifted IS NOT NULL THEN shifted - sm / $n END")} AS dpo_$n
+       |FROM dp2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featElderRay (Market.withElderRay, span=13): the
+    * adjust=true num/den EWMA recurrence replayed recursively (same
+    * per-step tree as the Ewma expression), bull/bear as high/low minus
+    * the evaluated num/den. */
+  val featElderRay: String = {
+    val sp = Params.ElderSpan
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, high, low, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), em AS (
+       |  SELECT symbol, rn, close AS nm, CAST(1.0 AS DOUBLE) AS dd FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         em.nm * ${d(sp)} + b2.close, em.dd * ${d(sp)} + 1.0
+       |  FROM em JOIN b2 ON b2.symbol = em.symbol AND b2.rn = em.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id,
+       |       ${r("em.nm / em.dd")} AS ema_$sp,
+       |       ${r("b2.high - em.nm / em.dd")} AS elder_bull,
+       |       ${r("b2.low - em.nm / em.dd")} AS elder_bear
+       |FROM b2 JOIN em ON em.symbol = b2.symbol AND em.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featHeikinAshi (Market.withHeikinAshi): ha_close narrow,
+    * the ha_open recursion replayed as v·0.5 + 0.5·x — the EXACT
+    * adjust=false α=0.5 Ewma tree the Spark side evaluates — seeded with
+    * x₁ = (open₁+close₁)/2 at rn=1. */
+  val featHeikinAshi: String =
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, h1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, open, high, low, close,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         (open + high + low + close) / 4.0 AS ha_close
+       |  FROM bars
+       |), h2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn, high, low, ha_close,
+       |         COALESCE(LAG(ha_close, 1) OVER ($W), (open + close) / 2.0) AS x
+       |  FROM h1
+       |), ho AS (
+       |  SELECT symbol, rn, x AS v FROM h2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT h2.symbol, h2.rn, ho.v * 0.5 + 0.5 * h2.x
+       |  FROM ho JOIN h2 ON h2.symbol = ho.symbol AND h2.rn = ho.rn + 1
+       |)
+       |SELECT h2.symbol, h2.event_id,
+       |       ${r("ho.v")} AS ha_open,
+       |       ${r("GREATEST(h2.high, ho.v, h2.ha_close)")} AS ha_high,
+       |       ${r("LEAST(h2.low, ho.v, h2.ha_close)")} AS ha_low,
+       |       ${r("h2.ha_close")} AS ha_close
+       |FROM h2 JOIN ho ON ho.symbol = h2.symbol AND ho.rn = h2.rn
+       |ORDER BY h2.event_id""".stripMargin
+
+  /** Mirrors Core.featPivotPoints (Market.withPivotPoints): day-grain
+    * MAX/MIN/arg_max aggregate (all order-insensitive / key-deterministic,
+    * bit-portable natively), per-symbol day lag, identical level
+    * arithmetic, date-keyed left join back onto the bars. */
+  val featPivotPoints: String =
+    s"""$barsCte, pday AS (
+       |  SELECT symbol, CAST(datetime AS DATE) AS d,
+       |         MAX(high) AS dh, MIN(low) AS dl, arg_max(close, event_id) AS dc
+       |  FROM bars GROUP BY symbol, CAST(datetime AS DATE)
+       |), pprev AS (
+       |  SELECT symbol, d,
+       |         LAG(dh, 1) OVER (PARTITION BY symbol ORDER BY d) AS ph,
+       |         LAG(dl, 1) OVER (PARTITION BY symbol ORDER BY d) AS pl,
+       |         LAG(dc, 1) OVER (PARTITION BY symbol ORDER BY d) AS pc
+       |  FROM pday
+       |), piv AS (
+       |  SELECT symbol, d,
+       |         (ph + pl + pc) / 3.0 AS pivot,
+       |         (ph + pl + pc) / 3.0 * 2.0 - pl AS pivot_r1,
+       |         (ph + pl + pc) / 3.0 * 2.0 - ph AS pivot_s1,
+       |         (ph + pl + pc) / 3.0 + (ph - pl) AS pivot_r2,
+       |         (ph + pl + pc) / 3.0 - (ph - pl) AS pivot_s2
+       |  FROM pprev
+       |)
+       |SELECT b.symbol, b.event_id,
+       |       ${r("p.pivot")} AS pivot, ${r("p.pivot_r1")} AS pivot_r1,
+       |       ${r("p.pivot_s1")} AS pivot_s1, ${r("p.pivot_r2")} AS pivot_r2,
+       |       ${r("p.pivot_s2")} AS pivot_s2
+       |FROM bars b LEFT JOIN piv p ON p.symbol = b.symbol AND p.d = CAST(b.datetime AS DATE)
+       |ORDER BY b.event_id""".stripMargin
+
   /** Mirrors Core.featDonchian (Market.withDonchian, n=20): rolling
     * MIN/MAX extrema (order-insensitive, bit-portable natively) with the
     * full-frame gate; position gated on a non-degenerate channel. */

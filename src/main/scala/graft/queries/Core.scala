@@ -271,6 +271,41 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** Chande Momentum Oscillator over 14 deltas
+    * (see [[graft.features.Market.withChande]]). */
+  def featChande(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq(s"cmo_${graft.Params.ChandeWindow}")
+    keyed(Market.withChande(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Detrended Price Oscillator, 20-bar SMA displaced 11
+    * (see [[graft.features.Market.withDpo]]). */
+  def featDpo(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq(s"dpo_${graft.Params.DpoWindow}")
+    keyed(Market.withDpo(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Elder Ray bull/bear power vs a 13-bar EMA
+    * (see [[graft.features.Market.withElderRay]]). */
+  def featElderRay(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq(s"ema_${graft.Params.ElderSpan}", "elder_bull", "elder_bear")
+    keyed(Market.withElderRay(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Heikin-Ashi smoothed candles (recursive ha_open via the Ewma
+    * expression; see [[graft.features.Market.withHeikinAshi]]). */
+  def featHeikinAshi(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("ha_open", "ha_high", "ha_low", "ha_close")
+    keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Floor-trader pivot points from the prior day's OHLC
+    * (see [[graft.features.Market.withPivotPoints]]). */
+  def featPivotPoints(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("pivot", "pivot_r1", "pivot_s1", "pivot_r2", "pivot_s2")
+    keyed(Market.withPivotPoints(bars(s, dir)), out, out.toSet)
+  }
+
   /** Out-of-fold target encoding: each row's symbol encoding is the mean
     * classification target over the OTHER k−1 md5-assigned folds — the
     * k-fold leakage guard production pipelines use where leave-one-out

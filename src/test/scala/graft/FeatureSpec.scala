@@ -121,4 +121,83 @@ class FeatureSpec extends SparkSpec {
     cmp(column(out, "ichimoku_senkou_b"), i =>
       if (i - 26 < 0) None else mid(52, i - 26), "senkou_b")
   }
+
+  test("chande CMO: bounded, saturates at ±100 on monotone series, gated") {
+    val n = Params.ChandeWindow
+    val up = Market.withChande(barsOf((1 to 40).map(_.toDouble)))
+    val cmo = column(up, s"cmo_$n")
+    // deltas start at row 1, gate needs n of them → null through index n
+    assert(cmo.take(n).forall(_.isEmpty) && cmo.drop(n).forall(_.isDefined))
+    cmo.flatten.foreach(v => assert(math.abs(v - 100.0) < 1e-9,
+      s"monotone-up CMO should saturate at +100, got $v"))
+    val rnd = new scala.util.Random(7)
+    val mixed = Market.withChande(barsOf(Seq.fill(60)(50.0 + rnd.nextDouble() * 100)))
+    column(mixed, s"cmo_$n").flatten.foreach(v =>
+      assert(v >= -100.0 - 1e-9 && v <= 100.0 + 1e-9))
+  }
+
+  test("dpo: exactly -1.5 on a unit-slope linear series (n=20, shift=11)") {
+    val n = Params.DpoWindow
+    val df = Market.withDpo(barsOf((1 to 60).map(_.toDouble)))
+    val dpo = column(df, s"dpo_$n")
+    // SMA lags the line by (n-1)/2 = 9.5; displaced close lags by 11
+    dpo.flatten.foreach(v => assert(math.abs(v - (-1.5)) < 1e-9))
+    // SMA gate opens at index n−1 (that row completes the n-bar frame) and
+    // dominates the shift-11 lag, so 60 − (n−1) rows carry a value
+    assert(dpo.count(_.isDefined) == 60 - (n - 1))
+  }
+
+  test("elder ray: bull >= bear, both straddle zero around the EMA") {
+    val rnd = new scala.util.Random(11)
+    val df = Market.withElderRay(barsOf(Seq.fill(50)(100.0 + rnd.nextDouble() * 20)))
+    val bull = column(df, "elder_bull").flatten
+    val bear = column(df, "elder_bear").flatten
+    assert(bull.length == 50 && bear.length == 50)
+    bull.zip(bear).foreach { case (b, r) =>
+      assert(b >= r - 1e-12, "high - ema must be >= low - ema") }
+  }
+
+  test("heikin ashi: seeded open, envelope ordering, recursive midpoint") {
+    val close = Seq(10.0, 12.0, 11.0, 15.0, 14.0)
+    val df = Market.withHeikinAshi(barsOf(close))
+    val rows = df.orderBy("event_id")
+      .select("open", "high", "low", "close", "ha_open", "ha_high", "ha_low", "ha_close")
+      .collect()
+    val first = rows.head
+    assert(math.abs(first.getDouble(4) -
+      (first.getDouble(0) + first.getDouble(3)) / 2) < 1e-12)
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val want = (prev.getDouble(4) + prev.getDouble(7)) / 2
+      assert(math.abs(cur.getDouble(4) - want) < 1e-9,
+        "ha_open must be the midpoint of the previous HA candle")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= math.max(r.getDouble(4), r.getDouble(7)) - 1e-12)
+      assert(r.getDouble(6) <= math.min(r.getDouble(4), r.getDouble(7)) + 1e-12)
+    }
+  }
+
+  test("pivot points: level ordering s2<=s1<=p<=r1<=r2, first day null") {
+    val s = spark
+    import s.implicits._
+    // 3 days × 4 bars, day-spaced timestamps
+    val df = (0 until 12).map { i =>
+      ("A", i.toLong, 100.0 + i)
+    }.toDF("symbol", "event_id", "close")
+      .withColumn("datetime",
+        timestamp_micros(col("event_id") * 21600000000L)) // 6h apart → 4/day
+      .withColumn("open", col("close"))
+      .withColumn("high", col("close") * 1.01)
+      .withColumn("low", col("close") * 0.99)
+      .withColumn("volume", lit(100.0))
+    val out = Market.withPivotPoints(df).orderBy("event_id")
+      .select("pivot", "pivot_r1", "pivot_s1", "pivot_r2", "pivot_s2")
+      .collect()
+    assert(out.take(4).forall(_.isNullAt(0)), "first day has no prior OHLC")
+    out.drop(4).foreach { r =>
+      val Seq(p, r1, s1, r2, s2) = (0 until 5).map(r.getDouble)
+      assert(s2 <= s1 + 1e-9 && s1 <= p + 1e-9 &&
+        p <= r1 + 1e-9 && r1 <= r2 + 1e-9)
+    }
+  }
 }
