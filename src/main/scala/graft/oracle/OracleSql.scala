@@ -2099,6 +2099,93 @@ object OracleSql {
        |SELECT event_type, ${r("MAX(gap)")} AS ks, COUNT(*) AS n_bins
        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Mirrors Analytics.driftJs: identical binned rates and per-bin JS
+    * terms; the total replays Spark's bin-ordered running-sum fold with a
+    * sequential list_sum over the bin-ordered term list. */
+  val driftJs: String =
+    s"""WITH b AS (
+       |  SELECT event_type, (event_id % 2 = 0) AS is_base,
+       |         CAST(floor(value / 100.0) AS BIGINT) AS bin
+       |  FROM events
+       |), c AS (
+       |  SELECT event_type, is_base, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3
+       |), t AS (
+       |  SELECT event_type, is_base, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1, 2
+       |), r0 AS (
+       |  SELECT c.event_type, c.is_base, c.bin, CAST(c.n AS DOUBLE) / t.total AS rate
+       |  FROM c JOIN t USING (event_type, is_base)
+       |), m AS (
+       |  SELECT event_type, bin,
+       |         SUM(CASE WHEN is_base THEN rate ELSE 0.0 END) AS p,
+       |         SUM(CASE WHEN NOT is_base THEN rate ELSE 0.0 END) AS q
+       |  FROM r0 GROUP BY 1, 2
+       |), g AS (
+       |  SELECT event_type, bin, p > 0.0 AND q > 0.0 AS bth,
+       |         (CASE WHEN p > 0.0 THEN p * ln(p / ((p + q) / 2.0)) * 0.5 ELSE 0.0 END) +
+       |         (CASE WHEN q > 0.0 THEN q * ln(q / ((p + q) / 2.0)) * 0.5 ELSE 0.0 END) AS tm
+       |  FROM m
+       |)
+       |SELECT event_type,
+       |       ${r("COALESCE(list_sum(list(tm ORDER BY bin)), 0.0)")} AS js,
+       |       COUNT(*) AS n_bins,
+       |       COUNT(CASE WHEN NOT bth THEN 1 END) AS n_bins_one_sided
+       |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Mirrors Analytics.abtestZtest: exact distinct-user counting per arm
+    * and per (goal, arm), identical pooled-variance tree, z gated on
+    * se > 0 on both sides. */
+  val abtestZtest: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, (user_id % 2 = 0) AS arm_a FROM events
+       |), u AS (
+       |  SELECT DISTINCT user_id, arm_a FROM ev
+       |), tot AS (
+       |  SELECT COUNT(CASE WHEN arm_a THEN 1 END) AS n_a,
+       |         COUNT(CASE WHEN NOT arm_a THEN 1 END) AS n_b
+       |  FROM u
+       |), conv AS (
+       |  SELECT event_type, arm_a, COUNT(DISTINCT user_id) AS x
+       |  FROM ev GROUP BY 1, 2
+       |), aa AS (SELECT event_type, x AS x_a FROM conv WHERE arm_a),
+       |bb AS (SELECT event_type, x AS x_b FROM conv WHERE NOT arm_a),
+       |j AS (
+       |  SELECT COALESCE(aa.event_type, bb.event_type) AS event_type,
+       |         COALESCE(x_a, 0) AS x_a, COALESCE(x_b, 0) AS x_b
+       |  FROM aa FULL OUTER JOIN bb ON aa.event_type = bb.event_type
+       |), k AS (
+       |  SELECT j.*, tot.n_a, tot.n_b,
+       |         CAST(x_a AS DOUBLE) / n_a AS pa,
+       |         CAST(x_b AS DOUBLE) / n_b AS pb,
+       |         CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS ppool
+       |  FROM j CROSS JOIN tot
+       |), zz AS (
+       |  SELECT *, sqrt(ppool * (1.0 - ppool) * (1.0 / n_a + 1.0 / n_b)) AS se
+       |  FROM k
+       |)
+       |SELECT event_type, x_a, n_a, x_b, n_b,
+       |       ${r("pa")} AS rate_a, ${r("pb")} AS rate_b,
+       |       ${r("CASE WHEN se > 0.0 THEN (pa - pb) / se END")} AS z,
+       |       CAST(abs(CASE WHEN se > 0.0 THEN (pa - pb) / se END) > 1.96 AS INT) AS significant
+       |FROM zz ORDER BY event_type""".stripMargin
+
+  /** Mirrors Analytics.userChurn: pure integer µs arithmetic (epoch_us ==
+    * Spark's unix_micros under the shared UTC wall-clock convention), the
+    * span-relative churn compare exact on both engines. */
+  val userChurn: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+       |), peru AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |         COUNT(DISTINCT event_type) AS n_types,
+       |         MIN(us) AS first_us, MAX(us) AS last_us
+       |  FROM ev GROUP BY 1
+       |), sp AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev)
+       |SELECT user_id, n_events, n_types,
+       |       last_us - first_us AS tenure_us,
+       |       hi - last_us AS recency_us,
+       |       CAST((hi - last_us) * 4 > (hi - lo) AS INT) AS churned
+       |FROM peru CROSS JOIN sp ORDER BY user_id""".stripMargin
+
   val aggDistinct: String =
     """SELECT event_type, COUNT(*) AS n,
       |       COUNT(DISTINCT user_id) AS n_users,

@@ -118,6 +118,55 @@ object TextSimSql {
     * row side is NULL via the left join, exactly like Spark's). range(1,
     * len(toks)) is empty for 1-token docs — they drop from bg like Spark's
     * guarded empty-array explode. */
+  /** Mirrors TextStats.lexicalDiversity: exact integer counts through the
+    * same explode → per-(doc, token) count → per-doc aggregate chain; only
+    * the three final ratios are doubles. */
+  val textTtr: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+       |), pt AS (
+       |  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+       |), ag AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         COUNT(*) AS n_types,
+       |         COUNT(CASE WHEN c = 1 THEN 1 END) AS n_hapax
+       |  FROM pt GROUP BY 1
+       |)
+       |SELECT doc_id, n_tokens, n_types, n_hapax,
+       |       ${r("CAST(n_types AS DOUBLE) / n_tokens")} AS ttr,
+       |       ${r("CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))")} AS root_ttr,
+       |       ${r("CAST(n_hapax AS DOUBLE) / n_types")} AS hapax_frac
+       |FROM ag ORDER BY doc_id""".stripMargin
+
+  /** Mirrors TextStats.zipfFit: same top-k spectrum (count-desc,
+    * token tie-break), the four regression sums replayed as sequential
+    * list_sum folds over rank order — bit-equal to Spark's running-window
+    * accumulation — and the identical slope/intercept tree. */
+  val corpusZipf: String =
+    s"""WITH tok AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+       |), wc AS (
+       |  SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+       |), topk AS (
+       |  SELECT t, c FROM wc ORDER BY c DESC, t LIMIT 100
+       |), rk AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk, c FROM topk
+       |), tm AS (
+       |  SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+       |  FROM rk
+       |), ag AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |         COALESCE(list_sum(list(x ORDER BY rnk)), 0.0) AS sx,
+       |         COALESCE(list_sum(list(y ORDER BY rnk)), 0.0) AS sy,
+       |         COALESCE(list_sum(list(x * x ORDER BY rnk)), 0.0) AS sxx,
+       |         COALESCE(list_sum(list(x * y ORDER BY rnk)), 0.0) AS sxy
+       |  FROM tm
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_types,
+       |       ${r("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS zipf_slope,
+       |       ${r("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")} AS zipf_intercept
+       |FROM ag""".stripMargin
+
   val textRepetition: String =
     s"""WITH s AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

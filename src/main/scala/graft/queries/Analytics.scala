@@ -419,6 +419,119 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Jensen-Shannon drift between the even/odd event-id slices per
+    * event_type — the bounded (≤ ln 2), symmetric companion to
+    * [[driftPsi]] (PSI blows up on bins one side lacks; JS handles them
+    * natively since the mixture m = (p+q)/2 is always positive where
+    * either side is). Per-bin terms ½p·ln(p/m) + ½q·ln(q/m) are each ≥ 0
+    * (log-sum inequality), so the bin-ordered running sum is nondecreasing
+    * and MAX(cum) is the total — the same fixed-fold-order device as
+    * [[driftKs]], making the ~20-term sum bit-portable without sequential
+    * list folds. Same two partial+final aggregates + broadcast-sized rate
+    * join as PSI. */
+  def driftJs(s: SparkSession, dir: String, binWidth: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Bars.readEvents(s, dir).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_base"),
+      floor(col("value") / binWidth).cast("long").as("bin"))
+    val counts = binned.groupBy("event_type", "is_base", "bin")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type", "is_base")
+      .agg(sum(col("n")).as("total"))
+    val rates = counts.join(totals, Seq("event_type", "is_base"))
+      .select(col("event_type"), col("bin"),
+        when(col("is_base"), col("n").cast("double") / col("total"))
+          .otherwise(lit(0.0)).as("p"),
+        when(!col("is_base"), col("n").cast("double") / col("total"))
+          .otherwise(lit(0.0)).as("q"))
+      .groupBy("event_type", "bin")
+      .agg(sum(col("p")).as("p"), sum(col("q")).as("q"))
+    val m = (col("p") + col("q")) / 2.0
+    val term =
+      when(col("p") > 0.0, col("p") * log(col("p") / m) * 0.5)
+        .otherwise(lit(0.0)) +
+      when(col("q") > 0.0, col("q") * log(col("q") / m) * 0.5)
+        .otherwise(lit(0.0))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rates
+      .select(col("event_type"), col("bin"),
+        (col("p") > 0.0 && col("q") > 0.0).as("_both"), term.as("_t"))
+      .select(col("event_type"), col("_both"),
+        sum(col("_t")).over(w).as("_cum"))
+      .groupBy("event_type")
+      .agg(r6(max(col("_cum"))).as("js"), count(lit(1)).as("n_bins"),
+        count(when(!col("_both"), 1)).as("n_bins_one_sided"))
+      .orderBy("event_type")
+  }
+
+  /** Two-proportion z-test per event_type over a deterministic user split
+    * (arm A = even user_id) — the A/B readout every experimentation
+    * pipeline computes: per goal event, distinct converting users per arm
+    * against the arm's full user denominator, pooled rate, z statistic,
+    * and the |z| > 1.96 significance flag. Everything until the final
+    * per-row arithmetic is exact integer counting (two distinct
+    * aggregates), so the doubles are bit-portable; the z is gated on a
+    * positive pooled variance (an all-converting goal has none). The
+    * 2-row arm-totals frame cross-joins in as a broadcast. */
+  def abtestZtest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir).select(col("user_id"), col("event_type"),
+      (col("user_id") % 2 === 0).as("arm_a"))
+    val armTotals = ev.select(col("user_id"), col("arm_a")).distinct()
+      .groupBy("arm_a").agg(count(lit(1)).as("n_users"))
+    val nn = armTotals.agg(
+      sum(when(col("arm_a"), col("n_users"))).as("n_a"),
+      sum(when(!col("arm_a"), col("n_users"))).as("n_b"))
+    val conv = ev.groupBy("event_type", "arm_a")
+      .agg(countDistinct(col("user_id")).as("x"))
+    val a = conv.filter(col("arm_a"))
+      .select(col("event_type"), col("x").as("x_a"))
+    val b = conv.filter(!col("arm_a"))
+      .select(col("event_type"), col("x").as("x_b"))
+    val joined = a.join(b, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("x_a"), lit(0L)).as("x_a"),
+        coalesce(col("x_b"), lit(0L)).as("x_b"))
+      .crossJoin(broadcast(nn))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(se > 0.0, (pa - pb) / se)
+    joined.select(col("event_type"), col("x_a"), col("n_a"), col("x_b"),
+        col("n_b"), r6(pa).as("rate_a"), r6(pb).as("rate_b"), r6(z).as("z"),
+        (abs(z) > 1.96).cast("int").as("significant"))
+      .orderBy("event_type")
+  }
+
+  /** Inactivity churn labeling: a user is churned when their silence
+    * (corpus max ts − their last event) exceeds a quarter of the observed
+    * corpus span — a span-relative horizon, so the label is meaningful at
+    * any data scale (a fixed "7 days" would mark nobody at a 7-day test
+    * slice and everybody at a year). The churn comparison is pure integer
+    * µs arithmetic ((max−last)·4 > span, no division, no doubles), so the
+    * flag is exact on both engines. One user-keyed aggregate + a 1-row
+    * min/max broadcast. */
+  def userChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val peru = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_type")).as("n_types"),
+      min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val span = ev.agg(min(col("us")).as("_lo"), max(col("us")).as("_hi"))
+    peru.crossJoin(broadcast(span))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (col("last_us") - col("first_us")).as("tenure_us"),
+        (col("_hi") - col("last_us")).as("recency_us"),
+        ((col("_hi") - col("last_us")) * 4 > (col("_hi") - col("_lo")))
+          .cast("int").as("churned"))
+      .orderBy("user_id")
+  }
+
   /** Distinct aggregation (the Expand + two-phase aggregate path): exact
     * per-type user cardinality next to the plain row count. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =

