@@ -58,6 +58,12 @@ object Params {
   /** Elder Ray EMA span (`feat_elder_ray`) — Elder's classic 13-bar EMA. */
   val ElderSpan = 13
 
+  /** Supertrend (`feat_supertrend`): ATR window and band multiplier —
+    * the conventional 14/3 pairing. Shared verbatim with the oracle's
+    * recursive replay. */
+  val SupertrendAtr = 14
+  val SupertrendMult = 3.0
+
   /** The events table's closed event-type vocabulary (TESTDATA.md) — the
     * explicit value list for pivot/unpivot on BOTH the Spark and oracle
     * sides, so the four uses cannot drift apart. */

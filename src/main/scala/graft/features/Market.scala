@@ -804,6 +804,46 @@ object Market {
       .drop("_ha_x")
   }
 
+  /** Supertrend trailing-stop bands over SMA-ATR:
+    *
+    *   ub/lb = (high + low)/2 ± m·ATR(n)     (null through the ATR warmup)
+    *   then the conditional band-ratchet + regime-flip recursion of
+    *   [[graft.expr.SupertrendLine]] / [[graft.expr.SupertrendDir]]
+    *
+    * The ATR is the same cum−lag SMA formulation as [[withAtr]] (so the
+    * oracle's bands are bit-identical, making every ratchet comparison
+    * branch the same way in both engines); the recursion itself runs as
+    * two evaluators over one custom-window state machine. Three window
+    * passes (lag, cums, recursion) over the ONE shared per-symbol
+    * exchange. */
+  def withSupertrend(df: DataFrame, n: Int = graft.Params.SupertrendAtr,
+      m: Double = graft.Params.SupertrendMult): DataFrame = {
+    val prevClose = lag(col("close"), 1).over(Frames.bySymbol)
+    val tr = greatest(
+      col("high") - col("low"),
+      abs(col("high") - prevClose),
+      abs(col("low") - prevClose))
+    val s1 = df.select(col("*"),
+      coalesce(tr, col("high") - col("low")).as("_tr"),
+      prevClose.as("_prevc"))
+    val s2 = Frames.withCums(s1, Map("_c_tr" -> col("_tr")))
+    val atr = when(Frames.cumCountGate("_c_tr", n),
+      Frames.cumRolling("_c_tr", n) / n)
+    val hl2 = (col("high") + col("low")) / 2.0
+    val s3 = s2.select(col("*"),
+      (hl2 + lit(m) * atr).as("_ub"),
+      (hl2 - lit(m) * atr).as("_lb"))
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    s3.select(col("*"),
+        graft.expr.Supertrend.lineOver(col("_ub"), col("_lb"), col("close"),
+          col("_prevc"), part, ord).as("supertrend"),
+        graft.expr.Supertrend.dirOver(col("_ub"), col("_lb"), col("close"),
+          col("_prevc"), part, ord).cast("int").as("st_trend"))
+      .drop("_tr", "_prevc", "_ub", "_lb")
+      .drop(Frames.cumHelperCols(Seq("_c_tr")): _*)
+  }
+
   /** Classic floor-trader pivot points — today's support/resistance levels
     * from YESTERDAY's daily high/low/close:
     *

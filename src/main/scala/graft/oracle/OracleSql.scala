@@ -611,6 +611,62 @@ object OracleSql {
        |FROM h2 JOIN ho ON ho.symbol = h2.symbol AND ho.rn = h2.rn
        |ORDER BY h2.event_id""".stripMargin
 
+  /** Mirrors Core.featSupertrend (Market.withSupertrend, n=14, m=3):
+    * identical SMA-ATR bands (sequential cum−lag sums → bit-identical
+    * doubles → every ratchet comparison branches the same way), then the
+    * conditional band-ratchet + regime recursion replayed as a recursive
+    * CTE seeded (ub, lb, +1) at the ATR warmup row (rn = n — tr is never
+    * null, so the count gate opens there uniformly per symbol). The new
+    * lower/upper band trees are inlined into the trend step exactly as the
+    * window expression inlines them. */
+  val featSupertrend: String = {
+    val n = Params.SupertrendAtr
+    val m = Params.SupertrendMult.toString
+    val nflb = "CASE WHEN k.lb > st.flb OR k.prevc < st.flb THEN k.lb ELSE st.flb END"
+    val nfub = "CASE WHEN k.ub < st.fub OR k.prevc > st.fub THEN k.ub ELSE st.fub END"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, sa1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, high, low, close,
+       |         LAG(close, 1) OVER ($W) AS prevc,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         COALESCE(
+       |           GREATEST(high - low,
+       |                    abs(high - LAG(close, 1) OVER ($W)),
+       |                    abs(low - LAG(close, 1) OVER ($W))),
+       |           high - low) AS tr
+       |  FROM bars
+       |), sa2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, high, low, close, prevc, rn, tr,
+       |         ${cumSum("tr")} AS _c_tr,
+       |         COUNT(tr) OVER ($Wrun) AS _c_tr_n
+       |  FROM sa1
+       |), k AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn, close, prevc,
+       |         (high + low) / 2.0 + $m * atr AS ub,
+       |         (high + low) / 2.0 - $m * atr AS lb
+       |  FROM (
+       |    SELECT *, CASE WHEN ${cumGate("_c_tr", n)}
+       |                   THEN (${cumRolling("_c_tr", n)}) / $n END AS atr
+       |    FROM sa2)
+       |), st AS (
+       |  SELECT symbol, rn, ub AS fub, lb AS flb, CAST(1.0 AS DOUBLE) AS trend
+       |  FROM k WHERE rn = $n
+       |  UNION ALL
+       |  SELECT k.symbol, k.rn,
+       |         $nfub,
+       |         $nflb,
+       |         CASE WHEN st.trend = 1.0
+       |              THEN CASE WHEN k.close < ($nflb) THEN -1.0 ELSE 1.0 END
+       |              ELSE CASE WHEN k.close > ($nfub) THEN 1.0 ELSE -1.0 END
+       |         END
+       |  FROM st JOIN k ON k.symbol = st.symbol AND k.rn = st.rn + 1
+       |)
+       |SELECT k.symbol, k.event_id,
+       |       ${r("CASE WHEN st.trend = 1.0 THEN st.flb ELSE st.fub END")} AS supertrend,
+       |       CAST(st.trend AS INT) AS st_trend
+       |FROM k LEFT JOIN st ON st.symbol = k.symbol AND st.rn = k.rn
+       |ORDER BY k.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featPivotPoints (Market.withPivotPoints): day-grain
     * MAX/MIN/arg_max aggregate (all order-insensitive / key-deterministic,
     * bit-portable natively), per-symbol day lag, identical level

@@ -299,6 +299,12 @@ object Core {
     keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Supertrend trailing-stop line + regime (custom conditional-recursion
+    * window expression; see [[graft.features.Market.withSupertrend]]). */
+  def featSupertrend(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withSupertrend(bars(s, dir)),
+      Seq("supertrend", "st_trend"), Set("supertrend"))
+
   /** Floor-trader pivot points from the prior day's OHLC
     * (see [[graft.features.Market.withPivotPoints]]). */
   def featPivotPoints(s: SparkSession, dir: String): DataFrame = {

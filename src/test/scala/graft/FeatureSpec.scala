@@ -177,6 +177,56 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("supertrend: matches a straight-loop reference, flips regime, nulls through warmup") {
+    val n = 5
+    val m = 2.0
+    // swinging series so both regimes and both ratchet branches fire
+    val close = (0 until 60).map(i => 100.0 + 30 * math.sin(i / 4.0))
+    val df = Market.withSupertrend(barsOf(close), n, m)
+    val got: Seq[Option[(Double, Int)]] = df.orderBy("event_id")
+      .select("supertrend", "st_trend").collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getInt(1))))
+
+    // straight-loop reference over the same barsOf columns
+    val high = close.map(_ * 1.01)
+    val low = close.map(_ * 0.99)
+    val tr = close.indices.map { i =>
+      if (i == 0) high(0) - low(0)
+      else math.max(high(i) - low(i),
+        math.max(math.abs(high(i) - close(i - 1)), math.abs(low(i) - close(i - 1))))
+    }
+    var fub = 0.0; var flb = 0.0; var trend = 0.0; var started = false
+    val want = close.indices.map { i =>
+      if (i < n - 1) None
+      else {
+        val atr = tr.slice(i - n + 1, i + 1).sum / n
+        val hl2 = (high(i) + low(i)) / 2.0
+        val (ub, lb) = (hl2 + m * atr, hl2 - m * atr)
+        if (!started) { fub = ub; flb = lb; trend = 1.0; started = true }
+        else {
+          val pc = close(i - 1)
+          val nfub = if (ub < fub || pc > fub) ub else fub
+          val nflb = if (lb > flb || pc < flb) lb else flb
+          trend =
+            if (trend == 1.0) { if (close(i) < nflb) -1.0 else 1.0 }
+            else { if (close(i) > nfub) 1.0 else -1.0 }
+          fub = nfub; flb = nflb
+        }
+        Some((if (trend == 1.0) flb else fub, trend.toInt))
+      }
+    }
+    got.zip(want).zipWithIndex.foreach {
+      case ((None, None), _) => ()
+      case ((Some((gv, gt)), Some((wv, wt))), i) =>
+        assert(math.abs(gv - wv) < 1e-6 && gt == wt,
+          s"row $i: got ($gv, $gt) want ($wv, $wt)")
+      case ((g, w), i) => fail(s"row $i: null mismatch $g vs $w")
+    }
+    val trends = got.flatten.map(_._2)
+    assert(trends.contains(1) && trends.contains(-1),
+      "series must exercise both regimes")
+  }
+
   test("pivot points: level ordering s2<=s1<=p<=r1<=r2, first day null") {
     val s = spark
     import s.implicits._
