@@ -804,6 +804,41 @@ object Market {
       .drop("_ha_x")
   }
 
+  val KyleWindow = 20
+
+  /** Kyle's lambda — rolling price-impact slope (Kyle 1985): the OLS
+    * coefficient of Δclose on signed volume over the last n bars, ×1e6
+    * (impact per million units of signed flow, the [[withAmihud]] scaling
+    * convention):
+    *
+    *   x = sign(Δclose)·volume     y = Δclose        (null first bar)
+    *   λ = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) · 1e6
+    *
+    * All five rolling sums via the O(n) cum−lag identity (sequential,
+    * oracle bit-portable); NULL until n pairs are in frame or when signed
+    * flow has no variance. Same two window passes over the shared
+    * per-symbol exchange as [[withRollingCorr]]. */
+  def withKyleLambda(df: DataFrame, n: Int = KyleWindow): DataFrame = {
+    val dp = col("close") - lag(col("close"), 1).over(Frames.bySymbol)
+    val s1 = df.select(col("*"), dp.as("_dp"),
+      (signum(dp) * col("volume")).as("_sv"))
+    val s2 = Frames.withCums(s1, Map(
+      "_c_x" -> col("_sv"), "_c_y" -> col("_dp"),
+      "_c_xy" -> (col("_sv") * col("_dp")),
+      "_c_xx" -> (col("_sv") * col("_sv"))))
+    val nD = lit(n.toDouble)
+    val sx = Frames.cumRolling("_c_x", n)
+    val sy = Frames.cumRolling("_c_y", n)
+    val sxy = Frames.cumRolling("_c_xy", n)
+    val sxx = Frames.cumRolling("_c_xx", n)
+    val varx = nD * sxx - sx * sx
+    s2.select(col("*"),
+        when(Frames.cumCountGate("_c_xy", n) && varx > 0.0,
+          (nD * sxy - sx * sy) / varx * 1000000.0).as(s"kyle_$n"))
+      .drop("_dp", "_sv")
+      .drop(Frames.cumHelperCols(Seq("_c_x", "_c_y", "_c_xy", "_c_xx")): _*)
+  }
+
   /** Supertrend trailing-stop bands over SMA-ATR:
     *
     *   ub/lb = (high + low)/2 ± m·ATR(n)     (null through the ATR warmup)

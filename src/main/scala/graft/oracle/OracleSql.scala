@@ -611,6 +611,39 @@ object OracleSql {
        |FROM h2 JOIN ho ON ho.symbol = h2.symbol AND ho.rn = h2.rn
        |ORDER BY h2.event_id""".stripMargin
 
+  /** Mirrors Core.featKyleLambda (Market.withKyleLambda, n=20): identical
+    * signed-flow/price-delta sums via the sequential cum−lag fold, same
+    * variance gate and ×1e6 scaling. */
+  val featKyleLambda: String = {
+    val n = graft.features.Market.KyleWindow
+    val varx = s"$n.0 * sxx - sx * sx"
+    s"""$barsCte, ky0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         close - LAG(close, 1) OVER ($W) AS _dp,
+       |         sign(close - LAG(close, 1) OVER ($W)) * volume AS _sv
+       |  FROM bars
+       |), ky1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("_sv")} AS _c_x,
+       |         ${cumSum("_dp")} AS _c_y,
+       |         ${cumSum("_sv * _dp")} AS _c_xy,
+       |         COUNT(_sv * _dp) OVER ($Wrun) AS _c_xy_n,
+       |         ${cumSum("_sv * _sv")} AS _c_xx
+       |  FROM ky0
+       |), ky2 AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_x", n)} AS sx,
+       |         ${cumRolling("_c_y", n)} AS sy,
+       |         ${cumRolling("_c_xy", n)} AS sxy,
+       |         ${cumRolling("_c_xx", n)} AS sxx,
+       |         ${cumGate("_c_xy", n)} AS g
+       |  FROM ky1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN g AND ($varx) > 0.0 THEN ($n.0 * sxy - sx * sy) / ($varx) * 1000000.0 END")} AS kyle_$n
+       |FROM ky2 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featSupertrend (Market.withSupertrend, n=14, m=3):
     * identical SMA-ATR bands (sequential cum−lag sums → bit-identical
     * doubles → every ratchet comparison branches the same way), then the

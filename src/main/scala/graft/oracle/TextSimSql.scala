@@ -468,6 +468,36 @@ object TextSimSql {
        |WHERE ($hexDecode) < CAST(floor(sample_rate * 4294967296.0) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors Corpus.temperatureSample: α = ½ via IEEE sqrt (pow is not
+    * correctly rounded cross-engine; sqrt is), Σ√n folded in source order
+    * with a sequential list_sum — the rate gates row MEMBERSHIP through
+    * the hash draw, so its doubles must match bit-for-bit, not just to
+    * 6 decimals. */
+  val corpusTemperature: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), src AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM t GROUP BY 1
+       |), zz AS (
+       |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+       |         COALESCE(list_sum(list(sqrt(CAST(src_tokens AS DOUBLE)) ORDER BY source)), 0.0) AS z
+       |  FROM src
+       |), rates AS (
+       |  SELECT source,
+       |    least(CAST(1.0 AS DOUBLE),
+       |      CAST(total_tokens AS DOUBLE) * 0.5 *
+       |        (sqrt(CAST(src_tokens AS DOUBLE)) / z) / src_tokens) AS sample_rate
+       |  FROM src CROSS JOIN zz
+       |)
+       |SELECT doc_id, source, n_tokens, ${r("sample_rate")} AS sample_rate
+       |FROM t JOIN rates USING (source)
+       |WHERE ($hexDecode) < CAST(floor(sample_rate * 4294967296.0) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirrors TextStats.redactPii: the same ordered pattern list
     * (TextStats.PiiPatterns — single source of truth for both engines),
     * each class counted against the text as already rewritten by earlier

@@ -299,6 +299,13 @@ object Core {
     keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Kyle's lambda — rolling price-impact OLS slope ×1e6
+    * (see [[graft.features.Market.withKyleLambda]]). */
+  def featKyleLambda(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq(s"kyle_${graft.features.Market.KyleWindow}")
+    keyed(Market.withKyleLambda(bars(s, dir)), out, out.toSet)
+  }
+
   /** Supertrend trailing-stop line + regime (custom conditional-recursion
     * window expression; see [[graft.features.Market.withSupertrend]]). */
   def featSupertrend(s: SparkSession, dir: String): DataFrame =

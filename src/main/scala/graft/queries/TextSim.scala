@@ -56,6 +56,14 @@ object TextSim {
         r6(col("hapax_frac")).as("hapax_frac"))
       .orderBy("doc_id")
 
+  /** Temperature-scaled (α = ½) source mixture sampling
+    * (see [[graft.text.Corpus.temperatureSample]]). */
+  def corpusTemperature(s: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureSample(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        r6(col("sample_rate")).as("sample_rate"))
+      .orderBy("doc_id")
+
   /** Corpus Zipf-law fit: ln-ln least squares over the top-k frequency
     * spectrum (see [[graft.text.TextStats.zipfFit]]). */
   def corpusZipf(s: SparkSession, dir: String): DataFrame =

@@ -280,6 +280,85 @@ object Streams {
       }
   }
 
+  case class SupertrendPoint(symbol: String, event_id: Long,
+      supertrend: Option[Double], st_trend: Option[Int])
+  /** Per-symbol supertrend state: previous close, the running TR cumsum
+    * plus the FIFO of the last n+1 cum values (so the rolling ATR is the
+    * SAME cum − lagged-cum subtraction the batch cum−lag identity
+    * computes — a ring-buffer re-sum would associate differently and
+    * drift off batch), and the band/regime recursion state. */
+  case class SupertrendState(hasPrev: Boolean, prevClose: Double,
+      cum: Double, cums: Vector[Double],
+      started: Boolean, fub: Double, flb: Double, trend: Double)
+
+  /** Stateful streaming supertrend — the live twin of the batch
+    * `feat_supertrend` ([[graft.expr.SupertrendLine]]/Dir): open/high/low
+    * re-derived exactly like the bars adapter (open = previous close), the
+    * SMA-ATR via the batch's cum−lag subtraction, then the identical
+    * band-ratchet + regime recursion — every double computed by the same
+    * JVM ops in the same order, so streaming == batch row for row.
+    * Emits a point per tick (None through the ATR warmup, matching the
+    * batch nulls). Ordering contract as [[streamingRsi]]. */
+  def streamingSupertrend(ticks: Dataset[BarTick],
+      n: Int = graft.Params.SupertrendAtr,
+      m: Double = graft.Params.SupertrendMult): Dataset[SupertrendPoint] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[SupertrendState, SupertrendPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sym, it, state: GroupState[SupertrendState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(SupertrendState(
+            hasPrev = false, 0.0, 0.0, Vector.empty, started = false,
+            0.0, 0.0, 0.0))
+          val out = sorted.map { e =>
+            val open = if (st.hasPrev) st.prevClose else e.close
+            val high = math.max(open, e.close)
+            val low = math.min(open, e.close)
+            val tr =
+              if (!st.hasPrev) high - low
+              else math.max(high - low, math.max(
+                math.abs(high - st.prevClose), math.abs(low - st.prevClose)))
+            val cum = st.cum + tr
+            val cums = st.cums :+ cum
+            // cum_{t−n} exists once the FIFO holds n+1 entries; until row n
+            // the batch lag coalesces to 0.0
+            val (base, trimmed) =
+              if (cums.length == n + 1) (cums.head, cums.tail)
+              else (0.0, cums)
+            val atrReady = cums.length >= n
+            val point: (Option[Double], Option[Int]) =
+              if (!atrReady) (None, None)
+              else {
+                val atr = (cum - base) / n
+                val hl2 = (high + low) / 2.0
+                val ub = hl2 + m * atr
+                val lb = hl2 - m * atr
+                if (!st.started) {
+                  st = st.copy(started = true, fub = ub, flb = lb, trend = 1.0)
+                } else {
+                  val pc = st.prevClose
+                  val nfub = if (ub < st.fub || pc > st.fub) ub else st.fub
+                  val nflb = if (lb > st.flb || pc < st.flb) lb else st.flb
+                  val ntrend =
+                    if (st.trend == 1.0) { if (e.close < nflb) -1.0 else 1.0 }
+                    else { if (e.close > nfub) 1.0 else -1.0 }
+                  st = st.copy(fub = nfub, flb = nflb, trend = ntrend)
+                }
+                (Some(if (st.trend == 1.0) st.flb else st.fub),
+                  Some(st.trend.toInt))
+              }
+            st = st.copy(hasPrev = true, prevClose = e.close,
+              cum = cum, cums = trimmed)
+            SupertrendPoint(sym, e.event_id, point._1, point._2)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Deterministic symbol → sector dimension: the small static side of the
     * stream-static enrichment join (a real deployment reads this from a
     * dimension table; the derivation is fixed so batch and streaming specs

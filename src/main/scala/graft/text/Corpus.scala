@@ -109,6 +109,46 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("sample_rate"))
   }
 
+  /** Temperature-scaled source mixing (α = 0.5, the multilingual-LM
+    * convention): target token share p_i ∝ n_i^α, so small sources are
+    * upsampled relative to their natural share and dominant crawls are
+    * tempered — the step between raw provenance stats and a training
+    * mixture (cf. multilingual BERT / XLM-R sampling). Per-source rate
+    *
+    *   rate_i = min(1, total·budget · (√n_i / Σ_j √n_j) / n_i)
+    *
+    * with the same deterministic md5 hash-draw membership as
+    * [[mixtureSample]]. α is FIXED at ½ so the power is IEEE sqrt
+    * (correctly rounded in every engine, unlike pow); Σ_j √n_j folds in
+    * source order (collect the ≤|sources| summands, array_sort,
+    * sequential aggregate) because the rate feeds a row-membership
+    * FILTER — association noise in that sum would flip document
+    * inclusion, not just a rounded digit. Two tiny aggregates broadcast
+    * back; the document stream itself never shuffles. */
+  def temperatureSample(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"temperatureSample: budgetFrac must be in (0, 1] (got $budgetFrac)")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bySource = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val z = bySource
+      .agg(collect_list(struct(col("source"),
+          sqrt(col("src_tokens").cast("double")).as("s"))).as("_l"),
+        sum(col("src_tokens")).as("total_tokens"))
+      .select(col("total_tokens"),
+        expr("aggregate(array_sort(_l), 0D, (acc, e) -> acc + e.s)").as("z"))
+    val rates = bySource.crossJoin(broadcast(z))
+      .select(col("source"),
+        least(lit(1.0),
+          col("total_tokens").cast("double") * budgetFrac *
+            (sqrt(col("src_tokens").cast("double")) / col("z")) /
+            col("src_tokens")).as("sample_rate"))
+    toks.join(broadcast(rates), Seq("source"))
+      .filter(hashDraw(col("doc_id")) <
+        floor(col("sample_rate") * 4294967296.0))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("sample_rate"))
+  }
+
   /** Per-source quality quota (the "keep the best X% of every source"
     * curation step): rank each source's documents by quality score
     * (descending, doc_id tie-break) and keep the top ceil(frac · n_source).

@@ -227,6 +227,41 @@ class FeatureSpec extends SparkSpec {
       "series must exercise both regimes")
   }
 
+  test("kyle lambda: perfectly linear impact recovers the planted slope x 1e6") {
+    val n = Market.KyleWindow
+    // alternating +2/-2 closes, constant volume 100 (barsOf) ->
+    // dp = ±2, sv = ±100, an exact line dp = 0.02·sv -> λ = 0.02·1e6
+    val close = (0 until 50).map(i => 100.0 + (if (i % 2 == 0) 0.0 else 2.0))
+    val df = Market.withKyleLambda(barsOf(close))
+    val kyle = column(df, s"kyle_$n")
+    assert(kyle.take(n).forall(_.isEmpty) && kyle.drop(n).forall(_.isDefined))
+    kyle.flatten.foreach(v => assert(math.abs(v - 20000.0) < 1e-6,
+      s"planted lambda 20000, got $v"))
+  }
+
+  test("temperatureSample: sqrt-share rates, clamped at 1, deterministic membership") {
+    val s = spark
+    import s.implicits._
+    // source A: 4 docs x 4 tokens = 16; source B: 1 doc x 4 tokens = 4
+    val docs = (Seq((1L, "a b c d", "A"), (2L, "a b c d", "A"),
+      (3L, "a b c d", "A"), (4L, "a b c d", "A"), (5L, "a b c d", "B")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.text.Corpus.temperatureSample(docs, budgetFrac = 0.5)
+    val rates = out.select("source", "sample_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val z = math.sqrt(16.0) + math.sqrt(4.0)
+    // rate_i = min(1, 20·0.5·(√n_i/z)/n_i)
+    rates.get("A").foreach(v =>
+      assert(math.abs(v - 20.0 * 0.5 * (4.0 / z) / 16.0) < 1e-12))
+    // B: 10·(2/6)/4 = 0.833..., small source upsampled above natural share
+    rates.get("B").foreach(v =>
+      assert(math.abs(v - 20.0 * 0.5 * (2.0 / z) / 4.0) < 1e-12))
+    // membership is a pure hash predicate: re-running yields identical rows
+    val twice = graft.text.Corpus.temperatureSample(docs, budgetFrac = 0.5)
+    assert(out.collect().map(_.getLong(0)).sorted.sameElements(
+      twice.collect().map(_.getLong(0)).sorted))
+  }
+
   test("pivot points: level ordering s2<=s1<=p<=r1<=r2, first day null") {
     val s = spark
     import s.implicits._

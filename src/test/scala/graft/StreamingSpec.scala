@@ -127,6 +127,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming supertrend equals the batch feat_supertrend row for row") {
+    val stream = Streams.streamingSupertrend(
+      Streams.tickStream(Streams.readEventStream(spark, dir)))
+    val q = stream.writeStream.format("memory").queryName("stream_st")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_st")
+    // batch output is r6-rounded at the query boundary; compare at that
+    // granularity (same contract as the CUSUM parity test)
+    val want = graft.queries.Core.featSupertrend(spark, dir)
+    assert(got.count() == want.count(),
+      s"row sets differ: ${got.count()} vs ${want.count()}")
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("g.supertrend"), col("w.supertrend"),
+        col("g.st_trend"), col("w.st_trend"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null gate mismatch: $r")
+      if (!r.isNullAt(0)) {
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-7,
+          s"supertrend mismatch: $r")
+        assert(r.getInt(2) == r.getInt(3), s"regime mismatch: $r")
+      }
+    }
+  }
+
   test("streaming RSI state carries across micro-batches (time-split files)") {
     // stage the events as 3 time-ordered files with increasing mtimes so the
     // file source replays them as 3 separate micro-batches
