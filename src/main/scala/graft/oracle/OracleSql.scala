@@ -2188,6 +2188,105 @@ object OracleSql {
        |SELECT event_type, ${r("MAX(gap)")} AS ks, COUNT(*) AS n_bins
        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Mirrors Analytics.windowSkew (n=20): the four power sums via the
+    * sequential cum−lag fold, the identical raw-sums central-moment trees
+    * (3.0*m*(s2/n) association preserved), same variance gate. */
+  val windowSkew: String = {
+    val n = 20
+    val nd = s"$n.0"
+    s"""$barsCte, ks1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("close")} AS _c_1,
+       |         COUNT(close) OVER ($Wrun) AS _c_1_n,
+       |         ${cumSum("close * close")} AS _c_2,
+       |         ${cumSum("close * close * close")} AS _c_3,
+       |         ${cumSum("close * close * close * close")} AS _c_4
+       |  FROM bars
+       |), ks2 AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_1", n)} AS s1,
+       |         ${cumRolling("_c_2", n)} AS s2,
+       |         ${cumRolling("_c_3", n)} AS s3,
+       |         ${cumRolling("_c_4", n)} AS s4,
+       |         ${cumGate("_c_1", n)} AS g
+       |  FROM ks1
+       |), ks3 AS (
+       |  SELECT symbol, event_id, s1, s2, s3, s4, g, s1 / $nd AS m
+       |  FROM ks2
+       |), ks4 AS (
+       |  SELECT symbol, event_id, g,
+       |         s2 / $nd - m * m AS m2,
+       |         s3 / $nd - 3.0 * m * (s2 / $nd) + 2.0 * (m * m * m) AS m3,
+       |         s4 / $nd - 4.0 * m * (s3 / $nd) +
+       |           6.0 * (m * m) * (s2 / $nd) - 3.0 * (m * m * m * m) AS m4
+       |  FROM ks3
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN g AND m2 > 0.0 THEN m3 / sqrt(m2 * m2 * m2) END")} AS skew_$n,
+       |       ${r(s"CASE WHEN g AND m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END")} AS kurt_$n
+       |FROM ks4 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.windowHurst (n=32): the same frame-ordered value
+    * list, every fold a sequential list_sum (mean, prefix sums, squared
+    * deviations), order-insensitive list_max/min over the deviation
+    * profile, ln(n) emitted from the same Scala literal. */
+  val windowHurst: String = {
+    val n = 32
+    val lnn = math.log(n.toDouble).toString
+    s"""$barsCte, hu1 AS (
+       |  SELECT symbol, event_id,
+       |         list(close) OVER (${frame(n)}) AS xs,
+       |         COUNT(close) OVER (${frame(n)}) AS cnt
+       |  FROM bars
+       |), hu2 AS (
+       |  SELECT symbol, event_id, xs, cnt,
+       |         COALESCE(list_sum(xs), 0.0) / $n AS m
+       |  FROM hu1
+       |), hu3 AS (
+       |  SELECT symbol, event_id, cnt, m,
+       |         list_transform(range(1, ${n + 1}),
+       |           k -> COALESCE(list_sum(xs[1:k]), 0.0) - k * m) AS zs,
+       |         sqrt(COALESCE(list_sum(list_transform(xs, x -> (x - m) * (x - m))), 0.0) / $n) AS sd
+       |  FROM hu2
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"""CASE WHEN cnt = $n AND sd > 0.0
+       |              AND (list_max(zs) - list_min(zs)) > 0.0
+       |              THEN ln((list_max(zs) - list_min(zs)) / sd) / $lnn END""")} AS hurst_$n
+       |FROM hu3 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.eventsMi: exact joint/marginal counts, identical
+    * pointwise-MI tree, the per-type total replayed as a sequential
+    * list_sum over the bin-ordered terms (== Spark's running-sum-at-last-
+    * bin via max_by). */
+  val eventsMi: String =
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bin
+       |  FROM events
+       |), j AS (
+       |  SELECT event_type, bin, COUNT(*) AS n_tb FROM b GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT event_type, CAST(SUM(n_tb) AS BIGINT) AS n_t FROM j GROUP BY 1
+       |), bb AS (
+       |  SELECT bin, CAST(SUM(n_tb) AS BIGINT) AS n_b FROM j GROUP BY 1
+       |), ntot AS (
+       |  SELECT CAST(SUM(n_tb) AS BIGINT) AS nn FROM j
+       |), cells AS (
+       |  SELECT j.event_type, j.bin, n_t,
+       |         CAST(n_tb AS DOUBLE) / nn AS ptb,
+       |         CAST(n_t AS DOUBLE) / nn AS pt,
+       |         CAST(n_b AS DOUBLE) / nn AS pb
+       |  FROM j JOIN tt USING (event_type) JOIN bb USING (bin) CROSS JOIN ntot
+       |), terms AS (
+       |  SELECT event_type, bin, n_t, ptb * ln(ptb / (pt * pb)) AS term
+       |  FROM cells
+       |)
+       |SELECT event_type, MAX(n_t) AS n_events, COUNT(*) AS n_bins,
+       |       ${r("COALESCE(list_sum(list(term ORDER BY bin)), 0.0)")} AS mi_contrib
+       |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Mirrors Analytics.driftJs: identical binned rates and per-bin JS
     * terms; the total replays Spark's bin-ordered running-sum fold with a
     * sequential list_sum over the bin-ordered term list. */

@@ -419,6 +419,44 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Mutual information between event_type and the binned value — the
+    * feature-relevance readout (how much knowing the type says about the
+    * value distribution), decomposed per type:
+    *
+    *   mi_contrib(t) = Σ_b p(t,b) · ln( p(t,b) / (p(t)·p(b)) )
+    *
+    * (summing mi_contrib over types gives the full MI). Counting is exact
+    * integers through one (type, bin)-keyed partial+final aggregate; the
+    * marginals broadcast back (|types| and |bins| rows). Pointwise terms
+    * can be NEGATIVE, so the fixed-order device is max_by(cum, bin) — the
+    * bin-ordered running sum read at the LAST bin (not max), replayed by
+    * the oracle's sequential list_sum over the bin-ordered term list. */
+  def eventsMi(s: SparkSession, dir: String, binWidth: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Bars.readEvents(s, dir).select(col("event_type"),
+      floor(col("value") / binWidth).cast("long").as("bin"))
+    val joint = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("n_tb"))
+    val byType = joint.groupBy("event_type").agg(sum("n_tb").as("n_t"))
+    val byBin = joint.groupBy("bin").agg(sum("n_tb").as("n_b"))
+    val tot = joint.agg(sum("n_tb").as("nn"))
+    val cells = joint.join(broadcast(byType), Seq("event_type"))
+      .join(broadcast(byBin), Seq("bin"))
+      .crossJoin(broadcast(tot))
+    val ptb = col("n_tb").cast("double") / col("nn")
+    val pt = col("n_t").cast("double") / col("nn")
+    val pb = col("n_b").cast("double") / col("nn")
+    val term = ptb * log(ptb / (pt * pb))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.select(col("event_type"), col("bin"), col("n_t"), term.as("_term"))
+      .select(col("event_type"), col("bin"), col("n_t"),
+        sum(col("_term")).over(w).as("_cum"))
+      .groupBy("event_type")
+      .agg(max(col("n_t")).as("n_events"), count(lit(1)).as("n_bins"),
+        r6(max_by(col("_cum"), col("bin"))).as("mi_contrib"))
+      .orderBy("event_type")
+  }
+
   /** Jensen-Shannon drift between the even/odd event-id slices per
     * event_type — the bounded (≤ ln 2), symmetric companion to
     * [[driftPsi]] (PSI blows up on bins one side lacks; JS handles them
@@ -764,6 +802,94 @@ object Analytics {
         r6(when(gate, (sy - slope * st) / nD)).as("trend_intercept"),
         r6(when(gate && varY > 0.0,
           (num * num) / (denT * varY))).as("trend_r2"))
+      .orderBy("event_id")
+  }
+
+  /** Rolling skewness + excess kurtosis over n closes — the higher-moment
+    * risk signals (crash asymmetry, tail weight) next to the rolling
+    * std/vol family. Central moments from raw power sums:
+    *
+    *   m  = s1/n
+    *   m2 = s2/n − m²
+    *   m3 = s3/n − 3m·(s2/n) + 2m³
+    *   m4 = s4/n − 4m·(s3/n) + 6m²·(s2/n) − 3m⁴
+    *   skew = m3 / √(m2³)      kurt = m4/m2² − 3
+    *
+    * All four power sums via the O(n) cum−lag identity (sequential,
+    * oracle-bit-portable); the raw-sums form trades numeric elegance for
+    * cross-engine determinism — both engines run the IDENTICAL tree, so
+    * parity holds even where cancellation costs precision. NULL until the
+    * frame fills or on zero variance. */
+  def windowSkew(s: SparkSession, dir: String, n: Int = 20): DataFrame =
+    windowSkewOf(Bars.bars(s, dir), n)
+
+  def windowSkewOf(b: DataFrame, n: Int): DataFrame = {
+    import graft.features.Frames
+    val y = col("close")
+    val stage1 = b
+      .select(col("symbol"), col("event_id"), col("datetime"), y)
+      .select(col("*"), (y * y).as("_y2"), (y * y * y).as("_y3"),
+        (y * y * y * y).as("_y4"))
+    val stage2 = Frames.withCums(stage1, Map(
+      "_c_1" -> y, "_c_2" -> col("_y2"),
+      "_c_3" -> col("_y3"), "_c_4" -> col("_y4")))
+    val nD = lit(n.toDouble)
+    val s1c = Frames.cumRolling("_c_1", n)
+    val s2c = Frames.cumRolling("_c_2", n)
+    val s3c = Frames.cumRolling("_c_3", n)
+    val s4c = Frames.cumRolling("_c_4", n)
+    val m = s1c / nD
+    val m2 = s2c / nD - m * m
+    val m3 = s3c / nD - lit(3.0) * m * (s2c / nD) + lit(2.0) * (m * m * m)
+    val m4 = s4c / nD - lit(4.0) * m * (s3c / nD) +
+      lit(6.0) * (m * m) * (s2c / nD) - lit(3.0) * (m * m * m * m)
+    val gate = Frames.cumCountGate("_c_1", n) && m2 > 0.0
+    stage2.select(col("symbol"), col("event_id"),
+        r6(when(gate, m3 / sqrt(m2 * m2 * m2))).as(s"skew_$n"),
+        r6(when(gate, m4 / (m2 * m2) - 3.0)).as(s"kurt_$n"))
+      .orderBy("event_id")
+  }
+
+  /** Rolling rescaled-range Hurst exponent (single-scale estimator) over n
+    * closes — the long-memory / trend-persistence signal (H > ½ trending,
+    * H < ½ mean-reverting):
+    *
+    *   Z_k = Σ_{i≤k} x_i − k·mean        (cumulative deviation)
+    *   R   = max_k Z_k − min_k Z_k       S = √(Σ(x−mean)²/n)
+    *   H   = ln(R/S) / ln(n)
+    *
+    * The cumulative-deviation profile needs every window value, so this is
+    * the documented O(n·w) frame-array exception (collect_list over the
+    * frame + array lambdas) — unlike the O(n) cum−lag family, and priced
+    * accordingly in BENCH.md. Every fold (mean, prefix sums, squared
+    * deviations) is a sequential `aggregate`, replayed by DuckDB's
+    * list_sum over the same frame-ordered list, so the doubles match
+    * bit-for-bit; max/min over Z are order-insensitive. ln(n) is emitted
+    * from ONE Scala literal into both engines. NULL until the frame fills
+    * or on a flat window (R or S zero). */
+  def windowHurst(s: SparkSession, dir: String, n: Int = 32): DataFrame =
+    windowHurstOf(Bars.bars(s, dir), n)
+
+  def windowHurstOf(b: DataFrame, n: Int): DataFrame = {
+    import graft.features.Frames
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val lnn = math.log(n.toDouble)
+    val s1 = b
+      .select(col("symbol"), col("event_id"),
+        collect_list(col("close")).over(frame).as("_xs"),
+        count(col("close")).over(frame).as("_cnt"))
+    val s2 = s1.select(col("symbol"), col("event_id"), col("_xs"), col("_cnt"),
+      (expr("aggregate(_xs, 0D, (a, x) -> a + x)") / n).as("_m"))
+    val s3 = s2.select(col("symbol"), col("event_id"), col("_cnt"), col("_m"),
+      expr(s"transform(sequence(1, $n), " +
+        "k -> aggregate(slice(_xs, 1, k), 0D, (a, x) -> a + x) - k * _m)")
+        .as("_zs"),
+      sqrt(expr("aggregate(_xs, 0D, (a, x) -> a + (x - _m) * (x - _m))") / n)
+        .as("_s"))
+    val rng = array_max(col("_zs")) - array_min(col("_zs"))
+    s3.select(col("symbol"), col("event_id"),
+        r6(when(col("_cnt") === n && col("_s") > 0.0 && rng > 0.0,
+          log(rng / col("_s")) / lit(lnn))).as(s"hurst_$n"))
       .orderBy("event_id")
   }
 

@@ -2025,6 +2025,46 @@ class OpsSpec extends SparkSpec {
     assert(tiny.exists(_._2 == 0), s"expected FP rows at m=2, got $tiny")
   }
 
+  test("windowSkew: symmetric two-point series has skew 0, kurtosis -2") {
+    // alternating a/b: every full 20-frame holds 10 of each -> perfectly
+    // symmetric two-point distribution (m3 = 0, m4/m2^2 = 1)
+    val close = (0 until 50).map(i => if (i % 2 == 0) 100.0 else 110.0)
+    val out = graft.queries.Analytics.windowSkewOf(barsOf(close), 20)
+      .collect()
+    val vals = out.sortBy(_.getLong(1)).map(r =>
+      if (r.isNullAt(2)) None else Some((r.getDouble(2), r.getDouble(3))))
+    assert(vals.take(19).forall(_.isEmpty) && vals.drop(19).forall(_.isDefined))
+    vals.flatten.foreach { case (sk, ku) =>
+      assert(math.abs(sk) < 1e-6, s"symmetric series skew must be 0, got $sk")
+      assert(math.abs(ku - (-2.0)) < 1e-6, s"two-point kurtosis is -2, got $ku")
+    }
+  }
+
+  test("windowHurst: trending series persistent (H near 1), alternating anti-persistent") {
+    val n = 32
+    val trend = graft.queries.Analytics.windowHurstOf(
+      barsOf((1 to 80).map(i => 100.0 + i)), n).collect()
+      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val alt = graft.queries.Analytics.windowHurstOf(
+      barsOf((1 to 80).map(i => if (i % 2 == 0) 100.0 else 102.0)), n).collect()
+      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(trend.nonEmpty && alt.nonEmpty)
+    // single-scale R/S at n=32 carries finite-size bias, so a pure trend
+    // reads ~0.76 rather than 1.0 — the ordering vs alternation is the
+    // scale-free invariant
+    trend.foreach(h => assert(h > 0.7, s"pure trend should be persistent, H=$h"))
+    alt.foreach(h => assert(h < 0.3, s"alternation should be anti-persistent, H=$h"))
+    assert(trend.min > alt.max)
+  }
+
+  test("eventsMi: per-type contributions sum to a non-negative total MI") {
+    val rows = graft.queries.Analytics.eventsMi(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(3)).sum
+    assert(total >= -1e-9, s"MI must be non-negative, got $total")
+  }
+
   test("driftJs: bounded [0, ln 2], identical slices = 0") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.Analytics.driftJs(spark, dir).collect()
