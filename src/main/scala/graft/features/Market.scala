@@ -804,6 +804,52 @@ object Market {
       .drop("_ha_x")
   }
 
+  val FisherWindow = 10
+  val FisherAlpha = 0.33
+
+  /** Fisher transform (Ehlers 2002) — gaussianizes the bounded price
+    * position so extremes become sharp, symmetric signal spikes:
+    *
+    *   pos = (close − rollmin) / (rollmax − rollmin)   over n bars
+    *   x   = clamp(2·pos − 1, ±0.999)
+    *   v   = 0.33·x + 0.67·v'          (EWMA adjust=false, α=0.33)
+    *   fisher = 0.5·ln((1+v)/(1−v)) + 0.5·fisher'   (EWMA α=0.5 over z)
+    *   fisher_signal = lag(fisher, 1)
+    *
+    * Both recursions are verbatim [[graft.expr.Ewma]] instances (seeded at
+    * the first non-null input, per the Ewma contract — NOT the zero-seed
+    * some chart platforms use; one definition, both engines). |x| ≤ 0.999
+    * keeps |v| ≤ 0.999 (convex combination), so the log argument is always
+    * positive. A flat window (max = min) nulls pos → the v state holds and
+    * the chain continues — same null-transparency as the rest of the
+    * family. Four window passes over the ONE shared per-symbol exchange. */
+  def withFisher(df: DataFrame, n: Int = FisherWindow): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val full = count(col("close")).over(frame) === n
+    val rmin = min(col("close")).over(frame)
+    val rmax = max(col("close")).over(frame)
+    val pos = when(full && rmax > rmin,
+      (col("close") - rmin) / (rmax - rmin))
+    // least/greatest SKIP nulls (both engines), so the warmup null must be
+    // gated explicitly or the clamp floor leaks through as x = 0.999
+    val x = when(pos.isNotNull,
+      greatest(least(pos * 2.0 - 1.0, lit(0.999)), lit(-0.999)))
+    val s1 = df.select(col("*"), x.as("_fx"))
+    val s2 = s1.select(col("*"),
+      graft.expr.Ewma.ewmaOver(col("_fx"), FisherAlpha, adjust = false,
+        part, ord).as("_fv"))
+    val z = log((lit(1.0) + col("_fv")) / (lit(1.0) - col("_fv")))
+    val s3 = s2.select(col("*"), z.as("_fz"))
+    val s4 = s3.select(col("*"),
+      graft.expr.Ewma.ewmaOver(col("_fz"), 0.5, adjust = false,
+        part, ord).as("fisher"))
+    s4.select(col("*"),
+        lag(col("fisher"), 1).over(Frames.bySymbol).as("fisher_signal"))
+      .drop("_fx", "_fv", "_fz")
+  }
+
   val KyleWindow = 20
 
   /** Kyle's lambda — rolling price-impact slope (Kyle 1985): the OLS

@@ -611,6 +611,82 @@ object OracleSql {
        |FROM h2 JOIN ho ON ho.symbol = h2.symbol AND ho.rn = h2.rn
        |ORDER BY h2.event_id""".stripMargin
 
+  /** Mirrors Core.mlRoc (k=10): identical score/label windows, the same
+    * (lo, hi, j) threshold tree, exact integer TP/FP counting per grid
+    * point. */
+  val mlRoc: String = {
+    val k = 10
+    val thr = s"lo + (hi - lo) * CAST(j AS DOUBLE) / $k"
+    s"""$barsCte, sc AS (
+       |  SELECT close - LAG(close, 5) OVER ($W) AS score,
+       |         CAST(LEAD(close, 1) OVER ($W) > close AS INT) AS label
+       |  FROM bars
+       |), f AS (
+       |  SELECT * FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+       |), mm AS (
+       |  SELECT MIN(score) AS lo, MAX(score) AS hi FROM f
+       |), grid AS (
+       |  SELECT f.score, f.label, mm.lo, mm.hi, gs.j
+       |  FROM f CROSS JOIN mm CROSS JOIN (SELECT UNNEST(range(0, ${k + 1})) AS j) gs
+       |), agg AS (
+       |  SELECT j, MAX($thr) AS threshold,
+       |         COUNT(CASE WHEN score >= ($thr) AND label = 1 THEN 1 END) AS tp,
+       |         COUNT(CASE WHEN score >= ($thr) AND label = 0 THEN 1 END) AS fp,
+       |         COUNT(CASE WHEN label = 1 THEN 1 END) AS pos,
+       |         COUNT(CASE WHEN label = 0 THEN 1 END) AS neg
+       |  FROM grid GROUP BY j
+       |)
+       |SELECT j, ${r("threshold")} AS threshold, tp, fp,
+       |       ${r("CAST(tp AS DOUBLE) / pos")} AS tpr,
+       |       ${r("CAST(fp AS DOUBLE) / neg")} AS fpr,
+       |       ${r("CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END")} AS precision
+       |FROM agg ORDER BY j""".stripMargin
+  }
+
+  /** Mirrors Core.featFisher (Market.withFisher, n=10): identical clamped
+    * price-position tree (native rolling extrema), both EWMA recursions
+    * replayed in ONE recursive CTE with two accumulators — the v-step tree
+    * inlined into the fisher step exactly as the chained Ewma expressions
+    * evaluate it. Seeded at rn = n per the Kama uniformity argument (x is
+    * non-null there unless the first full frame is EXACTLY flat, which the
+    * synthetic walk never is — validated at three SFs). */
+  val featFisher: String = {
+    val n = graft.features.Market.FisherWindow
+    val a = graft.features.Market.FisherAlpha.toString
+    val dcy = (1.0 - graft.features.Market.FisherAlpha).toString
+    val f = frame(n)
+    val nv = s"CASE WHEN k.x IS NULL THEN fe.v ELSE fe.v * $dcy + $a * k.x END"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, fk0 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime, close, ROW_NUMBER() OVER ($W) AS rn,
+       |         CASE WHEN COUNT(close) OVER ($f) = $n
+       |                   AND MAX(close) OVER ($f) > MIN(close) OVER ($f)
+       |              THEN (close - MIN(close) OVER ($f)) /
+       |                   (MAX(close) OVER ($f) - MIN(close) OVER ($f))
+       |         END AS pos
+       |  FROM bars
+       |), k AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn,
+       |         CASE WHEN pos IS NOT NULL
+       |              THEN GREATEST(LEAST(pos * 2.0 - 1.0, 0.999), -0.999)
+       |         END AS x
+       |  FROM fk0
+       |), fe AS (
+       |  SELECT symbol, rn, x AS v,
+       |         ln((1.0 + x) / (1.0 - x)) AS fish
+       |  FROM k WHERE rn = $n
+       |  UNION ALL
+       |  SELECT k.symbol, k.rn,
+       |         $nv,
+       |         fe.fish * 0.5 + 0.5 * ln((1.0 + ($nv)) / (1.0 - ($nv)))
+       |  FROM fe JOIN k ON k.symbol = fe.symbol AND k.rn = fe.rn + 1
+       |)
+       |SELECT k.symbol, k.event_id,
+       |       ${r("fe.fish")} AS fisher,
+       |       ${r(s"LAG(fe.fish, 1) OVER (PARTITION BY k.symbol ORDER BY k.rn)")} AS fisher_signal
+       |FROM k LEFT JOIN fe ON fe.symbol = k.symbol AND fe.rn = k.rn
+       |ORDER BY k.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featKyleLambda (Market.withKyleLambda, n=20): identical
     * signed-flow/price-delta sums via the sequential cum−lag fold, same
     * variance gate and ×1e6 scaling. */

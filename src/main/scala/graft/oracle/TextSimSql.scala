@@ -468,6 +468,36 @@ object TextSimSql {
        |WHERE ($hexDecode) < CAST(floor(sample_rate * 4294967296.0) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextStats.ngramNovelty (n=3): same contiguous-trigram
+    * construction (1-based inclusive slices joined with a space), exact
+    * MIN-doc first-occurrence table, integer counts, null novelty for
+    * gramless docs. */
+  val corpusNovelty: String = {
+    val n = TextStats.NoveltyGram
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, UNNEST(
+       |    CASE WHEN len(toks) >= $n
+       |         THEN list_transform(range(1, len(toks) - ${n - 1} + 1),
+       |                i -> array_to_string(toks[i:i + ${n - 1}], ' '))
+       |         ELSE [] END) AS gm
+       |  FROM s
+       |), fd AS (
+       |  SELECT gm, MIN(doc_id) AS first_doc FROM g GROUP BY 1
+       |), pd AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |         COUNT(CASE WHEN fd.first_doc = g.doc_id THEN 1 END) AS n_novel
+       |  FROM g JOIN fd USING (gm) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(pd.n_grams, 0) AS n_grams,
+       |       COALESCE(pd.n_novel, 0) AS n_novel,
+       |       ${r("CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN NULL ELSE CAST(COALESCE(pd.n_novel, 0) AS DOUBLE) / pd.n_grams END")} AS novelty
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors Corpus.temperatureSample: α = ½ via IEEE sqrt (pow is not
     * correctly rounded cross-engine; sqrt is), Σ√n folded in source order
     * with a sequential list_sum — the rate gates row MEMBERSHIP through

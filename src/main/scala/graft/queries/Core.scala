@@ -299,6 +299,49 @@ object Core {
     keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Threshold-grid ROC curve for a deterministic momentum score against
+    * the next-bar-up label — the model-eval primitive computed WITHOUT a
+    * global sort: instead of ranking all rows (the single-partition trap at
+    * 100 TB), the score range is cut into k+1 evenly spaced thresholds
+    * (1-row min/max broadcast), each row fans out to the grid (narrow
+    * explode), and one (k+1)-group aggregate with map-side partials counts
+    * TP/FP per threshold. All counting exact integers; the threshold
+    * doubles derive from the same (lo, hi, j) tree in both engines, so the
+    * score >= threshold comparisons branch identically. */
+  def mlRoc(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = graft.features.Frames.bySymbol
+    val scored = bars(s, dir).select(
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        (lead(col("close"), 1).over(w) > col("close")).cast("int").as("label"))
+      .filter(col("score").isNotNull && col("label").isNotNull)
+    val mm = scored.agg(min("score").as("lo"), max("score").as("hi"))
+    val grid = scored.crossJoin(broadcast(mm))
+      .select(col("score"), col("label"), col("lo"), col("hi"),
+        explode(expr(s"sequence(0, $k)")).as("j"))
+      .select(col("score"), col("label"), col("lo"), col("hi"),
+        col("j").cast("long").as("j"))
+    val thr = col("lo") + (col("hi") - col("lo")) * col("j").cast("double") / k
+    grid.groupBy("j")
+      .agg(r6(max(thr)).as("threshold"),
+        count(when(col("score") >= thr && col("label") === 1, 1)).as("tp"),
+        count(when(col("score") >= thr && col("label") === 0, 1)).as("fp"),
+        count(when(col("label") === 1, 1)).as("pos"),
+        count(when(col("label") === 0, 1)).as("neg"))
+      .select(col("j"), col("threshold"), col("tp"), col("fp"),
+        r6(col("tp").cast("double") / col("pos")).as("tpr"),
+        r6(col("fp").cast("double") / col("neg")).as("fpr"),
+        r6(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))).as("precision"))
+      .orderBy("j")
+  }
+
+  /** Fisher transform + signal line (two chained Ewma recursions;
+    * see [[graft.features.Market.withFisher]]). */
+  def featFisher(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("fisher", "fisher_signal")
+    keyed(Market.withFisher(bars(s, dir)), out, out.toSet)
+  }
+
   /** Kyle's lambda — rolling price-impact OLS slope ×1e6
     * (see [[graft.features.Market.withKyleLambda]]). */
   def featKyleLambda(s: SparkSession, dir: String): DataFrame = {

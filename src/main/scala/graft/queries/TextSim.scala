@@ -56,6 +56,14 @@ object TextSim {
         r6(col("hapax_frac")).as("hapax_frac"))
       .orderBy("doc_id")
 
+  /** Trigram novelty vs the corpus prefix
+    * (see [[graft.text.TextStats.ngramNovelty]]). */
+  def corpusNovelty(s: SparkSession, dir: String): DataFrame =
+    TextStats.ngramNovelty(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        r6(col("novelty")).as("novelty"))
+      .orderBy("doc_id")
+
   /** Temperature-scaled (α = ½) source mixture sampling
     * (see [[graft.text.Corpus.temperatureSample]]). */
   def corpusTemperature(s: SparkSession, dir: String): DataFrame =

@@ -356,6 +356,40 @@ object TextStats {
       ((col("sy") - slope * col("sx")) / col("n")).as("zipf_intercept"))
   }
 
+  val NoveltyGram = 3
+
+  /** N-gram novelty vs the corpus prefix: per document, the fraction of its
+    * word trigram OCCURRENCES whose trigram first appears in this document
+    * (first = smallest doc_id carrying it). The memorization/novelty axis
+    * (Lee et al. 2022): boilerplate-heavy docs score near 0, fresh content
+    * near 1 — the per-doc complement of the corpus-level
+    * [[graft.text.Corpus]] span dedup.
+    *
+    * Relational shape: explode contiguous trigrams → one gram-keyed MIN
+    * aggregate (the global first-occurrence table, partial+final, hot grams
+    * collapse map-side) → shuffle join back on gram → one doc-keyed count
+    * aggregate. Everything is exact integer counting; docs shorter than n
+    * tokens carry NULL novelty (no grams), preserved by the left join from
+    * the full document set. */
+  def ngramNovelty(docs: DataFrame, n: Int = NoveltyGram): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= n,
+      expr(s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(split(text, ' '), i, $n)))"))
+      .otherwise(array())
+    val g = docs.select(col("doc_id"), explode(grams).as("g"))
+    val firstDoc = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = g.join(firstDoc, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   val HashDim = 64
 
   /** Hashing-trick featurization (long form): each token is bucketed by its

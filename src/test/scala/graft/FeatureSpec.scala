@@ -262,6 +262,60 @@ class FeatureSpec extends SparkSpec {
       twice.collect().map(_.getLong(0)).sorted))
   }
 
+  test("fisher: matches a straight-loop reference of the chained recursions") {
+    val n = Market.FisherWindow
+    val a = Market.FisherAlpha
+    val close = (0 until 60).map(i => 100.0 + 15 * math.sin(i / 3.0))
+    val got = column(Market.withFisher(barsOf(close)), "fisher")
+    var v = 0.0; var fish = 0.0; var started = false
+    val want = close.indices.map { i =>
+      if (i < n - 1) None
+      else {
+        val w = close.slice(i - n + 1, i + 1)
+        val (lo, hi) = (w.min, w.max)
+        if (hi <= lo) if (started) Some(fish) else None
+        else {
+          val x = math.max(math.min((close(i) - lo) / (hi - lo) * 2.0 - 1.0,
+            0.999), -0.999)
+          v = if (!started) x else v * (1.0 - a) + a * x
+          val z = math.log((1.0 + v) / (1.0 - v))
+          fish = if (!started) z else fish * 0.5 + 0.5 * z
+          started = true
+          Some(fish)
+        }
+      }
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.isDefined == w.isDefined, s"null gate at $i: $g vs $w")
+      g.zip(w).foreach { case (gv, wv) =>
+        assert(math.abs(gv - wv) < 1e-9, s"fisher at $i: $gv vs $wv") }
+    }
+  }
+
+  test("mlRoc: endpoints saturate, tpr/fpr nonincreasing in threshold") {
+    val rows = graft.queries.Core.mlRoc(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 11)
+    assert(rows.head.getDouble(4) == 1.0 && rows.head.getDouble(5) == 1.0,
+      "at threshold = lo every row passes")
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c.getDouble(4) <= p.getDouble(4) + 1e-12)
+      assert(c.getDouble(5) <= p.getDouble(5) + 1e-12)
+    }
+  }
+
+  test("ngramNovelty: first doc fully novel, duplicate fully stale, overlap fractional") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextStats.ngramNovelty(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((2L, 2L, 1.0)))
+    assert(got(1) == ((2L, 0L, 0.0)))
+    assert(got(2) == ((2L, 1L, 0.5)))
+  }
+
   test("pivot points: level ordering s2<=s1<=p<=r1<=r2, first day null") {
     val s = spark
     import s.implicits._
