@@ -64,6 +64,21 @@ object Params {
   val SupertrendAtr = 14
   val SupertrendMult = 3.0
 
+  /** Parabolic SAR (`feat_psar`): Wilder's classic 0.02 / 0.02 / 0.2
+    * acceleration schedule. Shared verbatim with the oracle's replay. */
+  val PsarAf0 = 0.02
+  val PsarInc = 0.02
+  val PsarAfMax = 0.2
+
+  /** Dollar bars (`bars_dollar`): cumulative close·volume per bucket —
+    * ~15 bars per symbol at sf0.01 magnitudes. */
+  val DollarBarSize = 5.0e6
+
+  /** Purged CV (`cv_purged`): fold count and the embargo width as a
+    * fraction of the row count (López de Prado's purged K-fold). */
+  val PurgedFolds = 5
+  val EmbargoFrac = 50 // n div EmbargoFrac rows of embargo on each side
+
   /** The events table's closed event-type vocabulary (TESTDATA.md) — the
     * explicit value list for pivot/unpivot on BOTH the Spark and oracle
     * sides, so the four uses cannot drift apart. */

@@ -925,6 +925,23 @@ object Market {
       .drop(Frames.cumHelperCols(Seq("_c_tr")): _*)
   }
 
+  /** Parabolic SAR trailing stop (basic Wilder recursion, no prior-bar
+    * clamp — see [[graft.expr.PsarBase]]): the line plus the ±1 regime.
+    * One window pass (the recursion needs only high/low), shared
+    * per-symbol exchange. */
+  def withPsar(df: DataFrame,
+      af0: Double = graft.Params.PsarAf0,
+      inc: Double = graft.Params.PsarInc,
+      afMax: Double = graft.Params.PsarAfMax): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    df.select(col("*"),
+      graft.expr.Psar.lineOver(col("high"), col("low"), af0, inc, afMax,
+        part, ord).as("psar"),
+      graft.expr.Psar.dirOver(col("high"), col("low"), af0, inc, afMax,
+        part, ord).cast("int").as("psar_trend"))
+  }
+
   /** Classic floor-trader pivot points — today's support/resistance levels
     * from YESTERDAY's daily high/low/close:
     *

@@ -611,6 +611,89 @@ object OracleSql {
        |FROM h2 JOIN ho ON ho.symbol = h2.symbol AND ho.rn = h2.rn
        |ORDER BY h2.event_id""".stripMargin
 
+  /** Mirrors Core.featPsar (Market.withPsar, 0.02/0.02/0.2): the four-state
+    * Wilder recursion replayed with the SAME branch order as the window
+    * expression (flip checked before new-extreme), constants emitted from
+    * the same Scala literals. */
+  val featPsar: String = {
+    val a0 = Params.PsarAf0.toString
+    val ic = Params.PsarInc.toString
+    val mx = Params.PsarAfMax.toString
+    val sp = "ps.sar + ps.af * (ps.ep - ps.sar)"
+    val flip = s"(ps.tr = 1.0 AND k.low < ($sp)) OR (ps.tr <> 1.0 AND k.high > ($sp))"
+    val newext = "(ps.tr = 1.0 AND k.high > ps.ep) OR (ps.tr <> 1.0 AND k.low < ps.ep)"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, k AS MATERIALIZED (
+       |  SELECT symbol, event_id, high, low, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), ps AS (
+       |  SELECT symbol, rn, low AS sar, high AS ep,
+       |         CAST($a0 AS DOUBLE) AS af, CAST(1.0 AS DOUBLE) AS tr
+       |  FROM k WHERE rn = 1
+       |  UNION ALL
+       |  SELECT k.symbol, k.rn,
+       |         CASE WHEN $flip THEN ps.ep ELSE $sp END,
+       |         CASE WHEN $flip THEN (CASE WHEN ps.tr = 1.0 THEN k.low ELSE k.high END)
+       |              WHEN $newext THEN (CASE WHEN ps.tr = 1.0 THEN k.high ELSE k.low END)
+       |              ELSE ps.ep END,
+       |         CASE WHEN $flip THEN $a0
+       |              WHEN $newext THEN LEAST(ps.af + $ic, $mx)
+       |              ELSE ps.af END,
+       |         CASE WHEN $flip THEN (CASE WHEN ps.tr = 1.0 THEN -1.0 ELSE 1.0 END)
+       |              ELSE ps.tr END
+       |  FROM ps JOIN k ON k.symbol = ps.symbol AND k.rn = ps.rn + 1
+       |)
+       |SELECT k.symbol, k.event_id,
+       |       ${r("ps.sar")} AS psar,
+       |       CAST(ps.tr AS INT) AS psar_trend
+       |FROM k JOIN ps ON ps.symbol = k.symbol AND ps.rn = k.rn
+       |ORDER BY k.event_id""".stripMargin
+  }
+
+  /** Mirrors Core.barsDollar (T from Params): the cumulative dollar fold
+    * is the sequential per-symbol list_sum; open/close key-deterministic
+    * arg_min/arg_max, the dollar sum r4-rounded. */
+  val barsDollar: String = {
+    val t = Params.DollarBarSize.toString
+    s"""$barsCte, db1 AS (
+       |  SELECT symbol, event_id, close, volume, close * volume AS _d,
+       |         ${cumSum("close * volume")} AS _cum
+       |  FROM bars
+       |), db2 AS (
+       |  SELECT symbol, event_id, close, volume, _d,
+       |         CAST(floor(_cum / $t) AS BIGINT) AS bar_id
+       |  FROM db1
+       |)
+       |SELECT symbol, bar_id, COUNT(*) AS n_ticks,
+       |       ${r("arg_min(close, event_id)")} AS open,
+       |       ${r("MAX(close)")} AS high,
+       |       ${r("MIN(close)")} AS low,
+       |       ${r("arg_max(close, event_id)")} AS close,
+       |       SUM(volume) AS volume,
+       |       ${r4("SUM(_d)")} AS dollar
+       |FROM db2 GROUP BY 1, 2 ORDER BY symbol, bar_id""".stripMargin
+  }
+
+  /** Mirrors Core.cvPurged (k=5, embargo = n div 50): pure integer
+    * boundary arithmetic over the global (ts, event_id) row numbering. */
+  val cvPurged: String = {
+    val k = Params.PurgedFolds
+    val ef = Params.EmbargoFrac
+    s"""WITH numbered AS (
+       |  SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+       |         COUNT(*) OVER () AS n
+       |  FROM events
+       |), folds AS (SELECT UNNEST(range(1, ${k + 1})) AS fold)
+       |SELECT fold, event_id,
+       |       CASE WHEN rn >= (fold - 1) * n // $k + 1 AND rn <= fold * n // $k
+       |            THEN 'test'
+       |            WHEN rn >= (fold - 1) * n // $k + 1 - n // $ef
+       |                 AND rn <= fold * n // $k + n // $ef
+       |            THEN 'embargo'
+       |            ELSE 'train' END AS role
+       |FROM numbered CROSS JOIN folds
+       |ORDER BY fold, event_id""".stripMargin
+  }
+
   /** Mirrors Core.mlRoc (k=10): identical score/label windows, the same
     * (lo, hi, j) threshold tree, exact integer TP/FP counting per grid
     * point. */
@@ -2303,31 +2386,37 @@ object OracleSql {
        |FROM ks4 ORDER BY event_id""".stripMargin
   }
 
-  /** Mirrors Analytics.windowHurst (n=32): the same frame-ordered value
-    * list, every fold a sequential list_sum (mean, prefix sums, squared
-    * deviations), order-insensitive list_max/min over the deviation
-    * profile, ln(n) emitted from the same Scala literal. */
+  /** Mirrors Analytics.windowHurst (n=32): in-window prefix sums as
+    * differences of the sequential global cumsum (same O(n·w) formulation),
+    * window std from the cum−lag power sums, order-insensitive
+    * list_max/min over the deviation profile, ln(n) emitted from the same
+    * Scala literal. */
   val windowHurst: String = {
     val n = 32
     val lnn = math.log(n.toDouble).toString
     s"""$barsCte, hu1 AS (
-       |  SELECT symbol, event_id,
-       |         list(close) OVER (${frame(n)}) AS xs,
-       |         COUNT(close) OVER (${frame(n)}) AS cnt
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("close")} AS _c,
+       |         COUNT(close) OVER ($Wrun) AS _c_n,
+       |         ${cumSum("close * close")} AS _c2
        |  FROM bars
        |), hu2 AS (
-       |  SELECT symbol, event_id, xs, cnt,
-       |         COALESCE(list_sum(xs), 0.0) / $n AS m
+       |  SELECT symbol, event_id,
+       |         list(_c) OVER (${frame(n)}) AS cs,
+       |         COALESCE(LAG(_c, $n) OVER ($W), 0.0) AS base,
+       |         (${cumRolling("_c", n)}) / $n AS m,
+       |         (${cumRolling("_c2", n)}) / $n AS m2,
+       |         ${cumGate("_c", n)} AS g
        |  FROM hu1
        |), hu3 AS (
-       |  SELECT symbol, event_id, cnt, m,
+       |  SELECT symbol, event_id, g, m,
        |         list_transform(range(1, ${n + 1}),
-       |           k -> COALESCE(list_sum(xs[1:k]), 0.0) - k * m) AS zs,
-       |         sqrt(COALESCE(list_sum(list_transform(xs, x -> (x - m) * (x - m))), 0.0) / $n) AS sd
+       |           k -> (cs[k] - base) - k * m) AS zs,
+       |         sqrt(GREATEST(m2 - m * m, 0.0)) AS sd
        |  FROM hu2
        |)
        |SELECT symbol, event_id,
-       |       ${r(s"""CASE WHEN cnt = $n AND sd > 0.0
+       |       ${r(s"""CASE WHEN g AND sd > 0.0
        |              AND (list_max(zs) - list_min(zs)) > 0.0
        |              THEN ln((list_max(zs) - list_min(zs)) / sd) / $lnn END""")} AS hurst_$n
        |FROM hu3 ORDER BY event_id""".stripMargin

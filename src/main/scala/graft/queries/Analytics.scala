@@ -874,21 +874,26 @@ object Analytics {
     import graft.features.Frames
     val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
     val lnn = math.log(n.toDouble)
-    val s1 = b
-      .select(col("symbol"), col("event_id"),
-        collect_list(col("close")).over(frame).as("_xs"),
-        count(col("close")).over(frame).as("_cnt"))
-    val s2 = s1.select(col("symbol"), col("event_id"), col("_xs"), col("_cnt"),
-      (expr("aggregate(_xs, 0D, (a, x) -> a + x)") / n).as("_m"))
-    val s3 = s2.select(col("symbol"), col("event_id"), col("_cnt"), col("_m"),
+    // O(n·w), not O(n·w²): the in-window prefix sums are DIFFERENCES of the
+    // global per-symbol cumsum (computed once), so the per-row transform is
+    // one subtraction per offset instead of re-summing a slice; the window
+    // std comes from the cum−lag power sums like the rest of the family.
+    val s1 = Frames.withCums(b.select(col("symbol"), col("event_id"),
+        col("datetime"), col("close")),
+      Map("_c" -> col("close"), "_c2" -> (col("close") * col("close"))))
+    val s2 = s1.select(col("symbol"), col("event_id"),
+      collect_list(col("_c")).over(frame).as("_cs"),
+      coalesce(lag(col("_c"), n).over(Frames.bySymbol), lit(0.0)).as("_base"),
+      (Frames.cumRolling("_c", n) / n).as("_m"),
+      (Frames.cumRolling("_c2", n) / n).as("_m2"),
+      Frames.cumCountGate("_c", n).as("_g"))
+    val s3 = s2.select(col("symbol"), col("event_id"), col("_g"), col("_m"),
       expr(s"transform(sequence(1, $n), " +
-        "k -> aggregate(slice(_xs, 1, k), 0D, (a, x) -> a + x) - k * _m)")
-        .as("_zs"),
-      sqrt(expr("aggregate(_xs, 0D, (a, x) -> a + (x - _m) * (x - _m))") / n)
-        .as("_s"))
+        "k -> (element_at(_cs, k) - _base) - k * _m)").as("_zs"),
+      sqrt(greatest(col("_m2") - col("_m") * col("_m"), lit(0.0))).as("_s"))
     val rng = array_max(col("_zs")) - array_min(col("_zs"))
     s3.select(col("symbol"), col("event_id"),
-        r6(when(col("_cnt") === n && col("_s") > 0.0 && rng > 0.0,
+        r6(when(col("_g") && col("_s") > 0.0 && rng > 0.0,
           log(rng / col("_s")) / lit(lnn))).as(s"hurst_$n"))
       .orderBy("event_id")
   }

@@ -299,6 +299,69 @@ object Core {
     keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Parabolic SAR line + regime (see [[graft.features.Market.withPsar]]). */
+  def featPsar(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withPsar(bars(s, dir)), Seq("psar", "psar_trend"),
+      Set("psar"))
+
+  /** Information-driven dollar bars (López de Prado): resample each
+    * symbol's tick stream by CUMULATIVE traded dollar value instead of
+    * wall-clock — liquid regimes get more bars, quiet ones fewer. The
+    * bucket index is floor(cum(close·volume)/T); the running cumsum is the
+    * sequential per-symbol fold (bit-portable via the oracle's list_sum),
+    * then one partial+final OHLCV aggregate per (symbol, bucket):
+    * open/close by arg-min/max on event_id (key-deterministic),
+    * high/low/volume order-insensitive, the dollar sum r4-rounded (grouped
+    * double sums land inside the rounding box, the agg_stats precedent). */
+  def barsDollar(s: SparkSession, dir: String,
+      t: Double = graft.Params.DollarBarSize): DataFrame = {
+    val running = graft.features.Frames.bySymbol.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val withCum = bars(s, dir).select(col("symbol"), col("event_id"),
+        col("datetime"), col("close"), col("volume"),
+        (col("close") * col("volume")).as("_d"))
+      .select(col("*"), sum(col("_d")).over(running).as("_cum"))
+    withCum
+      .select(col("symbol"), col("event_id"), col("close"), col("volume"),
+        col("_d"), floor(col("_cum") / t).cast("long").as("bar_id"))
+      .groupBy("symbol", "bar_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        r6(min_by(col("close"), col("event_id"))).as("open"),
+        r6(max(col("close"))).as("high"),
+        r6(min(col("close"))).as("low"),
+        r6(max_by(col("close"), col("event_id"))).as("close"),
+        sum(col("volume")).as("volume"),
+        r4(sum(col("_d"))).as("dollar"))
+      .orderBy("symbol", "bar_id")
+  }
+
+  /** Purged K-fold CV with embargo (López de Prado 2018): test block f,
+    * EMBARGO rows on each side excluded from training (leakage guard for
+    * overlapping-label time series), train = everything else. Global row
+    * numbers via the scalable range-bucket scheme (graft.analytics.Ranking
+    * — no single-partition window); one explode over the k folds, pure
+    * integer boundary arithmetic (`div`), so roles are exact on both
+    * engines. */
+  def cvPurged(s: SparkSession, dir: String,
+      k: Int = graft.Params.PurgedFolds): DataFrame = {
+    val ev = graft.source.Bars.readEvents(s, dir)
+      .select(col("event_id"), col("ts"))
+    val (numbered, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")))
+    val e = n / graft.Params.EmbargoFrac
+    val start = expr(s"(fold - 1L) * ${n}L div ${k}L + 1L")
+    val end = expr(s"fold * ${n}L div ${k}L")
+    numbered.localCheckpoint()
+      .select(col("rn"), col("event_id"),
+        explode(expr(s"sequence(1L, ${k}L)")).as("fold"))
+      .select(col("fold"), col("event_id"),
+        when(col("rn") >= start && col("rn") <= end, "test")
+          .when(col("rn") >= start - e && col("rn") <= end + e, "embargo")
+          .otherwise("train").as("role"))
+      .orderBy("fold", "event_id")
+  }
+
   /** Threshold-grid ROC curve for a deterministic momentum score against
     * the next-bar-up label — the model-eval primitive computed WITHOUT a
     * global sort: instead of ranking all rows (the single-partition trap at

@@ -316,6 +316,71 @@ class FeatureSpec extends SparkSpec {
     assert(got(2) == ((2L, 1L, 0.5)))
   }
 
+  test("psar: matches a straight-loop Wilder reference, flips both ways") {
+    val (a0, inc, mx) = (Params.PsarAf0, Params.PsarInc, Params.PsarAfMax)
+    val close = (0 until 60).map(i => 100.0 + 25 * math.sin(i / 5.0))
+    val got = Market.withPsar(barsOf(close)).orderBy("event_id")
+      .select("psar", "psar_trend").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val high = close.map(_ * 1.01)
+    val low = close.map(_ * 0.99)
+    var sar = 0.0; var ep = 0.0; var af = 0.0; var tr = 0.0
+    val want = close.indices.map { i =>
+      if (i == 0) { sar = low(0); ep = high(0); af = a0; tr = 1.0 }
+      else {
+        val sp = sar + af * (ep - sar)
+        val flip = (tr == 1.0 && low(i) < sp) || (tr != 1.0 && high(i) > sp)
+        val newext = (tr == 1.0 && high(i) > ep) || (tr != 1.0 && low(i) < ep)
+        val nsar = if (flip) ep else sp
+        val nep =
+          if (flip) { if (tr == 1.0) low(i) else high(i) }
+          else if (newext) { if (tr == 1.0) high(i) else low(i) }
+          else ep
+        val naf = if (flip) a0 else if (newext) math.min(af + inc, mx) else af
+        val ntr = if (flip) { if (tr == 1.0) -1.0 else 1.0 } else tr
+        sar = nsar; ep = nep; af = naf; tr = ntr
+      }
+      (sar, tr.toInt)
+    }
+    got.zip(want).zipWithIndex.foreach { case (((gv, gt), (wv, wt)), i) =>
+      assert(math.abs(gv - wv) < 1e-9 && gt == wt,
+        s"psar row $i: got ($gv, $gt) want ($wv, $wt)")
+    }
+    val trends = got.map(_._2)
+    assert(trends.contains(1) && trends.contains(-1))
+  }
+
+  test("barsDollar: buckets partition ticks, OHLC consistent, volume conserved") {
+    val rows = graft.queries.Core.barsDollar(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h, l, o, c) = (r.getDouble(4), r.getDouble(5), r.getDouble(3), r.getDouble(6))
+      assert(l <= h && o >= l - 1e-9 && o <= h + 1e-9 && c >= l - 1e-9 && c <= h + 1e-9)
+    }
+    val nTicks = rows.map(_.getLong(2)).sum
+    val barCount = graft.queries.Core.bars(spark, "/root/testdata/sf0.001").count()
+    assert(nTicks == barCount, "every tick lands in exactly one dollar bar")
+  }
+
+  test("cvPurged: roles partition rows; embargo brackets each test block; test blocks tile") {
+    val k = Params.PurgedFolds
+    val out = graft.queries.Core.cvPurged(spark, "/root/testdata/sf0.001")
+      .collect().groupBy(_.getLong(0))
+    assert(out.keySet == (1 to k).map(_.toLong).toSet)
+    val n = out(1L).length
+    // each fold labels every row exactly once
+    out.values.foreach(rows => assert(rows.length == n))
+    // test blocks across folds tile the row set exactly once
+    val testTotal = out.values.map(_.count(_.getString(2) == "test")).sum
+    assert(testTotal == n, s"test blocks must tile the $n rows, got $testTotal")
+    // every fold has nonempty embargo (interior folds have two sides)
+    out.values.foreach { rows =>
+      assert(rows.exists(_.getString(2) == "embargo"))
+      assert(rows.exists(_.getString(2) == "train"))
+    }
+  }
+
   test("pivot points: level ordering s2<=s1<=p<=r1<=r2, first day null") {
     val s = spark
     import s.implicits._
