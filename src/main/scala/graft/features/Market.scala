@@ -925,6 +925,39 @@ object Market {
       .drop(Frames.cumHelperCols(Seq("_c_tr")): _*)
   }
 
+  /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
+    * marks a volatility compression that typically precedes a breakout.
+    * The Keltner channel here is Chester Keltner's ORIGINAL formulation —
+    * SMA of typical price ± SMA of the bar range — so the whole composite
+    * stays on the non-recursive cum−lag machinery (the modern EMA/ATR
+    * variant lives in [[withKeltner]]):
+    *
+    *   kel_mid  = SMA(tp, n)      band = SMA(high − low, n)
+    *   squeeze_on = bb_upper < kel_mid + band AND bb_lower > kel_mid − band
+    *
+    * The flag compares the UNROUNDED doubles, identically re-derived in
+    * the oracle. One more window pass over the shared per-symbol
+    * exchange on top of Bollinger's. */
+  def withSqueeze(df: DataFrame, n: Int = graft.Params.BbPeriod): DataFrame = {
+    val withBb = Technical.withBollinger(df)
+    val tp = (col("high") + col("low") + col("close")) / 3.0
+    val rng = col("high") - col("low")
+    val s1 = withBb.select(col("*"), tp.as("_tp"), rng.as("_rg"))
+    val s2 = Frames.withCums(s1, Map("_c_tp" -> col("_tp"),
+      "_c_rg" -> col("_rg")))
+    val gate = Frames.cumCountGate("_c_tp", n)
+    val mid = when(gate, Frames.cumRolling("_c_tp", n) / n)
+    val band = when(gate, Frames.cumRolling("_c_rg", n) / n)
+    s2.select(col("*"),
+        mid.as("kel_mid"),
+        (mid + band).as("kel_high"),
+        (mid - band).as("kel_low"),
+        (col("bb_upper") < (mid + band) && col("bb_lower") > (mid - band))
+          .cast("int").as("squeeze_on"))
+      .drop("_tp", "_rg")
+      .drop(Frames.cumHelperCols(Seq("_c_tp", "_c_rg")): _*)
+  }
+
   /** Parabolic SAR trailing stop (basic Wilder recursion, no prior-bar
     * clamp — see [[graft.expr.PsarBase]]): the line plus the ±1 regime.
     * One window pass (the recursion needs only high/low), shared

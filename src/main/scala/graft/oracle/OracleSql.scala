@@ -611,6 +611,82 @@ object OracleSql {
        |FROM h2 JOIN ho ON ho.symbol = h2.symbol AND ho.rn = h2.rn
        |ORDER BY h2.event_id""".stripMargin
 
+  /** Mirrors Core.featSqueeze (Market.withSqueeze, n=20): Bollinger's
+    * exact cum−lag chain composed with the original-form Keltner (SMA of
+    * typical price ± SMA of range); the squeeze flag compares the same
+    * unrounded doubles. */
+  val featSqueeze: String = {
+    val n = Params.BbPeriod
+    val k = Params.BbStd
+    s"""$barsCte, sq1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("close")} AS _c_bc,
+       |         COUNT(close) OVER ($Wrun) AS _c_bc_n,
+       |         ${cumSum("close * close")} AS _c_bc2,
+       |         ${cumSum("(high + low + close) / 3.0")} AS _c_tp,
+       |         COUNT((high + low + close) / 3.0) OVER ($Wrun) AS _c_tp_n,
+       |         ${cumSum("high - low")} AS _c_rg
+       |  FROM bars
+       |), sq2 AS (
+       |  SELECT symbol, event_id,
+       |         ${cumRolling("_c_bc", n)} AS s1,
+       |         ${cumRolling("_c_bc2", n)} AS s2,
+       |         ${cumGate("_c_bc", n)} AS g1,
+       |         ${cumRolling("_c_tp", n)} AS stp,
+       |         ${cumRolling("_c_rg", n)} AS srg,
+       |         ${cumGate("_c_tp", n)} AS g2
+       |  FROM sq1
+       |), sq3 AS (
+       |  SELECT symbol, event_id,
+       |         CASE WHEN g1 THEN s1 / $n END AS mid,
+       |         CASE WHEN g1 THEN sqrt(greatest((s2 - s1 * s1 / $n) / ${n - 1}, 0.0)) END AS sd,
+       |         CASE WHEN g2 THEN stp / $n END AS kmid,
+       |         CASE WHEN g2 THEN srg / $n END AS band
+       |  FROM sq2
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"mid + sd * $k")} AS bb_upper,
+       |       ${r(s"mid - sd * $k")} AS bb_lower,
+       |       ${r("kmid + band")} AS kel_high,
+       |       ${r("kmid - band")} AS kel_low,
+       |       CAST(mid + sd * $k < (kmid + band) AND mid - sd * $k > (kmid - band) AS INT) AS squeeze_on
+       |FROM sq3 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.eventsAnomaly (w=24): integer hourly counts through
+    * integer running/rolling sums (order-insensitive — plain windowed SUM
+    * is exact), identical mean/var/z trees. */
+  val eventsAnomaly: String = {
+    val w = 24
+    val Wh = "PARTITION BY event_type ORDER BY hb"
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hb,
+       |         COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), a1 AS (
+       |  SELECT event_type, hb, n,
+       |         SUM(n) OVER ($Wh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _c1,
+       |         SUM(n * n) OVER ($Wh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _c2,
+       |         COUNT(*) OVER ($Wh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cn
+       |  FROM hourly
+       |), a2 AS (
+       |  SELECT event_type, hb, n,
+       |         _c1 - COALESCE(LAG(_c1, $w) OVER ($Wh), 0) AS rs,
+       |         _c2 - COALESCE(LAG(_c2, $w) OVER ($Wh), 0) AS rs2,
+       |         (_cn - COALESCE(LAG(_cn, $w) OVER ($Wh), 0)) = $w AS g
+       |  FROM a1
+       |), a3 AS (
+       |  SELECT event_type, hb, n, g,
+       |         sqrt(greatest((CAST(rs2 AS DOUBLE) - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE) / $w) / ${w - 1}, 0.0)) AS sd,
+       |         CAST(rs AS DOUBLE) / $w AS mean
+       |  FROM a2
+       |)
+       |SELECT event_type, hb, n,
+       |       ${r(s"CASE WHEN g AND sd > 0.0 THEN (CAST(n AS DOUBLE) - mean) / sd END")} AS z,
+       |       CAST(abs(CASE WHEN g AND sd > 0.0 THEN (CAST(n AS DOUBLE) - mean) / sd END) > 3.0 AS INT) AS is_anomaly
+       |FROM a3 ORDER BY event_type, hb""".stripMargin
+  }
+
   /** Mirrors Core.featPsar (Market.withPsar, 0.02/0.02/0.2): the four-state
     * Wilder recursion replayed with the SAME branch order as the window
     * expression (flip checked before new-extreme), constants emitted from

@@ -588,6 +588,33 @@ object TextSimSql {
        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
        |ORDER BY doc_id, term""".stripMargin
 
+  /** Mirrors TextSim.textKeywords (k=3): the tfidf chain plus the same
+    * (tfidf desc, term) rank — tfidf doubles are identical cross-engine,
+    * so the rank order is too. */
+  val textKeywords: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS n_occ FROM toks GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+       |), nd AS (
+       |  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+       |), sc AS (
+       |  SELECT doc_id, term,
+       |         CAST(n_occ AS DOUBLE) / n_toks * ln(CAST(n_docs AS DOUBLE) / doc_freq) AS tfidf
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
+       |), rk AS (
+       |  SELECT doc_id, term, tfidf,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+       |  FROM sc
+       |)
+       |SELECT doc_id, rk, term, ${r("tfidf")} AS tfidf
+       |FROM rk WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
   val simLabelCentroids: String =
     s"""WITH comps AS (
        |  SELECT label, i AS idx, AVG(CAST(embedding[i] AS DOUBLE)) AS m

@@ -419,6 +419,40 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Operational volume-anomaly detection: hourly event counts per type,
+    * z-scored against the trailing w observed hours — the monitoring
+    * primitive that pages when a source dries up or floods. Counts are
+    * exact integers all the way through the running/rolling sums (integer
+    * sums are order-insensitive, so no sequential-fold machinery needed);
+    * only the final mean/std/z are doubles, identical trees both engines.
+    * Stats run over OBSERVED buckets (an entirely silent hour is invisible
+    * — a production deployment would densify against a calendar dim).
+    * One (type, hour) aggregate + one ordered window per type. */
+  def eventsAnomaly(s: SparkSession, dir: String, w: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Bars.readEvents(s, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("hb"))
+      .groupBy("event_type", "hb").agg(count(lit(1)).as("n"))
+    val wi = Window.partitionBy("event_type").orderBy("hb")
+    val run = wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = hourly.select(col("*"),
+      sum(col("n")).over(run).as("_c1"),
+      sum(col("n") * col("n")).over(run).as("_c2"),
+      count(lit(1)).over(run).as("_cn"))
+    val rs = col("_c1") - coalesce(lag(col("_c1"), w).over(wi), lit(0L))
+    val rs2 = col("_c2") - coalesce(lag(col("_c2"), w).over(wi), lit(0L))
+    val gate = (col("_cn") - coalesce(lag(col("_cn"), w).over(wi), lit(0L))) === w
+    val mean = rs.cast("double") / w
+    val varp = (rs2.cast("double") - rs.cast("double") * rs.cast("double") / w) /
+      (w - 1)
+    val sd = sqrt(greatest(varp, lit(0.0)))
+    val z = when(gate && sd > 0.0, (col("n").cast("double") - mean) / sd)
+    s1.select(col("event_type"), col("hb"), col("n"),
+        r6(z).as("z"), (abs(z) > 3.0).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "hb")
+  }
+
   /** Mutual information between event_type and the binned value — the
     * feature-relevance readout (how much knowing the type says about the
     * value distribution), decomposed per type:

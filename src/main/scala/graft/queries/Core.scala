@@ -299,6 +299,14 @@ object Core {
     keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Volatility-squeeze flag: Bollinger inside original-form Keltner
+    * (see [[graft.features.Market.withSqueeze]]). */
+  def featSqueeze(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("bb_upper", "bb_lower", "kel_high", "kel_low", "squeeze_on")
+    keyed(Market.withSqueeze(bars(s, dir)), out,
+      Set("bb_upper", "bb_lower", "kel_high", "kel_low"))
+  }
+
   /** Parabolic SAR line + regime (see [[graft.features.Market.withPsar]]). */
   def featPsar(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withPsar(bars(s, dir)), Seq("psar", "psar_trend"),

@@ -56,6 +56,20 @@ object TextSim {
         r6(col("hapax_frac")).as("hapax_frac"))
       .orderBy("doc_id")
 
+  /** Per-document keyword extraction: each doc's top-k terms by tf-idf
+    * (deterministic term tie-break) — one WindowGroupLimit-prunable rank
+    * over the [[graft.text.TextStats.tfidf]] output, so every mapper keeps
+    * only its local top-k per doc before the shuffle. */
+  def textKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    TextStats.tfidf(Tables.documents(s, dir))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), r6(col("tfidf")).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Trigram novelty vs the corpus prefix
     * (see [[graft.text.TextStats.ngramNovelty]]). */
   def corpusNovelty(s: SparkSession, dir: String): DataFrame =

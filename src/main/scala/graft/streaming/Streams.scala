@@ -359,6 +359,60 @@ object Streams {
       }
   }
 
+  case class PsarPoint(symbol: String, event_id: Long,
+      psar: Double, psar_trend: Int)
+  case class PsarState(hasPrev: Boolean, prevClose: Double,
+      started: Boolean, sar: Double, ep: Double, af: Double, tr: Double)
+
+  /** Stateful streaming parabolic SAR — the live twin of `feat_psar`
+    * ([[graft.expr.PsarBase]]): open/high/low re-derived like the bars
+    * adapter, then the identical Wilder recursion per symbol (flip checked
+    * before new-extreme, same JVM doubles in the same order), so streaming
+    * == batch row for row from the very first tick (PSAR has no warmup).
+    * Ordering contract as [[streamingRsi]]. */
+  def streamingPsar(ticks: Dataset[BarTick],
+      af0: Double = graft.Params.PsarAf0,
+      inc: Double = graft.Params.PsarInc,
+      afMax: Double = graft.Params.PsarAfMax): Dataset[PsarPoint] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[PsarState, PsarPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sym, it, state: GroupState[PsarState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(PsarState(
+            hasPrev = false, 0.0, started = false, 0.0, 0.0, 0.0, 0.0))
+          val out = sorted.map { e =>
+            val open = if (st.hasPrev) st.prevClose else e.close
+            val h = math.max(open, e.close)
+            val l = math.min(open, e.close)
+            if (!st.started)
+              st = st.copy(started = true, sar = l, ep = h, af = af0, tr = 1.0)
+            else {
+              val sp = st.sar + st.af * (st.ep - st.sar)
+              val flip = (st.tr == 1.0 && l < sp) || (st.tr != 1.0 && h > sp)
+              val newext = (st.tr == 1.0 && h > st.ep) ||
+                (st.tr != 1.0 && l < st.ep)
+              val nsar = if (flip) st.ep else sp
+              val nep =
+                if (flip) { if (st.tr == 1.0) l else h }
+                else if (newext) { if (st.tr == 1.0) h else l }
+                else st.ep
+              val naf = if (flip) af0
+                else if (newext) math.min(st.af + inc, afMax) else st.af
+              val ntr = if (flip) { if (st.tr == 1.0) -1.0 else 1.0 } else st.tr
+              st = st.copy(sar = nsar, ep = nep, af = naf, tr = ntr)
+            }
+            st = st.copy(hasPrev = true, prevClose = e.close)
+            PsarPoint(sym, e.event_id, st.sar, st.tr.toInt)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Deterministic symbol → sector dimension: the small static side of the
     * stream-static enrichment join (a real deployment reads this from a
     * dimension table; the derivation is fixed so batch and streaming specs

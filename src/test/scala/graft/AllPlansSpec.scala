@@ -20,8 +20,11 @@ class AllPlansSpec extends SparkSpec {
     "text_tfidf", "text_logprob", "user_rfm", "dq_checks", "assoc_pairs",
     "corpus_mixture", "sim_ann_recall", "text_bm25", "decontam_bloom",
     "corpus_colloc", "text_logprob_bigram",
-    // 1-row cross side: arm totals (abtest), corpus min/max span (churn)
-    "abtest_ztest", "user_churn",
+    // 1-row cross side: arm totals (abtest), corpus min/max span (churn),
+    // Σ√n normalizer (temperature), joint total (MI), score range (ROC)
+    "abtest_ztest", "user_churn", "corpus_temperature", "events_mi", "ml_roc",
+    // text_keywords ranks the tfidf output, inheriting its n_docs scalar
+    "text_keywords",
     // NOTE: graph_pagerank_directed's per-round dangling-mass crossJoin is
     // a BNLJ inside each round's plan, but rounds materialize eagerly via
     // localCheckpoint during query construction, so the registered query's

@@ -153,6 +153,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PSAR equals the batch feat_psar row for row") {
+    val stream = Streams.streamingPsar(
+      Streams.tickStream(Streams.readEventStream(spark, dir)))
+    val q = stream.writeStream.format("memory").queryName("stream_psar")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_psar")
+    val want = graft.queries.Core.featPsar(spark, dir)
+    assert(got.count() == want.count(),
+      s"row sets differ: ${got.count()} vs ${want.count()}")
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("g.psar"), col("w.psar"),
+        col("g.psar_trend"), col("w.psar_trend"))
+      .collect()
+    joined.foreach { r =>
+      assert(!r.anyNull, s"row set mismatch: $r")
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-7, s"psar: $r")
+      assert(r.getInt(2) == r.getInt(3), s"regime: $r")
+    }
+  }
+
   test("streaming RSI state carries across micro-batches (time-split files)") {
     // stage the events as 3 time-ordered files with increasing mtimes so the
     // file source replays them as 3 separate micro-batches
