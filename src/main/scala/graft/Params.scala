@@ -74,6 +74,10 @@ object Params {
     * ~15 bars per symbol at sf0.01 magnitudes. */
   val DollarBarSize = 5.0e6
 
+  /** Tick-imbalance bars (`bars_imbalance`): the signed-tick accumulation
+    * threshold that closes a bar. */
+  val ImbalanceThreshold = 20.0
+
   /** Purged CV (`cv_purged`): fold count and the embargo width as a
     * fraction of the row count (López de Prado's purged K-fold). */
   val PurgedFolds = 5

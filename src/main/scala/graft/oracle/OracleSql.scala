@@ -749,6 +749,43 @@ object OracleSql {
        |FROM db2 GROUP BY 1, 2 ORDER BY symbol, bar_id""".stripMargin
   }
 
+  /** Mirrors Core.barsImbalance (T from Params): the threshold-reset
+    * bucket recursion replayed per symbol (row's bucket is the id open
+    * BEFORE any reset, exactly the window expression's `cur` slot), then
+    * the same key-deterministic OHLCV aggregate. */
+  val barsImbalance: String = {
+    val t = Params.ImbalanceThreshold.toString
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, k AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, volume, ROW_NUMBER() OVER ($W) AS rn,
+       |         sign(close - LAG(close, 1) OVER ($W)) AS tick
+       |  FROM bars
+       |), ib AS (
+       |  SELECT symbol, rn, CAST(0.0 AS DOUBLE) AS cur,
+       |         CASE WHEN abs(COALESCE(tick, 0.0)) >= $t
+       |              THEN 0.0 ELSE COALESCE(tick, 0.0) END AS acc,
+       |         CASE WHEN abs(COALESCE(tick, 0.0)) >= $t
+       |              THEN 1.0 ELSE 0.0 END AS id
+       |  FROM k WHERE rn = 1
+       |  UNION ALL
+       |  SELECT k.symbol, k.rn, ib.id,
+       |         CASE WHEN abs(ib.acc + COALESCE(k.tick, 0.0)) >= $t
+       |              THEN 0.0 ELSE ib.acc + COALESCE(k.tick, 0.0) END,
+       |         CASE WHEN abs(ib.acc + COALESCE(k.tick, 0.0)) >= $t
+       |              THEN ib.id + 1.0 ELSE ib.id END
+       |  FROM ib JOIN k ON k.symbol = ib.symbol AND k.rn = ib.rn + 1
+       |)
+       |SELECT k.symbol, CAST(ib.cur AS BIGINT) AS bar_id,
+       |       COUNT(*) AS n_ticks,
+       |       SUM(COALESCE(k.tick, 0.0)) AS imbalance,
+       |       ${r("arg_min(k.close, k.event_id)")} AS open,
+       |       ${r("MAX(k.close)")} AS high,
+       |       ${r("MIN(k.close)")} AS low,
+       |       ${r("arg_max(k.close, k.event_id)")} AS close,
+       |       SUM(k.volume) AS volume
+       |FROM k JOIN ib ON ib.symbol = k.symbol AND ib.rn = k.rn
+       |GROUP BY 1, 2 ORDER BY k.symbol, bar_id""".stripMargin
+  }
+
   /** Mirrors Core.cvPurged (k=5, embargo = n div 50): pure integer
     * boundary arithmetic over the global (ts, event_id) row numbering. */
   val cvPurged: String = {

@@ -344,6 +344,35 @@ object Core {
       .orderBy("symbol", "bar_id")
   }
 
+  /** Tick-imbalance bars (López de Prado 2018 ch. 2): a bar closes whenever
+    * the running SIGNED tick count |Σ sign(Δclose)| since the last close
+    * reaches T — bursts of one-sided flow get more bars. Unlike
+    * [[barsDollar]]'s monotone cumsum, the reset makes boundaries
+    * recursive, so numbering runs through the custom
+    * [[graft.expr.ThresholdReset]] window expression; then the same
+    * key-deterministic OHLCV aggregate per (symbol, bar). */
+  def barsImbalance(s: SparkSession, dir: String,
+      t: Double = graft.Params.ImbalanceThreshold): DataFrame = {
+    import graft.features.Frames
+    val b = bars(s, dir).select(col("symbol"), col("event_id"),
+      col("datetime"), col("close"), col("volume"))
+    val tick = signum(col("close") - lag(col("close"), 1).over(Frames.bySymbol))
+    val s1 = b.select(col("*"), tick.as("_tick"))
+    val s2 = s1.select(col("*"),
+      graft.expr.ThresholdReset.over(col("_tick"), t,
+        Seq(col(Frames.SymbolCol)),
+        Seq(col(Frames.TimeCol), col(Frames.TieCol))).as("bar_id"))
+    s2.groupBy("symbol", "bar_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(coalesce(col("_tick"), lit(0.0))).as("imbalance"),
+        r6(min_by(col("close"), col("event_id"))).as("open"),
+        r6(max(col("close"))).as("high"),
+        r6(min(col("close"))).as("low"),
+        r6(max_by(col("close"), col("event_id"))).as("close"),
+        sum(col("volume")).as("volume"))
+      .orderBy("symbol", "bar_id")
+  }
+
   /** Purged K-fold CV with embargo (López de Prado 2018): test block f,
     * EMBARGO rows on each side excluded from training (leakage guard for
     * overlapping-label time series), train = everything else. Global row

@@ -2065,6 +2065,20 @@ class OpsSpec extends SparkSpec {
     assert(total >= -1e-9, s"MI must be non-negative, got $total")
   }
 
+  test("ThresholdReset: hand-computed bucket ids, closing row stays in its bucket") {
+    import graft.features.Frames
+    // closes 1..4 then back down: ticks null,+1,+1,+1,-1,-1,-1,-1; T=2
+    // buckets: 0,0,0 (closes at the 2nd +1), 1,1,1,1 (closes at -2), 2
+    val df = barsOf(Seq(1.0, 2, 3, 4, 3, 2, 1, 0))
+    val tick = signum(col("close") - lag(col("close"), 1).over(Frames.bySymbol))
+    val got = df.select(col("event_id"), tick.as("_t"))
+      .select(col("event_id"),
+        graft.expr.ThresholdReset.over(col("_t"), 2.0,
+          Seq(lit(1)), Seq(col("event_id"))).as("bar_id"))
+      .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L), s"got $got")
+  }
+
   test("driftJs: bounded [0, ln 2], identical slices = 0") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.Analytics.driftJs(spark, dir).collect()
