@@ -399,6 +399,37 @@ class PlanSpec extends SparkSpec {
       s"CC round must have exactly ONE wide shuffle (the grouped min):\n${plan(round)}")
   }
 
+  test("every round-8 indicator runs on ONE symbol exchange") {
+    val b = graft.source.Bars.bars(spark, dir)
+    val M = graft.features.Market
+    for ((name, df) <- Seq(
+        "withChande" -> M.withChande(b),
+        "withDpo" -> M.withDpo(b),
+        "withElderRay" -> M.withElderRay(b),
+        "withHeikinAshi" -> M.withHeikinAshi(b),
+        "withFisher" -> M.withFisher(b),
+        "withKyleLambda" -> M.withKyleLambda(b),
+        "withSupertrend" -> M.withSupertrend(b),
+        "withPsar" -> M.withPsar(b),
+        "withSqueeze" -> M.withSqueeze(b))) {
+      assert(countOp(df, "Exchange hashpartitioning") == 1,
+        s"$name regressed to multiple hash exchanges:\n${plan(df)}")
+    }
+  }
+
+  test("pivot points broadcast the day table back onto the bars") {
+    val df = graft.features.Market.withPivotPoints(
+      graft.source.Bars.bars(spark, dir))
+    assert(countOp(df, "BroadcastHashJoin") == 1,
+      s"pivot levels must broadcast, not shuffle the fact stream:\n${plan(df)}")
+  }
+
+  test("text_keywords rank-limit pushes down (WindowGroupLimit before the shuffle)") {
+    val df = graft.queries.TextSim.textKeywords(spark, dir)
+    assert(countOp(df, "WindowGroupLimit") >= 1,
+      s"per-doc top-k must prune map-side:\n${plan(df)}")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val s = spark
     import s.implicits._
