@@ -653,6 +653,54 @@ object OracleSql {
        |FROM sq3 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.funnelSessions (gap=30min): identical session
+    * numbering and the three chained conditional-min windows — all
+    * integer µs, exact on both engines. */
+  val funnelSessions: String = {
+    val gapUs = 30L * 60L * 1000000L
+    val Wu = "PARTITION BY user_id ORDER BY ts, event_id"
+    val Ws = "PARTITION BY user_id, session_idx"
+    s"""WITH f AS (
+       |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+       |         CASE WHEN LAG(ts, 1) OVER ($Wu) IS NULL
+       |                OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER ($Wu)) > $gapUs
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |), fs AS (
+       |  SELECT *, CAST(SUM(new_s) OVER ($Wu
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM f
+       |), t1 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+       |              OVER ($Ws) AS _t1 FROM fs
+       |), t2 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= _t1 THEN us END)
+       |              OVER ($Ws) AS _t2 FROM t1
+       |), t3 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= _t2 THEN us END)
+       |              OVER ($Ws) AS _t3 FROM t2
+       |)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |       MAX(CAST(_t1 IS NOT NULL AS INT)) AS reached_view,
+       |       MAX(CAST(_t2 IS NOT NULL AS INT)) AS reached_click,
+       |       MAX(CAST(_t3 IS NOT NULL AS INT)) AS reached_purchase
+       |FROM t3 GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+  }
+
+  /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
+    * gated division. */
+  val featRvol: String =
+    s"""$barsCte, rv AS (
+       |  SELECT symbol, event_id, hour(datetime) AS hod, volume FROM bars
+       |), prof AS (
+       |  SELECT symbol, hod, SUM(volume) / COUNT(*) AS avgv
+       |  FROM rv GROUP BY 1, 2
+       |)
+       |SELECT r0.symbol, r0.event_id, r0.hod, r0.volume,
+       |       ${r("CASE WHEN p.avgv > 0.0 THEN r0.volume / p.avgv END")} AS rvol
+       |FROM rv r0 JOIN prof p USING (symbol, hod)
+       |ORDER BY event_id""".stripMargin
+
   /** Mirrors Analytics.eventsAnomaly (w=24): integer hourly counts through
     * integer running/rolling sums (order-insensitive — plain windowed SUM
     * is exact), identical mean/var/z trees. */

@@ -419,6 +419,45 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Strict-order in-session funnel: per (user, 30-min-gap session), did a
+    * view happen, a click AT OR AFTER the first view, a purchase at or
+    * after that click — the ordered-funnel readout [[funnelEvents]]'s
+    * unordered step counts can't answer. Three chained conditional-min
+    * windows over the (user, session) partition; all three reuse the ONE
+    * user-keyed exchange (hashpartitioning(user_id) satisfies the
+    * finer (user, session) clustering), and everything is integer µs —
+    * exact on both engines. */
+  def funnelSessions(s: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val flagged = Bars.readEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("_us"))
+      .withColumn("_new_s",
+        when(lag(col("ts"), 1).over(w0).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w0)) > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_new_s"))
+        .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sw = Window.partitionBy("user_id", "session_idx")
+    val s1 = flagged.withColumn("_t1",
+      min(when(col("event_type") === "view", col("_us"))).over(sw))
+    val s2 = s1.withColumn("_t2",
+      min(when(col("event_type") === "click" && col("_us") >= col("_t1"),
+        col("_us"))).over(sw))
+    val s3 = s2.withColumn("_t3",
+      min(when(col("event_type") === "purchase" && col("_us") >= col("_t2"),
+        col("_us"))).over(sw))
+    s3.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("_t1").isNotNull.cast("int")).as("reached_view"),
+        max(col("_t2").isNotNull.cast("int")).as("reached_click"),
+        max(col("_t3").isNotNull.cast("int")).as("reached_purchase"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Operational volume-anomaly detection: hourly event counts per type,
     * z-scored against the trailing w observed hours — the monitoring
     * primitive that pages when a source dries up or floods. Counts are

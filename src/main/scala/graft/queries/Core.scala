@@ -299,6 +299,25 @@ object Core {
     keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Relative volume vs the symbol's same-hour-of-day average — the
+    * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
+    * for this time of day). The (symbol, hour) profile is a tiny
+    * partial+final aggregate broadcast back onto the bars (no second
+    * shuffle of the stream); volume sums are integer-valued doubles, so
+    * the profile is exact and the one division bit-portable. Gated on a
+    * positive profile (an all-zero-volume slot has no baseline). */
+  def featRvol(s: SparkSession, dir: String): DataFrame = {
+    val b = bars(s, dir).select(col("symbol"), col("event_id"),
+        hour(col("datetime")).cast("long").as("hod"), col("volume"))
+    val prof = b.groupBy("symbol", "hod")
+      .agg(sum(col("volume")).as("_sv"), count(lit(1)).as("_n"))
+      .select(col("symbol"), col("hod"), (col("_sv") / col("_n")).as("_avg"))
+    b.join(broadcast(prof), Seq("symbol", "hod"))
+      .select(col("symbol"), col("event_id"), col("hod"), col("volume"),
+        r6(when(col("_avg") > 0.0, col("volume") / col("_avg"))).as("rvol"))
+      .orderBy("event_id")
+  }
+
   /** Volatility-squeeze flag: Bollinger inside original-form Keltner
     * (see [[graft.features.Market.withSqueeze]]). */
   def featSqueeze(s: SparkSession, dir: String): DataFrame = {
