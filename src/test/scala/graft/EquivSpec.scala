@@ -259,4 +259,97 @@ class EquivSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: entropy bits differ ($a vs $b)")
     }
   }
+
+  private def randomWalk(seed: Long, n: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(seed)
+    var v = 100.0
+    (1 to n).map { _ => v += rnd.nextGaussian() * 3.0; v }
+  }
+
+  test("Supertrend expression == straight-loop recursion on random walks") {
+    val M = graft.features.Market
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val close = randomWalk(seed, 120)
+      val got = M.withSupertrend(barsOf(close), n = 5, m = 2.0)
+        .orderBy("event_id").select("supertrend", "st_trend").collect()
+      val high = close.map(_ * 1.01); val low = close.map(_ * 0.99)
+      val tr = close.indices.map { i =>
+        if (i == 0) high(0) - low(0)
+        else math.max(high(i) - low(i), math.max(
+          math.abs(high(i) - close(i - 1)), math.abs(low(i) - close(i - 1))))
+      }
+      var fub = 0.0; var flb = 0.0; var trd = 0.0; var started = false
+      close.indices.foreach { i =>
+        if (i < 4) assert(got(i).isNullAt(0))
+        else {
+          val atr = tr.slice(i - 4, i + 1).sum / 5
+          val hl2 = (high(i) + low(i)) / 2.0
+          val (ub, lb) = (hl2 + 2.0 * atr, hl2 - 2.0 * atr)
+          if (!started) { fub = ub; flb = lb; trd = 1.0; started = true }
+          else {
+            val pc = close(i - 1)
+            val nfub = if (ub < fub || pc > fub) ub else fub
+            val nflb = if (lb > flb || pc < flb) lb else flb
+            trd = if (trd == 1.0) { if (close(i) < nflb) -1.0 else 1.0 }
+              else { if (close(i) > nfub) 1.0 else -1.0 }
+            fub = nfub; flb = nflb
+          }
+          val want = if (trd == 1.0) flb else fub
+          assert(math.abs(got(i).getDouble(0) - want) < 1e-6 &&
+            got(i).getInt(1) == trd.toInt, s"seed $seed row $i")
+        }
+      }
+    }
+  }
+
+  test("Psar expression == straight-loop recursion on random walks") {
+    val M = graft.features.Market
+    val (a0, inc, mx) = (0.02, 0.02, 0.2)
+    for (seed <- Seq(21L, 22L, 23L)) {
+      val close = randomWalk(seed, 120)
+      val got = M.withPsar(barsOf(close)).orderBy("event_id")
+        .select("psar", "psar_trend").collect()
+      val high = close.map(_ * 1.01); val low = close.map(_ * 0.99)
+      var sar = 0.0; var ep = 0.0; var af = 0.0; var tr = 0.0
+      close.indices.foreach { i =>
+        if (i == 0) { sar = low(0); ep = high(0); af = a0; tr = 1.0 }
+        else {
+          val sp = sar + af * (ep - sar)
+          val flip = (tr == 1.0 && low(i) < sp) || (tr != 1.0 && high(i) > sp)
+          val newext = (tr == 1.0 && high(i) > ep) || (tr != 1.0 && low(i) < ep)
+          val nsar = if (flip) ep else sp
+          val nep = if (flip) { if (tr == 1.0) low(i) else high(i) }
+            else if (newext) { if (tr == 1.0) high(i) else low(i) } else ep
+          val naf = if (flip) a0 else if (newext) math.min(af + inc, mx) else af
+          tr = if (flip) { if (tr == 1.0) -1.0 else 1.0 } else tr
+          sar = nsar; ep = nep; af = naf
+        }
+        assert(math.abs(got(i).getDouble(0) - sar) < 1e-9 &&
+          got(i).getInt(1) == tr.toInt, s"seed $seed row $i")
+      }
+    }
+  }
+
+  test("ThresholdReset expression == straight-loop bucket numbering on random ticks") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(31L, 32L)) {
+      val rnd = new scala.util.Random(seed)
+      val xs = (1 to 200).map(_ => (rnd.nextInt(3) - 1).toDouble) // -1/0/+1
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("event_id", "x")
+      val got = df.select(col("event_id"),
+          graft.expr.ThresholdReset.over(col("x"), 3.0,
+            Seq(lit(1)), Seq(col("event_id"))).as("b"))
+        .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+      var acc = 0.0; var id = 0L
+      val want = xs.map { x =>
+        val cur = id
+        acc += x
+        if (math.abs(acc) >= 3.0) { id += 1; acc = 0.0 }
+        cur
+      }
+      assert(got == want, s"seed $seed")
+    }
+  }
 }
