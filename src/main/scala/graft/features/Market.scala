@@ -925,6 +925,29 @@ object Market {
       .drop(Frames.cumHelperCols(Seq("_c_tr")): _*)
   }
 
+  /** Time-under-water: bars elapsed since the running peak was last set —
+    * the DURATION half of drawdown risk ([[withDrawdown]] measures depth).
+    * `close >= peak` marks exactly the rows where the running max was
+    * (re)set, so the last such row number is a running MAX of a flagged
+    * row number — all order-insensitive integer/extrema window aggregates,
+    * bit-portable natively. Three chained passes over the one per-symbol
+    * exchange. */
+  def withUnderwater(df: DataFrame): DataFrame = {
+    val running = Frames.bySymbol
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val s1 = df.select(col("*"),
+      row_number().over(Frames.bySymbol).cast("long").as("_rn"))
+    val s2 = s1.select(col("*"), max(col("close")).over(running).as("peak"))
+    val s3 = s2.select(col("*"),
+      max(when(col("close") >= col("peak"), col("_rn"))).over(running)
+        .as("_peak_rn"))
+    s3.select(col("*"),
+        (col("_rn") - col("_peak_rn")).as("underwater_bars"),
+        (col("close") < col("peak")).cast("int").as("is_underwater"))
+      .drop("_rn", "_peak_rn")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -687,6 +687,24 @@ object OracleSql {
        |FROM t3 GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
   }
 
+  /** Mirrors Core.featUnderwater: running extrema + flagged-row-number
+    * max — all order-insensitive, bit-portable natively. */
+  val featUnderwater: String =
+    s"""$barsCte, u1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         MAX(close) OVER ($Wrun) AS peak
+       |  FROM bars
+       |), u2 AS (
+       |  SELECT symbol, event_id, close, rn, peak,
+       |         MAX(CASE WHEN close >= peak THEN rn END) OVER ($Wrun) AS peak_rn
+       |  FROM u1
+       |)
+       |SELECT symbol, event_id, ${r("peak")} AS peak,
+       |       rn - peak_rn AS underwater_bars,
+       |       CAST(close < peak AS INT) AS is_underwater
+       |FROM u2 ORDER BY event_id""".stripMargin
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

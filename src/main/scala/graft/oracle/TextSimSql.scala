@@ -588,6 +588,22 @@ object TextSimSql {
        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
        |ORDER BY doc_id, term""".stripMargin
 
+  /** Mirrors Dedup.crossSourceDups: distinct (md5, source) pairs, a
+    * hash-keyed self-join bounded by the source count, exact counts. */
+  val dedupCrossSource: String =
+    """WITH p AS (
+      |  SELECT DISTINCT md5(text) AS h, source FROM documents
+      |), shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |  FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2
+      |), srcs AS (SELECT DISTINCT source FROM documents)
+      |SELECT x.source AS source_a, y.source AS source_b,
+      |       COALESCE(shared.n_shared, 0) AS n_shared
+      |FROM srcs x JOIN srcs y ON x.source < y.source
+      |LEFT JOIN shared ON shared.source_a = x.source AND shared.source_b = y.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Mirrors TextSim.textKeywords (k=3): the tfidf chain plus the same
     * (tfidf desc, term) rank — tfidf doubles are identical cross-engine,
     * so the rank order is too. */

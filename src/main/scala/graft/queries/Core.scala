@@ -299,6 +299,12 @@ object Core {
     keyed(Market.withHeikinAshi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Time-under-water drawdown duration
+    * (see [[graft.features.Market.withUnderwater]]). */
+  def featUnderwater(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withUnderwater(bars(s, dir)),
+      Seq("peak", "underwater_bars", "is_underwater"), Set("peak"))
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny

@@ -56,6 +56,12 @@ object TextSim {
         r6(col("hapax_frac")).as("hapax_frac"))
       .orderBy("doc_id")
 
+  /** Cross-source verbatim-duplication matrix
+    * (see [[graft.text.Dedup.crossSourceDups]]). */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDups(Tables.documents(s, dir))
+      .orderBy("source_a", "source_b")
+
   /** Per-document keyword extraction: each doc's top-k terms by tf-idf
     * (deterministic term tie-break) — one WindowGroupLimit-prunable rank
     * over the [[graft.text.TextStats.tfidf]] output, so every mapper keeps

@@ -41,6 +41,31 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text")).as("text_md5"), col("canonical_id"), col("n_copies"))
 
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct TEXTS they share verbatim — the provenance-contamination
+    * readout that decides which crawls are re-dumps of each other before
+    * mixture weighting. Distinct (text-hash, source) pairs first (one
+    * groupBy collapses per-source copies), then a hash-keyed self-join
+    * whose per-key group is bounded by |sources| (≤ quadratic in a SMALL
+    * constant, never in documents). Exact integer counting end to end. */
+  def crossSourceDups(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(md5(col("text")).as("h"), col("source")).distinct()
+    val shared = pairs.as("a")
+      .join(pairs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // dense matrix: every source pair reports, zero-filled — "no overlap"
+    // is itself the answer the mixture-weighting step needs
+    val srcs = docs.select(col("source")).distinct()
+    srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** Normalization-aware exact dedup (C4-style): lowercase, strip
     * non-alphanumerics, collapse whitespace — THEN group. Catches the
     * near-trivial duplicates raw exact dedup misses (case changes,

@@ -25,6 +25,8 @@ class AllPlansSpec extends SparkSpec {
     "abtest_ztest", "user_churn", "corpus_temperature", "events_mi", "ml_roc",
     // text_keywords ranks the tfidf output, inheriting its n_docs scalar
     "text_keywords",
+    // dedup_cross_source densifies over the |sources|^2 pair grid (<=400)
+    "dedup_cross_source",
     // NOTE: graph_pagerank_directed's per-round dangling-mass crossJoin is
     // a BNLJ inside each round's plan, but rounds materialize eagerly via
     // localCheckpoint during query construction, so the registered query's
