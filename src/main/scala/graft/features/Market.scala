@@ -948,6 +948,108 @@ object Market {
       .drop("_rn", "_peak_rn")
   }
 
+  val VwmaWindow = 20
+
+  /** Volume-weighted moving average over the last n closes — the
+    * participation-weighted trend line (a close above its VWMA is trading
+    * rich vs where the volume actually transacted). Two rolling sums via
+    * the O(n) cum−lag identity over the one [[Frames.bySymbol]] exchange;
+    * both divisions gated (zero-volume windows exist at sf0.1, and Spark's
+    * non-ANSI x/0 → NULL while DuckDB's → ±inf). */
+  def withVwma(df: DataFrame, n: Int = VwmaWindow): DataFrame = {
+    val s1 = df.select(col("*"), (col("close") * col("volume")).as("_cv"))
+    val s2 = Frames.withCums(s1, Map(
+      "_c_cv" -> col("_cv"), "_c_vl" -> col("volume")))
+    val gate = Frames.cumCountGate("_c_cv", n)
+    val den = Frames.cumRolling("_c_vl", n)
+    val s3 = s2.select(col("*"),
+      when(gate && den > 0.0,
+        Frames.cumRolling("_c_cv", n) / den).as(s"vwma_$n"))
+    s3.select(col("*"),
+        when(col(s"vwma_$n") =!= 0.0,
+          (col("close") - col(s"vwma_$n")) / col(s"vwma_$n") * 100)
+          .as("vwma_distance"))
+      .drop(Frames.cumHelperCols(Seq("_c_cv", "_c_vl")): _*)
+      .drop("_cv")
+  }
+
+  val EomWindow = 14
+  val EomScale = 10000.0
+
+  /** Ease of Movement (Arms): how far price travels per unit of volume.
+    *
+    *   mid   = (high + low) / 2          dm = mid − mid[t−1]
+    *   emv   = dm · (high − low + ε) · scale / volume   (box-ratio inverted
+    *           into one left-associated product — identical tree both
+    *           engines; ε keeps the doji high=low bar finite)
+    *   emv_sma = rollmean(emv, n)        (min_samples gated)
+    *
+    * emv is NULL on the warmup row and on zero-volume bars (division gate);
+    * the count gate then nulls any SMA window containing one. */
+  def withEom(df: DataFrame, n: Int = EomWindow): DataFrame = {
+    val mid = (col("high") + col("low")) / 2.0
+    val s1 = df.select(col("*"),
+      (mid - lag(mid, 1).over(Frames.bySymbol)).as("_dm"))
+    val s2 = s1.select(col("*"),
+      when(col("volume") > 0.0,
+        col("_dm") * (col("high") - col("low") + 1e-10) * EomScale /
+          col("volume")).as("emv"))
+    val s3 = Frames.withCums(s2, Map("_c_emv" -> col("emv")))
+    s3.select(col("*"),
+        when(Frames.cumCountGate("_c_emv", n),
+          Frames.cumRolling("_c_emv", n) / n).as(s"emv_sma_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_emv")): _*)
+      .drop("_dm")
+  }
+
+  val QstickWindow = 10
+
+  /** Qstick (Chande): rolling mean of the candle body close − open — the
+    * buying/selling-pressure balance (persistently positive bodies = closes
+    * above opens = accumulation). Emits the per-bar body and its sign too;
+    * the body SMA runs on the O(n) cum−lag identity. Integer sign via an
+    * explicit CASE (Spark's `signum` returns DOUBLE; the CASE tree is
+    * identical on both engines). */
+  def withQstick(df: DataFrame, n: Int = QstickWindow): DataFrame = {
+    val s1 = df.select(col("*"),
+      (col("close") - col("open")).as("body"))
+    val s2 = s1.select(col("*"),
+      when(col("body") > 0.0, 1).when(col("body") < 0.0, -1).otherwise(0)
+        .as("direction"))
+    val s3 = Frames.withCums(s2, Map("_c_body" -> col("body")))
+    s3.select(col("*"),
+        when(Frames.cumCountGate("_c_body", n),
+          Frames.cumRolling("_c_body", n) / n).as(s"qstick_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_body")): _*)
+  }
+
+  val VhfWindow = 28
+
+  /** Vertical Horizontal Filter: trendiness = net range over path length,
+    *
+    *   vhf = (max(close, n) − min(close, n)) / Σ|close − close[t−1]| over n
+    *
+    * high vhf → directional move, low vhf → congestion. Extrema are
+    * order-insensitive window aggregates (bit-portable natively, n=28 so
+    * the re-aggregating sliding frame is fine); the path-length denominator
+    * is a rolling sum via the cum−lag identity, gated on n observed diffs
+    * AND a non-zero path (flat windows read NULL, not ±inf). */
+  def withVhf(df: DataFrame, n: Int = VhfWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val s1 = df.select(col("*"),
+      abs(col("close") - lag(col("close"), 1).over(Frames.bySymbol))
+        .as("_ad"))
+    val s2 = Frames.withCums(s1, Map("_c_ad" -> col("_ad")))
+    val den = Frames.cumRolling("_c_ad", n)
+    val gate = Frames.cumCountGate("_c_ad", n) && den > 0.0
+    s2.select(col("*"),
+        when(gate,
+          (max(col("close")).over(frame) - min(col("close")).over(frame)) /
+            den).as(s"vhf_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_ad")): _*)
+      .drop("_ad")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -705,6 +705,97 @@ object OracleSql {
        |       CAST(close < peak AS INT) AS is_underwater
        |FROM u2 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Core.featVwma (Market.withVwma, n=20): two sequential cums,
+    * cum−lag rolling, both divisions gated like the Spark tree. */
+  val featVwma: String = {
+    val n = graft.features.Market.VwmaWindow
+    s"""$barsCte, v1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("close * volume")} AS _c_cv,
+       |         COUNT(close * volume) OVER ($Wrun) AS _c_cv_n,
+       |         ${cumSum("volume")} AS _c_vl,
+       |         COUNT(volume) OVER ($Wrun) AS _c_vl_n
+       |  FROM bars
+       |), v2 AS (
+       |  SELECT symbol, event_id, close,
+       |         CASE WHEN ${cumGate("_c_cv", n)}
+       |                   AND (${cumRolling("_c_vl", n)}) > 0.0
+       |              THEN (${cumRolling("_c_cv", n)}) / (${cumRolling("_c_vl", n)})
+       |         END AS vwma
+       |  FROM v1
+       |)
+       |SELECT symbol, event_id, ${r("vwma")} AS vwma_$n,
+       |       ${r("CASE WHEN vwma <> 0.0 THEN (close - vwma) / vwma * 100 END")} AS vwma_distance
+       |FROM v2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featEom (Market.withEom, n=14): lag-diff of the bar
+    * midpoint, the inverted box-ratio product in the same left-associated
+    * order, volume>0 division gate, then the gated cum−lag SMA. */
+  val featEom: String = {
+    val n = graft.features.Market.EomWindow
+    s"""$barsCte, e1 AS (
+       |  SELECT symbol, event_id, datetime, high, low, volume,
+       |         (high + low) / 2.0 - LAG((high + low) / 2.0, 1) OVER ($W) AS _dm
+       |  FROM bars
+       |), e2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN volume > 0.0
+       |              THEN _dm * (high - low + $eps) * ${graft.features.Market.EomScale} / volume
+       |         END AS emv
+       |  FROM e1
+       |), e3 AS (
+       |  SELECT symbol, event_id, datetime, emv,
+       |         ${cumSum("emv")} AS _c_emv,
+       |         COUNT(emv) OVER ($Wrun) AS _c_emv_n
+       |  FROM e2
+       |)
+       |SELECT symbol, event_id, ${r("emv")} AS emv,
+       |       ${r(s"CASE WHEN ${cumGate("_c_emv", n)} THEN (${cumRolling("_c_emv", n)}) / $n END")} AS emv_sma_$n
+       |FROM e3 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featQstick (Market.withQstick, n=10): candle body, an
+    * integer CASE sign, and the gated cum−lag body SMA. */
+  val featQstick: String = {
+    val n = graft.features.Market.QstickWindow
+    s"""$barsCte, q1 AS (
+       |  SELECT symbol, event_id, datetime, close - open AS body
+       |  FROM bars
+       |), q2 AS (
+       |  SELECT symbol, event_id, datetime, body,
+       |         CASE WHEN body > 0.0 THEN 1 WHEN body < 0.0 THEN -1 ELSE 0 END AS direction,
+       |         ${cumSum("body")} AS _c_body,
+       |         COUNT(body) OVER ($Wrun) AS _c_body_n
+       |  FROM q1
+       |)
+       |SELECT symbol, event_id, ${r("body")} AS body, direction,
+       |       ${r(s"CASE WHEN ${cumGate("_c_body", n)} THEN (${cumRolling("_c_body", n)}) / $n END")} AS qstick_$n
+       |FROM q2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featVhf (Market.withVhf, n=28): order-insensitive window
+    * extrema over the n-row frame, sequential cum−lag path length, the
+    * non-zero-path gate ahead of the division. */
+  val featVhf: String = {
+    val n = graft.features.Market.VhfWindow
+    s"""$barsCte, h1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         abs(close - LAG(close, 1) OVER ($W)) AS _ad
+       |  FROM bars
+       |), h2 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ${cumSum("_ad")} AS _c_ad,
+       |         COUNT(_ad) OVER ($Wrun) AS _c_ad_n,
+       |         MAX(close) OVER (${frame(n)}) AS hh,
+       |         MIN(close) OVER (${frame(n)}) AS ll
+       |  FROM h1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN ${cumGate("_c_ad", n)} AND (${cumRolling("_c_ad", n)}) > 0.0 THEN (hh - ll) / (${cumRolling("_c_ad", n)}) END")} AS vhf_$n
+       |FROM h2 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

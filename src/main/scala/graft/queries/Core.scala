@@ -305,6 +305,30 @@ object Core {
     keyed(Market.withUnderwater(bars(s, dir)),
       Seq("peak", "underwater_bars", "is_underwater"), Set("peak"))
 
+  /** Volume-weighted moving average
+    * (see [[graft.features.Market.withVwma]]). */
+  def featVwma(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("vwma_20", "vwma_distance")
+    keyed(Market.withVwma(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Ease of Movement (see [[graft.features.Market.withEom]]). */
+  def featEom(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("emv", "emv_sma_14")
+    keyed(Market.withEom(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Qstick candle-body pressure
+    * (see [[graft.features.Market.withQstick]]). */
+  def featQstick(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withQstick(bars(s, dir)),
+      Seq("body", "direction", "qstick_10"), Set("body", "qstick_10"))
+
+  /** Vertical Horizontal Filter trendiness
+    * (see [[graft.features.Market.withVhf]]). */
+  def featVhf(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withVhf(bars(s, dir)), Seq("vhf_28"), Set("vhf_28"))
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
