@@ -1050,6 +1050,78 @@ object Market {
       .drop("_ad")
   }
 
+  val UltimatePeriods: Seq[Int] = Seq(7, 14, 28)
+
+  /** Ultimate Oscillator (Williams): buying pressure over true range
+    * averaged across three horizons, weighted toward the fastest —
+    *
+    *   pc = close[t−1] (first bar: own close — explicit COALESCE, not the
+    *        engines' least/greatest null-skip, so the tree is obvious)
+    *   bp = close − min(low, pc)        tr = max(high, pc) − min(low, pc)
+    *   avgN = rollsum(bp, N) / rollsum(tr, N)     (N ∈ {7, 14, 28})
+    *   uo = 100 · (4·avg7 + 2·avg14 + avg28) / 7
+    *
+    * Two sequential cums serve all three horizons (cum−lag identity); each
+    * division gated on a full window AND a non-zero TR path; any NULL avg
+    * NULLs uo by propagation. */
+  def withUltimate(df: DataFrame): DataFrame = {
+    val Seq(p1, p2, p3) = UltimatePeriods
+    val pc = coalesce(lag(col("close"), 1).over(Frames.bySymbol), col("close"))
+    val s1 = df.select(col("*"),
+      (col("close") - least(col("low"), pc)).as("_bp"),
+      (greatest(col("high"), pc) - least(col("low"), pc)).as("_tr"))
+    val s2 = Frames.withCums(s1, Map(
+      "_c_bp" -> col("_bp"), "_c_tr" -> col("_tr")))
+    def avg(n: Int) = {
+      val t = Frames.cumRolling("_c_tr", n)
+      when(Frames.cumCountGate("_c_bp", n) && t > 0.0,
+        Frames.cumRolling("_c_bp", n) / t)
+    }
+    s2.select(col("*"),
+        (lit(100.0) * (lit(4.0) * avg(p1) + lit(2.0) * avg(p2) + avg(p3)) /
+          7.0).as("ultimate_osc"))
+      .drop(Frames.cumHelperCols(Seq("_c_bp", "_c_tr")): _*)
+      .drop("_bp", "_tr")
+  }
+
+  val KstRocPeriods: Seq[Int] = Seq(10, 15, 20, 30)
+  val KstSmaPeriods: Seq[Int] = Seq(10, 10, 10, 15)
+  val KstSignal = 9
+
+  /** Know Sure Thing (Pring): four smoothed rates of change, weighted 1–4,
+    * plus its 9-bar signal line —
+    *
+    *   roc_p  = (close − close[t−p]) / (close[t−p] + ε) · 100
+    *   rcma_i = rollmean(roc_pᵢ, sᵢ)         (min_samples gated)
+    *   kst    = rcma₁ + 2·rcma₂ + 3·rcma₃ + 4·rcma₄
+    *   signal = rollmean(kst, 9)             (gated on 9 non-null ksts)
+    *
+    * Five cums total (four ROC streams + the kst stream), all via the
+    * O(n) cum−lag identity over the one per-symbol exchange. */
+  def withKst(df: DataFrame): DataFrame = {
+    val rocCols = KstRocPeriods.map { p =>
+      val lagP = lag(col("close"), p).over(Frames.bySymbol)
+      (s"_roc_$p", (col("close") - lagP) / (lagP + 1e-10) * 100)
+    }
+    val s1 = df.select(col("*") +: rocCols.map { case (n, c) => c.as(n) }: _*)
+    val s2 = Frames.withCums(s1,
+      rocCols.map { case (n, _) => s"_c$n" -> col(n) }.toMap)
+    val rcmas = KstRocPeriods.zip(KstSmaPeriods).map { case (p, sm) =>
+      when(Frames.cumCountGate(s"_c_roc_$p", sm),
+        Frames.cumRolling(s"_c_roc_$p", sm) / sm)
+    }
+    val s3 = s2.select(col("*"),
+      (rcmas(0) + rcmas(1) * 2.0 + rcmas(2) * 3.0 + rcmas(3) * 4.0).as("kst"))
+    val s4 = Frames.withCums(s3, Map("_c_kst" -> col("kst")))
+    s4.select(col("*"),
+        when(Frames.cumCountGate("_c_kst", KstSignal),
+          Frames.cumRolling("_c_kst", KstSignal) / KstSignal)
+          .as("kst_signal"))
+      .drop(Frames.cumHelperCols(
+        KstRocPeriods.map(p => s"_c_roc_$p") :+ "_c_kst"): _*)
+      .drop(KstRocPeriods.map(p => s"_roc_$p"): _*)
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

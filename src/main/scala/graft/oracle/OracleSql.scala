@@ -796,6 +796,91 @@ object OracleSql {
        |FROM h2 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featUltimate (Market.withUltimate, 7/14/28): explicit
+    * COALESCE prev-close (no reliance on least/greatest null-skip), two
+    * sequential cums serving all three horizons, per-horizon full-window +
+    * non-zero-TR gates, NULL propagation through the weighted sum. */
+  val featUltimate: String = {
+    val Seq(p1, p2, p3) = graft.features.Market.UltimatePeriods
+    val pc = s"COALESCE(LAG(close, 1) OVER ($W), close)"
+    def avg(n: Int) =
+      s"CASE WHEN ${cumGate("_c_bp", n)} AND (${cumRolling("_c_tr", n)}) > 0.0 " +
+        s"THEN (${cumRolling("_c_bp", n)}) / (${cumRolling("_c_tr", n)}) END"
+    s"""$barsCte, u1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         close - LEAST(low, $pc) AS _bp,
+       |         GREATEST(high, $pc) - LEAST(low, $pc) AS _tr
+       |  FROM bars
+       |), u2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("_bp")} AS _c_bp, COUNT(_bp) OVER ($Wrun) AS _c_bp_n,
+       |         ${cumSum("_tr")} AS _c_tr, COUNT(_tr) OVER ($Wrun) AS _c_tr_n
+       |  FROM u1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"100.0 * (4.0 * ${avg(p1)} + 2.0 * ${avg(p2)} + ${avg(p3)}) / 7.0")} AS ultimate_osc
+       |FROM u2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featKst (Market.withKst, ROC 10/15/20/30 → SMA
+    * 10/10/10/15, signal 9): four gated cum−lag SMAs, the 1-2-3-4 weighted
+    * sum in the identical left-associated order, then the gated signal SMA
+    * over the kst stream. */
+  val featKst: String = {
+    val rocs = graft.features.Market.KstRocPeriods
+    val smas = graft.features.Market.KstSmaPeriods
+    val sig = graft.features.Market.KstSignal
+    val rocExprs = rocs.map(p =>
+      s"(close - LAG(close, $p) OVER ($W)) / (LAG(close, $p) OVER ($W) + $eps) * 100 AS _roc_$p")
+      .mkString(",\n         ")
+    val cums = rocs.flatMap(p => Seq(
+      s"${cumSum(s"_roc_$p")} AS _c_roc_$p",
+      s"COUNT(_roc_$p) OVER ($Wrun) AS _c_roc_${p}_n")).mkString(",\n         ")
+    val rcmas = rocs.zip(smas).map { case (p, sm) =>
+      s"CASE WHEN ${cumGate(s"_c_roc_$p", sm)} THEN (${cumRolling(s"_c_roc_$p", sm)}) / $sm END"
+    }
+    s"""$barsCte, k1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         $rocExprs
+       |  FROM bars
+       |), k2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         $cums
+       |  FROM k1
+       |), k3 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${rcmas(0)} + ${rcmas(1)} * 2.0 + ${rcmas(2)} * 3.0 + ${rcmas(3)} * 4.0 AS kst
+       |  FROM k2
+       |), k4 AS (
+       |  SELECT symbol, event_id, datetime, kst,
+       |         ${cumSum("kst")} AS _c_kst, COUNT(kst) OVER ($Wrun) AS _c_kst_n
+       |  FROM k3
+       |)
+       |SELECT symbol, event_id, ${r("kst")} AS kst,
+       |       ${r(s"CASE WHEN ${cumGate("_c_kst", sig)} THEN (${cumRolling("_c_kst", sig)}) / $sig END")} AS kst_signal
+       |FROM k4 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.windowStreak: gaps-and-islands run lengths — pure
+    * integer/string window arithmetic, no rounding anywhere. */
+  val windowStreak: String =
+    s"""$barsCte, t1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN close > LAG(close, 1) OVER ($W) THEN 'up'
+       |              WHEN close < LAG(close, 1) OVER ($W) THEN 'down'
+       |              WHEN LAG(close, 1) OVER ($W) IS NOT NULL THEN 'flat'
+       |         END AS direction
+       |  FROM bars
+       |), t2 AS (
+       |  SELECT symbol, event_id, datetime, direction,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         ROW_NUMBER() OVER (PARTITION BY symbol, direction ORDER BY datetime, event_id) AS rnd
+       |  FROM t1
+       |)
+       |SELECT symbol, event_id, direction,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY symbol, direction, rn - rnd ORDER BY datetime, event_id) AS BIGINT) AS streak_len
+       |FROM t2 ORDER BY event_id""".stripMargin
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

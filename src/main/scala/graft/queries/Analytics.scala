@@ -923,6 +923,40 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Up/down/flat run lengths (gaps-and-islands): each bar's direction vs
+    * the prior close, and how many consecutive bars have shared it — the
+    * streak input to run-based signals (ConnorsRSI streak leg, win/loss
+    * persistence). Pure integer/string window arithmetic, bit-portable
+    * with no rounding. The island id is the classic rn − rn-within-
+    * direction difference; a row_number inside (symbol, direction, island)
+    * is the streak. All three window passes cluster on subsets of
+    * (symbol, …), so hashpartitioning(symbol) satisfies every one — one
+    * exchange, three partition-local sorts. */
+  def windowStreak(s: SparkSession, dir: String): DataFrame =
+    windowStreakOf(Bars.bars(s, dir))
+
+  def windowStreakOf(b: DataFrame): DataFrame = {
+    import graft.features.Frames
+    import org.apache.spark.sql.expressions.Window
+    val prev = lag(col("close"), 1).over(Frames.bySymbol)
+    val s1 = b.select(col("symbol"), col("event_id"), col("datetime"),
+        col("close"))
+      .select(col("*"),
+        when(col("close") > prev, "up").when(col("close") < prev, "down")
+          .when(prev.isNotNull, "flat").as("direction"))
+    val byDir = Window.partitionBy(col("symbol"), col("direction"))
+      .orderBy(col("datetime"), col("event_id"))
+    val s2 = s1.select(col("*"),
+      row_number().over(Frames.bySymbol).as("_rn"),
+      row_number().over(byDir).as("_rnd"))
+    val byIsland = Window
+      .partitionBy(col("symbol"), col("direction"), col("_rn") - col("_rnd"))
+      .orderBy(col("datetime"), col("event_id"))
+    s2.select(col("symbol"), col("event_id"), col("direction"),
+        row_number().over(byIsland).cast("long").as("streak_len"))
+      .orderBy("event_id")
+  }
+
   /** Rolling rescaled-range Hurst exponent (single-scale estimator) over n
     * closes — the long-memory / trend-persistence signal (H > ½ trending,
     * H < ½ mean-reverting):

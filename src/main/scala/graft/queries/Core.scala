@@ -329,6 +329,17 @@ object Core {
   def featVhf(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withVhf(bars(s, dir)), Seq("vhf_28"), Set("vhf_28"))
 
+  /** Ultimate Oscillator (see [[graft.features.Market.withUltimate]]). */
+  def featUltimate(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withUltimate(bars(s, dir)),
+      Seq("ultimate_osc"), Set("ultimate_osc"))
+
+  /** Know Sure Thing + signal (see [[graft.features.Market.withKst]]). */
+  def featKst(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("kst", "kst_signal")
+    keyed(Market.withKst(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
