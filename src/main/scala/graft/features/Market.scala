@@ -1122,6 +1122,92 @@ object Market {
       .drop(KstRocPeriods.map(p => s"_roc_$p"): _*)
   }
 
+  val HullWindow = 16
+
+  /** Hull Moving Average, HMA(n) = WMA(2·WMA(n/2) − WMA(n), √n) — the
+    * low-lag trend line. n = 16 keeps n/2 and √n integral.
+    *
+    * Every WMA is CLOSED-FORM over two running sums — no O(n·w) sliding
+    * re-aggregation and no recursion:
+    *
+    *   WMA(x, w)[t] = (Σ rnₖ·xₖ − (rn_t − w)·Σ xₖ) / (w(w+1)/2)
+    *                  (sums over the last w rows, k-weights 1..w emerge
+    *                   from the global row number rn)
+    *
+    * Both rolling sums use the cum−lag identity (sequential fold, oracle
+    * bit-portable); the second WMA pass runs over the derived raw series
+    * with its own min_samples gate, which also absorbs the warmup NULLs of
+    * pass one. Four cums total, one per-symbol exchange. */
+  def withHull(df: DataFrame, n: Int = HullWindow): DataFrame = {
+    val half = n / 2
+    val rt = math.sqrt(n.toDouble).toInt
+    def wma(cx: String, crx: String, w: Int) =
+      when(Frames.cumCountGate(cx, w),
+        (Frames.cumRolling(crx, w) -
+          (col("_rn") - w) * Frames.cumRolling(cx, w)) / (w * (w + 1) / 2.0))
+    val s1 = df.select(col("*"),
+      row_number().over(Frames.bySymbol).cast("double").as("_rn"))
+    val s2 = Frames.withCums(
+      s1.select(col("*"), (col("_rn") * col("close")).as("_rx")),
+      Map("_c_x" -> col("close"), "_c_rx" -> col("_rx")))
+    val s3 = s2.select(col("*"),
+      (wma("_c_x", "_c_rx", half) * 2.0 - wma("_c_x", "_c_rx", n))
+        .as("hma_raw"))
+    val s4 = Frames.withCums(
+      s3.select(col("*"), (col("_rn") * col("hma_raw")).as("_rh")),
+      Map("_c_h" -> col("hma_raw"), "_c_rh" -> col("_rh")))
+    s4.select(col("*"), wma("_c_h", "_c_rh", rt).as(s"hma_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_x", "_c_rx", "_c_h", "_c_rh")): _*)
+      .drop("_rn", "_rx", "_rh")
+  }
+
+  val ForceSpan = 13
+
+  /** Elder's Force Index: price change × volume, EMA(13)-smoothed
+    * (adjust=false recursion via the native [[graft.expr.Ewma]] window
+    * function — one WindowExec pass, no UDF). The raw per-bar force is
+    * emitted too; its single leading NULL (no prior close) seeds the
+    * recursion at bar 2, matching the oracle's recursive-CTE replay. */
+  def withForce(df: DataFrame): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    val s1 = df.select(col("*"),
+      ((col("close") - lag(col("close"), 1).over(Frames.bySymbol)) *
+        col("volume")).as("force_raw"))
+    s1.select(col("*"),
+      graft.expr.Ewma.ewmaOver(col("force_raw"), 2.0 / (ForceSpan + 1.0),
+        adjust = false, part, ord).as(s"force_$ForceSpan"))
+  }
+
+  val ChaikinFast = 3
+  val ChaikinSlow = 10
+
+  /** Chaikin Oscillator: EMA(3) − EMA(10) of the accumulation/distribution
+    * line, ad = cumsum(clv·volume) with
+    * clv = ((close−low) − (high−close)) / (high−low+ε).
+    *
+    * The AD line is a strictly sequential running sum (bit-portable via the
+    * oracle's list_sum fold); both EMAs are adjust=true [[graft.expr.Ewma]]
+    * recursions over it (MACD's convention), replayed by the oracle's
+    * recursive CTE. One exchange, two WindowExec passes. */
+  def withChaikinOsc(df: DataFrame): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    val running = Frames.bySymbol.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val clv = ((col("close") - col("low")) - (col("high") - col("close"))) /
+      (col("high") - col("low") + 1e-10)
+    val s1 = df.select(col("*"), (clv * col("volume")).as("_mfv"))
+    val s2 = s1.select(col("*"), sum(col("_mfv")).over(running).as("ad_line"))
+    s2.select(col("*"),
+        (graft.expr.Ewma.ewmaSpanOver(col("ad_line"), ChaikinFast,
+          adjust = true, part, ord) -
+          graft.expr.Ewma.ewmaSpanOver(col("ad_line"), ChaikinSlow,
+            adjust = true, part, ord)).as("chaikin_osc"))
+      .drop("_mfv")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -881,6 +881,95 @@ object OracleSql {
        |       CAST(ROW_NUMBER() OVER (PARTITION BY symbol, direction, rn - rnd ORDER BY datetime, event_id) AS BIGINT) AS streak_len
        |FROM t2 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Core.featHull (Market.withHull, n=16): every WMA closed-form
+    * over two sequential cums with the row-number weight identity —
+    * identical trees, identical interpolated denominators. */
+  val featHull: String = {
+    val n = graft.features.Market.HullWindow
+    val half = n / 2
+    val rt = math.sqrt(n.toDouble).toInt
+    def wma(cx: String, crx: String, w: Int) =
+      s"CASE WHEN ${cumGate(cx, w)} THEN ((${cumRolling(crx, w)}) - " +
+        s"(_rn - $w) * (${cumRolling(cx, w)})) / ${w * (w + 1) / 2.0} END"
+    s"""$barsCte, h1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         CAST(ROW_NUMBER() OVER ($W) AS DOUBLE) AS _rn
+       |  FROM bars
+       |), h2 AS (
+       |  SELECT symbol, event_id, datetime, _rn,
+       |         ${cumSum("close")} AS _c_x, COUNT(close) OVER ($Wrun) AS _c_x_n,
+       |         ${cumSum("_rn * close")} AS _c_rx, COUNT(_rn * close) OVER ($Wrun) AS _c_rx_n
+       |  FROM h1
+       |), h3 AS (
+       |  SELECT symbol, event_id, datetime, _rn,
+       |         ${wma("_c_x", "_c_rx", half)} * 2.0 - ${wma("_c_x", "_c_rx", n)} AS hma_raw
+       |  FROM h2
+       |), h4 AS (
+       |  SELECT symbol, event_id, datetime, _rn, hma_raw,
+       |         ${cumSum("hma_raw")} AS _c_h, COUNT(hma_raw) OVER ($Wrun) AS _c_h_n,
+       |         ${cumSum("_rn * hma_raw")} AS _c_rh, COUNT(_rn * hma_raw) OVER ($Wrun) AS _c_rh_n
+       |  FROM h3
+       |)
+       |SELECT symbol, event_id, ${r("hma_raw")} AS hma_raw,
+       |       ${r(wma("_c_h", "_c_rh", rt))} AS hma_$n
+       |FROM h4 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featForce (Market.withForce, span 13, adjust=false):
+    * the leading-NULL diff seeds the recursion at bar 2; identical
+    * decay/alpha literals via Double.toString. */
+  val featForce: String = {
+    val sp = graft.features.Market.ForceSpan
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, ROW_NUMBER() OVER ($W) AS rn,
+       |         (close - LAG(close, 1) OVER ($W)) * volume AS fr
+       |  FROM bars
+       |), g AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn - 1 AS rn2, fr FROM b2 WHERE fr IS NOT NULL
+       |), ew AS (
+       |  SELECT symbol, rn2, fr AS v FROM g WHERE rn2 = 1
+       |  UNION ALL
+       |  SELECT g.symbol, g.rn2, ew.v * ${d(sp)} + ${a(sp)} * g.fr
+       |  FROM ew JOIN g ON g.symbol = ew.symbol AND g.rn2 = ew.rn2 + 1
+       |)
+       |SELECT b2.symbol, b2.event_id, ${r("b2.fr")} AS force_raw,
+       |       ${r("ew.v")} AS force_$sp
+       |FROM b2
+       |LEFT JOIN g ON g.symbol = b2.symbol AND g.event_id = b2.event_id
+       |LEFT JOIN ew ON ew.symbol = g.symbol AND ew.rn2 = g.rn2
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featChaikinOsc (Market.withChaikinOsc, spans 3/10,
+    * adjust=true): sequential list_sum A/D line, then the MACD-style
+    * twin-EMA recursive replay over it. */
+  val featChaikinOsc: String = {
+    val f = graft.features.Market.ChaikinFast
+    val sl = graft.features.Market.ChaikinSlow
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, c1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, datetime,
+       |         ((close - low) - (high - close)) / (high - low + $eps) * volume AS _mfv
+       |  FROM bars
+       |), c2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, ROW_NUMBER() OVER ($W) AS rn,
+       |         list_sum(list(_mfv) OVER ($Wrun)) AS ad
+       |  FROM c1
+       |), ew AS (
+       |  SELECT symbol, rn, ad, ad AS nf, CAST(1.0 AS DOUBLE) AS df,
+       |         ad AS ns, CAST(1.0 AS DOUBLE) AS ds
+       |  FROM c2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c2.symbol, c2.rn, c2.ad,
+       |         ew.nf * ${d(f)} + c2.ad,  ew.df * ${d(f)} + 1.0,
+       |         ew.ns * ${d(sl)} + c2.ad, ew.ds * ${d(sl)} + 1.0
+       |  FROM ew JOIN c2 ON c2.symbol = ew.symbol AND c2.rn = ew.rn + 1
+       |)
+       |SELECT c2b.symbol, c2b.event_id, ${r("ew.ad")} AS ad_line,
+       |       ${r("ew.nf / ew.df - ew.ns / ew.ds")} AS chaikin_osc
+       |FROM c2 c2b JOIN ew ON ew.symbol = c2b.symbol AND ew.rn = c2b.rn
+       |ORDER BY c2b.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

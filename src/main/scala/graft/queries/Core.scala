@@ -340,6 +340,25 @@ object Core {
     keyed(Market.withKst(bars(s, dir)), out, out.toSet)
   }
 
+  /** Hull Moving Average (see [[graft.features.Market.withHull]]). */
+  def featHull(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("hma_raw", "hma_16")
+    keyed(Market.withHull(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Elder Force Index (see [[graft.features.Market.withForce]]). */
+  def featForce(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("force_raw", "force_13")
+    keyed(Market.withForce(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Chaikin Oscillator over the A/D line
+    * (see [[graft.features.Market.withChaikinOsc]]). */
+  def featChaikinOsc(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("ad_line", "chaikin_osc")
+    keyed(Market.withChaikinOsc(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
