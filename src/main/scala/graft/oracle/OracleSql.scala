@@ -1170,6 +1170,68 @@ object OracleSql {
        |FROM agg ORDER BY j""".stripMargin
   }
 
+  /** Mirrors Core.mlAuc: ROW_NUMBER over (score, event_id) — the oracle
+    * affords the global sort the Spark side replaces with bucket-offset
+    * numbering; exact integer U statistic (`//` ↔ Spark `div`), one
+    * double division at the end. */
+  val mlAuc: String =
+    s"""$barsCte, sc AS (
+       |  SELECT event_id, close - LAG(close, 5) OVER ($W) AS score,
+       |         CAST(LEAD(close, 1) OVER ($W) > close AS INT) AS label
+       |  FROM bars
+       |), f AS (
+       |  SELECT * FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+       |), rk AS (
+       |  SELECT label, ROW_NUMBER() OVER (ORDER BY score, event_id) AS rn
+       |  FROM f
+       |), agg AS (
+       |  SELECT CAST(SUM(CASE WHEN label = 1 THEN rn END) AS BIGINT) AS rank_sum,
+       |         COUNT(CASE WHEN label = 1 THEN 1 END) AS npos,
+       |         COUNT(CASE WHEN label = 0 THEN 1 END) AS nneg
+       |  FROM rk
+       |), u AS (
+       |  SELECT npos, nneg, rank_sum - (npos * (npos + 1)) // 2 AS u_stat
+       |  FROM agg
+       |)
+       |SELECT npos, nneg, u_stat,
+       |       ${r("CAST(u_stat AS DOUBLE) / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE))")} AS auc
+       |FROM u""".stripMargin
+
+  /** Mirrors Core.mlLift (k=10): identical integer decile assignment
+    * (`//` ↔ `div`) over the same (score, event_id) ranking, cumulative /
+    * total windows over the 10-row aggregate. */
+  val mlLift: String = {
+    val k = 10
+    s"""$barsCte, sc AS (
+       |  SELECT event_id, close - LAG(close, 5) OVER ($W) AS score,
+       |         CAST(LEAD(close, 1) OVER ($W) > close AS INT) AS label
+       |  FROM bars
+       |), f AS (
+       |  SELECT * FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+       |), rk AS (
+       |  SELECT label, ROW_NUMBER() OVER (ORDER BY score, event_id) AS rn
+       |  FROM f
+       |), d AS (
+       |  SELECT label,
+       |         $k - ((rn - 1) * $k) // (SELECT COUNT(*) FROM f) AS decile
+       |  FROM rk
+       |), a AS (
+       |  SELECT decile, COUNT(*) AS n_rows,
+       |         COUNT(CASE WHEN label = 1 THEN 1 END) AS n_pos
+       |  FROM d GROUP BY decile
+       |), cw AS (
+       |  SELECT decile, n_rows, n_pos,
+       |         CAST(SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       |         SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot_pos,
+       |         SUM(n_rows) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot_rows
+       |  FROM a
+       |)
+       |SELECT decile, n_rows, n_pos, cum_pos,
+       |       ${r("CAST(cum_pos AS DOUBLE) / tot_pos")} AS cum_gain,
+       |       ${r("(CAST(n_pos AS DOUBLE) / n_rows) / (CAST(tot_pos AS DOUBLE) / tot_rows)")} AS lift
+       |FROM cw ORDER BY decile""".stripMargin
+  }
+
   /** Mirrors Core.featFisher (Market.withFisher, n=10): identical clamped
     * price-position tree (native rolling extrema), both EWMA recursions
     * replayed in ONE recursive CTE with two accumulators — the v-step tree

@@ -514,6 +514,69 @@ object Core {
       .orderBy("j")
   }
 
+  /** Exact distributed AUC via the Mann-Whitney rank-sum — no threshold
+    * grid, no approximation: AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N).
+    * Global score ranks come from the scalable bucket-offset numbering
+    * ([[graft.analytics.Ranking.withGlobalRowNumber]] — no single-partition
+    * window), ties broken by event_id so both engines rank identically.
+    * Everything is exact integer arithmetic up to one final division
+    * (`div`-form U statistic; the rank-product denominator goes through
+    * doubles to dodge the P·N long overflow at extreme scale). */
+  def mlAuc(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.features.Frames.bySymbol
+    val scored = bars(s, dir).select(col("event_id"),
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        (lead(col("close"), 1).over(w) > col("close")).cast("int").as("label"))
+      .filter(col("score").isNotNull && col("label").isNotNull)
+    val (numbered, _) = graft.analytics.Ranking.withGlobalRowNumber(
+      scored, col("score"), Seq(col("score"), col("event_id")))
+    numbered.agg(
+        sum(when(col("label") === 1, col("rn"))).as("rank_sum"),
+        count(when(col("label") === 1, 1)).as("npos"),
+        count(when(col("label") === 0, 1)).as("nneg"))
+      .select(col("npos"), col("nneg"),
+        expr("rank_sum - (npos * (npos + 1L)) div 2L").as("u_stat"))
+      .select(col("npos"), col("nneg"), col("u_stat"),
+        r6(col("u_stat").cast("double") /
+          (col("npos").cast("double") * col("nneg").cast("double"))).as("auc"))
+  }
+
+  /** Decile gains/lift table: rows ranked by score (decile 1 = top 10%),
+    * per-decile positive rate vs the base rate, cumulative gains curve.
+    * Deciles are EXACT — integer `div` over the scalable global row number,
+    * not approximate quantiles — so both engines bucket identically. The
+    * cumulative/total windows run over the 10-row aggregate (integer sums,
+    * order-insensitive), never over the raw rows. */
+  def mlLift(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = graft.features.Frames.bySymbol
+    val scored = bars(s, dir).select(col("event_id"),
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        (lead(col("close"), 1).over(w) > col("close")).cast("int").as("label"))
+      .filter(col("score").isNotNull && col("label").isNotNull)
+    val (numbered, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      scored, col("score"), Seq(col("score"), col("event_id")))
+    val agg = numbered
+      .select(col("label"),
+        expr(s"${k}L - ((rn - 1L) * ${k}L) div ${n}L").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("label") === 1, 1)).as("n_pos"))
+    val cumW = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg.select(col("decile"), col("n_rows"), col("n_pos"),
+        sum(col("n_pos")).over(cumW).as("cum_pos"),
+        sum(col("n_pos")).over(allW).as("tot_pos"),
+        sum(col("n_rows")).over(allW).as("tot_rows"))
+      .select(col("decile"), col("n_rows"), col("n_pos"), col("cum_pos"),
+        r6(col("cum_pos").cast("double") / col("tot_pos")).as("cum_gain"),
+        r6((col("n_pos").cast("double") / col("n_rows")) /
+          (col("tot_pos").cast("double") / col("tot_rows"))).as("lift"))
+      .orderBy("decile")
+  }
+
   /** Fisher transform + signal line (two chained Ewma recursions;
     * see [[graft.features.Market.withFisher]]). */
   def featFisher(s: SparkSession, dir: String): DataFrame = {
