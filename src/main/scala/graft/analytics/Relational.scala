@@ -91,6 +91,53 @@ object Relational {
         valueCols.map(gated): _*)
   }
 
+  /** Nearest-neighbor as-of join: for every left row, the right row (same
+    * key) whose time is CLOSEST in either direction; equidistant → the
+    * earlier (backward) match. The [[asofJoin]] union+window construction
+    * run in both directions — still ONE shuffle on the key, two
+    * partition-local sorts (the passes order equal-timestamp ties
+    * oppositely so a same-instant right row is visible to both), then an
+    * integer-microsecond distance compare, which replays exactly
+    * cross-engine. Emits `nearest_dt_us` (signed: negative = matched
+    * earlier) plus `nearest_<c>` per value column. */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, tie: String,
+      valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lSide = left.select(
+      Seq(col(key).as("_k"), col(leftTime).as("_t"), col(tie).as("_tie"),
+        lit(1).as("_is_left"),
+        lit(null).cast(right.schema(rightTime).dataType).as("_r__t")) ++
+      lCols.map(c => col(c).as(s"_l_$c")) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rSide = right.select(
+      Seq(col(key).as("_k"), col(rightTime).as("_t"), col(tie).as("_tie"),
+        lit(0).as("_is_left"), col(rightTime).as("_r__t")) ++
+      lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
+      valueCols.map(c => col(c).as(s"_r_$c")): _*)
+    val wB = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_is_left"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_is_left").desc, col("_tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = (valueCols :+ "_t").foldLeft(lSide.unionByName(rSide)) {
+      (df, c) =>
+        val in = if (c == "_t") "_r__t" else s"_r_$c"
+        df.withColumn(s"_b_$c", last(col(in), ignoreNulls = true).over(wB))
+          .withColumn(s"_f_$c", first(col(in), ignoreNulls = true).over(wF))
+    }
+    val db = unix_micros(col("_t")) - unix_micros(col("_b__t"))
+    val df_ = unix_micros(col("_f__t")) - unix_micros(col("_t"))
+    val useB = col("_f__t").isNull || (col("_b__t").isNotNull && db <= df_)
+    filled.filter(col("_is_left") === 1)
+      .select(lCols.map(c => col(s"_l_$c").as(c)) ++
+        Seq(when(useB, -db).otherwise(df_).as("nearest_dt_us")) ++
+        valueCols.map(c =>
+          when(useB, col(s"_b_$c")).otherwise(col(s"_f_$c"))
+            .as(s"nearest_$c")): _*)
+  }
+
   /** Skew-safe equi-join: salt the skewed (left) side's key into
     * `saltFactor` sub-keys and explode the build (right) side across all
     * salts, so one hot key spreads over `saltFactor` reducers instead of

@@ -2515,6 +2515,47 @@ object OracleSql {
       |)
       |SELECT event_id, user_id, last_error_id FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.joinAsofNearest (Relational.nearestJoin): the
+    * union+window construction in both directions — backward pass orders
+    * right-before-left at equal timestamps, forward pass the opposite —
+    * then the identical integer-µs distance compare (equidistant →
+    * backward). */
+  val joinAsofNearest: String = {
+    val wb = "PARTITION BY k ORDER BY t, is_left, tie " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val wf = "PARTITION BY k ORDER BY t, is_left DESC, tie " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    s"""WITH u AS (
+       |  SELECT user_id AS k, ts AS t, event_id AS tie, 1 AS is_left,
+       |         event_id, CAST(NULL AS BIGINT) AS r_event_id,
+       |         CAST(NULL AS TIMESTAMP) AS r_t
+       |  FROM events WHERE event_type = 'purchase'
+       |  UNION ALL
+       |  SELECT user_id, ts, event_id, 0, CAST(NULL AS BIGINT), event_id, ts
+       |  FROM events WHERE event_type = 'error'
+       |), m AS (
+       |  SELECT is_left, event_id, k AS user_id, t,
+       |         LAST_VALUE(r_t IGNORE NULLS) OVER ($wb) AS b_t,
+       |         LAST_VALUE(r_event_id IGNORE NULLS) OVER ($wb) AS b_id,
+       |         FIRST_VALUE(r_t IGNORE NULLS) OVER ($wf) AS f_t,
+       |         FIRST_VALUE(r_event_id IGNORE NULLS) OVER ($wf) AS f_id
+       |  FROM u
+       |), sel AS (
+       |  SELECT event_id, user_id,
+       |         epoch_us(t) - epoch_us(b_t) AS db,
+       |         epoch_us(f_t) - epoch_us(t) AS df,
+       |         b_id, f_id,
+       |         f_t IS NULL OR (b_t IS NOT NULL AND
+       |           epoch_us(t) - epoch_us(b_t) <= epoch_us(f_t) - epoch_us(t))
+       |           AS use_b
+       |  FROM m WHERE is_left = 1
+       |)
+       |SELECT event_id, user_id,
+       |       CASE WHEN use_b THEN -db ELSE df END AS nearest_dt_us,
+       |       CASE WHEN use_b THEN b_id ELSE f_id END AS nearest_error_id
+       |FROM sel ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Analytics.eventsPaths / Behavior.topPaths: identical lead
     * windows, '>'-joined, completeness gate on the furthest lead, same
     * (n DESC, path) tie-broken top-20. Integer counts over a 125-path

@@ -1624,6 +1624,43 @@ object TextSimSql {
        |       ${r("list_sum(list(nlp ORDER BY pos)) / COUNT(*)")} AS bigram_nll
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextSim.qualityPerplexityBuckets: the textLogprobBigram chain
+    * UNROUNDED, per-lang min/max bands, identical third-cut threshold
+    * trees — comparisons on the bit-equal sequential-fold nll. */
+  val qualityPerplexityBuckets: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), tok AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS t1 FROM documents
+       |), uni AS (
+       |  SELECT t1, COUNT(*) AS c1 FROM tok GROUP BY 1
+       |), vb AS (
+       |  SELECT COUNT(DISTINCT t1) AS v FROM tok
+       |), bi AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS t1, w[i + 1] AS t2
+       |  FROM s, UNNEST(generate_series(1, len(w) - 1)) u(i)
+       |  WHERE len(w) >= 2
+       |), pair AS (
+       |  SELECT t1, t2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+       |), j AS (
+       |  SELECT doc_id, pos,
+       |         -log2((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v)) AS nlp
+       |  FROM bi JOIN pair USING (t1, t2) JOIN uni USING (t1) CROSS JOIN vb
+       |), nll AS (
+       |  SELECT doc_id, list_sum(list(nlp ORDER BY pos)) / COUNT(*) AS nll
+       |  FROM j GROUP BY doc_id
+       |), ld AS (
+       |  SELECT nll.doc_id, d.lang, nll.nll
+       |  FROM nll JOIN documents d ON d.doc_id = nll.doc_id
+       |), bands AS (
+       |  SELECT lang, MIN(nll) AS lo, MAX(nll) AS hi FROM ld GROUP BY lang
+       |)
+       |SELECT ld.doc_id, ld.lang, ${r("ld.nll")} AS bigram_nll,
+       |       CASE WHEN ld.nll <= lo + (hi - lo) / 3.0 THEN 'head'
+       |            WHEN ld.nll <= lo + (hi - lo) * 2.0 / 3.0 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM ld JOIN bands USING (lang) ORDER BY doc_id""".stripMargin
+
   /** PMI-collocation replay: DuckDB lists are 1-indexed (w[i], w[i+1] over
     * generate_series(1, len-1) == Spark's 0-based sequence(0, size-2));
     * identical ln-ratio association order; top-k cut on the unrounded

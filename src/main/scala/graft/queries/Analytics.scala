@@ -85,6 +85,23 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of join: each purchase matched to the CLOSEST error by
+    * |Δt| in either direction, equidistant → backward
+    * (see [[graft.analytics.Relational.nearestJoin]]). */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    Relational.nearestJoin(purchases, errors,
+        key = "user_id", leftTime = "ts", rightTime = "ts", tie = "event_id",
+        valueCols = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("nearest_dt_us"),
+        col("nearest_event_id").as("nearest_error_id"))
+      .orderBy("event_id")
+  }
+
   /** Tumbling 1h event-time windows (batch mode of the streaming operator). */
   def windowTumbling(s: SparkSession, dir: String): DataFrame =
     TimeWindows.tumbling(Bars.readEvents(s, dir))

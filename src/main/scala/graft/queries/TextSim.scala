@@ -533,6 +533,32 @@ object TextSim {
         r6(col("bigram_nll")).as("bigram_nll"))
       .orderBy("doc_id")
 
+  /** CCNet-style perplexity bucketing: docs banded head/middle/tail
+    * per language by their bigram-LM mean NLL (log-perplexity — monotone
+    * in perplexity, so bucketing on it avoids a cross-engine `exp`).
+    * Band thresholds cut the per-lang [min, max] NLL range in thirds — a
+    * tiny per-lang aggregate broadcast back, the scale-clean analog of
+    * CCNet's fixed learned thresholds (no per-lang sort, no quantile
+    * approximation). Comparisons run on the UNROUNDED nll, which is
+    * bit-equal cross-engine by the sequential-fold contract of
+    * [[graft.text.TextStats.bigramLogprob]]. */
+  def qualityPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nll = TextStats.bigramLogprob(docs)
+      .select(col("doc_id"), col("bigram_nll").as("_nll"))
+    val scored = nll.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val bands = scored.groupBy("lang")
+      .agg(min(col("_nll")).as("lo"), max(col("_nll")).as("hi"))
+    scored.join(broadcast(bands), Seq("lang"))
+      .select(col("doc_id"), col("lang"), r6(col("_nll")).as("bigram_nll"),
+        when(col("_nll") <= col("lo") + (col("hi") - col("lo")) / 3.0,
+          "head")
+          .when(col("_nll") <=
+            col("lo") + (col("hi") - col("lo")) * 2.0 / 3.0, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Top-50 adjacent-bigram PMI collocations (count ≥ 5; see
     * [[graft.text.TextStats.collocations]]). */
   def corpusColloc(s: SparkSession, dir: String): DataFrame =

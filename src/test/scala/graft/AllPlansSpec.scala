@@ -27,6 +27,8 @@ class AllPlansSpec extends SparkSpec {
     "text_keywords",
     // dedup_cross_source densifies over the |sources|^2 pair grid (<=400)
     "dedup_cross_source",
+    // quality_perplexity_buckets inherits textLogprobBigram's vocab scalar
+    "quality_perplexity_buckets",
     // NOTE: graph_pagerank_directed's per-round dangling-mass crossJoin is
     // a BNLJ inside each round's plan, but rounds materialize eagerly via
     // localCheckpoint during query construction, so the registered query's
