@@ -1208,6 +1208,36 @@ object Market {
       .drop("_mfv")
   }
 
+  val VolumeIndexBase = 1000.0
+
+  /** Negative & Positive Volume Index (Fosback): two conditional running
+    * products seeded at 1000 — NVI compounds the bar's gross return only
+    * when volume FELL (the "smart money" days), PVI only when it rose.
+    *
+    *   gf = 1 + (close − close[t−1]) / close[t−1]   (NULL on warmup and on
+    *        a zero prior close — the division gate both engines share)
+    *   nvi_t = volume < volume[t−1] ? nvi·gf : nvi   (pvi: >)
+    *
+    * The running product is the custom [[graft.expr.CondProd]] window
+    * function (exp/ln round-trips are not bit-portable cross-engine);
+    * the oracle replays the identical recursion as a recursive CTE. Both
+    * indices ride ONE WindowExec pass over the shared symbol exchange. */
+  def withVolumeIndex(df: DataFrame): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    val prevC = lag(col("close"), 1).over(Frames.bySymbol)
+    val s1 = df.select(col("*"),
+      (lit(1.0) + when(prevC =!= 0.0, (col("close") - prevC) / prevC))
+        .as("_gf"),
+      lag(col("volume"), 1).over(Frames.bySymbol).as("_pv"))
+    s1.select(col("*"),
+        graft.expr.CondProd.condProdOver(col("volume") < col("_pv"),
+          col("_gf"), VolumeIndexBase, part, ord).as("nvi"),
+        graft.expr.CondProd.condProdOver(col("volume") > col("_pv"),
+          col("_gf"), VolumeIndexBase, part, ord).as("pvi"))
+      .drop("_gf", "_pv")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -970,6 +970,36 @@ object OracleSql {
        |ORDER BY c2b.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featNviPvi (Market.withVolumeIndex): the CondProd
+    * recursion replayed as a recursive CTE — identical gross-factor tree
+    * (zero-prior-close gate), identical v·f association, seed 1000 (the
+    * first bar's lagged volume is NULL, so neither condition fires). */
+  val featNviPvi: String = {
+    val base = graft.features.Market.VolumeIndexBase.toString
+    def step(prev: String, cmp: String) =
+      s"CASE WHEN b2.volume $cmp b2.pv AND b2.gf IS NOT NULL " +
+        s"THEN $prev * b2.gf ELSE $prev END"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, ROW_NUMBER() OVER ($W) AS rn,
+       |         volume, LAG(volume, 1) OVER ($W) AS pv,
+       |         1.0 + CASE WHEN LAG(close, 1) OVER ($W) <> 0.0
+       |                    THEN (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W)
+       |               END AS gf
+       |  FROM bars
+       |), vi AS (
+       |  SELECT symbol, rn, CAST($base AS DOUBLE) AS nvi, CAST($base AS DOUBLE) AS pvi
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         ${step("vi.nvi", "<")},
+       |         ${step("vi.pvi", ">")}
+       |  FROM vi JOIN b2 ON b2.symbol = vi.symbol AND b2.rn = vi.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id, ${r("vi.nvi")} AS nvi, ${r("vi.pvi")} AS pvi
+       |FROM b2 JOIN vi ON vi.symbol = b2.symbol AND vi.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

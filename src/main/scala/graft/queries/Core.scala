@@ -359,6 +359,13 @@ object Core {
     keyed(Market.withChaikinOsc(bars(s, dir)), out, out.toSet)
   }
 
+  /** Negative/Positive Volume Index
+    * (see [[graft.features.Market.withVolumeIndex]]). */
+  def featNviPvi(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("nvi", "pvi")
+    keyed(Market.withVolumeIndex(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
