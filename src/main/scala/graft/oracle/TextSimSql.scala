@@ -1661,6 +1661,30 @@ object TextSimSql {
        |            ELSE 'tail' END AS ppl_bucket
        |FROM ld JOIN bands USING (lang) ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextSim.multimodalDedup: md5 over the utf8 payload bytes
+    * (octet_length ↔ Spark's length-of-binary), exact integer counting. */
+  val multimodalDedup: String =
+    """SELECT event_type AS kind, md5(props) AS payload_md5,
+      |       MIN(event_id) AS canonical_id, COUNT(*) AS n_copies,
+      |       CAST(MAX(octet_length(encode(props))) AS BIGINT) AS n_bytes
+      |FROM events GROUP BY 1, 2 ORDER BY kind, payload_md5""".stripMargin
+
+  /** Mirrors TextSim.textOov (k=10): same (count DESC, term) top-k cut,
+    * left-join membership, exact integer counting. */
+  val textOov: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+       |), v AS (
+       |  SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+       |), topv AS (
+       |  SELECT t, 1 AS i FROM v ORDER BY c DESC, t LIMIT 10
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(COUNT(CASE WHEN topv.i IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+       |       ${r("CAST(COUNT(CASE WHEN topv.i IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)")} AS oov_frac
+       |FROM tok LEFT JOIN topv USING (t)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** PMI-collocation replay: DuckDB lists are 1-indexed (w[i], w[i+1] over
     * generate_series(1, len-1) == Spark's 0-based sequence(0, size-2));
     * identical ln-ratio association order; top-k cut on the unrounded

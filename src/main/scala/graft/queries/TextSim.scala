@@ -399,6 +399,41 @@ object TextSim {
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k_value"))
       .orderBy("event_id")
 
+  /** Exact dedup over the opaque media payloads: one canonical asset per
+    * (kind, content-hash), copy count, byte size — the asset-level dedup a
+    * multimodal ingest runs BEFORE any decode/feature work (decoding each
+    * of N copies is N× wasted GPU/CPU). One hash-keyed aggregate with
+    * map-side partials; the binary payload never shuffles, only its md5. */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame =
+    Bars.readEvents(s, dir).select(col("event_type").as("kind"),
+        col("props").cast("binary").as("payload"), col("event_id"))
+      .groupBy(col("kind"), md5(col("payload")).as("payload_md5"))
+      .agg(min(col("event_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        max(length(col("payload")).cast("long")).as("n_bytes"))
+      .orderBy("kind", "payload_md5")
+
+  /** OOV-rate per document against the corpus's top-k vocabulary — the
+    * tokenizer-coverage readout (which docs a k-type vocab fails to cover).
+    * Top-k is a TakeOrderedAndProject (count desc, term tie-break —
+    * deterministic, no global sort) broadcast back onto the token stream;
+    * counting is exact integers. k=10 exercises real OOV mass on the
+    * synthetic ~30-type corpus; production k is a parameter. */
+  def textOov(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val topV = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(k)
+      .select(col("t"), lit(1).as("_in"))
+    toks.join(broadcast(topV), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        r6(col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Partition-batched stub decode over typed media records. The stand-in
     * decoder is pure integer arithmetic, so even this Dataset/mapPartitions
     * path is oracle-checked: TextSimSql.multimodalDecode replays the
