@@ -404,4 +404,86 @@ class FeatureSpec extends SparkSpec {
         p <= r1 + 1e-9 && r1 <= r2 + 1e-9)
     }
   }
+
+  test("hull MA equals brute-force WMA composition on a random series") {
+    val rnd = new scala.util.Random(7)
+    val cs = IndexedSeq.fill(40)(50.0 + rnd.nextDouble() * 100.0)
+    val df = Market.withHull(barsOf(cs))
+    val gotRaw = column(df, "hma_raw")
+    val got16 = column(df, "hma_16")
+    def wma(xs: Int => Option[Double], i: Int, w: Int): Option[Double] = {
+      if (i + 1 < w) None
+      else {
+        val win = (0 until w).map(j => xs(i - j)) // newest first, weight w−j
+        if (win.exists(_.isEmpty)) None
+        else Some(win.zipWithIndex.map { case (x, j) => (w - j) * x.get }.sum /
+          (w * (w + 1) / 2.0))
+      }
+    }
+    val braw = cs.indices.map { i =>
+      (wma(j => Some(cs(j)), i, 8), wma(j => Some(cs(j)), i, 16)) match {
+        case (Some(a), Some(b)) => Some(2 * a - b)
+        case _ => None
+      }
+    }
+    val b16 = cs.indices.map(i => wma(j => braw(j), i, 4))
+    cs.indices.foreach { i =>
+      assert(gotRaw(i).isDefined == braw(i).isDefined, s"raw presence @$i")
+      assert(got16(i).isDefined == b16(i).isDefined, s"hma presence @$i")
+      for (g <- gotRaw(i); w0 <- braw(i))
+        assert(math.abs(g - w0) < 1e-6, s"raw @$i: $g vs $w0")
+      for (g <- got16(i); w0 <- b16(i))
+        assert(math.abs(g - w0) < 1e-6, s"hma @$i: $g vs $w0")
+    }
+  }
+
+  test("CondProd NVI/PVI is bit-equal to the sequential straight loop") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3L, 4L)) {
+      val rnd = new scala.util.Random(seed)
+      var c = 100.0
+      val rows = (0 until 50).map { i =>
+        c = math.max(1.0, c * (0.95 + rnd.nextDouble() * 0.1))
+        ("S", i.toLong, c, (1 + rnd.nextInt(20)).toDouble)
+      }
+      val df = rows.toDF("symbol", "event_id", "close", "volume")
+        .withColumn("datetime", timestamp_micros(col("event_id")))
+      val got = Market.withVolumeIndex(df).orderBy("event_id")
+        .select("nvi", "pvi").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      var nvi = 1000.0
+      var pvi = 1000.0
+      val want = rows.zipWithIndex.map { case ((_, _, cl, vol), i) =>
+        if (i > 0) {
+          val pc = rows(i - 1)._3
+          val pv = rows(i - 1)._4
+          val gf = 1.0 + (cl - pc) / pc
+          if (vol < pv) nvi *= gf
+          if (vol > pv) pvi *= gf
+        }
+        (nvi, pvi)
+      }
+      assert(got.toSeq == want, s"seed $seed: CondProd vs straight loop")
+    }
+  }
+
+  test("ultimate oscillator: null until bar 28, then within [0, 100]") {
+    val uo = column(
+      Market.withUltimate(barsOf((1 to 60).map(i => 100.0 + (i % 7)))),
+      "ultimate_osc")
+    assert(uo.take(27).forall(_.isEmpty))
+    assert(uo.drop(27).forall(_.isDefined))
+    uo.flatten.foreach(v => assert(v >= -1e-9 && v <= 100 + 1e-9))
+  }
+
+  test("KST warmup: kst null until bar 45, signal until bar 53") {
+    val k = Market.withKst(
+      barsOf((1 to 60).map(i => 100.0 + 3 * math.sin(i / 3.0))))
+    val kst = column(k, "kst")
+    val sig = column(k, "kst_signal")
+    // slowest leg: ROC(30) from idx 30, its 15-bar SMA from idx 44
+    assert(kst.take(44).forall(_.isEmpty) && kst.drop(44).forall(_.isDefined))
+    assert(sig.take(52).forall(_.isEmpty) && sig.drop(52).forall(_.isDefined))
+  }
 }

@@ -2159,4 +2159,64 @@ class OpsSpec extends SparkSpec {
       s"planted slope -1, got ${row.getDouble(1)}")
     assert(math.abs(row.getDouble(2) - math.log(1200.0)) < 1e-9)
   }
+
+  test("windowStreak: gaps-and-islands run lengths on a planted series") {
+    val got = graft.queries.Analytics
+      .windowStreakOf(barsOf(Seq(1.0, 2.0, 3.0, 2.0, 2.0, 5.0)))
+      .orderBy("event_id").collect()
+      .map(r => (Option(r.getAs[String]("direction")).getOrElse("-"),
+        r.getAs[Long]("streak_len")))
+    assert(got.toSeq == Seq(("-", 1L), ("up", 1L), ("up", 2L), ("down", 1L),
+      ("flat", 1L), ("up", 1L)))
+  }
+
+  test("nearestJoin: backward / forward / equidistant / no-match cases") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = sec * 1000000L
+    def frame(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("event_id", "user_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val left = frame(Seq((1L, 1L, t(10)), (2L, 1L, t(100)), (3L, 2L, t(50)),
+      (4L, 3L, t(7)), (5L, 4L, t(100))))
+    val right = frame(Seq((11L, 1L, t(8)), (12L, 1L, t(11)), (13L, 2L, t(50)),
+      (14L, 4L, t(90)), (15L, 4L, t(110))))
+    val got = graft.analytics.Relational
+      .nearestJoin(left, right, "user_id", "ts", "ts", "event_id",
+        Seq("event_id"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("nearest_dt_us")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("nearest_event_id")).map(_.toLong)))
+    assert(got.toSeq == Seq(
+      (1L, Some(t(1)), Some(12L)),   // forward 1 s beats backward 2 s
+      (2L, Some(-t(89)), Some(12L)), // nothing forward → backward
+      (3L, Some(0L), Some(13L)),     // same-instant match, Δt = 0
+      (4L, None, None),              // user with no right rows
+      (5L, Some(-t(10)), Some(14L)))) // equidistant → backward wins
+  }
+
+  test("mlAuc equals the brute pairwise AUC under the same tie-break") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Core.mlAuc(spark, dir).collect()(0)
+    val w = graft.features.Frames.bySymbol
+    val rows = graft.queries.Core.bars(spark, dir).select(col("event_id"),
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        (lead(col("close"), 1).over(w) > col("close")).cast("int").as("label"))
+      .filter(col("score").isNotNull && col("label").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // total order (score, event_id) → tie-broken ranks, exactly the
+    // ordering both the Spark query and the oracle use
+    val ranked = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((_, _, label), i) => (label, i + 1L) }
+    val pos = ranked.filter(_._1 == 1)
+    val npos = pos.length.toLong
+    val nneg = ranked.length - npos
+    val u = pos.map(_._2).sum - npos * (npos + 1) / 2
+    assert(got.getAs[Long]("npos") == npos)
+    assert(got.getAs[Long]("nneg") == nneg)
+    assert(got.getAs[Long]("u_stat") == u)
+    val auc = u.toDouble / (npos.toDouble * nneg.toDouble)
+    assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
+  }
 }
