@@ -2924,6 +2924,82 @@ object OracleSql {
        |SELECT event_type, ${r("MAX(gap)")} AS ks, COUNT(*) AS n_bins
        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Mirrors Analytics.driftWasserstein: the driftKs bin machinery plus
+    * the lead-gap segment factor and the MAX read of the nondecreasing
+    * running segment sum. */
+  val driftWasserstein: String = {
+    val wrun = "PARTITION BY event_type ORDER BY bin " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"""WITH b AS (
+       |  SELECT event_type, (event_id % 2 = 0) AS is_base,
+       |         CAST(floor(value / 100.0) AS BIGINT) AS bin
+       |  FROM events
+       |), c AS (
+       |  SELECT event_type, is_base, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3
+       |), t AS (
+       |  SELECT event_type, is_base, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1, 2
+       |), r0 AS (
+       |  SELECT c.event_type, c.is_base, c.bin, CAST(c.n AS DOUBLE) / t.total AS rate
+       |  FROM c JOIN t USING (event_type, is_base)
+       |), m AS (
+       |  SELECT event_type, bin,
+       |         SUM(CASE WHEN is_base THEN rate ELSE 0.0 END) AS p,
+       |         SUM(CASE WHEN NOT is_base THEN rate ELSE 0.0 END) AS q
+       |  FROM r0 GROUP BY 1, 2
+       |), g AS (
+       |  SELECT event_type, bin,
+       |         abs(SUM(p) OVER ($wrun) - SUM(q) OVER ($wrun)) *
+       |           CAST(LEAD(bin, 1) OVER (PARTITION BY event_type ORDER BY bin) - bin AS DOUBLE) AS seg
+       |  FROM m
+       |), cw AS (
+       |  SELECT event_type, bin, SUM(seg) OVER ($wrun) AS cw FROM g
+       |)
+       |SELECT event_type, ${r("COALESCE(MAX(cw), 0.0) * 100.0")} AS w1,
+       |       COUNT(*) AS n_bins
+       |FROM cw GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
+  /** Mirrors Analytics.retentionSurvival: identical integer duration/
+    * at-risk arithmetic, the CondProd product-limit recursion replayed as
+    * a recursive CTE over the per-duration rows (seed = 1·f₁ = f₁, an
+    * exact IEEE identity). */
+  val retentionSurvival: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |), u AS (
+      |  SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us FROM ev GROUP BY 1
+      |), o AS (
+      |  SELECT MAX(us) AS obs_us FROM ev
+      |), lab AS (
+      |  SELECT (last_us - first_us) // 86400000000 AS duration_days,
+      |         CASE WHEN last_us < obs_us - 604800000000 THEN 1 ELSE 0 END AS churned
+      |  FROM u CROSS JOIN o
+      |), d AS (
+      |  SELECT duration_days, COUNT(*) AS n_ending,
+      |         CAST(SUM(churned) AS BIGINT) AS n_churned
+      |  FROM lab GROUP BY 1
+      |), rk AS MATERIALIZED (
+      |  SELECT duration_days, n_churned,
+      |         CAST(SUM(n_ending) OVER ()
+      |           - COALESCE(SUM(n_ending) OVER (ORDER BY duration_days
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS n_at_risk,
+      |         ROW_NUMBER() OVER (ORDER BY duration_days) AS rn
+      |  FROM d
+      |), km AS (
+      |  SELECT rn, duration_days, n_churned, n_at_risk,
+      |         1.0 - CAST(n_churned AS DOUBLE) / n_at_risk AS v
+      |  FROM rk WHERE rn = 1
+      |  UNION ALL
+      |  SELECT rk.rn, rk.duration_days, rk.n_churned, rk.n_at_risk,
+      |         km.v * (1.0 - CAST(rk.n_churned AS DOUBLE) / rk.n_at_risk)
+      |  FROM km JOIN rk ON rk.rn = km.rn + 1
+      |)
+      |SELECT duration_days, n_at_risk, n_churned,
+      |       CASE WHEN abs(v) > 9000000000.0 THEN v
+      |            ELSE floor(v * 1000000 + 0.5) / 1000000 END AS km_survival
+      |FROM km ORDER BY duration_days""".stripMargin
+
   /** Mirrors Analytics.windowSkew (n=20): the four power sums via the
     * sequential cum−lag fold, the identical raw-sums central-moment trees
     * (3.0*m*(s2/n) association preserved), same variance gate. */

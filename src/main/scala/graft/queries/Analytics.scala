@@ -436,6 +436,88 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Binned 1-Wasserstein (earth-mover) drift between the even/odd slices:
+    * W₁ = binWidth · Σ segments |ECDF_p − ECDF_q| · (next_bin − bin) — the
+    * drift metric with UNITS (how far mass moved, in value-space), which
+    * PSI/KS/JS don't give. The lead-gap factor charges empty bin runs where
+    * the CDFs still differ; the last populated bin's gap is zero by
+    * construction (both CDFs reach 1), so its null lead contributes
+    * nothing. Same two partial+final aggregates as [[driftKs]]; the
+    * segment sum accumulates in window order (fixed order, cross-engine
+    * stable) and the total is read off as MAX of the nondecreasing
+    * running sum — order-insensitive. */
+  def driftWasserstein(s: SparkSession, dir: String,
+      binWidth: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Bars.readEvents(s, dir).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_base"),
+      floor(col("value") / binWidth).cast("long").as("bin"))
+    val counts = binned.groupBy("event_type", "is_base", "bin")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type", "is_base")
+      .agg(sum(col("n")).as("total"))
+    val rates = counts.join(totals, Seq("event_type", "is_base"))
+      .select(col("event_type"), col("bin"),
+        when(col("is_base"), col("n").cast("double") / col("total"))
+          .otherwise(lit(0.0)).as("p"),
+        when(!col("is_base"), col("n").cast("double") / col("total"))
+          .otherwise(lit(0.0)).as("q"))
+      .groupBy("event_type", "bin")
+      .agg(sum(col("p")).as("p"), sum(col("q")).as("q"))
+    val wOrd = Window.partitionBy("event_type").orderBy("bin")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = rates.select(col("event_type"), col("bin"),
+      (abs(sum(col("p")).over(wRun) - sum(col("q")).over(wRun)) *
+        (lead(col("bin"), 1).over(wOrd) - col("bin")).cast("double"))
+        .as("_seg"))
+    seg.select(col("event_type"), col("bin"),
+        sum(col("_seg")).over(wRun).as("_cw"))
+      .groupBy("event_type")
+      .agg(r6(coalesce(max(col("_cw")), lit(0.0)) * binWidth).as("w1"),
+        count(lit(1)).as("n_bins"))
+      .orderBy("event_type")
+  }
+
+  /** Kaplan-Meier survival over user lifetimes: duration = days between a
+    * user's first and last event; a user counts as a churn EVENT if their
+    * last event predates the observation end by > 7 days, else they are
+    * censored at their observed duration — the product-limit estimator
+    * S(d) = Π_{d' ≤ d} (1 − events_d' / at-risk_d') every retention team
+    * reads. The running product is the [[graft.expr.CondProd]] recursion
+    * (condition TRUE — the product-limit fold), replayed exactly by the
+    * oracle's recursive CTE; at-risk counts are integer window sums. The
+    * single-partition windows run over the per-duration AGGREGATE (≤
+    * observation-span-in-days rows), never the raw events. */
+  def retentionSurvival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val ev = Bars.readEvents(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val users = ev.groupBy("user_id")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val obs = ev.agg(max(col("us")).as("obs_us"))
+    val labeled = users.crossJoin(broadcast(obs))
+      .select(expr(s"(last_us - first_us) div ${dayUs}L").as("duration_days"),
+        when(col("last_us") < col("obs_us") - lit(7L * dayUs), 1L)
+          .otherwise(0L).as("churned"))
+    val byDur = labeled.groupBy("duration_days")
+      .agg(count(lit(1)).as("n_ending"), sum(col("churned")).as("n_churned"))
+    val allW = Window.orderBy("duration_days")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prevW = Window.orderBy("duration_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sized = byDur.select(col("duration_days"), col("n_ending"),
+      col("n_churned"),
+      (sum(col("n_ending")).over(allW) -
+        coalesce(sum(col("n_ending")).over(prevW), lit(0L))).as("n_at_risk"))
+    val factor = lit(1.0) -
+      col("n_churned").cast("double") / col("n_at_risk")
+    sized.select(col("duration_days"), col("n_at_risk"), col("n_churned"),
+        r6(graft.expr.CondProd.condProdOver(lit(true), factor, 1.0,
+          Seq.empty, Seq(col("duration_days")))).as("km_survival"))
+      .orderBy("duration_days")
+  }
+
   /** Strict-order in-session funnel: per (user, 30-min-gap session), did a
     * view happen, a click AT OR AFTER the first view, a purchase at or
     * after that click — the ordered-funnel readout [[funnelEvents]]'s

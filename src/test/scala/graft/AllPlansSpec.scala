@@ -29,6 +29,8 @@ class AllPlansSpec extends SparkSpec {
     "dedup_cross_source",
     // quality_perplexity_buckets inherits textLogprobBigram's vocab scalar
     "quality_perplexity_buckets",
+    // retention_survival broadcasts the 1-row observation-end scalar
+    "retention_survival",
     // NOTE: graph_pagerank_directed's per-round dangling-mass crossJoin is
     // a BNLJ inside each round's plan, but rounds materialize eagerly via
     // localCheckpoint during query construction, so the registered query's
