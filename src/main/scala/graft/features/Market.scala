@@ -1238,6 +1238,42 @@ object Market {
       .drop("_gf", "_pv")
   }
 
+  val GarchOmega = 1e-6
+  val GarchAlpha = 0.1
+  val GarchBeta = 0.85
+
+  /** GARCH(1,1) conditional variance with fixed textbook coefficients —
+    * the volatility-clustering model every risk desk runs:
+    *
+    *   r_t  = (close − close[t−1]) / close[t−1]    (zero-prev gated)
+    *   σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1},  seeded at the unconditional
+    *          variance ω/(1−α−β)
+    *
+    * Estimating (ω, α, β) is an MLE fit (out of relational scope); the
+    * FILTERing recursion given coefficients is the per-row operator, and
+    * it is the new [[graft.expr.LinearRec]] affine-recursion window
+    * function — one WindowExec pass, oracle-replayed as a recursive CTE.
+    * Emits σ² and σ (sqrt IS correctly rounded cross-engine, unlike pow);
+    * both gated null until the first lagged return exists, and a mid-series
+    * null return (zero prior close) holds the state — same rule both
+    * engines. */
+  def withGarch(df: DataFrame): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    val prev = lag(col("close"), 1).over(Frames.bySymbol)
+    val s1 = df.select(col("*"),
+      when(prev =!= 0.0, (col("close") - prev) / prev).as("_ret"))
+    val l = lag(col("_ret"), 1).over(Frames.bySymbol)
+    val s2 = s1.select(col("*"), (l * l).as("_x"))
+    val v = graft.expr.LinearRec.linearRecOver(col("_x"),
+      GarchOmega, GarchAlpha, GarchBeta,
+      GarchOmega / (1.0 - GarchAlpha - GarchBeta), part, ord)
+    s2.select(col("*"),
+        when(col("_x").isNotNull, v).as("garch_var"),
+        when(col("_x").isNotNull, sqrt(v)).as("garch_vol"))
+      .drop("_ret", "_x")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -1000,6 +1000,43 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featGarch (Market.withGarch): the LinearRec affine
+    * recursion replayed as a recursive CTE — identical ω + α·x + β·v
+    * association, identical zero-prev-close return gate, base =
+    * ω/(1−α−β) emitted via Double.toString. */
+  val featGarch: String = {
+    val w0 = graft.features.Market.GarchOmega.toString
+    val al = graft.features.Market.GarchAlpha.toString
+    val be = graft.features.Market.GarchBeta.toString
+    val base = (graft.features.Market.GarchOmega /
+      (1.0 - graft.features.Market.GarchAlpha -
+        graft.features.Market.GarchBeta)).toString
+    def step(x: String, v: String) =
+      s"CASE WHEN $x IS NULL THEN $v ELSE $w0 + $al * $x + $be * $v END"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, rr AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CASE WHEN LAG(close, 1) OVER ($W) <> 0.0
+       |              THEN (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W)
+       |         END AS r
+       |  FROM bars
+       |), b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, ROW_NUMBER() OVER ($W) AS rn,
+       |         LAG(r, 1) OVER ($W) * LAG(r, 1) OVER ($W) AS x
+       |  FROM rr
+       |), g AS (
+       |  SELECT symbol, rn, x, ${step("x", s"CAST($base AS DOUBLE)")} AS v
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn, b2.x, ${step("b2.x", "g.v")}
+       |  FROM g JOIN b2 ON b2.symbol = g.symbol AND b2.rn = g.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id,
+       |       ${r("CASE WHEN b2.x IS NOT NULL THEN g.v END")} AS garch_var,
+       |       ${r("CASE WHEN b2.x IS NOT NULL THEN sqrt(g.v) END")} AS garch_vol
+       |FROM b2 JOIN g ON g.symbol = b2.symbol AND g.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

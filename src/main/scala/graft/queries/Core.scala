@@ -366,6 +366,13 @@ object Core {
     keyed(Market.withVolumeIndex(bars(s, dir)), out, out.toSet)
   }
 
+  /** GARCH(1,1) conditional volatility filter
+    * (see [[graft.features.Market.withGarch]]). */
+  def featGarch(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("garch_var", "garch_vol")
+    keyed(Market.withGarch(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
