@@ -952,6 +952,22 @@ object TextSimSql {
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e0
        |)""".stripMargin
 
+  /** Mirrors TextSim.simMips: the simTopk scan ranked on the raw
+    * sequential-fold inner product (no norm divide). */
+  val simMips: String =
+    s"""$embCte, p AS (
+       |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10
+       |), j AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id, ${dot("pv", "v")} AS ip
+       |  FROM e, p WHERE e.vec_id != probe_id
+       |), rr AS (
+       |  SELECT probe_id, neighbor_id, ip,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ip DESC, neighbor_id) AS rnk
+       |  FROM j
+       |)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ${r("ip")} AS ip
+       |FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   val simTopk: String =
     s"""$embCte, p AS (
        |  SELECT vec_id AS probe_id, v AS pv, nv AS np FROM e WHERE vec_id < 10

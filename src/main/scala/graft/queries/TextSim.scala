@@ -307,6 +307,15 @@ object TextSim {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
       .orderBy("probe_id", "rank")
 
+  /** Exact max-inner-product top-k
+    * (see [[graft.sim.Similarity.mipsTopK]]; the norm-augmentation
+    * reduction to cosine ANN is spec-proven rank-equal). */
+  def simMips(s: SparkSession, dir: String): DataFrame =
+    Similarity.mipsTopK(Tables.embeddings(s, dir))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        r6(col("ip")).as("ip"))
+      .orderBy("probe_id", "rank")
+
   def simAnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir))
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))

@@ -53,6 +53,54 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /** Exact max-inner-product top-k (MIPS — the retrieval mode scoring
+    * models actually use: unnormalized relevance, not angular closeness).
+    * Same broadcast-probe scan shape as [[bruteTopK]], ranked on the raw
+    * sequential-fold dot product (bit-portable, so the rank tie-break is
+    * deterministic cross-engine). */
+  def mipsTopK(embeddings: DataFrame, numProbes: Int = 10, k: Int = 5): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("p"))
+    val cand = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val w = Window.partitionBy("probe_id").orderBy(col("ip").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("ip", dot("p", "v"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("ip"))
+  }
+
+  /** The MIPS→cosine reduction (Bachrach et al. 2014): append
+    * √(M² − ‖v‖²) to every candidate (M = max candidate norm) and 0 to
+    * every probe — all augmented candidates then share norm M, so cosine
+    * order on the augmented space IS inner-product order, and any cosine
+    * ANN index (IVF, LSH) serves MIPS unchanged. This is the scale path;
+    * the spec proves rank equality against [[mipsTopK]]. */
+  def mipsAugmentedTopK(embeddings: DataFrame, numProbes: Int = 10,
+      k: Int = 5): DataFrame = {
+    val vecs = withNorm(embeddings, "vec_id", "v", "nv")
+    val mMax = vecs.agg(max(col("nv")).as("m"))
+    val cand = vecs.crossJoin(broadcast(mMax))
+      .select(col("vec_id").as("neighbor_id"),
+        concat(col("v"), array(sqrt(col("m") * col("m") - col("nv") * col("nv"))))
+          .as("v"),
+        col("m").as("nv"))
+    val probes = withNorm(embeddings.filter(col("vec_id") < numProbes),
+        "probe_id", "p0", "np")
+      .select(col("probe_id"), concat(col("p0"), array(lit(0.0))).as("p"),
+        col("np"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", cosPre("p", "v", "np", "nv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Coarse IVF assignment: nearest of the first `numCentroids` vectors
     * (deterministic stand-in for trained centroids). Output keeps the
     * per-vector norm for downstream pair scoring. */

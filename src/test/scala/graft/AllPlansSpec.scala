@@ -37,7 +37,7 @@ class AllPlansSpec extends SparkSpec {
     // executedPlan is an RDD scan — nothing to allowlist.
     // broadcast centroid / probe tables (16 / 10 rows by construction):
     "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk",
-    "sim_ann_pq")
+    "sim_ann_pq", "sim_mips")
 
   test("no registered query plans a CartesianProduct; BNLJ only on scalar-side allowlist") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -2219,4 +2219,14 @@ class OpsSpec extends SparkSpec {
     val auc = u.toDouble / (npos.toDouble * nneg.toDouble)
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
+
+  test("MIPS norm-augmentation reduction ranks identically to brute MIPS") {
+    val emb = graft.source.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id")
+        .orderBy("probe_id", "rank").collect().toSeq
+    assert(ranks(graft.sim.Similarity.mipsTopK(emb)) ==
+      ranks(graft.sim.Similarity.mipsAugmentedTopK(emb)),
+      "augmented-cosine order must equal inner-product order")
+  }
 }
