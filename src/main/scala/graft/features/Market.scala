@@ -1274,6 +1274,70 @@ object Market {
       .drop("_ret", "_x")
   }
 
+  val CrsiRsiPeriod = 3
+  val CrsiStreakPeriod = 2
+  val CrsiRankWindow = 20
+
+  /** ConnorsRSI — the three-leg mean-reversion composite:
+    *
+    *   crsi = ( RSI(close, 3)
+    *          + RSI(signed streak, 2)     (streak: +len up-runs, −len down,
+    *                                       0 flat — gaps-and-islands)
+    *          + PercentRank(ret, 20) ) / 3
+    *
+    * Legs reuse the house machinery exactly: RSI is the [[graft.expr.Ewma]]
+    * adjust=false gain/loss pair with the identical 100−100/(1+rs) tree
+    * (Technical.withTechnical); the streak is [[withVolumeIndex]]-style
+    * integer window arithmetic; the percent-rank leg counts prior-window
+    * returns below today's via a frame-collected array (O(n·w), w=20 — the
+    * window_mad cost class; a rank-vs-current-row predicate has no cum−lag
+    * form). All windows cluster on (symbol, …): one exchange. */
+  def withConnorsRsi(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Frames.bySymbol
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def rsiOf(d: org.apache.spark.sql.Column, span: Int) = {
+      val g = graft.expr.Ewma.ewmaSpanOver((d > 0).cast("double") * d,
+        span, adjust = false, part, ord)
+      val l = graft.expr.Ewma.ewmaSpanOver((d < 0).cast("double") * (-d),
+        span, adjust = false, part, ord)
+      lit(100) - lit(100) / (lit(1) + g / (l + 1e-10))
+    }
+    val prev = lag(col("close"), 1).over(w)
+    val s1 = df.select(col("*"), (col("close") - prev).as("_d1"),
+      when(col("close") > prev, 1).when(col("close") < prev, -1)
+        .when(prev.isNotNull, 0).as("_dir"),
+      ((col("close") - prev) / (prev + 1e-10)).as("_ret"))
+    val byDir = Window.partitionBy(col("symbol"), col("_dir"))
+      .orderBy(col(Frames.TimeCol), col(Frames.TieCol))
+    val s2 = s1.select(col("*"), row_number().over(w).as("_rn"),
+      row_number().over(byDir).as("_rnd"))
+    val byIsland = Window
+      .partitionBy(col("symbol"), col("_dir"), col("_rn") - col("_rnd"))
+      .orderBy(col(Frames.TimeCol), col(Frames.TieCol))
+    val s3 = s2.select(col("*"),
+      (row_number().over(byIsland) * coalesce(col("_dir"), lit(0)))
+        .cast("double").as("_streak"))
+    val s4 = s3.select(col("*"),
+      (col("_streak") - lag(col("_streak"), 1).over(w)).as("_ds"))
+    val frame = w.rowsBetween(-CrsiRankWindow, -1)
+    val s5 = s4.select(col("*"),
+      collect_list(col("_ret")).over(frame).as("_arr"),
+      count(col("_ret")).over(frame).as("_nprev"))
+    val prank = when(
+      col("_nprev") === CrsiRankWindow && col("_ret").isNotNull,
+      expr("size(filter(_arr, x -> x < _ret))") * 100.0 / CrsiRankWindow)
+    s5.select(col("*"), rsiOf(col("_d1"), CrsiRsiPeriod).as("crsi_rsi"),
+        rsiOf(col("_ds"), CrsiStreakPeriod).as("crsi_streak_rsi"),
+        prank.as("crsi_pct_rank"))
+      .withColumn("crsi",
+        (col("crsi_rsi") + col("crsi_streak_rsi") + col("crsi_pct_rank"))
+          / 3.0)
+      .drop("_d1", "_dir", "_ret", "_rn", "_rnd", "_streak", "_ds",
+        "_arr", "_nprev")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -1037,6 +1037,85 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featConnorsRsi (Market.withConnorsRsi, 3/2/20): two
+    * recursive-CTE RSI replays (close diffs and signed-streak diffs), the
+    * gaps-and-islands streak in identical integer windows, and the
+    * percent-rank leg via list_filter (null prior returns drop out of the
+    * filtered count on both engines; the gate counts non-null returns,
+    * not array length). */
+  val featConnorsRsi: String = {
+    val p1 = graft.features.Market.CrsiRsiPeriod
+    val p2 = graft.features.Market.CrsiStreakPeriod
+    val rw = graft.features.Market.CrsiRankWindow
+    val wPrev = s"$W ROWS BETWEEN $rw PRECEDING AND 1 PRECEDING"
+    def rsiExpr(ag: String, al: String) =
+      s"100 - (100 / (1 + $ag / ($al + $eps)))"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, c1 AS (
+       |  SELECT symbol, event_id, datetime, close,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         close - LAG(close, 1) OVER ($W) AS d1,
+       |         CASE WHEN close > LAG(close, 1) OVER ($W) THEN 1
+       |              WHEN close < LAG(close, 1) OVER ($W) THEN -1
+       |              WHEN LAG(close, 1) OVER ($W) IS NOT NULL THEN 0 END AS dir,
+       |         (close - LAG(close, 1) OVER ($W)) / (LAG(close, 1) OVER ($W) + $eps) AS ret
+       |  FROM bars
+       |), c2 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol, dir ORDER BY datetime, event_id) AS rnd
+       |  FROM c1
+       |), c3 AS (
+       |  SELECT symbol, event_id, datetime, rn, d1, ret,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY symbol, dir, rn - rnd ORDER BY datetime, event_id)
+       |              * COALESCE(dir, 0) AS DOUBLE) AS streak
+       |  FROM c2
+       |), c4 AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn, d1, ret,
+       |         streak - LAG(streak, 1) OVER ($W) AS ds,
+       |         list(ret) OVER ($wPrev) AS arr,
+       |         COUNT(ret) OVER ($wPrev) AS nprev
+       |  FROM c3
+       |), g1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn - 1 AS rn2,
+       |         CAST(d1 > 0 AS DOUBLE) * d1 AS gain,
+       |         CAST(d1 < 0 AS DOUBLE) * (-d1) AS loss
+       |  FROM c4 WHERE d1 IS NOT NULL
+       |), ew1 AS (
+       |  SELECT symbol, rn2, gain AS ag, loss AS al FROM g1 WHERE rn2 = 1
+       |  UNION ALL
+       |  SELECT g1.symbol, g1.rn2,
+       |         ew1.ag * ${d(p1)} + ${a(p1)} * g1.gain,
+       |         ew1.al * ${d(p1)} + ${a(p1)} * g1.loss
+       |  FROM ew1 JOIN g1 ON g1.symbol = ew1.symbol AND g1.rn2 = ew1.rn2 + 1
+       |), g2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn - 1 AS rn2,
+       |         CAST(ds > 0 AS DOUBLE) * ds AS gain,
+       |         CAST(ds < 0 AS DOUBLE) * (-ds) AS loss
+       |  FROM c4 WHERE ds IS NOT NULL
+       |), ew2 AS (
+       |  SELECT symbol, rn2, gain AS ag, loss AS al FROM g2 WHERE rn2 = 1
+       |  UNION ALL
+       |  SELECT g2.symbol, g2.rn2,
+       |         ew2.ag * ${d(p2)} + ${a(p2)} * g2.gain,
+       |         ew2.al * ${d(p2)} + ${a(p2)} * g2.loss
+       |  FROM ew2 JOIN g2 ON g2.symbol = ew2.symbol AND g2.rn2 = ew2.rn2 + 1
+       |), fin AS (
+       |  SELECT c4.symbol, c4.event_id,
+       |         ${rsiExpr("ew1.ag", "ew1.al")} AS rsi3,
+       |         ${rsiExpr("ew2.ag", "ew2.al")} AS rsis,
+       |         CASE WHEN c4.nprev = $rw AND c4.ret IS NOT NULL
+       |              THEN len(list_filter(c4.arr, x -> x < c4.ret)) * 100.0 / $rw
+       |         END AS prank
+       |  FROM c4
+       |  LEFT JOIN g1 ON g1.symbol = c4.symbol AND g1.event_id = c4.event_id
+       |  LEFT JOIN ew1 ON ew1.symbol = g1.symbol AND ew1.rn2 = g1.rn2
+       |  LEFT JOIN g2 ON g2.symbol = c4.symbol AND g2.event_id = c4.event_id
+       |  LEFT JOIN ew2 ON ew2.symbol = g2.symbol AND ew2.rn2 = g2.rn2
+       |)
+       |SELECT symbol, event_id, ${r("rsi3")} AS crsi_rsi,
+       |       ${r("rsis")} AS crsi_streak_rsi, ${r("prank")} AS crsi_pct_rank,
+       |       ${r("(rsi3 + rsis + prank) / 3.0")} AS crsi
+       |FROM fin ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

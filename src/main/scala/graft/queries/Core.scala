@@ -373,6 +373,13 @@ object Core {
     keyed(Market.withGarch(bars(s, dir)), out, out.toSet)
   }
 
+  /** ConnorsRSI composite
+    * (see [[graft.features.Market.withConnorsRsi]]). */
+  def featConnorsRsi(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("crsi_rsi", "crsi_streak_rsi", "crsi_pct_rank", "crsi")
+    keyed(Market.withConnorsRsi(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
