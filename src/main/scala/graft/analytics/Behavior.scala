@@ -104,6 +104,45 @@ object Behavior {
         col("min_gap_s"), col("max_gap_s"))
   }
 
+  /** Inter-arrival burstiness per user (Goh & Barabási 2008):
+    * B = (σ − μ)/(σ + μ) over the user's event gaps — B → −1 periodic,
+    * 0 Poisson, → +1 bursty — plus the coefficient of variation. The
+    * temporal-texture signal [[userCadence]]'s min/mean/max can't see.
+    *
+    * Gaps are integer SECONDS (µs div 1e6), so Σx and Σx² are exact longs
+    * in any accumulation order — no sequential-fold machinery needed; the
+    * one double conversion happens in the identical variance tree on both
+    * engines (Σx up to ~1e10 and Σx² up to ~1e17 are exact in a double).
+    * Same one-exchange lag-then-aggregate shape as [[userCadence]]. */
+  def userBurstiness(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapS = expr("(unix_micros(ts) - unix_micros(_prev_ts)) div 1000000L")
+    val gaps = events
+      .select(col("user_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("_prev_ts"))
+      .select(col("user_id"), gapS.as("_g"))
+      .filter(col("_g").isNotNull)
+    val agg = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g")).as("_s1"), sum(col("_g") * col("_g")).as("_s2"))
+    val m = col("_s1").cast("double") / col("n_gaps")
+    val variance = when(col("n_gaps") > 1,
+      greatest(
+        (col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double") /
+            col("n_gaps")) / (col("n_gaps") - 1),
+        lit(0.0)))
+    agg.select(col("user_id"), col("n_gaps"), m.as("_m"),
+        sqrt(variance).as("_sd"))
+      .select(col("user_id"), col("n_gaps"), col("_m").as("mean_gap_s"),
+        col("_sd").as("std_gap_s"),
+        when(col("_m") > 0.0, col("_sd") / col("_m")).as("cv"),
+        when(col("_sd") + col("_m") > 0.0,
+          (col("_sd") - col("_m")) / (col("_sd") + col("_m")))
+          .as("burstiness"))
+  }
+
   /** Pairwise event-type co-occurrence with support and lift — the
     * association-rule screen (which behaviors travel together) over the
     * per-user distinct type sets.

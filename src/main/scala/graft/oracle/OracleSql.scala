@@ -2702,6 +2702,36 @@ object OracleSql {
        |FROM sel ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.userBurstiness: integer-second gaps (`//` ↔ `div`),
+    * exact long power sums, identical variance/CV/B trees. */
+  val userBurstiness: String = {
+    val pw = "PARTITION BY user_id ORDER BY ts, event_id"
+    s"""WITH g0 AS (
+       |  SELECT user_id,
+       |         epoch_us(ts) - epoch_us(LAG(ts, 1) OVER ($pw)) AS gap_us
+       |  FROM events
+       |), g AS (
+       |  SELECT user_id, gap_us // 1000000 AS gp FROM g0 WHERE gap_us IS NOT NULL
+       |), a AS (
+       |  SELECT user_id, COUNT(*) AS n_gaps,
+       |         CAST(SUM(gp) AS BIGINT) AS s1,
+       |         CAST(SUM(gp * gp) AS BIGINT) AS s2
+       |  FROM g GROUP BY 1
+       |), m AS (
+       |  SELECT user_id, n_gaps,
+       |         CAST(s1 AS DOUBLE) / n_gaps AS mn,
+       |         sqrt(CASE WHEN n_gaps > 1
+       |                   THEN GREATEST((CAST(s2 AS DOUBLE)
+       |                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+       |                     / (n_gaps - 1), 0.0) END) AS sd
+       |  FROM a
+       |)
+       |SELECT user_id, n_gaps, ${r("mn")} AS mean_gap_s, ${r("sd")} AS std_gap_s,
+       |       ${r("CASE WHEN mn > 0.0 THEN sd / mn END")} AS cv,
+       |       ${r("CASE WHEN sd + mn > 0.0 THEN (sd - mn) / (sd + mn) END")} AS burstiness
+       |FROM m ORDER BY user_id""".stripMargin
+  }
+
   /** Mirrors Analytics.eventsPaths / Behavior.topPaths: identical lead
     * windows, '>'-joined, completeness gate on the furthest lead, same
     * (n DESC, path) tie-broken top-20. Integer counts over a 125-path

@@ -1282,6 +1282,17 @@ object Analytics {
         r6(col("max_gap_s")).as("max_gap_s"))
       .orderBy("user_id")
 
+  /** Inter-arrival burstiness + CV per user
+    * (see [[graft.analytics.Behavior.userBurstiness]]). */
+  def userBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.userBurstiness(Bars.readEvents(s, dir))
+      .select(col("user_id"), col("n_gaps"),
+        r6(col("mean_gap_s")).as("mean_gap_s"),
+        r6(col("std_gap_s")).as("std_gap_s"),
+        r6(col("cv")).as("cv"),
+        r6(col("burstiness")).as("burstiness"))
+      .orderBy("user_id")
+
   /** Per-user event-type Shannon entropy
     * (graft.analytics.Behavior.userTypeEntropy). */
   def eventsEntropy(s: SparkSession, dir: String): DataFrame =
