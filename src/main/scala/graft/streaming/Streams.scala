@@ -280,6 +280,56 @@ object Streams {
       }
   }
 
+  case class GarchPoint(symbol: String, event_id: Long,
+      garch_var: Option[Double], garch_vol: Option[Double])
+  /** Per-symbol GARCH state: previous close, the previous bar's return
+    * (the recursion input is r²_{t−1}), and the conditional variance. */
+  case class GarchState(hasPrev: Boolean, prevClose: Double,
+      hasPrevRet: Boolean, prevRet: Double, v: Double)
+
+  /** Stateful streaming GARCH(1,1) — the live twin of the batch
+    * `feat_garch` ([[graft.expr.LinearRec]]): the identical
+    * ω + α·r²_{t−1} + β·v association, the identical zero-prev-close
+    * return gate (a gated-out return holds the state and nulls the
+    * output, exactly like the batch's null x), seeded at the
+    * unconditional variance. Every double comes from the same JVM ops in
+    * the same order, so streaming == batch row for row. Ordering contract
+    * as [[streamingRsi]]. */
+  def streamingGarch(ticks: Dataset[BarTick],
+      omega: Double = graft.features.Market.GarchOmega,
+      alpha: Double = graft.features.Market.GarchAlpha,
+      beta: Double = graft.features.Market.GarchBeta): Dataset[GarchPoint] = {
+    import ticks.sparkSession.implicits._
+    val base = omega / (1.0 - alpha - beta)
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[GarchState, GarchPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sym, it, state: GroupState[GarchState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            GarchState(hasPrev = false, 0.0, hasPrevRet = false, 0.0, base))
+          val out = sorted.map { e =>
+            val point: (Option[Double], Option[Double]) =
+              if (st.hasPrevRet) {
+                val x = st.prevRet * st.prevRet
+                st = st.copy(v = omega + alpha * x + beta * st.v)
+                (Some(st.v), Some(math.sqrt(st.v)))
+              } else (None, None)
+            val retOpt =
+              if (st.hasPrev && st.prevClose != 0.0)
+                Some((e.close - st.prevClose) / st.prevClose)
+              else None
+            st = st.copy(hasPrev = true, prevClose = e.close,
+              hasPrevRet = retOpt.isDefined, prevRet = retOpt.getOrElse(0.0))
+            GarchPoint(sym, e.event_id, point._1, point._2)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SupertrendPoint(symbol: String, event_id: Long,
       supertrend: Option[Double], st_trend: Option[Int])
   /** Per-symbol supertrend state: previous close, the running TR cumsum

@@ -418,4 +418,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count())
     assert(joined.count() == 0, "streaming and batch session counts diverge")
   }
+
+  test("streaming GARCH equals the batch feat_garch row for row") {
+    val stream = Streams.streamingGarch(
+      Streams.tickStream(Streams.readEventStream(spark, dir)))
+    val q = stream.writeStream.format("memory").queryName("stream_garch")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_garch")
+    val want = graft.queries.Core.featGarch(spark, dir)
+    assert(got.count() == want.count(),
+      s"row sets differ: ${got.count()} vs ${want.count()}")
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("g.garch_var"), col("w.garch_var"),
+        col("g.garch_vol"), col("w.garch_vol"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null gate mismatch: $r")
+      if (!r.isNullAt(0)) {
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-7 &&
+          math.abs(r.getDouble(2) - r.getDouble(3)) < 5e-7,
+          s"garch mismatch: $r")
+      }
+    }
+  }
 }
