@@ -1338,6 +1338,37 @@ object Market {
         "_arr", "_nprev")
   }
 
+  val VovWindow = 20
+
+  /** Volatility-of-volatility: the rolling std of the rolling return std —
+    * the vol-regime-instability signal (the VVIX idea at bar granularity).
+    * Two chained cum−lag std passes over the one symbol exchange; the
+    * second pass's count gate (20 non-null vols among the last 20 rows)
+    * also absorbs pass one's warmup NULLs, so vov starts at bar 40.
+    * Identical raw-sums std tree as the volatility family (returns via
+    * try_divide — the reference's ungated pct_change). */
+  def withVolOfVol(df: DataFrame, n: Int = VovWindow): DataFrame = {
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    def stdOf(c1: String, c2: String) = {
+      val s1 = Frames.cumRolling(c1, n)
+      val s2 = Frames.cumRolling(c2, n)
+      when(Frames.cumCountGate(c1, n),
+        sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))))
+    }
+    val a = df.select(col("*"),
+      try_divide(col("close") - prev, prev).as("_vr"))
+    val b = Frames.withCums(a, Map(
+      "_c_v1" -> col("_vr"), "_c_v2" -> (col("_vr") * col("_vr"))))
+    val c = b.select(col("*"), stdOf("_c_v1", "_c_v2").as(s"vol_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_v1", "_c_v2")): _*)
+    val d = Frames.withCums(c, Map(
+      "_c_w1" -> col(s"vol_$n"), "_c_w2" -> (col(s"vol_$n") * col(s"vol_$n"))))
+    d.select(col("*"), stdOf("_c_w1", "_c_w2").as(s"vol_of_vol_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_w1", "_c_w2")): _*)
+      .drop("_vr")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -1116,6 +1116,36 @@ object OracleSql {
        |FROM fin ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featVolOfVol (Market.withVolOfVol, n=20): two chained
+    * sequential-cum std passes with the identical raw-sums tree. */
+  val featVolOfVol: String = {
+    val n = graft.features.Market.VovWindow
+    def stdOf(c1: String, c2: String) =
+      s"CASE WHEN ${cumGate(c1, n)} THEN sqrt(greatest(((${cumRolling(c2, n)}) - " +
+        s"(${cumRolling(c1, n)}) * (${cumRolling(c1, n)}) / $n) / ${n - 1}, 0.0)) END"
+    s"""$barsCte, vv1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS vr
+       |  FROM bars
+       |), vv2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("vr")} AS _c_v1, COUNT(vr) OVER ($Wrun) AS _c_v1_n,
+       |         ${cumSum("vr * vr")} AS _c_v2, COUNT(vr * vr) OVER ($Wrun) AS _c_v2_n
+       |  FROM vv1
+       |), vv3 AS (
+       |  SELECT symbol, event_id, datetime, ${stdOf("_c_v1", "_c_v2")} AS vol
+       |  FROM vv2
+       |), vv4 AS (
+       |  SELECT symbol, event_id, datetime, vol,
+       |         ${cumSum("vol")} AS _c_w1, COUNT(vol) OVER ($Wrun) AS _c_w1_n,
+       |         ${cumSum("vol * vol")} AS _c_w2, COUNT(vol * vol) OVER ($Wrun) AS _c_w2_n
+       |  FROM vv3
+       |)
+       |SELECT symbol, event_id, ${r("vol")} AS vol_$n,
+       |       ${r(stdOf("_c_w1", "_c_w2"))} AS vol_of_vol_$n
+       |FROM vv4 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

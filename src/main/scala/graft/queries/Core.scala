@@ -380,6 +380,13 @@ object Core {
     keyed(Market.withConnorsRsi(bars(s, dir)), out, out.toSet)
   }
 
+  /** Volatility of volatility
+    * (see [[graft.features.Market.withVolOfVol]]). */
+  def featVolOfVol(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("vol_20", "vol_of_vol_20")
+    keyed(Market.withVolOfVol(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
