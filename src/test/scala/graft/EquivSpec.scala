@@ -352,4 +352,42 @@ class EquivSpec extends SparkSpec {
       assert(got == want, s"seed $seed")
     }
   }
+
+  test("nearestJoin == brute per-row nearest on random event sets") {
+    val s = spark
+    import s.implicits._
+    def frame(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("event_id", "user_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      // coarse second-granular times force plenty of exact ties
+      val left = (1 to 80).map(i =>
+        (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(300).toLong * 1000000L))
+      val right = (101 to 160).map(i =>
+        (i.toLong, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(300).toLong * 1000000L))
+      val got = graft.analytics.Relational
+        .nearestJoin(frame(left), frame(right), "user_id", "ts", "ts",
+          "event_id", Seq("event_id"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (Option(r.getAs[java.lang.Long]("nearest_dt_us")).map(_.toLong),
+            Option(r.getAs[java.lang.Long]("nearest_event_id")).map(_.toLong)))
+        .toMap
+      left.foreach { case (id, u, t) =>
+        val cands = right.filter(_._2 == u)
+        val back = cands.filter(_._3 <= t).sortBy(c => (c._3, c._1)).lastOption
+        val fwd = cands.filter(_._3 >= t).sortBy(c => (c._3, c._1)).headOption
+        val want: (Option[Long], Option[Long]) = (back, fwd) match {
+          case (None, None) => (None, None)
+          case (Some(b), None) => (Some(-(t - b._3)), Some(b._1))
+          case (None, Some(f)) => (Some(f._3 - t), Some(f._1))
+          case (Some(b), Some(f)) =>
+            if (t - b._3 <= f._3 - t) (Some(-(t - b._3)), Some(b._1))
+            else (Some(f._3 - t), Some(f._1))
+        }
+        assert(got(id) == want, s"seed $seed left=$id: ${got(id)} vs $want")
+      }
+    }
+  }
 }
