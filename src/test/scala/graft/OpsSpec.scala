@@ -2229,4 +2229,22 @@ class OpsSpec extends SparkSpec {
       ranks(graft.sim.Similarity.mipsAugmentedTopK(emb)),
       "augmented-cosine order must equal inner-product order")
   }
+
+  test("mlLift invariants: deciles partition the scored rows, gains reach 1") {
+    val rows = graft.queries.Core.mlLift(spark, "/root/testdata/sf0.001")
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    val nRows = rows.map(_.getAs[Long]("n_rows"))
+    // exact integer deciles differ by at most 1 row
+    assert(nRows.max - nRows.min <= 1, s"unbalanced deciles: ${nRows.toSeq}")
+    val cumPos = rows.map(_.getAs[Long]("cum_pos"))
+    assert(cumPos.zip(cumPos.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(rows.last.getAs[Double]("cum_gain") - 1.0) < 1e-9)
+    // positives-weighted decomposition: sum over deciles of
+    // lift_d * n_rows_d / tot_rows == 1 (each decile contributes its
+    // positive share) — within rounding of the emitted 6dp lift
+    val tot = nRows.sum.toDouble
+    val mix = rows.map(r => r.getAs[Double]("lift") * r.getAs[Long]("n_rows") / tot).sum
+    assert(math.abs(mix - 1.0) < 1e-4, s"lift mixture $mix != 1")
+  }
 }
