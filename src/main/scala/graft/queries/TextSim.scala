@@ -590,7 +590,10 @@ object TextSim {
     val docs = Tables.documents(s, dir)
     val nll = TextStats.bigramLogprob(docs)
       .select(col("doc_id"), col("bigram_nll").as("_nll"))
+    // two consumers follow (the band aggregate and the final join);
+    // without the checkpoint the whole bigram chain evaluates twice
     val scored = nll.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .localCheckpoint()
     val bands = scored.groupBy("lang")
       .agg(min(col("_nll")).as("lo"), max(col("_nll")).as("hi"))
     scored.join(broadcast(bands), Seq("lang"))
