@@ -1369,6 +1369,34 @@ object Market {
       .drop("_vr")
   }
 
+  /** Session-anchored VWAP: [[withVwap]]'s cumulative form RESET at each
+    * trading-day boundary — the intraday benchmark execution desks
+    * actually quote ("price vs today's VWAP"), which the whole-history
+    * vwap_cum can't give. The (symbol, day) running sums are
+    * subpartitions of the symbol exchange (hashpartitioning(symbol)
+    * satisfies the finer clustering — no extra shuffle) and accumulate
+    * strictly in row order, so the oracle replays them with per-day
+    * list_sum folds. */
+  def withAnchoredVwap(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDay = Window
+      .partitionBy(col(Frames.SymbolCol), to_date(col(Frames.TimeCol)))
+      .orderBy(col(Frames.TimeCol), col(Frames.TieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val typical = (col("high") + col("low") + col("close")) / 3.0
+    val s1 = df.select(col("*"), (typical * col("volume")).as("_apv"))
+    val s2 = s1.select(col("*"),
+      sum(col("_apv")).over(wDay).as("_dpv"),
+      sum(col("volume")).over(wDay).as("_dv"))
+    val av = when(col("_dv") > 0.0, col("_dpv") / col("_dv"))
+    s2.select(col("*"), av.as("anchored_vwap"))
+      .select(col("*"),
+        when(col("anchored_vwap") =!= 0.0,
+          (col("close") - col("anchored_vwap")) / col("anchored_vwap") * 100)
+          .as("avwap_distance"))
+      .drop("_apv", "_dpv", "_dv")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

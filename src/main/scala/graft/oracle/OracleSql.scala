@@ -1146,6 +1146,43 @@ object OracleSql {
        |FROM vv4 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.barsAnchoredVwap (Market.withAnchoredVwap): per-day
+    * sequential list_sum folds over the identical (symbol, date)
+    * partitions, same gates. */
+  val barsAnchoredVwap: String = {
+    val wd = "PARTITION BY symbol, CAST(datetime AS DATE) " +
+      "ORDER BY datetime, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"""$barsCte, av1 AS (
+       |  SELECT symbol, event_id, close,
+       |         list_sum(list((high + low + close) / 3.0 * volume) OVER ($wd)) AS dpv,
+       |         list_sum(list(volume) OVER ($wd)) AS dv
+       |  FROM bars
+       |), av2 AS (
+       |  SELECT symbol, event_id, close,
+       |         CASE WHEN dv > 0.0 THEN dpv / dv END AS av
+       |  FROM av1
+       |)
+       |SELECT symbol, event_id, ${r("av")} AS anchored_vwap,
+       |       ${r("CASE WHEN av <> 0.0 THEN (close - av) / av * 100 END")} AS avwap_distance
+       |FROM av2 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.eventsDauWau: distinct (day, user) pairs, the
+    * bounded 7-day fan-out, exact integer distinct counts. */
+  val eventsDauWau: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |), vis AS (
+       |  SELECT DISTINCT du.day + CAST(t.i AS INTEGER) AS day, du.user_id
+       |  FROM du, UNNEST(generate_series(0, 6)) t(i)
+       |), dau AS (
+       |  SELECT day, COUNT(*) AS dau FROM du GROUP BY 1
+       |), wau AS (
+       |  SELECT day, COUNT(*) AS wau FROM vis GROUP BY 1
+       |)
+       |SELECT day, dau, wau, ${r("CAST(dau AS DOUBLE) / wau")} AS stickiness
+       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

@@ -1282,6 +1282,28 @@ object Analytics {
         r6(col("max_gap_s")).as("max_gap_s"))
       .orderBy("user_id")
 
+  /** DAU / WAU / stickiness per observed day — the product-health
+    * headline. Exact distinct counting at scale: one distinct
+    * (day, user) aggregate, then each pair fans out to the ≤7 window-end
+    * days it is visible in (bounded explode) and ONE more distinct+count
+    * collapses the window — no 7-way self-join of the raw events, no
+    * approximate distinct. All integers until the final ratio. */
+  def eventsDauWau(s: SparkSession, dir: String): DataFrame = {
+    val du = Bars.readEvents(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val vis = du
+      .select(col("user_id"),
+        explode(expr("sequence(0, 6)")).as("_i"), col("day"))
+      .select(date_add(col("day"), col("_i")).as("day"), col("user_id"))
+      .distinct()
+    val wau = vis.groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        r6(col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Inter-arrival burstiness + CV per user
     * (see [[graft.analytics.Behavior.userBurstiness]]). */
   def userBurstiness(s: SparkSession, dir: String): DataFrame =

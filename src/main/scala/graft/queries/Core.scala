@@ -387,6 +387,13 @@ object Core {
     keyed(Market.withVolOfVol(bars(s, dir)), out, out.toSet)
   }
 
+  /** Session-anchored intraday VWAP
+    * (see [[graft.features.Market.withAnchoredVwap]]). */
+  def barsAnchoredVwap(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("anchored_vwap", "avwap_distance")
+    keyed(Market.withAnchoredVwap(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
