@@ -1183,6 +1183,37 @@ object OracleSql {
        |SELECT day, dau, wau, ${r("CAST(dau AS DOUBLE) / wau")} AS stickiness
        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  /** Mirrors Core.featVpin (V=5000, n=10): identical tick-rule sign,
+    * monotone volume buckets, trailing-bucket imbalance share — every sum
+    * is an integer-valued double, exact in any association order. */
+  val featVpin: String = {
+    val frame = "PARTITION BY symbol ORDER BY bar_id " +
+      "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW"
+    s"""$barsCte, t1 AS (
+       |  SELECT symbol, event_id, volume,
+       |         CASE WHEN close > LAG(close, 1) OVER ($W) THEN 1
+       |              WHEN close < LAG(close, 1) OVER ($W) THEN -1
+       |              ELSE 0 END AS sgn,
+       |         SUM(volume) OVER ($Wrun) AS cumv
+       |  FROM bars
+       |), b AS (
+       |  SELECT symbol, CAST(floor(cumv / 5000.0) AS BIGINT) AS bar_id,
+       |         SUM(CASE WHEN sgn = 1 THEN volume ELSE 0.0 END) AS buy_vol,
+       |         SUM(CASE WHEN sgn = -1 THEN volume ELSE 0.0 END) AS sell_vol,
+       |         SUM(volume) AS vtot
+       |  FROM t1 GROUP BY 1, 2
+       |), r0 AS (
+       |  SELECT symbol, bar_id, buy_vol, sell_vol, vtot,
+       |         SUM(abs(buy_vol - sell_vol)) OVER ($frame) AS rimb,
+       |         SUM(vtot) OVER ($frame) AS rv,
+       |         COUNT(*) OVER ($frame) AS cnt
+       |  FROM b
+       |)
+       |SELECT symbol, bar_id, buy_vol, sell_vol, vtot,
+       |       ${r("CASE WHEN cnt = 10 AND rv > 0.0 THEN rimb / rv END")} AS vpin
+       |FROM r0 ORDER BY symbol, bar_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =
