@@ -1701,6 +1701,34 @@ object TextSimSql {
        |FROM tok LEFT JOIN topv USING (t)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextSim.corpusDatacard: exact integer aggregates, two
+    * divisions. */
+  val corpusDatacard: String =
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       |         CAST(MIN(len(string_split(text, ' '))) AS INTEGER) AS min_tokens,
+       |         CAST(MAX(len(string_split(text, ' '))) AS INTEGER) AS max_tokens
+       |  FROM documents
+       |)
+       |SELECT n_docs, n_tokens, n_langs, n_sources, n_unique_texts,
+       |       min_tokens, max_tokens,
+       |       ${r("1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs")} AS dup_frac,
+       |       ${r("CAST(n_tokens AS DOUBLE) / n_docs")} AS mean_tokens
+       |FROM a""".stripMargin
+
+  /** Mirrors TextSim.dedupPrefix (k=8): same first-8-token md5 key
+    * (DuckDB lists are 1-indexed — list_slice(1, 8) == Spark slice(1, 8)),
+    * exact counts, clusters only. */
+  val dedupPrefix: String =
+    """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS prefix_md5,
+      |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY prefix_md5""".stripMargin
+
   /** PMI-collocation replay: DuckDB lists are 1-indexed (w[i], w[i+1] over
     * generate_series(1, len-1) == Spark's 0-based sequence(0, size-2));
     * identical ln-ratio association order; top-k cut on the unrounded

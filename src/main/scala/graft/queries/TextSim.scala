@@ -606,6 +606,44 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  /** One-row corpus datasheet: the headline numbers a dataset card leads
+    * with — docs, tokens, languages, sources, verbatim-duplicate fraction,
+    * token-length envelope. One partial+final aggregate over the corpus;
+    * every statistic is exact (integer counts; the two ratios are single
+    * divisions of exact longs). */
+  def corpusDatacard(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks.cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        min(toks).as("min_tokens"), max(toks).as("max_tokens"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_unique_texts"), col("min_tokens"),
+        col("max_tokens"),
+        r6(lit(1.0) -
+          col("n_unique_texts").cast("double") / col("n_docs"))
+          .as("dup_frac"),
+        r6(col("n_tokens").cast("double") / col("n_docs"))
+          .as("mean_tokens"))
+  }
+
+  /** Shared-prefix clusters: documents opening with the same first-k
+    * tokens — the boilerplate/mirror detector (templated pages share
+    * openings long before MinHash fires). One hash-keyed aggregate on the
+    * 8-token prefix; only clusters (≥2 docs) report. */
+  def dedupPrefix(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, k)))
+          .as("prefix_md5"))
+      .groupBy("prefix_md5")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix_md5")
+
   /** Top-50 adjacent-bigram PMI collocations (count ≥ 5; see
     * [[graft.text.TextStats.collocations]]). */
   def corpusColloc(s: SparkSession, dir: String): DataFrame =
