@@ -27,10 +27,11 @@ class AllPlansSpec extends SparkSpec {
     "text_keywords",
     // dedup_cross_source densifies over the |sources|^2 pair grid (<=400)
     "dedup_cross_source",
-    // quality_perplexity_buckets inherits textLogprobBigram's vocab scalar
-    "quality_perplexity_buckets",
     // retention_survival broadcasts the 1-row observation-end scalar
     "retention_survival",
+    // NOTE: quality_perplexity_buckets inherits textLogprobBigram's vocab
+    // scalar, but its scored frame localCheckpoints during construction,
+    // so the registered plan is an RDD scan — nothing to allowlist.
     // NOTE: graph_pagerank_directed's per-round dangling-mass crossJoin is
     // a BNLJ inside each round's plan, but rounds materialize eagerly via
     // localCheckpoint during query construction, so the registered query's
