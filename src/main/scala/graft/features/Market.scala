@@ -1397,6 +1397,48 @@ object Market {
       .drop("_apv", "_dpv", "_dv")
   }
 
+  val RiskAdjWindow = 20
+
+  /** Risk-adjusted return ratios over the last n bars — the two numbers a
+    * strategy report leads with:
+    *
+    *   sharpe  = rollmean(ret) / rollstd(ret)
+    *   sortino = rollmean(ret) / downside_dev,
+    *             downside_dev = √(Σ min(ret,0)² / n)   (semideviation —
+    *             only losses count as risk)
+    *
+    * Unannualized (the √(bars/year) factor is presentation). Returns use
+    * the volatility family's ungated try_divide convention; all three
+    * rolling sums ride the same cum−lag pass, divisions gated on positive
+    * denominators. */
+  def withRiskAdj(df: DataFrame, n: Int = RiskAdjWindow): DataFrame = {
+    val w = Frames.bySymbol
+    val prev = lag(col("close"), 1).over(w)
+    val ret = try_divide(col("close") - prev, prev)
+    val s1 = df.select(col("*"), ret.as("_ra"))
+    val dd2 = when(col("_ra").isNotNull,
+      when(col("_ra") < 0.0, col("_ra") * col("_ra")).otherwise(0.0))
+    val s2 = Frames.withCums(s1, Map(
+      "_c_m" -> col("_ra"), "_c_m2" -> (col("_ra") * col("_ra")),
+      "_c_dd" -> dd2))
+    val gate = Frames.cumCountGate("_c_m", n)
+    val m1 = Frames.cumRolling("_c_m", n)
+    val m2 = Frames.cumRolling("_c_m2", n)
+    val mean = when(gate, m1 / n)
+    val std = when(gate,
+      sqrt(greatest((m2 - m1 * m1 / n) / (n - 1), lit(0.0))))
+    val downside = when(gate, sqrt(Frames.cumRolling("_c_dd", n) / n))
+    val s3 = s2.select(col("*"), mean.as("_mean"), std.as("_std"),
+      downside.as(s"downside_dev_$n"))
+    s3.select(col("*"),
+        when(col("_std") > 0.0, col("_mean") / col("_std"))
+          .as(s"sharpe_$n"),
+        when(col(s"downside_dev_$n") > 0.0,
+          col("_mean") / col(s"downside_dev_$n")).as(s"sortino_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_m", "_c_m2", "_c_dd")): _*)
+      .drop("_ra", "_mean", "_std")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

@@ -1214,6 +1214,50 @@ object OracleSql {
        |FROM r0 ORDER BY symbol, bar_id""".stripMargin
   }
 
+  /** Mirrors Core.featRiskadj (Market.withRiskAdj, n=20): the volatility
+    * family's sequential cums plus the semideviation leg, identical gated
+    * ratio trees. */
+  val featRiskadj: String = {
+    val n = graft.features.Market.RiskAdjWindow
+    val dd2 = "CASE WHEN ra IS NOT NULL THEN " +
+      "CASE WHEN ra < 0.0 THEN ra * ra ELSE 0.0 END END"
+    s"""$barsCte, ra1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         (close - LAG(close, 1) OVER ($W)) / LAG(close, 1) OVER ($W) AS ra
+       |  FROM bars
+       |), ra2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("ra")} AS _c_m, COUNT(ra) OVER ($Wrun) AS _c_m_n,
+       |         ${cumSum("ra * ra")} AS _c_m2, COUNT(ra * ra) OVER ($Wrun) AS _c_m2_n,
+       |         ${cumSum(dd2)} AS _c_dd, COUNT($dd2) OVER ($Wrun) AS _c_dd_n
+       |  FROM ra1
+       |), ra3 AS (
+       |  SELECT symbol, event_id,
+       |         CASE WHEN ${cumGate("_c_m", n)} THEN (${cumRolling("_c_m", n)}) / $n END AS mn,
+       |         CASE WHEN ${cumGate("_c_m", n)} THEN sqrt(greatest(((${cumRolling("_c_m2", n)}) - (${cumRolling("_c_m", n)}) * (${cumRolling("_c_m", n)}) / $n) / ${n - 1}, 0.0)) END AS sd,
+       |         CASE WHEN ${cumGate("_c_m", n)} THEN sqrt((${cumRolling("_c_dd", n)}) / $n) END AS dd
+       |  FROM ra2
+       |)
+       |SELECT symbol, event_id, ${r("dd")} AS downside_dev_$n,
+       |       ${r("CASE WHEN sd > 0.0 THEN mn / sd END")} AS sharpe_$n,
+       |       ${r("CASE WHEN dd > 0.0 THEN mn / dd END")} AS sortino_$n
+       |FROM ra3 ORDER BY event_id""".stripMargin
+  }
+
+  /** Mirrors Analytics.graphDegrees: identical symmetrized edge
+    * construction, two exact integer aggregates. */
+  val graphDegrees: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+      |         'p' || CAST(l_partkey AS VARCHAR) AS b
+      |  FROM lineitem
+      |), e AS (
+      |  SELECT a AS src FROM pairs UNION ALL SELECT b AS src FROM pairs
+      |), d AS (
+      |  SELECT src, COUNT(*) AS degree FROM e GROUP BY 1
+      |)
+      |SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY 1 ORDER BY degree""".stripMargin
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

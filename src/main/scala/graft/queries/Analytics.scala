@@ -1282,6 +1282,15 @@ object Analytics {
         r6(col("max_gap_s")).as("max_gap_s"))
       .orderBy("user_id")
 
+  /** Degree distribution of the supplier↔part graph — the first thing a
+    * graph audit plots (hub detection, power-law tail). Two exact integer
+    * aggregates; the second collapses to at most max-degree rows. */
+  def graphDegrees(s: SparkSession, dir: String): DataFrame =
+    Graph.supplierPartEdges(s, dir)
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
   /** DAU / WAU / stickiness per observed day — the product-health
     * headline. Exact distinct counting at scale: one distinct
     * (day, user) aggregate, then each pair fans out to the ≤7 window-end

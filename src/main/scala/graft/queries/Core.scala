@@ -394,6 +394,13 @@ object Core {
     keyed(Market.withAnchoredVwap(bars(s, dir)), out, out.toSet)
   }
 
+  /** Rolling Sharpe / Sortino ratios
+    * (see [[graft.features.Market.withRiskAdj]]). */
+  def featRiskadj(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("downside_dev_20", "sharpe_20", "sortino_20")
+    keyed(Market.withRiskAdj(bars(s, dir)), out, out.toSet)
+  }
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
