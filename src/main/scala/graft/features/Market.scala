@@ -1439,6 +1439,24 @@ object Market {
       .drop("_ra", "_mean", "_std")
   }
 
+  val ZigzagTheta = 0.05
+
+  /** Causal ZigZag swing legs (see [[graft.expr.ZigZag]]): per-bar leg
+    * direction, the leg's running extreme, and the reversal-confirmed
+    * flag at 5% retracement. One WindowExec pass on the shared exchange. */
+  def withZigzag(df: DataFrame): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    df.select(col("*"),
+        graft.expr.ZigZag.zigzagOver(col("close"), ZigzagTheta, part, ord)
+          .as("_zz"))
+      .select(col("*"),
+        col("_zz.dir").cast("int").as("zz_dir"),
+        col("_zz.ext").as("zz_extreme"),
+        col("_zz.flip").cast("int").as("zz_reversal"))
+      .drop("_zz")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

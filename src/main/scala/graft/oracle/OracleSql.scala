@@ -1258,6 +1258,39 @@ object OracleSql {
       |)
       |SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY 1 ORDER BY degree""".stripMargin
 
+  /** Mirrors Core.featZigzag (Market.withZigzag, θ=5%): the ZigZag
+    * state machine replayed as a recursive CTE — identical branch trees,
+    * retracement thresholds emitted via Double.toString of the SAME
+    * computed 1∓θ doubles the expression uses. */
+  val featZigzag: String = {
+    val lo = (1.0 - graft.features.Market.ZigzagTheta).toString
+    val hi = (1.0 + graft.features.Market.ZigzagTheta).toString
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), zz AS (
+       |  SELECT symbol, rn, CAST(1.0 AS DOUBLE) AS dir, close AS ext,
+       |         CAST(0.0 AS DOUBLE) AS flip
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         CASE WHEN zz.dir = 1.0
+       |              THEN CASE WHEN b2.close < zz.ext * $lo THEN -1.0 ELSE 1.0 END
+       |              ELSE CASE WHEN b2.close > zz.ext * $hi THEN 1.0 ELSE -1.0 END END,
+       |         CASE WHEN zz.dir = 1.0
+       |              THEN CASE WHEN b2.close < zz.ext * $lo THEN b2.close ELSE GREATEST(zz.ext, b2.close) END
+       |              ELSE CASE WHEN b2.close > zz.ext * $hi THEN b2.close ELSE LEAST(zz.ext, b2.close) END END,
+       |         CASE WHEN zz.dir = 1.0
+       |              THEN CASE WHEN b2.close < zz.ext * $lo THEN 1.0 ELSE 0.0 END
+       |              ELSE CASE WHEN b2.close > zz.ext * $hi THEN 1.0 ELSE 0.0 END END
+       |  FROM zz JOIN b2 ON b2.symbol = zz.symbol AND b2.rn = zz.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id, CAST(zz.dir AS INT) AS zz_dir,
+       |       ${r("zz.ext")} AS zz_extreme, CAST(zz.flip AS INT) AS zz_reversal
+       |FROM b2 JOIN zz ON zz.symbol = b2.symbol AND zz.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

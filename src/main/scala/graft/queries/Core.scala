@@ -401,6 +401,12 @@ object Core {
     keyed(Market.withRiskAdj(bars(s, dir)), out, out.toSet)
   }
 
+  /** Causal ZigZag swing legs
+    * (see [[graft.features.Market.withZigzag]]). */
+  def featZigzag(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withZigzag(bars(s, dir)),
+      Seq("zz_dir", "zz_extreme", "zz_reversal"), Set("zz_extreme"))
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny

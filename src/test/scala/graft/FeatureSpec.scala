@@ -486,4 +486,36 @@ class FeatureSpec extends SparkSpec {
     assert(kst.take(44).forall(_.isEmpty) && kst.drop(44).forall(_.isDefined))
     assert(sig.take(52).forall(_.isEmpty) && sig.drop(52).forall(_.isDefined))
   }
+
+  test("ZigZag state machine is bit-equal to the sequential straight loop") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5L, 6L)) {
+      val rnd = new scala.util.Random(seed)
+      var c = 100.0
+      val closes = (0 until 80).map { _ =>
+        c = math.max(1.0, c * (0.9 + rnd.nextDouble() * 0.2)); c
+      }
+      val got = Market.withZigzag(barsOf(closes)).orderBy("event_id")
+        .select("zz_dir", "zz_extreme", "zz_reversal").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
+      val lo = 1.0 - Market.ZigzagTheta
+      val hi = 1.0 + Market.ZigzagTheta
+      var dir = 1.0; var ext = closes.head
+      val want = closes.zipWithIndex.map { case (x, i) =>
+        var flip = 0
+        if (i > 0) {
+          if (dir == 1.0) {
+            if (x < ext * lo) { dir = -1.0; ext = x; flip = 1 }
+            else ext = math.max(ext, x)
+          } else {
+            if (x > ext * hi) { dir = 1.0; ext = x; flip = 1 }
+            else ext = math.min(ext, x)
+          }
+        }
+        (dir.toInt, ext, flip)
+      }
+      assert(got.toSeq == want, s"seed $seed: zigzag vs straight loop")
+    }
+  }
 }
