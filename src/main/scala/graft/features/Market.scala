@@ -1457,6 +1457,33 @@ object Market {
       .drop("_zz")
   }
 
+  val ChopWindow = 14
+
+  /** Choppiness Index (Dreiss): 100·ln(ΣTR / (maxH − minL)) / ln(n) — path
+    * length over net range on a log scale; ~100 = sideways chop, ~0 =
+    * straight-line trend. ΣTR via the cum−lag identity, extrema native
+    * (order-insensitive), the ln(n) normalizer folded to a DRIVER-side
+    * literal so only one runtime ln remains (ln agrees bitwise
+    * cross-engine — the tfidf/PMI/entropy precedent). Gated on a full
+    * window, a positive range and a positive path. */
+  def withChoppiness(df: DataFrame, n: Int = ChopWindow): DataFrame = {
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val pc = coalesce(lag(col("close"), 1).over(Frames.bySymbol), col("close"))
+    val s1 = df.select(col("*"),
+      (greatest(col("high"), pc) - least(col("low"), pc)).as("_ctr"))
+    val s2 = Frames.withCums(s1, Map("_c_ctr" -> col("_ctr")))
+    val sumTr = Frames.cumRolling("_c_ctr", n)
+    val hh = max(col("high")).over(frame)
+    val ll = min(col("low")).over(frame)
+    val gate = Frames.cumCountGate("_c_ctr", n) && hh > ll && sumTr > 0.0
+    s2.select(col("*"),
+        when(gate,
+          lit(100.0) * log(sumTr / (hh - ll)) / math.log(n.toDouble))
+          .as(s"chop_$n"))
+      .drop(Frames.cumHelperCols(Seq("_c_ctr")): _*)
+      .drop("_ctr")
+  }
+
   /** TTM-style squeeze flag: Bollinger bands INSIDE the Keltner channel
     * marks a volatility compression that typically precedes a breakout.
     * The Keltner channel here is Chester Keltner's ORIGINAL formulation —

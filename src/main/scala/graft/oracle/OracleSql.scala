@@ -1291,6 +1291,29 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featChoppiness (Market.withChoppiness, n=14): same
+    * COALESCE prev-close TR, sequential cum−lag path sum, native extrema,
+    * ln(n) interpolated as the driver-computed literal. */
+  val featChoppiness: String = {
+    val n = graft.features.Market.ChopWindow
+    val lnN = math.log(n.toDouble).toString
+    val pc = s"COALESCE(LAG(close, 1) OVER ($W), close)"
+    s"""$barsCte, ch1 AS (
+       |  SELECT symbol, event_id, datetime, high, low,
+       |         GREATEST(high, $pc) - LEAST(low, $pc) AS _ctr
+       |  FROM bars
+       |), ch2 AS (
+       |  SELECT symbol, event_id, datetime, high, low,
+       |         ${cumSum("_ctr")} AS _c_ctr, COUNT(_ctr) OVER ($Wrun) AS _c_ctr_n,
+       |         MAX(high) OVER (${frame(n)}) AS hh,
+       |         MIN(low) OVER (${frame(n)}) AS ll
+       |  FROM ch1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN ${cumGate("_c_ctr", n)} AND hh > ll AND (${cumRolling("_c_ctr", n)}) > 0.0 THEN 100.0 * ln((${cumRolling("_c_ctr", n)}) / (hh - ll)) / $lnN END")} AS chop_$n
+       |FROM ch2 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featRvol: exact (symbol, hour) volume profile, one
     * gated division. */
   val featRvol: String =

@@ -407,6 +407,11 @@ object Core {
     keyed(Market.withZigzag(bars(s, dir)),
       Seq("zz_dir", "zz_extreme", "zz_reversal"), Set("zz_extreme"))
 
+  /** Choppiness Index (see [[graft.features.Market.withChoppiness]]). */
+  def featChoppiness(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withChoppiness(bars(s, dir)),
+      Seq("chop_14"), Set("chop_14"))
+
   /** Relative volume vs the symbol's same-hour-of-day average — the
     * seasonality-adjusted liquidity signal (rvol ≫ 1 = unusual activity
     * for this time of day). The (symbol, hour) profile is a tiny
