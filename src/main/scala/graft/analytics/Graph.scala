@@ -148,6 +148,198 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set) over an
+    * arbitrary directed edge list — the "influence from these nodes" query a
+    * curation pipeline runs to weight a corpus toward a trusted domain list
+    * (seed-biased importance sampling):
+    *
+    *   tp(v)         = 1/|S ∩ nodes| for seeds, 0 otherwise
+    *   rank_0        = tp
+    *   rank_{i+1}(v) = (1−d)·tp(v) + d·(Σ_{u→v} rank_i(u)/outdeg(u) + D_i·tp(v))
+    *
+    * i.e. exactly [[pageRank]] with the uniform teleport vector replaced by
+    * the seed indicator — dangling mass restarts at the seeds too, so total
+    * mass stays 1 and nodes unreachable from S keep rank exactly 0.0 (the
+    * spec invariant). Seeds outside the node set are ignored (they have no
+    * edges to walk).
+    *
+    * Scale shape: identical to [[pageRank]] — the teleport vector lives as
+    * a `tp` column on the checkpointed node table (hash-partitioned on
+    * node, so the per-round join to the contribution aggregate is
+    * co-partitioned, no exchange); the dangling-mass scalar is the same
+    * in-plan 1-row broadcast crossJoin; never a collected vertex or seed
+    * set on the driver. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = PrIters, damping: Double = PrDamping): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nodes0 = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct()
+    val seedFlag = seeds.select(col("node")).distinct()
+      .withColumn("_seed", lit(true))
+    val nSeeds = nodes0.join(seedFlag, Seq("node")).count()
+    require(nSeeds > 0, "personalizedPageRank: no seed appears in the graph")
+    // tp column rides the node table all rounds (repartitioned on node so
+    // every per-round join below it is co-partitioned)
+    val nodes = nodes0.join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        when(col("_seed").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("tp"))
+      .repartition(col("node")).localCheckpoint()
+    val dangling = nodes.select("node").join(
+        edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val nDangling = dangling.count()
+    val nNodes = nodes.count()
+    val zeros = nodes.select(col("node"), lit(0.0).as("c"))
+    var ranks = nodes.select(col("node"), col("tp").as("rank"))
+    for (_ <- 1 to iters) {
+      val r = if (nNodes <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
+      val contribs = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .unionAll(zeros)
+        .groupBy("node").agg(sum(col("c")).as("_s"))
+      val withDm =
+        if (nDangling == 0L) contribs.withColumn("_dm", lit(0.0))
+        else {
+          val dm = ranks.join(dangling, "node")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
+          contribs.crossJoin(broadcast(dm))
+        }
+      ranks = withDm.join(nodes, Seq("node"))
+        .select(col("node"),
+          (lit(1.0 - damping) * col("tp") +
+            lit(damping) * (col("_s") + col("_dm") * col("tp"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Wedge centers above this degree are excluded from [[linkPrediction]]
+    * candidate generation. A center of degree k fans out k(k−1)/2 wedge
+    * rows, so super-hubs turn the wedge exchange quadratic — and they are
+    * precisely the centers Adamic–Adar's 1/ln(deg) weight sends toward
+    * zero (the standard web-scale practice: a node connected to everything
+    * predicts nothing). The cap is the scale knob: it bounds the wedge
+    * shuffle at cap²/2 rows per center regardless of graph size, and the
+    * oracle applies the identical cap so parity holds at any SF. */
+  val LinkPredMaxCenterDegree = 256
+
+  /** Link prediction over an undirected (a < b) edge list: for every
+    * NON-adjacent pair with at least one common neighbor, the three
+    * classic scores —
+    *
+    *   cn      = |N(u) ∩ N(v)|                 (common neighbors)
+    *   jaccard = cn / |N(u) ∪ N(v)|
+    *   aa      = Σ_{w ∈ N(u)∩N(v)} 1 / ln(deg w)   (Adamic–Adar)
+    *
+    * — keeping the global top `k` by the INTEGER key (cn DESC, u, v), so
+    * the selection boundary is bit-deterministic across engines (ranking
+    * by a float score would let 1-ulp cross-engine drift flip ties at the
+    * cut; aa and jaccard ride along as reported columns).
+    *
+    * Scale shape: each wedge u−w−v is generated at its center w by
+    * exploding ordered pairs from w's sorted neighbor array (`slice` after
+    * `posexplode` emits only j > i, so each unordered pair appears once
+    * per common neighbor); centers above [[LinkPredMaxCenterDegree]] are
+    * excluded (see its note), bounding the wedge exchange. One groupBy
+    * collapses wedges to pair scores, existing edges leave via a
+    * co-partitioned anti-join, degrees attach by two keyed joins, and the
+    * top-k plans as TakeOrderedAndProject — no global sort, no driver
+    * state. Degree-1 centers form no wedge, so 1/ln(deg) never divides by
+    * zero. */
+  def linkPrediction(edges: DataFrame, k: Int = 100,
+      maxCenterDegree: Int = LinkPredMaxCenterDegree): DataFrame = {
+    val e = edges.localCheckpoint()
+    val nb = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val adj = nb.groupBy("w")
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      .withColumn("d", size(col("ns")))
+    val deg = adj.select(col("w").as("node"), col("d").cast("long").as("deg"))
+    // wedges at center w: ordered pairs (i < j) of the sorted neighbor
+    // array — posexplode picks u, slice(ns, i+2, d) yields only the
+    // strictly-later neighbors, so u < v and each pair emits once per w
+    val wedges = adj
+      .filter(col("d") <= maxCenterDegree)
+      .select(col("d"), posexplode(col("ns")).as(Seq("i", "u")),
+        col("ns"))
+      .select(col("u"), explode(slice(col("ns"), col("i") + lit(2),
+        col("d") - col("i") - lit(1))).as("v"),
+        (lit(1.0) / log(col("d").cast("double"))).as("aw"))
+    val scored = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum(col("aw")).as("aa"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")).cast("double")).as("jaccard"),
+        col("aa"))
+    scored.orderBy(col("cn").desc, col("u"), col("v")).limit(k)
+  }
+
+  /** HITS iterations to run — kept small enough that the oracle's
+    * chained-CTE replay (2 CTEs per round) stays readable. */
+  val HitsIters = 8
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge list
+    * (`src`, `dst`), L1-normalized each half-step:
+    *
+    *   auth_k(v) = Σ_{u→v} hub_{k−1}(u)   , then ÷ Σ_v auth_k(v)
+    *   hub_k(u)  = Σ_{u→v} auth_k(v)      , then ÷ Σ_u hub_k(u)
+    *
+    * L1 (not L2) normalization keeps every quantity a plain sum-and-divide
+    * — exactly replayable by the oracle's chained CTEs with only
+    * sum-order-level float drift, absorbed by the 6-decimal rounding.
+    * Nodes with no in-edge carry authority 0 (and hub 0 symmetrically);
+    * the full src ∪ dst node set is preserved via the same zero-row union
+    * trick as [[pageRank]], so no node drops out of the output.
+    *
+    * Scale shape: identical cost envelope to a PageRank round, twice —
+    * each half-step is ONE keyed join (scores broadcast at or below
+    * [[RankBroadcastMaxNodes]] nodes, co-partitioned with the checkpointed
+    * edge list above) + ONE grouped sum; the L1 scalar is an in-plan
+    * 1-row aggregate crossJoined back (broadcast), never a per-round
+    * driver action. Scores are localCheckpoint'ed per round to truncate
+    * lineage. */
+  def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    val zeros = nodes.select(col("node"), lit(0.0).as("x"))
+    def l1(df: DataFrame, c: String): DataFrame = {
+      val s = df.agg(sum(col(c)).as("_l1"))
+      df.crossJoin(broadcast(s))
+        .select(col("node"), (col(c) / col("_l1")).as(c))
+    }
+    def half(scores: DataFrame, inCol: String, joinKey: String,
+        outKey: String, outCol: String): DataFrame = {
+      val sc =
+        if (n <= RankBroadcastMaxNodes) broadcast(scores) else scores
+      val raw = e.join(sc, e(joinKey) === sc("node"))
+        .select(col(outKey).as("node"), col(inCol).as("x"))
+        .unionAll(zeros)
+        .groupBy("node").agg(sum(col("x")).as(outCol))
+      l1(raw, outCol)
+    }
+    var hub = nodes.select(col("node"), lit(1.0 / n).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = half(hub, "hub", "src", "dst", "auth").localCheckpoint()
+      hub = half(auth, "auth", "dst", "src", "hub").localCheckpoint()
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+  }
+
   /** The customer→part endorsement graph: a genuinely DIRECTED edge per
     * distinct (customer, part) purchase pair — parts never link out, so
     * every part node is dangling and the graph exercises the full

@@ -2332,6 +2332,78 @@ object OracleSql {
        |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Mirrors Analytics.graphPpr: the directed-PageRank replay with the
+    * uniform teleport swapped for the seed-indicator vector tp (1/|S∩nodes|
+    * on BUILDING customers, 0 elsewhere) — identical association order
+    * `(1−d)·tp + d·(contrib + D·tp)` as the Spark round, so unreachable
+    * nodes stay exactly 0.0 on both engines and the only float surface is
+    * sum order under the 6-decimal floor rounding. */
+  val graphPpr: String = {
+    val d = graft.analytics.Graph.PrDamping
+    val t = 1.0 - graft.analytics.Graph.PrDamping
+    val iters = graft.analytics.Graph.PrIters
+    val rks = (1 to iters).map { k =>
+      s"""dm$k AS (
+         |  SELECT COALESCE(SUM(r.rank), 0.0) AS m
+         |  FROM r${k - 1} r JOIN dangling g ON g.node = r.node
+         |), r$k AS MATERIALIZED (
+         |  SELECT tp.node,
+         |         CAST($t AS DOUBLE) * tp.tp
+         |           + $d * (COALESCE(c.s, 0.0) + dm$k.m * tp.tp) AS rank
+         |  FROM tp CROSS JOIN dm$k
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank / e.outdeg) AS s
+         |    FROM ew e JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY 1
+         |  ) c ON c.node = tp.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |                  'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+       |), ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), dangling AS MATERIALIZED (
+       |  SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT src FROM edges)
+       |), seeds AS (
+       |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'
+       |), sn AS (
+       |  SELECT COUNT(*) AS n FROM seeds s JOIN nodes ON nodes.node = s.node
+       |), tp AS MATERIALIZED (
+       |  SELECT nodes.node,
+       |         CASE WHEN s.node IS NOT NULL
+       |              THEN CAST(1.0 AS DOUBLE) / sn.n ELSE 0.0 END AS tp
+       |  FROM nodes CROSS JOIN sn LEFT JOIN seeds s ON s.node = nodes.node
+       |), r0 AS (
+       |  SELECT node, tp AS rank FROM tp
+       |),
+       |$rks
+       |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Mirrors Analytics.dedupFuzzy: the same name-type collapse, first-token
+    * blocking, and DuckDB's levenshtein (classic unit-cost edit distance,
+    * same definition as Spark's). Integer output only — no float surface. */
+  val dedupFuzzy: String =
+    s"""WITH ty AS (
+       |  SELECT p_name AS nm, COUNT(*) AS n,
+       |         split_part(p_name, ' ', 1) AS tok
+       |  FROM part GROUP BY 1
+       |)
+       |SELECT a.nm AS name_a, b.nm AS name_b,
+       |       levenshtein(a.nm, b.nm) AS dist,
+       |       CAST(a.n * b.n AS BIGINT) AS n_row_pairs
+       |FROM ty a JOIN ty b ON b.tok = a.tok AND a.nm < b.nm
+       |WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 4
+       |ORDER BY name_a, name_b""".stripMargin
+
   private def targetsCte: String =
     s"""$barsCte, t AS (
        |  SELECT symbol, event_id, (LEAD(close, ${Params.PredictionHorizon}) OVER ($W) - close) / close AS fwd
@@ -2497,6 +2569,98 @@ object OracleSql {
        |)
        |SELECT node, COUNT(*) AS n_triangles
        |FROM n GROUP BY 1 ORDER BY node""".stripMargin
+
+  /** Mirrors Analytics.graphLinkpred: the same wedge-at-center enumeration
+    * (here a center self-join on the neighbor table with the identical
+    * degree cap), the same left-anti edge removal and degree attach. The
+    * top-100 cut is by the INTEGER key (cn DESC, u, v), so the selection
+    * boundary carries no float sensitivity; aa's sum order is the only
+    * cross-engine surface and the 6-decimal floor rounding absorbs it. */
+  val graphLinkpred: String = {
+    val cap = graft.analytics.Graph.LinkPredMaxCenterDegree
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), nb AS MATERIALIZED (
+       |  SELECT a AS w, b AS n FROM e
+       |  UNION ALL SELECT b AS w, a AS n FROM e
+       |), deg AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS d FROM nb GROUP BY 1
+       |), wed AS (
+       |  SELECT n1.n AS u, n2.n AS v, 1.0 / ln(CAST(d.d AS DOUBLE)) AS aw
+       |  FROM nb n1
+       |  JOIN nb n2 ON n2.w = n1.w AND n1.n < n2.n
+       |  JOIN deg d ON d.w = n1.w
+       |  WHERE d.d <= $cap
+       |), sc AS (
+       |  SELECT u, v, COUNT(*) AS cn, SUM(aw) AS aa
+       |  FROM wed GROUP BY 1, 2
+       |), ne AS (
+       |  SELECT sc.u, sc.v, sc.cn, sc.aa
+       |  FROM sc LEFT JOIN e ON e.a = sc.u AND e.b = sc.v
+       |  WHERE e.a IS NULL
+       |)
+       |SELECT ne.u, ne.v, ne.cn,
+       |       ${r("CAST(ne.cn AS DOUBLE) / CAST(du.d + dv.d - ne.cn AS DOUBLE)")} AS jaccard,
+       |       ${r("ne.aa")} AS aa
+       |FROM ne
+       |JOIN deg du ON du.w = ne.u
+       |JOIN deg dv ON dv.w = ne.v
+       |ORDER BY ne.cn DESC, ne.u, ne.v
+       |LIMIT 100""".stripMargin
+  }
+
+  /** Mirrors Analytics.graphHits: every half-step replayed as its own pair
+    * of CTEs (raw grouped sum over the checkpointed edge list, then the L1
+    * scalar divide), nodes = src ∪ dst kept alive by the LEFT JOIN so
+    * zero-score nodes survive exactly like Spark's zero-row union. The
+    * only cross-engine float surface is double-sum order, absorbed by the
+    * 6-decimal floor rounding. */
+  val graphHits: String = {
+    val iters = graft.analytics.Graph.HitsIters
+    // every per-round CTE is MATERIALIZED and the L1 scalar is a 1-row
+    // CROSS JOIN (not a scalar subquery): each round references its
+    // predecessor twice, and DuckDB inlines plain CTEs per reference —
+    // un-materialized, the replay re-executes the whole chain 2^(2·iters)
+    // times (measured: minutes of CPU at 8 rounds vs milliseconds here)
+    val steps = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT nodes.node, COALESCE(c.s, 0.0) AS raw
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(h.hub) AS s
+         |    FROM ed e JOIN hn${k - 1} h ON h.node = e.src GROUP BY 1
+         |  ) c ON c.node = nodes.node
+         |), an$k AS MATERIALIZED (
+         |  SELECT node, raw / t.s AS auth
+         |  FROM ar$k CROSS JOIN (SELECT SUM(raw) AS s FROM ar$k) t
+         |), hr$k AS MATERIALIZED (
+         |  SELECT nodes.node, COALESCE(c.s, 0.0) AS raw
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS node, SUM(a.auth) AS s
+         |    FROM ed e JOIN an$k a ON a.node = e.dst GROUP BY 1
+         |  ) c ON c.node = nodes.node
+         |), hn$k AS MATERIALIZED (
+         |  SELECT node, raw / t.s AS hub
+         |  FROM hr$k CROSS JOIN (SELECT SUM(raw) AS s FROM hr$k) t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |                  'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM ed UNION SELECT dst FROM ed
+       |), hn0 AS (
+       |  SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS hub FROM nodes
+       |),
+       |$steps
+       |SELECT nodes.node, ${r("h.hub")} AS hub, ${r("a.auth")} AS auth
+       |FROM nodes
+       |JOIN hn$iters h ON h.node = nodes.node
+       |JOIN an$iters a ON a.node = nodes.node
+       |ORDER BY nodes.node""".stripMargin
+  }
 
   /** Mirrors Core.xsecRank / CrossSection.xsecRank: hourly arg_max close,
     * per-symbol bucket-lag return, then the per-bucket cross-section —

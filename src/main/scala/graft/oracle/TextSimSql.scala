@@ -260,6 +260,36 @@ object TextSimSql {
     * per-token −log2(c/total), per-doc mean via the position-sorted
     * sequential fold (list_sum over ORDER BY pos == Spark's aggregate()
     * over the array_sort'ed (pos, nlp) structs). */
+  /** Mirrors TextSim.corpusDsir / TextStats.dsirWeights: one token pass
+    * carrying the target indicator, identical add-1 smoothing over the raw
+    * vocabulary, and the position-ordered list_sum fold matching Spark's
+    * sorted-struct sequential aggregate. */
+  val corpusDsir: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+       |), t AS (
+       |  SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+       |         i - 1 AS pos, toks[i] AS token
+       |  FROM s, UNNEST(range(1, len(toks) + 1)) u(i)
+       |), c AS (
+       |  SELECT token, COUNT(*) AS cr,
+       |         COUNT(*) FILTER (WHERE tgt) AS ct
+       |  FROM t GROUP BY token
+       |), sc AS (
+       |  SELECT SUM(cr) AS tr, SUM(ct) AS tt, COUNT(*) AS v FROM c
+       |), lw AS (
+       |  SELECT token,
+       |         ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+       |           - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)) AS lw
+       |  FROM c CROSS JOIN sc
+       |), j AS (
+       |  SELECT doc_id, pos, lw FROM t JOIN lw USING (token)
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       ${r("list_sum(list(lw ORDER BY pos))")} AS log_weight,
+       |       ${r("list_sum(list(lw ORDER BY pos)) / COUNT(*)")} AS avg_log_weight
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val textLogprob: String =
     s"""WITH s AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

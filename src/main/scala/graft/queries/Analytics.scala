@@ -49,6 +49,59 @@ object Analytics {
     Graph.triangleCounts(Graph.coPurchaseEdges(s, dir))
       .orderBy("node")
 
+  /** Top-100 predicted co-purchase links (the "customers who bought these
+    * also bought" candidate set): common-neighbor / Jaccard / Adamic–Adar
+    * over non-adjacent part pairs, selected by the bit-deterministic
+    * integer key (cn DESC, u, v) — see [[graft.analytics.Graph.linkPrediction]]
+    * for the wedge-at-center generation and the hub-degree cap that bounds
+    * the pair exchange at scale. The oracle enumerates the same wedges by
+    * a center self-join with the identical cap. */
+  def graphLinkpred(s: SparkSession, dir: String): DataFrame =
+    Graph.linkPrediction(Graph.coPurchaseEdges(s, dir))
+      .select(col("u"), col("v"), col("cn"),
+        r6(col("jaccard")).as("jaccard"), r6(col("aa")).as("aa"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+
+  /** HITS hubs-and-authorities over the directed customer→part endorsement
+    * graph: broad-basket customers score as hubs, widely-endorsed parts as
+    * authorities (parts have no out-edges, so their hub score is exactly 0
+    * — and symmetrically customer authority). L1 normalization per
+    * half-step keeps the oracle replay a plain sum-and-divide per CTE; see
+    * [[graft.analytics.Graph.hits]]. */
+  def graphHits(s: SparkSession, dir: String): DataFrame =
+    Graph.hits(Graph.customerPartEdges(s, dir))
+      .select(col("node"), r6(col("hub")).as("hub"), r6(col("auth")).as("auth"))
+      .orderBy("node")
+
+  /** Personalized PageRank from the BUILDING-segment customers over the
+    * directed customer→part graph — "which parts does this segment's
+    * co-purchase behavior endorse": restart mass (and all dangling mass —
+    * every part is a sink here) returns to the seed set each round, so
+    * parts score by seed proximity and non-BUILDING customers score
+    * exactly 0.0 (unreachable ⇒ zero, the spec invariant). See
+    * [[graft.analytics.Graph.personalizedPageRank]]; the oracle replays
+    * every round as chained CTEs with the seed-indicator teleport vector. */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+    Graph.personalizedPageRank(Graph.customerPartEdges(s, dir), seeds)
+      .select(col("node"), r6(col("rank")).as("rank"))
+      .orderBy("node")
+  }
+
+  /** Fuzzy entity resolution over part names: near-duplicate name TYPES
+    * (0 < levenshtein ≤ 4) within first-token blocks, each pair carrying
+    * the row-pair multiplicity it stands for. The type-table collapse and
+    * the skew-safe blocked self-join are
+    * [[graft.text.Dedup.fuzzyTypePairs]]; the oracle replays the same
+    * blocking and DuckDB's levenshtein. */
+  def dedupFuzzy(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.fuzzyTypePairs(Tables.part(s, dir), col("p_name"),
+        Map("tok" -> ((v: org.apache.spark.sql.Column) =>
+          split(v, " ").getItem(0))), maxDist = 4)
+      .orderBy("name_a", "name_b")
+
   /** As-of join: for each purchase, the user's most recent prior-or-equal
     * error event. */
   def joinAsof(s: SparkSession, dir: String): DataFrame = {

@@ -181,6 +181,19 @@ object TextSim {
       .select(col("doc_id"), col("term"), r6(col("tfidf")).as("tfidf"))
       .orderBy("doc_id", "term")
 
+  /** DSIR importance log-weights toward the src0/src1 slice (the "make the
+    * corpus look like the trusted domains" selection score — Xie et al.
+    * 2023). See [[graft.text.TextStats.dsirWeights]] for the smoothing and
+    * the position-ordered fold; the oracle replays both with the identical
+    * add-1 arithmetic. */
+  def corpusDsir(s: SparkSession, dir: String): DataFrame =
+    TextStats.dsirWeights(Tables.documents(s, dir),
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("log_weight")).as("log_weight"),
+        r6(col("log_weight") / col("n_tokens")).as("avg_log_weight"))
+      .orderBy("doc_id")
+
   /** CCNet-style unigram LM quality score: mean −log2 p(token) under the
     * corpus's own unigram distribution. */
   def textLogprob(s: SparkSession, dir: String): DataFrame =

@@ -405,6 +405,36 @@ object Dedup {
     }
   }
 
+  /** Blocked fuzzy entity resolution over a string attribute (edit-distance
+    * record linkage): rows collapse to DISTINCT value TYPES first (the
+    * vocabulary table — at any SF its size is bounded by the value
+    * vocabulary, not the row count; exactly the move [[graft.text.TextStats]]
+    * makes for BPE/vocab), then candidate type pairs come from equality on
+    * `blockCols` (the standard ER blocking key) routed through
+    * [[bucketSelfPairs]] so a hot block salt-replicates instead of landing
+    * B²/2 pairs on one reducer, and only candidates within the block pay
+    * the O(len²) Levenshtein DP. Emits one row per NEAR (0 < dist ≤
+    * maxDist) type pair with the row-pair multiplicity `n_row_pairs` =
+    * n_a·n_b it stands for — the per-row pair blowup (quadratic in type
+    * frequency) stays virtual.
+    *
+    * `blockExprs` map the type value to its blocking key columns; recall is
+    * bounded by the blocking choice as in any ER pipeline (a pair differing
+    * in its block key is never compared — the documented tradeoff). */
+  def fuzzyTypePairs(rows: DataFrame, value: Column,
+      blockExprs: Map[String, Column => Column], maxDist: Int): DataFrame = {
+    val types = rows.groupBy(value.as("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val withBlocks = blockExprs.foldLeft(types) { case (df, (name, f)) =>
+      df.withColumn(name, f(col("doc_id")))
+    }
+    bucketSelfPairs(withBlocks, blockExprs.keys.toSeq, carry = Seq("n"))
+      .withColumn("dist", levenshtein(col("doc_a"), col("doc_b")).cast("long"))
+      .filter(col("dist") > 0 && col("dist") <= maxDist)
+      .select(col("doc_a").as("name_a"), col("doc_b").as("name_b"),
+        col("dist"), (col("n_a") * col("n_b")).as("n_row_pairs"))
+  }
+
   /** Exact shared-window dedup (the gram-granular form of Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better": two
     * documents are duplicates iff they share a sufficiently long verbatim

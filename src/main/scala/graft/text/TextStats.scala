@@ -276,6 +276,49 @@ object TextStats {
           col("n_tokens")).as("avg_neg_logprob"))
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by how much a TARGET distribution (e.g. a trusted domain slice) prefers
+    * its unigrams over the raw corpus —
+    *
+    *   lw(w)   = ln p̂_t(w) − ln p̂_r(w),  add-1 smoothed over the raw vocab:
+    *             p̂(w) = (count(w) + 1) / (total + |V|)
+    *   logw(d) = Σ_{positions} lw(token)   (position-ordered sequential fold)
+    *
+    * High logw docs look like the target; importance resampling keeps docs
+    * proportionally. Smoothing over the SHARED raw vocabulary keeps every
+    * lw finite (a token unseen in the target gets the floor, never −∞).
+    *
+    * Scale shape: one token-keyed aggregate builds both count columns in a
+    * single pass (the target indicator rides the explode, so the corpus is
+    * read once); the three scalars (totals + vocab size) are a 1-row
+    * broadcast crossJoin; the per-token weight table joins back token-keyed
+    * (vocab-sized — NOT broadcast, at web scale the vocabulary alone can be
+    * 1e8 rows); the per-doc sum replays position-ordered via the same
+    * sorted-struct sequential fold as [[unigramLogprob]], keeping the
+    * float-sum order bit-portable across engines. */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("_t"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val counts = toks.groupBy("token").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("_t"), 1)).as("ct"))
+    val scal = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v"))
+    val lw = counts.crossJoin(broadcast(scal))
+      .select(col("token"),
+        (log((col("ct") + lit(1)).cast("double") /
+            (col("tt") + col("v")).cast("double")) -
+          log((col("cr") + lit(1)).cast("double") /
+            (col("tr") + col("v")).cast("double"))).as("lw"))
+    toks.join(lw, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("lw")))).as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("aggregate(_s, 0D, (acc, x) -> acc + x.lw)").as("log_weight"))
+  }
+
   /** Corpus vocabulary: per-token total occurrences and document frequency,
     * top `k` by count — the word-count pass every tokenizer-training run
     * (BPE, unigram-LM) starts from. One token-keyed partial+final aggregate

@@ -2247,4 +2247,135 @@ class OpsSpec extends SparkSpec {
     val mix = rows.map(r => r.getAs[Double]("lift") * r.getAs[Long]("n_rows") / tot).sum
     assert(math.abs(mix - 1.0) < 1e-4, s"lift mixture $mix != 1")
   }
+
+  test("linkPrediction: hand values on a planted graph, hub cap excludes centers") {
+    val s = spark
+    import s.implicits._
+    // a-b, a-c, b-d, c-d, d-e: degrees a2 b2 c2 d3 e1
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+      .toDF("a", "b")
+    val got = graft.analytics.Graph.linkPrediction(edges)
+      .orderBy(col("cn").desc, col("u"), col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val ln2 = math.log(2.0); val ln3 = math.log(3.0)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", "d"), ("b", "c"), ("b", "e"), ("c", "e")))
+    // (a,d): common {b,c}, jacc 2/(2+3-2), aa 2/ln2
+    assert(got(0)._3 == 2L && math.abs(got(0)._4 - 2.0 / 3) < 1e-12 &&
+      math.abs(got(0)._5 - 2.0 / ln2) < 1e-12)
+    // (b,c): common {a,d}, jacc 2/(2+2-2)=1, aa 1/ln2 + 1/ln3
+    assert(got(1)._3 == 2L && math.abs(got(1)._4 - 1.0) < 1e-12 &&
+      math.abs(got(1)._5 - (1.0 / ln2 + 1.0 / ln3)) < 1e-12)
+    // (b,e)/(c,e): common {d}, jacc 1/(2+1-1), aa 1/ln3
+    Seq(got(2), got(3)).foreach { t =>
+      assert(t._3 == 1L && math.abs(t._4 - 0.5) < 1e-12 &&
+        math.abs(t._5 - 1.0 / ln3) < 1e-12)
+    }
+    // cap=2 removes center d: (b,e)/(c,e) vanish, (b,c) keeps only center a
+    val capped = graft.analytics.Graph.linkPrediction(edges, maxCenterDegree = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("dsirWeights: hand values with add-1 smoothing over the shared vocab") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a b", true), (2L, "a c", false))
+      .toDF("doc_id", "text", "tgt")
+    val got = graft.text.TextStats.dsirWeights(docs, col("tgt"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // V=3, tt=3, tr=5: lw(a)=ln(3/6 / (4/8))=0, lw(b)=ln((2/6)/(2/8)),
+    // lw(c)=ln((1/6)/(2/8)) — c unseen in target stays finite via add-1
+    val lwB = math.log((2.0 / 6) / (2.0 / 8))
+    val lwC = math.log((1.0 / 6) / (2.0 / 8))
+    assert(got(0)._2 == 3L && math.abs(got(0)._3 - lwB) < 1e-12,
+      s"target doc: ${got(0)}")
+    assert(got(1)._2 == 2L && math.abs(got(1)._3 - lwC) < 1e-12,
+      s"raw doc: ${got(1)}")
+    // the target-looking doc must outscore the off-target one
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("personalizedPageRank: recurrence replay, unreachable nodes exactly 0, mass conserved") {
+    val s = spark
+    import s.implicits._
+    // a→b with seed {a}; c→d is a disconnected component no seed reaches
+    val edges = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = graft.analytics.Graph.personalizedPageRank(edges, seeds, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got("c") == 0.0 && got("d") == 0.0,
+      "nodes unreachable from the seed set must score exactly 0.0")
+    // replay: D = rank(b) + rank(d) (both dangling); tp = (1,0,0,0)
+    var (a, b) = (1.0, 0.0)
+    for (_ <- 1 to 10) {
+      val dm = b // rank(d) stays 0
+      val (na, nb) = (0.15 * 1.0 + 0.85 * (0.0 + dm * 1.0), 0.85 * a)
+      a = na; b = nb
+    }
+    assert(math.abs(got("a") - a) < 1e-12 && math.abs(got("b") - b) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12,
+      "restart-to-seeds conserves total mass")
+    // seeds outside the graph are ignored; an all-outside seed set throws
+    val got2 = graft.analytics.Graph.personalizedPageRank(
+      edges, Seq("a", "zz").toDF("node"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2("b") == 0.85, "|S ∩ nodes| = 1, not 2")
+    intercept[IllegalArgumentException] {
+      graft.analytics.Graph.personalizedPageRank(
+        edges, Seq("zz").toDF("node"), iters = 1)
+    }
+  }
+
+  test("fuzzyTypePairs: planted near-dup name types, block recall bound, multiplicities") {
+    val s = spark
+    import s.implicits._
+    val rows = (Seq.fill(3)("red bolt") ++ Seq.fill(2)("red bold") ++
+      Seq("red cat") ++ Seq.fill(5)("blue bolt")).zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "nm")
+    val got = graft.text.Dedup.fuzzyTypePairs(rows, col("nm"),
+        Map("tok" -> ((v: org.apache.spark.sql.Column) =>
+          split(v, " ").getItem(0))), maxDist = 3)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // ("red bold","red bolt") dist 1, 2·3 row pairs; ("red bolt","red cat")
+    // dist 3, 3·1; ("red bold","red cat") is dist 4 — over the cap;
+    // "blue bolt" is one edit from "red bolt" per word but blocks on its
+    // first token, so it is never compared (the documented recall bound)
+    assert(got.toSeq == Seq(
+      ("red bold", "red bolt", 1L, 6L),
+      ("red bolt", "red cat", 3L, 3L)))
+  }
+
+  test("hits: recurrence replay on a planted bipartite graph; zero scores; L1 = 1") {
+    val s = spark
+    import s.implicits._
+    // c1→p1, c1→p2, c2→p1 — N = 4, hub0 = 1/4
+    val edges = Seq(("c1", "p1"), ("c1", "p2"), ("c2", "p1")).toDF("src", "dst")
+    val got = graft.analytics.Graph.hits(edges, iters = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("c1", "c2", "p1", "p2"))
+    // sources never receive, sinks never emit
+    assert(got("p1")._1 == 0.0 && got("p2")._1 == 0.0, "parts have hub 0")
+    assert(got("c1")._2 == 0.0 && got("c2")._2 == 0.0, "customers have auth 0")
+    // straight-loop replay of the L1-normalized recurrence
+    var (h1, h2) = (0.25, 0.25)
+    var (a1, a2) = (0.0, 0.0)
+    for (_ <- 1 to 8) {
+      val (ra1, ra2) = (h1 + h2, h1)
+      val as = ra1 + ra2
+      a1 = ra1 / as; a2 = ra2 / as
+      val (rh1, rh2) = (a1 + a2, a1)
+      val hs = rh1 + rh2
+      h1 = rh1 / hs; h2 = rh2 / hs
+    }
+    assert(math.abs(got("c1")._1 - h1) < 1e-12 && math.abs(got("c2")._1 - h2) < 1e-12)
+    assert(math.abs(got("p1")._2 - a1) < 1e-12 && math.abs(got("p2")._2 - a2) < 1e-12)
+    // each L1-normalized side sums to exactly 1 (up to float-sum noise)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
 }
