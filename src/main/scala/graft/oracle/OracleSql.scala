@@ -2388,6 +2388,43 @@ object OracleSql {
        |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Mirrors Analytics.lakeZorder / Lake.zorderTiles: single-window
+    * ROW_NUMBER stands in for the bucket-offset numbering (identical values
+    * by construction), then the same integer rank-cell division, the same
+    * generated Morton interleave terms, and the same integer tile cut —
+    * all-long arithmetic end to end, so parity is exact by type. */
+  val lakeZorder: String = {
+    val bits = 16; val tiles = 32; val scale = 1L << bits
+    val terms = (0 until bits).map(i =>
+      s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT l_partkey AS x, l_suppkey AS y,
+       |         l_orderkey * 8 + l_linenumber AS id
+       |  FROM lineitem
+       |), r AS (
+       |  SELECT x, y, id,
+       |         ROW_NUMBER() OVER (ORDER BY x, id) - 1 AS rx0,
+       |         ROW_NUMBER() OVER (ORDER BY y, id) - 1 AS ry0,
+       |         COUNT(*) OVER () AS n
+       |  FROM b
+       |), c AS (
+       |  SELECT x, y, id, n,
+       |         rx0 * $scale // n AS cx, ry0 * $scale // n AS cy
+       |  FROM r
+       |), z AS (
+       |  SELECT x, y, id, n, $terms AS zval FROM c
+       |), t AS (
+       |  SELECT x, y,
+       |         (ROW_NUMBER() OVER (ORDER BY zval, id) - 1) * $tiles // n AS tile
+       |  FROM z
+       |)
+       |SELECT tile, COUNT(*) AS n_rows,
+       |       MIN(x) AS x_min, MAX(x) AS x_max,
+       |       MIN(y) AS y_min, MAX(y) AS y_max
+       |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+  }
+
   /** Mirrors Analytics.dedupFuzzy: the same name-type collapse, first-token
     * blocking, and DuckDB's levenshtein (classic unit-cost edit distance,
     * same definition as Spark's). Integer output only — no float surface. */

@@ -1702,6 +1702,18 @@ object Analytics {
     * every 10th key (version 2) and inserts brand-new keys (base id + 1e9)
     * for every 29th. Deterministic fixture, so the merge is oracle-checked
     * end to end. */
+  /** Z-order layout audit over the fact table: cluster lineitem on
+    * (l_partkey, l_suppkey), cut into 32 z-ordered tiles, emit each tile's
+    * zone-map row. Tight min/max spans on BOTH keys per tile are the
+    * data-skipping property (see [[graft.source.Lake.zorderTiles]]);
+    * all-integer output, oracle replays rank cells + Morton interleave
+    * with the same integer bit ops. */
+  def lakeZorder(s: SparkSession, dir: String): DataFrame =
+    graft.source.Lake.zorderTiles(Tables.lineitem(s, dir),
+        col("l_partkey"), col("l_suppkey"),
+        col("l_orderkey") * lit(8L) + col("l_linenumber"))
+      .orderBy("tile")
+
   def lakeUpsert(s: SparkSession, dir: String): DataFrame = {
     val ev = Bars.readEvents(s, dir).select("event_id", "user_id", "value")
     val base = ev.withColumn("version", lit(1L))

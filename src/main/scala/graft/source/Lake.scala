@@ -174,6 +174,57 @@ object Lake {
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
 
+  /** Bit-interleave two `bits`-wide non-negative long cells into their
+    * Morton (Z-curve) code: bit i of `cx` lands at position 2i, bit i of
+    * `cy` at 2i+1. Pure long arithmetic (shift/mask/add) — codegen'd,
+    * exactly replayable in any engine with integer bit ops. */
+  def zInterleave(cx: Column, cy: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(cx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(cy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order clustering quality, materialized: rank-normalize two
+    * dimensions (percentile cells, so value skew cannot starve the grid —
+    * the same move Delta's OPTIMIZE ZORDER makes by range-partition id),
+    * interleave the cells into a Morton code, cut the z-ordered sequence
+    * into `tiles` equal files, and emit each tile's zone-map row
+    * (count + min/max of BOTH dims). Z-locality makes both spans tight
+    * simultaneously — the property that lets a manifest
+    * ([[skippingManifest]]) skip files for predicates on EITHER column,
+    * where a single-column sort gives tight spans on one dim and
+    * full-range spans on the other.
+    *
+    * Scale shape: three [[graft.analytics.Ranking.withGlobalRowNumber]]
+    * passes (bucket-offset numbering — no single-partition window), one
+    * narrow interleave expression, one O(tiles) aggregate. All-integer
+    * output: rank cells and Morton codes are exact longs on any engine, so
+    * the oracle parity carries no float surface. `id` must be a row-unique
+    * long (the rank tiebreak — numbering is deterministic only under a
+    * total order). Cell arithmetic uses integer division (never a double
+    * floor: (rn−1)·2^bits can pass 2^53 at fact-table scale). */
+  def zorderTiles(df: DataFrame, x: Column, y: Column, id: Column,
+      tiles: Int = 32, bits: Int = 16): DataFrame = {
+    import graft.analytics.Ranking
+    val base = df.select(x.as("x"), y.as("y"), id.as("id"))
+    val (rx, n) = Ranking.withGlobalRowNumber(
+      base, col("x"), Seq(col("x"), col("id")), "rx")
+    val (ry, _) = Ranking.withGlobalRowNumber(
+      rx, col("y"), Seq(col("y"), col("id")), "ry")
+    val scale = 1L << bits
+    val cells = ry
+      .withColumn("cx", expr(s"(rx - 1L) * $scale div ${n}L"))
+      .withColumn("cy", expr(s"(ry - 1L) * $scale div ${n}L"))
+      .withColumn("zval", zInterleave(col("cx"), col("cy"), bits))
+    val (zr, _) = Ranking.withGlobalRowNumber(
+      cells, col("zval"), Seq(col("zval"), col("id")), "zr")
+    zr.withColumn("tile", expr(s"(zr - 1L) * $tiles div ${n}L"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
   /** Manifest-driven pruned read: keep only the files whose [min, max]
     * range can contain `value`, and scan just those. Equality-predicate
     * flavor of zone-map skipping; the collect is O(surviving files) of

@@ -2278,6 +2278,31 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("zorderTiles: 4x4 grid cuts into quadrant tiles — both dims span 1, never a full-width stripe") {
+    val s = spark
+    import s.implicits._
+    // one row per cell of a 4×4 grid; bits=2 makes cells the values
+    // themselves, tiles=4 cuts the 16-point z-curve into its 4 quadrants
+    val grid = (for { x <- 0L to 3L; y <- 0L to 3L } yield (x, y, x * 4 + y))
+      .toDF("x", "y", "id")
+    val got = graft.source.Lake.zorderTiles(grid, col("x"), col("y"),
+        col("id"), tiles = 4, bits = 2)
+      .orderBy("tile").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 4L)
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") == 1L,
+        s"tile ${r.getAs[Long]("tile")}: x span not quadrant-tight")
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") == 1L,
+        s"tile ${r.getAs[Long]("tile")}: y span not quadrant-tight")
+    }
+    // tile 0 is the origin quadrant; tile 3 the far quadrant (z-curve order)
+    assert(got(0).getAs[Long]("x_min") == 0L && got(0).getAs[Long]("y_min") == 0L)
+    assert(got(3).getAs[Long]("x_min") == 2L && got(3).getAs[Long]("y_min") == 2L)
+    // contrast: a row-major (sort by y) layout would give every tile the
+    // FULL x range — z-order is what makes both spans tight at once
+  }
+
   test("dsirWeights: hand values with add-1 smoothing over the shared vocab") {
     val s = spark
     import s.implicits._
