@@ -1457,6 +1457,31 @@ object Market {
       .drop("_zz")
   }
 
+  val RenkoBrick = 5.0
+
+  /** Renko brick stream per symbol: anchor (close of the last completed
+    * brick), side of that brick, bricks completed AT this row, and the
+    * running brick count. One state-machine window pass (see
+    * [[graft.expr.Renko]]); the cumulative count is an integer running sum
+    * over the same partitioning, so Catalyst fuses both into one
+    * exchange. */
+  def withRenko(df: DataFrame): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    df.select(col("*"),
+        graft.expr.Renko.renkoOver(col("close"), RenkoBrick, part, ord)
+          .as("_rk"))
+      .select(col("*"),
+        col("_rk.anchor").as("renko_anchor"),
+        col("_rk.dir").cast("int").as("renko_dir"),
+        col("_rk.bricks").cast("long").as("renko_bricks"))
+      .drop("_rk")
+      .withColumn("renko_count",
+        sum(col("renko_bricks")).over(Frames.bySymbol.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+  }
+
   val ChopWindow = 14
 
   /** Choppiness Index (Dreiss): 100·ln(ΣTR / (maxH − minL)) / ln(n) — path

@@ -1291,6 +1291,45 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Core.barsRenko (Market.withRenko, brick=5.0): the Renko state
+    * machine replayed as a recursive CTE — identical double-typed floor and
+    * branch trees, brick literal via Double.toString of the SAME constant.
+    * The running brick count sums exact small integers, so the windowed
+    * SUM carries no float-order surface. */
+  val barsRenko: String = {
+    val b = graft.features.Market.RenkoBrick.toString
+    val kUp = s"floor((b2.close - rk.anchor) / $b)"
+    val kDn = s"floor((rk.anchor - b2.close) / $b)"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), rk AS (
+       |  SELECT symbol, rn, close AS anchor, CAST(0.0 AS DOUBLE) AS dir,
+       |         CAST(0.0 AS DOUBLE) AS bricks
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         CASE WHEN $kUp >= 1.0 THEN rk.anchor + $kUp * $b
+       |              WHEN $kDn >= 1.0 THEN rk.anchor - $kDn * $b
+       |              ELSE rk.anchor END,
+       |         CASE WHEN $kUp >= 1.0 THEN 1.0
+       |              WHEN $kDn >= 1.0 THEN -1.0
+       |              ELSE rk.dir END,
+       |         CASE WHEN $kUp >= 1.0 THEN $kUp
+       |              WHEN $kDn >= 1.0 THEN $kDn
+       |              ELSE 0.0 END
+       |  FROM rk JOIN b2 ON b2.symbol = rk.symbol AND b2.rn = rk.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id, ${r("rk.anchor")} AS renko_anchor,
+       |       CAST(rk.dir AS INT) AS renko_dir,
+       |       CAST(rk.bricks AS BIGINT) AS renko_bricks,
+       |       CAST(SUM(CAST(rk.bricks AS BIGINT))
+       |              OVER (PARTITION BY b2.symbol ORDER BY rk.rn) AS BIGINT)
+       |         AS renko_count
+       |FROM b2 JOIN rk ON rk.symbol = b2.symbol AND rk.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featChoppiness (Market.withChoppiness, n=14): same
     * COALESCE prev-close TR, sequential cum−lag path sum, native extrema,
     * ln(n) interpolated as the driver-computed literal. */

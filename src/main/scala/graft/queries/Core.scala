@@ -407,6 +407,15 @@ object Core {
     keyed(Market.withZigzag(bars(s, dir)),
       Seq("zz_dir", "zz_extreme", "zz_reversal"), Set("zz_extreme"))
 
+  /** Renko brick stream: last-brick anchor, side, bricks completed per row
+    * and the running brick count (see [[graft.features.Market.withRenko]]
+    * and the [[graft.expr.Renko]] state machine; the oracle replays the
+    * recursion as a recursive CTE with identical floor/branch trees). */
+  def barsRenko(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withRenko(bars(s, dir)),
+      Seq("renko_anchor", "renko_dir", "renko_bricks", "renko_count"),
+      Set("renko_anchor"))
+
   /** Choppiness Index (see [[graft.features.Market.withChoppiness]]). */
   def featChoppiness(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withChoppiness(bars(s, dir)),

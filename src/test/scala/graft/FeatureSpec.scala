@@ -518,4 +518,38 @@ class FeatureSpec extends SparkSpec {
       assert(got.toSeq == want, s"seed $seed: zigzag vs straight loop")
     }
   }
+
+  test("Renko state machine is bit-equal to the sequential straight loop; multi-brick moves conserved") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7L, 8L)) {
+      val rnd = new scala.util.Random(seed)
+      var c = 100.0
+      val closes = (0 until 80).map { _ =>
+        // ±12 swings around a drifting level — multi-brick (k ≥ 2) moves
+        // occur at brick 5.0, exercising the k-at-once branch
+        c = math.max(1.0, c + (rnd.nextDouble() - 0.48) * 24.0); c
+      }
+      val got = Market.withRenko(barsOf(closes)).orderBy("event_id")
+        .select("renko_anchor", "renko_dir", "renko_bricks", "renko_count")
+        .collect()
+        .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val b = Market.RenkoBrick
+      var anchor = closes.head; var dir = 0.0; var cum = 0L
+      val want = closes.zipWithIndex.map { case (x, i) =>
+        var k = 0L
+        if (i > 0) {
+          val kUp = math.floor((x - anchor) / b)
+          val kDn = math.floor((anchor - x) / b)
+          if (kUp >= 1.0) { anchor += kUp * b; dir = 1.0; k = kUp.toLong }
+          else if (kDn >= 1.0) { anchor -= kDn * b; dir = -1.0; k = kDn.toLong }
+        }
+        cum += k
+        (anchor, dir.toInt, k, cum)
+      }
+      assert(got.toSeq == want, s"seed $seed: renko vs straight loop")
+      // conservation: total bricks ≈ net + churn; at least the net move
+      assert(got.last._4 >= (math.abs(closes.last - closes.head) / b).toLong - 1)
+    }
+  }
 }
