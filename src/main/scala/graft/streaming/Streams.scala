@@ -140,6 +140,32 @@ object Streams {
       .select(col("user_id"), col("purchase_id"), col("error_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[purchaseErrorJoin]],
+    * but purchases with NO error in their preceding hour still emit — with
+    * a null error_id — once the event-time watermark passes their match
+    * window and the engine can prove no late error can arrive. That
+    * unmatched-emission-on-watermark is the semantics a production funnel
+    * needs ("purchases without a prior error" can't be answered by an inner
+    * join), and it's exactly the state-expiry discipline that bounds join
+    * state at 100 TB: every buffered left row leaves state when it emits.
+    * Note the outer flush lags one micro-batch behind the watermark advance
+    * (expiry uses the previous batch's watermark — asserted in the spec). */
+  def purchaseErrorJoinOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+        col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"), "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
   case class BarTick(symbol: String, event_id: Long, ts: java.sql.Timestamp,
     close: Double)
   case class RsiPoint(symbol: String, event_id: Long, rsi: Option[Double])

@@ -224,6 +224,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("left-outer stream-stream join emits unmatched purchases with null error_id on watermark expiry") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ssoj-").toString
+    def write(name: String, rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "_ts", "user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("_ts"))).drop("_ts")
+        .coalesce(1).write.parquet(s"$base/$name")
+    val d = "2024-01-01"
+    // file 0: user 1's purchase has an error 30 min before (match);
+    // user 2 has no error at all; user 3's error is 1.5 h stale (no match)
+    write("f0", Seq(
+      (101L, s"$d 01:00:00", 1L, "error", 0.0),
+      (201L, s"$d 01:30:00", 1L, "purchase", 1.0),
+      (202L, s"$d 01:30:00", 2L, "purchase", 1.0),
+      (103L, s"$d 00:00:00", 3L, "error", 0.0),
+      (203L, s"$d 01:30:00", 3L, "purchase", 1.0)))
+    // file 1 advances BOTH side watermarks past file 0's match windows
+    // (global watermark = min over sides); its own purchase may itself
+    // flush only if a final no-data batch runs — excluded from the asserts
+    write("f1", Seq(
+      (901L, s"$d 10:00:00", 9L, "purchase", 1.0),
+      (902L, s"$d 10:00:00", 8L, "error", 0.0)))
+    // file 2 exists because outer expiry uses the PREVIOUS batch's
+    // watermark — a third batch is what flushes file 0's unmatched rows
+    write("f2", Seq(
+      (903L, s"$d 20:00:00", 7L, "purchase", 1.0),
+      (904L, s"$d 20:00:00", 6L, "error", 0.0)))
+    val stream = Streams.purchaseErrorJoinOuter(
+      Streams.readEventStreamFrom(spark, s"$base/*", maxFilesPerTrigger = Some(1)))
+    val q = stream.writeStream.format("memory").queryName("stream_ssoj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_ssoj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    val matched = got.filter(_._3.isDefined).toSet
+    val nulls = got.filter(_._3.isEmpty).map(t => (t._1, t._2)).toSet
+    assert(matched == Set((1L, 201L, Some(101L))),
+      s"inner matches must be exactly user 1's pair, got $matched")
+    assert(nulls.contains((2L, 202L)) && nulls.contains((3L, 203L)),
+      s"unmatched purchases 202 (no error) and 203 (stale error) must flush, got $nulls")
+    // no purchase may leak a false match, and late-batch rows whose
+    // watermark never passed must not have flushed as matched
+    assert(nulls.subsetOf(Set((2L, 202L), (3L, 203L), (9L, 901L), (7L, 903L))),
+      s"unexpected outer rows: $nulls")
+  }
+
   test("stream-stream interval join matches the batch join pair-for-pair") {
     val stream = Streams.purchaseErrorJoin(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_ssjoin")
