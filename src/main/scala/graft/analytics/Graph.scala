@@ -253,31 +253,54 @@ object Graph {
     val e = edges.localCheckpoint()
     val nb = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    // materialized once: feeds the wedge generator, both top-pair attach
+    // joins, and the degree lookups — the collect_list aggregate is the
+    // plan's most expensive non-wedge stage and must not run per consumer
     val adj = nb.groupBy("w")
       .agg(sort_array(collect_list(col("n"))).as("ns"))
       .withColumn("d", size(col("ns")))
-    val deg = adj.select(col("w").as("node"), col("d").cast("long").as("deg"))
+      .localCheckpoint()
     // wedges at center w: ordered pairs (i < j) of the sorted neighbor
     // array — posexplode picks u, slice(ns, i+2, d) yields only the
-    // strictly-later neighbors, so u < v and each pair emits once per w
+    // strictly-later neighbors, so u < v and each pair emits once per w.
+    // The stream carries NOTHING but the two ids: the count aggregate is
+    // the Θ(#wedges) stage, so every byte on the wedge row is paid ~10⁸
+    // times per 10⁶ edges — aa/jaccard are re-derived intersection-side
+    // for only the k winners below.
     val wedges = adj
       .filter(col("d") <= maxCenterDegree)
-      .select(col("d"), posexplode(col("ns")).as(Seq("i", "u")),
-        col("ns"))
+      .select(col("d"), posexplode(col("ns")).as(Seq("i", "u")), col("ns"))
       .select(col("u"), explode(slice(col("ns"), col("i") + lit(2),
-        col("d") - col("i") - lit(1))).as("v"),
-        (lit(1.0) / log(col("d").cast("double"))).as("aw"))
-    val scored = wedges.groupBy("u", "v")
-      .agg(count(lit(1)).as("cn"), sum(col("aw")).as("aa"))
+        col("d") - col("i") - lit(1))).as("v"))
+    val top = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"))
       .join(e.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .orderBy(col("cn").desc, col("u"), col("v")).limit(k)
+    // k-row frame from here on: attach both neighbor arrays (broadcast the
+    // k pairs), intersect for the exact common-neighbor set, then the
+    // Adamic–Adar sum over its (≤ max-degree) members and the Jaccard from
+    // the array sizes. size(∩) == cn by construction (edges are distinct).
+    val attached = broadcast(top)
+      .join(adj.select(col("w").as("u"), col("ns").as("nu"),
+        col("d").cast("long").as("du")), Seq("u"))
+      .join(adj.select(col("w").as("v"), col("ns").as("nv"),
+        col("d").cast("long").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+    // the cap applies here too: a super-hub center contributes to neither
+    // the wedge count nor the Adamic–Adar sum (cn and aa stay consistent)
+    val aa = attached.select(col("u"), col("v"), explode(col("ws")).as("w"))
+      .join(adj.select(col("w"), col("d")), Seq("w"))
+      .filter(col("d") <= maxCenterDegree)
+      .groupBy("u", "v")
+      .agg(sum(lit(1.0) / log(col("d").cast("double"))).as("aa"))
+    attached.join(aa, Seq("u", "v"))
       .select(col("u"), col("v"), col("cn"),
         (col("cn").cast("double") /
           (col("du") + col("dv") - col("cn")).cast("double")).as("jaccard"),
         col("aa"))
-    scored.orderBy(col("cn").desc, col("u"), col("v")).limit(k)
+      .orderBy(col("cn").desc, col("u"), col("v"))
   }
 
   /** HITS iterations to run — kept small enough that the oracle's

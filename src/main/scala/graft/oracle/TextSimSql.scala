@@ -1339,6 +1339,58 @@ object TextSimSql {
        |       ${r("CAST(n_hits AS DOUBLE) / 3.0")} AS recall_at_3
        |FROM sc ORDER BY method, probe_id""".stripMargin
 
+  /** Mirrors TextSim.simMatryoshka: per-dims prefix slice (v[1:d] — same
+    * ascending sequential dot fold over the truncated list as Spark's
+    * sliced DotProduct), full-dim brute truth, identical hit join. */
+  val simMatryoshka: String = {
+    def leg(d: Int) =
+      s"""e$d AS (
+         |  SELECT vec_id, v[1:$d] AS v FROM e0
+         |), en$d AS (
+         |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nv FROM e$d
+         |), p$d AS (
+         |  SELECT vec_id AS probe_id, v AS pv, nv AS np FROM en$d WHERE vec_id < 10
+         |), j$d AS (
+         |  SELECT probe_id, en$d.vec_id AS neighbor_id,
+         |         ${cosP("pv", "v", "np", "nv")} AS cos
+         |  FROM en$d, p$d WHERE en$d.vec_id != probe_id
+         |), leg$d AS (
+         |  SELECT $d AS dims, probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM j$d
+         |  ) WHERE rnk <= 3
+         |)""".stripMargin
+    s"""$embCte, e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), tp AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nv AS np FROM e WHERE vec_id < 10
+       |), tj AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id, ${cosP("pv", "v", "np", "nv")} AS cos
+       |  FROM e, tp WHERE e.vec_id != probe_id
+       |), truth AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM tj
+       |  ) WHERE rnk <= 3
+       |),
+       |${Seq(8, 16, 32).map(leg).mkString(",\n")},
+       |ann AS (
+       |  SELECT * FROM leg8 UNION ALL SELECT * FROM leg16
+       |  UNION ALL SELECT * FROM leg32
+       |), sc AS (
+       |  SELECT dims, ann.probe_id,
+       |         SUM(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM ann LEFT JOIN truth
+       |    ON truth.probe_id = ann.probe_id AND truth.neighbor_id = ann.neighbor_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT dims, probe_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |       ${r("CAST(n_hits AS DOUBLE) / 3.0")} AS recall_at_3
+       |FROM sc ORDER BY dims, probe_id""".stripMargin
+  }
+
   val simQuantize: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

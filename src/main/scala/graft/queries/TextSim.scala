@@ -379,6 +379,35 @@ object TextSim {
       .orderBy("method", "probe_id")
   }
 
+  /** Matryoshka truncation sweep: recall@k of brute-force retrieval over
+    * only the FIRST d embedding components (d ∈ {8, 16, 32}) against the
+    * full-dimension truth — the measurement behind serving truncated
+    * (Matryoshka-style) embeddings, where a prefix slice cuts index size
+    * and dot-product cost by 2–8× if recall holds. On the synthetic
+    * (isotropic, non-MRL-trained) embeddings the curve sits near zero —
+    * the honest verdict this gate exists to deliver: you may only truncate
+    * what was TRAINED front-loaded, and the sweep is how you find out
+    * before an index build commits to it. Same scoring join as
+    * [[simAnnRecall]]; each truncated leg is the same broadcast-probe scan
+    * with a narrower vector, so the sweep costs ~4 corpus scans and no
+    * extra shuffle. */
+  def simMatryoshka(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = Similarity.bruteTopK(emb, k = k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val legs = Seq(8, 16, 32).map { d =>
+      Similarity.bruteTopK(
+          emb.withColumn("embedding", slice(col("embedding"), 1, d)), k = k)
+        .select(lit(d).as("dims"), col("probe_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    legs.join(truth, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("dims", "probe_id")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("dims"), col("probe_id"), col("n_hits"),
+        r6(col("n_hits").cast("double") / lit(k.toDouble)).as(s"recall_at_$k"))
+      .orderBy("dims", "probe_id")
+  }
+
   /** int8 scalar quantization of every embedding, element-checked. */
   def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))

@@ -20,6 +20,8 @@ class AllPlansSpec extends SparkSpec {
     "text_tfidf", "text_logprob", "user_rfm", "dq_checks", "assoc_pairs",
     "corpus_mixture", "sim_ann_recall", "text_bm25", "decontam_bloom",
     "corpus_colloc", "text_logprob_bigram",
+    // 1-row cross side: DSIR's (target total, raw total, vocab size) scalars
+    "corpus_dsir",
     // 1-row cross side: arm totals (abtest), corpus min/max span (churn),
     // Σ√n normalizer (temperature), joint total (MI), score range (ROC)
     "abtest_ztest", "user_churn", "corpus_temperature", "events_mi", "ml_roc",
