@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** User-behavior analytics over the events table: ordered funnels and
@@ -224,6 +225,58 @@ object Behavior {
     * per-user sum folds over the event_type-sorted list (sequential-fold
     * contract, oracle bit-equal — event types are unique per user, so the
     * sort order is total). */
+  /** Multi-touch attribution: credit each conversion's preceding touch
+    * events under the three classic position models —
+    *
+    *   first_touch: 1.0 to the earliest touch in the lookback window
+    *   last_touch:  1.0 to the latest
+    *   linear:      1/n to each of the n touches
+    *
+    * and roll the credit up per (model, channel). The lookback is an
+    * integer-microsecond gate (`t_ts ∈ (c_ts − window, c_ts]`), so the
+    * window edge is bit-portable; ties inside a conversion break on the
+    * unique touch event_id, making first/last winners deterministic.
+    * Conversions with no touch in the window simply attribute nothing
+    * (they surface as total_credit < #conversions).
+    *
+    * Scale shape: ONE user-keyed interval join (bounded by per-user
+    * activity, the as-of-join cost class — never a time-unkeyed cross),
+    * one conversion-keyed window pass for (n, first, last), then a
+    * 3×-explode of per-touch credit structs into a tiny (model, channel)
+    * aggregate. */
+  def attribution(events: DataFrame, convType: String = "purchase",
+      channels: Seq[String] = Seq("click", "view", "signup"),
+      windowHours: Int = 24): DataFrame = {
+    val winUs = windowHours.toLong * 3600L * 1000000L
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val touch = events.filter(col("event_type").isin(channels.map(lit): _*))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), unix_micros(col("ts")).as("t_us"))
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("t_us") <= col("c_us") &&
+        col("t_us") > col("c_us") - lit(winUs))
+    val w = Window.partitionBy("conv_id")
+    val scored = j
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn_first",
+        row_number().over(w.orderBy(col("t_us"), col("t_id"))))
+      .withColumn("rn_last",
+        row_number().over(w.orderBy(col("t_us").desc, col("t_id").desc)))
+    scored.select(col("channel"), explode(array(
+        struct(lit("first_touch").as("model"),
+          when(col("rn_first") === 1, lit(1.0)).otherwise(lit(0.0)).as("credit")),
+        struct(lit("last_touch").as("model"),
+          when(col("rn_last") === 1, lit(1.0)).otherwise(lit(0.0)).as("credit")),
+        struct(lit("linear").as("model"),
+          (lit(1.0) / col("n").cast("double")).as("credit")))).as("mc"))
+      .select(col("mc.model").as("model"), col("channel"), col("mc.credit").as("credit"))
+      .groupBy("model", "channel")
+      .agg(sum(col("credit")).as("credit"),
+        count(when(col("credit") > 0.0, 1)).as("touches_credited"))
+  }
+
   def userTypeEntropy(events: DataFrame): DataFrame = {
     val c = events.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
     val tot = c.groupBy("user_id").agg(sum(col("c")).as("n"))

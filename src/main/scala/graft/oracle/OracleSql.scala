@@ -2427,6 +2427,43 @@ object OracleSql {
        |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Mirrors Analytics.eventsAttribution / Behavior.attribution: identical
+    * integer-microsecond lookback gate, unique-event-id tie-breaks for the
+    * first/last winners, and the same three credit models; only the linear
+    * 1/n sums are float, absorbed by the 6-decimal floor rounding. */
+  val eventsAttribution: String = {
+    val winUs = 24L * 3600L * 1000000L
+    s"""WITH conv AS (
+       |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+       |  FROM events WHERE event_type = 'purchase'
+       |), touch AS (
+       |  SELECT user_id, event_id AS t_id, event_type AS channel,
+       |         epoch_us(ts) AS t_us
+       |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+       |), j AS (
+       |  SELECT conv_id, channel, t_id, t_us
+       |  FROM conv JOIN touch USING (user_id)
+       |  WHERE t_us <= c_us AND t_us > c_us - $winUs
+       |), sc AS (
+       |  SELECT channel,
+       |         COUNT(*) OVER (PARTITION BY conv_id) AS n,
+       |         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t_us, t_id) AS rf,
+       |         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t_us DESC, t_id DESC) AS rl
+       |  FROM j
+       |), m AS (
+       |  SELECT 'first_touch' AS model, channel,
+       |         CASE WHEN rf = 1 THEN 1.0 ELSE 0.0 END AS credit FROM sc
+       |  UNION ALL
+       |  SELECT 'last_touch', channel,
+       |         CASE WHEN rl = 1 THEN 1.0 ELSE 0.0 END FROM sc
+       |  UNION ALL
+       |  SELECT 'linear', channel, 1.0 / CAST(n AS DOUBLE) FROM sc
+       |)
+       |SELECT model, channel, ${r("SUM(credit)")} AS credit,
+       |       COUNT(*) FILTER (WHERE credit > 0.0) AS touches_credited
+       |FROM m GROUP BY model, channel ORDER BY model, channel""".stripMargin
+  }
+
   /** Mirrors Analytics.lakeZorder / Lake.zorderTiles: single-window
     * ROW_NUMBER stands in for the bucket-offset numbering (identical values
     * by construction), then the same integer rank-cell division, the same

@@ -1320,6 +1320,15 @@ object Analytics {
 
   /** Ordered funnel view → click → purchase: users completing each prefix
     * in order (graft.analytics.Behavior.funnel). */
+  /** Multi-touch attribution rollup: first-touch / last-touch / linear
+    * credit per channel over 24h pre-purchase lookbacks (see
+    * [[graft.analytics.Behavior.attribution]]). */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.attribution(Bars.readEvents(s, dir))
+      .select(col("model"), col("channel"), r6(col("credit")).as("credit"),
+        col("touches_credited"))
+      .orderBy("model", "channel")
+
   def funnelEvents(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Behavior.funnel(Bars.readEvents(s, dir),
         Seq("view", "click", "purchase"))

@@ -2278,6 +2278,30 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("attribution: planted journey credits first/last/linear correctly, out-of-window touch attributes nothing") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000L
+    val ev = Seq(
+      // user 1: click then view inside the 24h window, then purchase
+      (1L, 1L * h, 4L, "click"), (2L, 2L * h, 4L, "view"),
+      (3L, 3L * h, 4L, "purchase"),
+      // user 2's only touch is 30h stale — purchase attributes nothing
+      (4L, 1L * h, 5L, "signup"), (5L, 31L * h, 5L, "purchase"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = graft.analytics.Behavior.attribution(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("first_touch", "click") -> (1.0, 1L),
+      ("first_touch", "view") -> (0.0, 0L),
+      ("last_touch", "click") -> (0.0, 0L),
+      ("last_touch", "view") -> (1.0, 1L),
+      ("linear", "click") -> (0.5, 1L),
+      ("linear", "view") -> (0.5, 1L)), s"got $got")
+  }
+
   test("zorderTiles: 4x4 grid cuts into quadrant tiles — both dims span 1, never a full-width stripe") {
     val s = spark
     import s.implicits._
