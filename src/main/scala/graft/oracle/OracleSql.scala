@@ -2427,6 +2427,33 @@ object OracleSql {
        |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Mirrors Analytics.dqQuarantine: same rule predicates in the same
+    * order (list concat of per-rule literals), same null semantics (a null
+    * field fails only its own null rule — CASE and Spark's when() both
+    * treat a NULL predicate as no-match), raw column passthrough so the
+    * only output surface is the parquet values themselves. */
+  val dqQuarantine: String = {
+    val types = graft.Params.EventTypes.map(t => s"'$t'").mkString(", ")
+    val legs = Seq(
+      "event_type_in_vocab" -> s"NOT event_type IN ($types)",
+      "ts_not_null" -> "ts IS NULL",
+      "value_below_cap" -> "value > 400.0",
+      "value_not_null" -> "value IS NULL",
+      "value_positive" -> "value <= 0.0")
+    val arr = legs.map { case (n, c) =>
+      s"(CASE WHEN $c THEN ['$n'] ELSE []::VARCHAR[] END)"
+    }.mkString(" || ")
+    s"""WITH q AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         $arr AS reasons
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, event_type, value,
+       |       array_to_string(reasons, ',') AS reasons,
+       |       CAST(len(reasons) AS BIGINT) AS n_failed
+       |FROM q WHERE len(reasons) > 0 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Analytics.eventsAttribution / Behavior.attribution: identical
     * integer-microsecond lookback gate, unique-event-id tie-breaks for the
     * first/last winners, and the same three credit models; only the linear

@@ -1514,6 +1514,37 @@ object Analytics {
       .orderBy("rule")
   }
 
+  /** Row-level quarantine channel (the badRecords side-output every ingest
+    * needs next to [[dqChecks]]'s table-level scorecard): each event failing
+    * any validation rule emits ONCE with the sorted list of the rules it
+    * broke — the reprocess/triage queue, O(bad rows) output. The rule set
+    * deliberately includes range gates that FIRE on real data
+    * (`value_positive` catches sf0.1's value=0 rows, `value_below_cap` the
+    * heavy tail) so the channel is exercised, not vacuously empty. One
+    * narrow filter-projection — no shuffle at all; the reasons array is
+    * built by concat of per-rule literals, so reason text is deterministic
+    * and engine-portable. */
+  def dqQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "event_type_in_vocab" -> !col("event_type").isin(graft.Params.EventTypes: _*),
+      "ts_not_null" -> col("ts").isNull,
+      "value_below_cap" -> (col("value") > lit(400.0)),
+      "value_not_null" -> col("value").isNull,
+      "value_positive" -> (col("value") <= lit(0.0)))
+    val reasons = concat(rules.map { case (name, bad) =>
+      when(bad, array(lit(name))).otherwise(array().cast("array<string>"))
+    }: _*)
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), reasons.as("reasons"))
+      .filter(size(col("reasons")) > 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        concat_ws(",", col("reasons")).as("reasons"),
+        size(col("reasons")).cast("long").as("n_failed"))
+      .orderBy("event_id")
+  }
+
   /** Rolling robust outliers: modified z-score over the 21-bar median/MAD
     * (Iglewicz–Hoaglin 0.6745·(x−med)/MAD, |z|>3.5) — the
     * heavy-tail-safe companion to window_outliers' mean/std z-scores (one

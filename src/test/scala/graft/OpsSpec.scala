@@ -2278,6 +2278,20 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("dqQuarantine flags exactly the rule-breaking rows (sf0.1 has value=0 rows)") {
+    val dir = "/root/testdata/sf0.1"
+    val got = graft.queries.Analytics.dqQuarantine(spark, dir).collect()
+    val ev = graft.source.Bars.readEvents(spark, dir)
+    val wantN = ev.filter(col("value") <= 0.0 || col("value") > 400.0).count()
+    assert(got.length.toLong == wantN && wantN > 0,
+      s"quarantine rows ${got.length} vs rule-breaking rows $wantN")
+    // the zero-value class must actually fire at this SF, reasons must be
+    // one of the two live rules, and no row can break both range gates
+    assert(got.exists(_.getAs[String]("reasons") == "value_positive"))
+    assert(got.forall(r => Set("value_positive", "value_below_cap")
+      .contains(r.getAs[String]("reasons")) && r.getAs[Long]("n_failed") == 1L))
+  }
+
   test("attribution: planted journey credits first/last/linear correctly, out-of-window touch attributes nothing") {
     val s = spark
     import s.implicits._
