@@ -40,7 +40,9 @@ object Bench {
         "window_median_approx" ->
           ((s: SparkSession, d: String) => graft.queries.Analytics.windowMedianApprox(s, d)),
         "agg_distinct_approx" ->
-          ((s: SparkSession, d: String) => graft.queries.Analytics.aggDistinctApprox(s, d)))
+          ((s: SparkSession, d: String) => graft.queries.Analytics.aggDistinctApprox(s, d)),
+        "events_hll_rollup" ->
+          ((s: SparkSession, d: String) => graft.queries.Analytics.eventsHllRollup(s, d)))
     val benchable = SparkEntry.queries.toSeq ++ benchOnly
 
     // Optional args = query-name filter (dev iteration); no args = all.

@@ -823,6 +823,40 @@ object Analytics {
           .as("n_user_parities"))
       .orderBy("event_type")
 
+  /** Sketch reaggregation — the way a 100 TB pipeline actually answers
+    * distinct-user questions at multiple grains: build ONE Datasketches HLL
+    * sketch per (event_type, day) — the small pre-aggregated sketch table
+    * it materializes once — then answer the weekly and all-time questions
+    * by UNIONING sketches (`hll_union_agg`), never rescanning raw events.
+    * Union is exactly mergeable: the weekly estimate equals the estimate of
+    * the union of the daily registers (no accuracy loss vs sketching the
+    * week directly), and register-merge is commutative/associative, so the
+    * result is partition-count-invariant — both properties PropSpec pins,
+    * plus the ±3·rsd envelope vs exact distincts. Bench-only by design:
+    * sketch estimates are not cross-engine reproducible (DuckDB's
+    * approx_distinct is a different sketch), the same declared trade as
+    * `agg_distinct_approx`. */
+  def eventsHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Bars.readEvents(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .localCheckpoint() // the materialized daily sketch table
+    val weekly = daily
+      .groupBy(col("event_type"),
+        to_date(date_trunc("week", col("day"))).as("bucket"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_approx"))
+      .withColumn("grain", lit("week"))
+    val overall = daily
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_approx"))
+      .withColumn("grain", lit("all"))
+      .withColumn("bucket", lit(null).cast("date"))
+    weekly.unionByName(overall)
+      .select(col("grain"), col("event_type"), col("bucket"),
+        col("n_users_approx"))
+      .orderBy("grain", "event_type", "bucket")
+  }
+
   /** Set operators: users who both clicked and purchased (INTERSECT) and
     * users who clicked but never purchased (EXCEPT), tagged and unioned. */
   def setOps(s: SparkSession, dir: String): DataFrame = {

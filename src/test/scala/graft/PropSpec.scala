@@ -376,6 +376,34 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("property: HLL sketch rollup — union-merge equals direct sketch, partition-invariant, inside the rsd envelope") {
+    val s = spark
+    import s.implicits._
+    // lgConfigK=12 (the eventsHllRollup setting): rsd ≈ 1.04/√4096 ≈ 1.6%;
+    // 3σ ≈ 5% is the envelope. The mergeability law: estimating the UNION
+    // of per-group sketches must equal sketching the whole set directly —
+    // registers merge losslessly, so pre-aggregation costs no accuracy.
+    for (trial <- 1 to 3) {
+      val n = 1000 + rnd.nextInt(5000)
+      val groups = 2 + rnd.nextInt(6)
+      val rows = (0 until n).map(i => (s"u${trial}_$i", i % groups))
+      val df = rows.toDF("u", "g")
+      def est(d: org.apache.spark.sql.DataFrame): Long = d
+        .groupBy("g").agg(expr("hll_sketch_agg(u, 12)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
+      val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(u, 12))"))
+        .head().getLong(0)
+      val merged = est(df.repartition(4))
+      assert(merged == direct,
+        s"trial $trial: union-of-group-sketches $merged != direct sketch $direct")
+      assert(est(df.repartition(7)) == merged,
+        s"trial $trial: partitioning moved the sketch estimate")
+      val relErr = math.abs(merged - n).toDouble / n
+      assert(relErr <= 0.05,
+        s"trial $trial: estimate $merged vs exact $n — rel err $relErr beyond 3σ")
+    }
+  }
+
   test("property: percentile_approx median stays within one rank of the exact frame median (random series/windows)") {
     for (trial <- 1 to 5) {
       val n = 10 + rnd.nextInt(50)
