@@ -668,6 +668,33 @@ object Market {
       .drop("_e1", "_e2", "_e3")
   }
 
+  val DemaSpan = 20
+
+  /** DEMA and TEMA (Mulloy): lag-compensated moving averages built from
+    * the same chained adjust=true EWMAs as [[withTrix]] —
+    *
+    *   dema = 2·e1 − e2 ;  tema = 3·e1 − 3·e2 + e3
+    *
+    * where e_k is the k-times-iterated EMA of close. The combinations
+    * cancel the EMA's first-order lag (DEMA) and second-order lag (TEMA),
+    * which is why trend systems prefer them to a same-span SMA. All three
+    * EMA passes ride ONE symbol exchange (PlanSpec's fused-window class);
+    * the oracle replays each recurrence as a recursive CTE. */
+  def withDemaTema(df: DataFrame, n: Int = DemaSpan): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def ema(c: org.apache.spark.sql.Column) =
+      graft.expr.Ewma.ewmaSpanOver(c, n, adjust = true, part, ord)
+    val s1 = df.select(col("*"), ema(col("close")).as("_e1"))
+    val s2 = s1.select(col("*"), ema(col("_e1")).as("_e2"))
+    val s3 = s2.select(col("*"), ema(col("_e2")).as("_e3"))
+    s3.select(col("*"),
+        (lit(2.0) * col("_e1") - col("_e2")).as(s"dema_$n"),
+        (lit(3.0) * col("_e1") - lit(3.0) * col("_e2") + col("_e3"))
+          .as(s"tema_$n"))
+      .drop("_e1", "_e2", "_e3")
+  }
+
   /** Rolling z-score outlier flags — the data-quality gate a market
     * pipeline runs before features: per symbol, the 20-bar rolling
     * mean/std (identical cum−lag formulation to Bollinger's), then

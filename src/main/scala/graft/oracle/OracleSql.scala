@@ -505,6 +505,47 @@ object OracleSql {
        |ORDER BY x1.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featDemaTema (Market.withDemaTema, span=20): the same
+    * three chained adjust=true EMA recursions as featTrix, combined with
+    * the identical association order (2·v1 − v2; (3·v1 − 3·v2) + v3). */
+  val featDemaTema: String = {
+    val n = graft.features.Market.DemaSpan
+    val dn = d(n)
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, x1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), e1 AS (
+       |  SELECT symbol, rn, close AS nf, CAST(1.0 AS DOUBLE) AS df FROM x1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x1.symbol, x1.rn, e1.nf * $dn + x1.close, e1.df * $dn + 1.0
+       |  FROM e1 JOIN x1 ON x1.symbol = e1.symbol AND x1.rn = e1.rn + 1
+       |), m1 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v1 FROM e1
+       |), e2 AS (
+       |  SELECT symbol, rn, v1 AS nf, CAST(1.0 AS DOUBLE) AS df FROM m1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m1.symbol, m1.rn, e2.nf * $dn + m1.v1, e2.df * $dn + 1.0
+       |  FROM e2 JOIN m1 ON m1.symbol = e2.symbol AND m1.rn = e2.rn + 1
+       |), m2 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v2 FROM e2
+       |), e3 AS (
+       |  SELECT symbol, rn, v2 AS nf, CAST(1.0 AS DOUBLE) AS df FROM m2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m2.symbol, m2.rn, e3.nf * $dn + m2.v2, e3.df * $dn + 1.0
+       |  FROM e3 JOIN m2 ON m2.symbol = e3.symbol AND m2.rn = e3.rn + 1
+       |), m3 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v3 FROM e3
+       |)
+       |SELECT x1.symbol, x1.event_id,
+       |       ${r("2.0 * v1 - v2")} AS dema_$n,
+       |       ${r("3.0 * v1 - 3.0 * v2 + v3")} AS tema_$n
+       |FROM x1
+       |JOIN m1 ON m1.symbol = x1.symbol AND m1.rn = x1.rn
+       |JOIN m2 ON m2.symbol = x1.symbol AND m2.rn = x1.rn
+       |JOIN m3 ON m3.symbol = x1.symbol AND m3.rn = x1.rn
+       |ORDER BY x1.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featChande (Market.withChande, n=14): null-propagating
     * up/down deltas, both rolling sums via the sequential cum−lag fold,
     * flat-frame (Σup+Σdn = 0) gated like the Spark side. */

@@ -271,6 +271,12 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** DEMA + TEMA lag-compensated moving averages, span 20
+    * (see [[graft.features.Market.withDemaTema]]). */
+  def featDemaTema(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withDemaTema(bars(s, dir)),
+      Seq("dema_20", "tema_20"), Set("dema_20", "tema_20"))
+
   /** Chande Momentum Oscillator over 14 deltas
     * (see [[graft.features.Market.withChande]]). */
   def featChande(s: SparkSession, dir: String): DataFrame = {

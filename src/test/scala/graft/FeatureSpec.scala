@@ -519,6 +519,32 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("DEMA/TEMA are bit-equal to the chained-EMA straight loop; lag cancels on a linear ramp") {
+    val s = spark
+    import s.implicits._
+    val closes = (1 to 200).map(i => 100.0 + 0.5 * i)
+    val got = Market.withDemaTema(barsOf(closes)).orderBy("event_id")
+      .select("dema_20", "tema_20").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // straight-loop replay of the three adjust=true EMA chains
+    val dn = 1.0 - 2.0 / 21.0
+    def chain(xs: Seq[Double]): Seq[Double] = {
+      var nf = 0.0; var df = 0.0
+      xs.map { x => nf = nf * dn + x; df = df * dn + 1.0; nf / df }
+    }
+    val e1 = chain(closes); val e2 = chain(e1); val e3 = chain(e2)
+    closes.indices.foreach { i =>
+      assert(got(i)._1 == 2.0 * e1(i) - e2(i), s"dema row $i")
+      assert(got(i)._2 == 3.0 * e1(i) - 3.0 * e2(i) + e3(i), s"tema row $i")
+    }
+    // lag cancellation: on a ramp the raw EMA trails by ~slope·(span−1)/2
+    // (≈ 4.75 here) while DEMA/TEMA converge onto the price
+    val last = closes.last
+    assert(math.abs(e1.last - last) > 4.0, "raw EMA must lag the ramp")
+    assert(math.abs(got.last._1 - last) < 0.3, s"DEMA lag ${got.last._1 - last}")
+    assert(math.abs(got.last._2 - last) < 0.05, s"TEMA lag ${got.last._2 - last}")
+  }
+
   test("Renko state machine is bit-equal to the sequential straight loop; multi-brick moves conserved") {
     val s = spark
     import s.implicits._
