@@ -403,6 +403,24 @@ object Graph {
       .select("a", "b").distinct()
   }
 
+  /** Co-purchase edges with a minimum-support gate: only part pairs that
+    * co-occur in at least `minSupport` DISTINCT orders. Support filtering
+    * is how a real association graph sheds the one-off noise pairs (and
+    * keeps the edge count near-constant in SF here — random pairs rarely
+    * repeat); the pair aggregate carries map-side partials on the (a, b)
+    * key, the same cost class as [[coPurchaseEdges]]'s distinct. */
+  def coPurchaseEdgesSupported(s: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame = {
+    val li = graft.source.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(countDistinct(col("ok")).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("a", "b")
+  }
+
   /** Degree-oriented triangle counting (the compact-forward / node-
     * iterator++ algorithm; Schank & Wagner 2005): per-node triangle
     * participation counts over an undirected (a < b) edge list.

@@ -2751,6 +2751,37 @@ object OracleSql {
        |SELECT node, COUNT(*) AS n_triangles
        |FROM n GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Mirrors Analytics.graphComponents with an INDEPENDENT algorithm:
+    * recursive reachability (min reachable id per node) vs Spark's
+    * alternating large-star/small-star — agreement on the integer labels
+    * validates the component structure itself. The support-≥2 edge gate
+    * keeps the reachability closure component-bounded. */
+  val graphComponents: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+       |), e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |), reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+       |), lab AS MATERIALIZED (
+       |  SELECT id, MIN(r) AS component_id FROM reach GROUP BY id
+       |)
+       |SELECT lab.id AS node, lab.component_id, sz.component_size
+       |FROM lab JOIN (
+       |  SELECT component_id, COUNT(*) AS component_size
+       |  FROM lab GROUP BY 1
+       |) sz USING (component_id)
+       |ORDER BY node""".stripMargin
+
   /** Mirrors Analytics.graphLinkpred: the same wedge-at-center enumeration
     * (here a center self-join on the neighbor table with the identical
     * degree cap), the same left-anti edge removal and degree attach. The

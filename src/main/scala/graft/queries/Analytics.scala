@@ -49,6 +49,25 @@ object Analytics {
     Graph.triangleCounts(Graph.coPurchaseEdges(s, dir))
       .orderBy("node")
 
+  /** Connected components + component sizes over the support-≥2
+    * co-purchase graph (one-off pairs shed as noise — see
+    * [[graft.analytics.Graph.coPurchaseEdgesSupported]]): the product-
+    * affinity clusters behind "bundle" groupings. Components via the
+    * alternating large-star/small-star algorithm
+    * ([[graft.text.Dedup.connectedComponentsStar]], O(log² n) rounds);
+    * the oracle recomputes labels with an INDEPENDENT recursive
+    * reachability CTE (min reachable id == the star fixpoint root). */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Graph.coPurchaseEdgesSupported(s, dir)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val cc = graft.text.Dedup.connectedComponentsStar(pairs)
+    val sizes = cc.groupBy("label").agg(count(lit(1)).as("component_size"))
+    cc.join(sizes, Seq("label"))
+      .select(col("id").as("node"), col("label").as("component_id"),
+        col("component_size"))
+      .orderBy("node")
+  }
+
   /** Top-100 predicted co-purchase links (the "customers who bought these
     * also bought" candidate set): common-neighbor / Jaccard / Adamic–Adar
     * over non-adjacent part pairs, selected by the bit-deterministic
