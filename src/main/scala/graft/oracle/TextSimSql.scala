@@ -582,6 +582,38 @@ object TextSimSql {
        |FROM s${TextStats.PiiPatterns.size} ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextSim.textPiiSummary: the same progressive redact-count
+    * chain as [[textRedact]], unpivoted per class and aggregated per
+    * source — all-integer output. */
+  val textPiiSummary: String = {
+    val steps = TextStats.PiiPatterns.zipWithIndex.map {
+      case ((name, pat, token), i) =>
+        val prior = TextStats.PiiPatterns.take(i).map(p => s"n_${p._1}, ")
+          .mkString
+        s"""s${i + 1} AS (
+           |  SELECT doc_id, $prior
+           |    CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$name,
+           |    regexp_replace(t, '$pat', '$token', 'g') AS t
+           |  FROM s$i
+           |)""".stripMargin
+    }
+    val legs = TextStats.PiiPatterns.map { case (name, _, _) =>
+      s"SELECT doc_id, '$name' AS pii_type, n_$name AS n FROM sN"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s0 AS (
+       |  SELECT doc_id, text AS t FROM documents
+       |), ${steps.mkString(", ")}, sN AS (
+       |  SELECT * FROM s${TextStats.PiiPatterns.size}
+       |), u AS (
+       |  $legs
+       |)
+       |SELECT d.source, u.pii_type, CAST(SUM(u.n) AS BIGINT) AS n_hits,
+       |       COUNT(*) FILTER (WHERE u.n > 0) AS n_docs_affected
+       |FROM u JOIN documents d USING (doc_id)
+       |GROUP BY d.source, u.pii_type
+       |ORDER BY d.source, u.pii_type""".stripMargin
+  }
+
   /** Mirrors Dedup.sharedNgramPairs (w=8, minShared=1): distinct per-doc
     * 8-token-window md5s, equi-join on the gram, per-pair count. */
   val dedupSharedNgrams: String =

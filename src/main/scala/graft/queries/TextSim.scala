@@ -408,6 +408,16 @@ object TextSim {
       .orderBy("dims", "probe_id")
   }
 
+  /** PII prevalence scorecard per source: total hits and affected-doc
+    * counts for each pattern class of [[graft.text.TextStats.redactPii]] —
+    * the per-provenance privacy report a release review reads before the
+    * scrub (a source with an outlying rate gets quarantined wholesale, not
+    * row-scrubbed). Long format via stack over the per-doc class counts;
+    * one source-keyed aggregate on top of the narrow redact projection. */
+  def textPiiSummary(s: SparkSession, dir: String): DataFrame =
+    TextStats.piiSummary(Tables.documents(s, dir))
+      .orderBy("source", "pii_type")
+
   /** int8 scalar quantization of every embedding, element-checked. */
   def simQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))

@@ -211,6 +211,25 @@ object TextStats {
       md5(finalText.cast("binary")).as("redacted_md5"): _*)
   }
 
+  /** Per-source PII prevalence: total hits and affected-doc counts per
+    * [[PiiPatterns]] class — the per-provenance privacy scorecard a release
+    * review reads before scrubbing (a source with an outlying rate gets
+    * quarantined wholesale, not row-scrubbed). Counts inherit
+    * [[redactPii]]'s sequential precedence (an address inside an email is
+    * an email, never also a digit run). Long format via stack, one
+    * source-keyed aggregate over the narrow redact projection. */
+  def piiSummary(docs: DataFrame): DataFrame = {
+    val stackArgs = PiiPatterns
+      .map { case (name, _, _) => s"'$name', n_$name" }.mkString(", ")
+    redactPii(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), expr(
+        s"stack(${PiiPatterns.size}, $stackArgs) AS (pii_type, n)"))
+      .groupBy("source", "pii_type")
+      .agg(sum(col("n")).as("n_hits"),
+        count(when(col("n") > 0L, 1)).as("n_docs_affected"))
+  }
+
   /** Character-level Shannon entropy per document (bits/char), plus total
     * and distinct character counts — the classic gibberish/binary-noise
     * quality signal (low entropy flags repeated filler, high entropy flags

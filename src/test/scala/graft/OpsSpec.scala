@@ -2278,6 +2278,27 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("piiSummary: planted PII counts per source, email precedence over digit runs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith99@corp.example.com or 555-123-4567 now", "siteA"),
+      (2L, "id 1234567890123 and host 10.0.0.1 here", "siteA"),
+      (3L, "totally clean text", "siteB"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.text.TextStats.piiSummary(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the email's digits ('99') are consumed by the email rewrite — only
+    // doc 2's 13-digit run counts as num; the phone is a phone, not a num
+    assert(got(("siteA", "email")) == (1L, 1L), got.toString)
+    assert(got(("siteA", "phone")) == (1L, 1L))
+    assert(got(("siteA", "ip")) == (1L, 1L))
+    assert(got(("siteA", "num")) == (1L, 1L))
+    assert(got(("siteB", "email")) == (0L, 0L))
+    assert(got(("siteB", "num")) == (0L, 0L))
+  }
+
   test("dqQuarantine flags exactly the rule-breaking rows (sf0.1 has value=0 rows)") {
     val dir = "/root/testdata/sf0.1"
     val got = graft.queries.Analytics.dqQuarantine(spark, dir).collect()
