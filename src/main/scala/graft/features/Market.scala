@@ -1301,6 +1301,52 @@ object Market {
       .drop("_ret", "_x")
   }
 
+  val StochRsiWindow = 14
+
+  /** StochRSI (Chande & Kroll): the stochastic oscillator APPLIED TO RSI —
+    *
+    *   stochrsi   = 100 · (rsi − min_n(rsi)) / (max_n(rsi) − min_n(rsi))
+    *   stochrsi_k = 3-bar SMA of stochrsi     (the smoothed %K line)
+    *
+    * normalizing RSI against its own recent range makes the 0/100 pins far
+    * more frequent than raw RSI's 30/70 touches — the faster mean-reversion
+    * trigger. The RSI leg is the house recursion exactly (adjust=false
+    * gain/loss EWMAs, the 100−100/(1+rs) tree of feat_rsi, so the oracle
+    * reuses that replay verbatim); the range is native rolling MIN/MAX
+    * (order-insensitive); the %K SMA runs through the cum−lag identity, so
+    * no sliding-frame float sum ever re-associates cross-engine. NULL until
+    * the n-bar range fills or while the range is flat (mx == mn). */
+  def withStochRsi(df: DataFrame, n: Int = StochRsiWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Frames.bySymbol
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    val prev = lag(col("close"), 1).over(w)
+    val s1 = df.select(col("*"), (col("close") - prev).as("_d1"))
+    val g = graft.expr.Ewma.ewmaSpanOver(
+      (col("_d1") > 0).cast("double") * col("_d1"),
+      graft.Params.RsiPeriod, adjust = false, part, ord)
+    val l = graft.expr.Ewma.ewmaSpanOver(
+      (col("_d1") < 0).cast("double") * (-col("_d1")),
+      graft.Params.RsiPeriod, adjust = false, part, ord)
+    val s2 = s1.select(col("*"),
+      (lit(100) - lit(100) / (lit(1) + g / (l + lit(1e-10)))).as("_rsi"))
+    val f = w.rowsBetween(-(n - 1), 0)
+    val s3 = s2.select(col("*"),
+      min(col("_rsi")).over(f).as("_mn"), max(col("_rsi")).over(f).as("_mx"),
+      count(col("_rsi")).over(f).as("_cnt"))
+    val s4 = s3.select(col("*"),
+      when(col("_cnt") === n && col("_mx") > col("_mn"),
+        (col("_rsi") - col("_mn")) / (col("_mx") - col("_mn")) * lit(100.0))
+        .as("stochrsi"))
+    val s5 = Frames.withCums(s4, Map("_c_sk" -> col("stochrsi")))
+    s5.select(col("*"),
+        when(Frames.cumCountGate("_c_sk", 3),
+          Frames.cumRolling("_c_sk", 3) / lit(3.0)).as("stochrsi_k"))
+      .drop("_d1", "_rsi", "_mn", "_mx", "_cnt")
+      .drop(Frames.cumHelperCols(Seq("_c_sk")): _*)
+  }
+
   val CrsiRsiPeriod = 3
   val CrsiStreakPeriod = 2
   val CrsiRankWindow = 20

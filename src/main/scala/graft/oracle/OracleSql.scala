@@ -2133,6 +2133,59 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featStochRsi (Market.withStochRsi, range 14, %K SMA 3):
+    * the featRsi recursion verbatim, then native rolling MIN/MAX
+    * (order-insensitive) and the cum−lag 3-bar SMA with the identical
+    * count gate — no sliding-frame float sum on either engine. */
+  val featStochRsi: String = {
+    val p = Params.RsiPeriod
+    val n = graft.features.Market.StochRsiWindow
+    val Wr = "PARTITION BY symbol ORDER BY rn"
+    val fr = s"$Wr ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+    val run = s"$Wr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close,
+       |         ROW_NUMBER() OVER ($W) AS rn,
+       |         close - LAG(close, 1) OVER ($W) AS delta
+       |  FROM bars
+       |), g AS MATERIALIZED (
+       |  SELECT symbol, event_id, rn - 1 AS rn2,
+       |         CAST(delta > 0 AS DOUBLE) * delta AS gain,
+       |         CAST(delta < 0 AS DOUBLE) * (-delta) AS loss
+       |  FROM b2 WHERE delta IS NOT NULL
+       |), ew AS (
+       |  SELECT symbol, rn2, gain AS ag, loss AS al FROM g WHERE rn2 = 1
+       |  UNION ALL
+       |  SELECT g.symbol, g.rn2,
+       |         ew.ag * ${d(p)} + ${a(p)} * g.gain,
+       |         ew.al * ${d(p)} + ${a(p)} * g.loss
+       |  FROM ew JOIN g ON g.symbol = ew.symbol AND g.rn2 = ew.rn2 + 1
+       |), rs AS MATERIALIZED (
+       |  SELECT b2.symbol, b2.event_id, b2.rn,
+       |         100 - (100 / (1 + ew.ag / (ew.al + 1e-10))) AS rsi
+       |  FROM b2
+       |  LEFT JOIN g ON g.symbol = b2.symbol AND g.event_id = b2.event_id
+       |  LEFT JOIN ew ON ew.symbol = g.symbol AND ew.rn2 = g.rn2
+       |), st AS (
+       |  SELECT symbol, event_id, rn,
+       |         CASE WHEN COUNT(rsi) OVER ($fr) = $n
+       |                   AND MAX(rsi) OVER ($fr) > MIN(rsi) OVER ($fr)
+       |              THEN (rsi - MIN(rsi) OVER ($fr))
+       |                     / (MAX(rsi) OVER ($fr) - MIN(rsi) OVER ($fr)) * 100.0
+       |         END AS stochrsi
+       |  FROM rs
+       |), cm AS (
+       |  SELECT symbol, event_id, rn, stochrsi,
+       |         COALESCE(list_sum(list(stochrsi) OVER ($run)), 0.0) AS c,
+       |         COUNT(stochrsi) OVER ($run) AS cn
+       |  FROM st
+       |)
+       |SELECT symbol, event_id, ${r("stochrsi")} AS stochrsi,
+       |       ${r(s"CASE WHEN cn - COALESCE(LAG(cn, 3) OVER ($Wr), 0) = 3 " +
+      s"THEN (c - COALESCE(LAG(c, 3) OVER ($Wr), 0.0)) / 3.0 END")} AS stochrsi_k
+       |FROM cm ORDER BY event_id""".stripMargin
+  }
+
   val featMacd: String = {
     val f = Params.MacdFast
     val sl = Params.MacdSlow

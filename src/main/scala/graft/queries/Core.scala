@@ -271,6 +271,12 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** StochRSI + smoothed %K, range 14 / SMA 3
+    * (see [[graft.features.Market.withStochRsi]]). */
+  def featStochRsi(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withStochRsi(bars(s, dir)),
+      Seq("stochrsi", "stochrsi_k"), Set("stochrsi", "stochrsi_k"))
+
   /** DEMA + TEMA lag-compensated moving averages, span 20
     * (see [[graft.features.Market.withDemaTema]]). */
   def featDemaTema(s: SparkSession, dir: String): DataFrame =

@@ -519,6 +519,32 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("StochRSI: bounded 0..100, pins both extremes, %K equals the 3-bar mean") {
+    val s = spark
+    import s.implicits._
+    val closes = (1 to 120).map(i => 100.0 + 10 * math.sin(i / 4.0) + i * 0.05)
+    val rows = Market.withStochRsi(barsOf(closes)).orderBy("event_id")
+      .select("stochrsi", "stochrsi_k").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]),
+        Option(r.get(1)).map(_.asInstanceOf[Double])))
+    val st = rows.map(_._1)
+    assert(st.flatten.forall(v => v >= 0.0 && v <= 100.0))
+    // the defining property: whenever rsi IS its own window extreme the
+    // oscillator pins — a sin wave must touch both rails repeatedly
+    assert(st.flatten.count(_ == 0.0) >= 3, "no 0-rail pins on a sin wave")
+    assert(st.flatten.count(_ == 100.0) >= 3, "no 100-rail pins")
+    // %K = mean of the last 3 defined stochrsi values (cum−lag association
+    // differs from the naive sum by float noise only)
+    rows.indices.drop(2).foreach { i =>
+      val last3 = Seq(st(i - 2), st(i - 1), st(i))
+      (rows(i)._2, last3) match {
+        case (Some(k), Seq(Some(x), Some(y), Some(z))) =>
+          assert(math.abs(k - (x + y + z) / 3.0) < 1e-9, s"row $i")
+        case (k, _) => assert(k.isEmpty, s"row $i: %K defined over a null gap")
+      }
+    }
+  }
+
   test("DEMA/TEMA are bit-equal to the chained-EMA straight loop; lag cancels on a linear ramp") {
     val s = spark
     import s.implicits._
