@@ -1301,6 +1301,35 @@ object Market {
       .drop("_ret", "_x")
   }
 
+  /** Candlestick pattern flags — the classic single/two-bar shapes a
+    * signal screener scans for, as exact comparison predicates (integer
+    * flags, no float derivation beyond arithmetic both engines share):
+    *
+    *   doji            |close−open| ≤ 0.1·(high−low), high > low
+    *   hammer          lower shadow ≥ 2·body AND upper shadow ≤ body
+    *   engulfing bull  prev red, this green, this body covers prev body
+    *   engulfing bear  the mirror
+    *
+    * One narrow projection + one lag pass on the symbol exchange. */
+  def withCandles(df: DataFrame): DataFrame = {
+    val w = Frames.bySymbol
+    val body = abs(col("close") - col("open"))
+    val upper = col("high") - greatest(col("open"), col("close"))
+    val lower = least(col("open"), col("close")) - col("low")
+    val po = lag(col("open"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    def flag(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("int"), lit(0))
+    df.select(col("*"),
+      flag(col("high") > col("low") &&
+        body <= lit(0.1) * (col("high") - col("low"))).as("candle_doji"),
+      flag(lower >= lit(2.0) * body && upper <= body).as("candle_hammer"),
+      flag(pc < po && col("close") > col("open") &&
+        col("open") <= pc && col("close") >= po).as("candle_engulf_bull"),
+      flag(pc > po && col("close") < col("open") &&
+        col("open") >= pc && col("close") <= po).as("candle_engulf_bear"))
+  }
+
   val StochRsiWindow = 14
 
   /** StochRSI (Chande & Kroll): the stochastic oscillator APPLIED TO RSI —

@@ -2133,6 +2133,28 @@ object OracleSql {
        |ORDER BY b2.event_id""".stripMargin
   }
 
+  /** Mirrors Core.barsCandles (Market.withCandles): the same comparison
+    * predicates and 0.1/2.0 shadow-body multipliers — all-integer flags,
+    * null lags coalesce to 0 on both engines. */
+  val barsCandles: String = {
+    val body = "abs(close - open)"
+    val upper = "high - greatest(open, close)"
+    val lower = "least(open, close) - low"
+    val po = s"LAG(open, 1) OVER ($W)"
+    val pc = s"LAG(close, 1) OVER ($W)"
+    s"""$barsCte, c1 AS (
+       |  SELECT symbol, event_id, open, high, low, close,
+       |         $po AS po, $pc AS pc
+       |  FROM bars
+       |)
+       |SELECT symbol, event_id,
+       |       COALESCE(CAST(high > low AND $body <= 0.1 * (high - low) AS INT), 0) AS candle_doji,
+       |       COALESCE(CAST($lower >= 2.0 * $body AND $upper <= $body AS INT), 0) AS candle_hammer,
+       |       COALESCE(CAST(pc < po AND close > open AND open <= pc AND close >= po AS INT), 0) AS candle_engulf_bull,
+       |       COALESCE(CAST(pc > po AND close < open AND open >= pc AND close <= po AS INT), 0) AS candle_engulf_bear
+       |FROM c1 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featStochRsi (Market.withStochRsi, range 14, %K SMA 3):
     * the featRsi recursion verbatim, then native rolling MIN/MAX
     * (order-insensitive) and the cum−lag 3-bar SMA with the identical

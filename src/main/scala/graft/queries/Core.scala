@@ -271,6 +271,13 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** Candlestick pattern flags (doji, hammer, engulfings — see
+    * [[graft.features.Market.withCandles]]); all-integer output. */
+  def barsCandles(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withCandles(bars(s, dir)),
+      Seq("candle_doji", "candle_hammer", "candle_engulf_bull",
+        "candle_engulf_bear"), Set.empty)
+
   /** StochRSI + smoothed %K, range 14 / SMA 3
     * (see [[graft.features.Market.withStochRsi]]). */
   def featStochRsi(s: SparkSession, dir: String): DataFrame =

@@ -519,6 +519,39 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("candle patterns: planted OHLC bars fire each flag exactly where constructed") {
+    val s = spark
+    import s.implicits._
+    // (open, high, low, close) per bar:
+    // 0: plain green bar — nothing
+    // 1: doji (body 0.1 on a 2.0 range), long shadows both sides
+    // 2: red bar (sets up the bull engulf)
+    // 3: bullish engulfing of bar 2 (green body covering 2's body)
+    // 4: green bar (sets up the bear engulf)
+    // 5: bearish engulfing of bar 4 + hammer shape (long lower shadow)
+    val bars = Seq(
+      (0L, 100.0, 101.0, 99.5, 100.8),
+      (1L, 100.0, 101.0, 99.0, 100.1),
+      (2L, 100.5, 100.6, 99.8, 100.2),
+      (3L, 99.9, 101.2, 99.8, 100.7),
+      (4L, 100.0, 100.5, 99.9, 100.4),
+      (5L, 100.5, 100.9, 98.8, 99.95))
+      .map { case (i, o, h, l, c) => ("A", i, o, h, l, c) }
+      .toDF("symbol", "event_id", "open", "high", "low", "close")
+      .withColumn("datetime", timestamp_micros(col("event_id") * 1000000L))
+      .withColumn("volume", lit(100.0))
+    val got = graft.features.Market.withCandles(bars).orderBy("event_id")
+      .select("candle_doji", "candle_hammer", "candle_engulf_bull",
+        "candle_engulf_bear")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got(0) == ((0, 0, 0, 0)))
+    assert(got(1)._1 == 1, "bar 1 must flag doji")
+    assert(got(3) == ((0, 0, 1, 0)), s"bar 3 must flag bull engulf: ${got(3)}")
+    assert(got(5)._2 == 1 && got(5)._4 == 1,
+      s"bar 5 must flag hammer + bear engulf: ${got(5)}")
+    assert(got.map(_._3).sum == 1 && got.map(_._4).sum == 1)
+  }
+
   test("StochRSI: bounded 0..100, pins both extremes, %K equals the 3-bar mean") {
     val s = spark
     import s.implicits._
