@@ -225,6 +225,42 @@ object Behavior {
     * per-user sum folds over the event_type-sorted list (sequential-fold
     * contract, oracle bit-equal — event types are unique per user, so the
     * sort order is total). */
+  /** Cohort LTV curves: users cohorted by first-activity week, purchase
+    * revenue accumulated per cohort over cohort age —
+    *
+    *   cum_ltv(cohort, a) = Σ_{age ≤ a} revenue(cohort, age) / |cohort|
+    *
+    * the curve a growth model reads payback periods off (next to
+    * [[weeklyRetention]]'s activity version). Weeks via date_trunc (Monday
+    * start on both engines), age in whole weeks via integer day division.
+    *
+    * Scale shape: one user-keyed first-week aggregate, one broadcast-sized
+    * cohort-size table, one (cohort, age) aggregate with map-side partials,
+    * then the running sum over a ≤-weeks-long ordered frame per cohort —
+    * the tiny-window class, nothing data-sized on the driver. */
+  def userLtv(events: DataFrame): DataFrame = {
+    val wk = to_date(date_trunc("week", col("ts")))
+    val firstWeek = events
+      .groupBy("user_id").agg(min(wk).as("cohort_week"))
+    val cohortSize = firstWeek.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), wk.as("week"), col("value"))
+      .join(firstWeek, Seq("user_id"))
+      .groupBy("cohort_week",  "week")
+      .agg(countDistinct(col("user_id")).as("active_buyers"),
+        sum(col("value")).as("revenue"))
+      .withColumn("age_weeks",
+        (datediff(col("week"), col("cohort_week")) / lit(7)).cast("int"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(cohortSize, Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+        col("active_buyers"), col("revenue"),
+        (sum(col("revenue")).over(w) / col("cohort_users").cast("double"))
+          .as("cum_ltv"))
+  }
+
   /** Multi-touch attribution: credit each conversion's preceding touch
     * events under the three classic position models —
     *

@@ -2570,6 +2570,38 @@ object OracleSql {
        |FROM q WHERE len(reasons) > 0 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.userLtv / Behavior.userLtv: Monday-start date_trunc
+    * weeks on both engines, exact-integer week ages (week-aligned day
+    * diffs are multiples of 7, so the /7 is exact), and the cohort running
+    * sum replayed as the age-ordered sequential list fold. */
+  val userLtv: String = {
+    val cum = "PARTITION BY cohort_week ORDER BY age_weeks " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"""WITH fw AS (
+       |  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+       |  FROM events GROUP BY 1
+       |), cs AS (
+       |  SELECT cohort_week, COUNT(*) AS cohort_users FROM fw GROUP BY 1
+       |), rv AS (
+       |  SELECT fw.cohort_week, CAST(date_trunc('week', e.ts) AS DATE) AS week,
+       |         COUNT(DISTINCT e.user_id) AS active_buyers,
+       |         SUM(e.value) AS revenue
+       |  FROM events e JOIN fw USING (user_id)
+       |  WHERE e.event_type = 'purchase'
+       |  GROUP BY 1, 2
+       |), ag AS (
+       |  SELECT cohort_week,
+       |         CAST(datediff('day', cohort_week, week) / 7 AS INT) AS age_weeks,
+       |         active_buyers, revenue
+       |  FROM rv
+       |)
+       |SELECT ag.cohort_week, ag.age_weeks, cs.cohort_users, ag.active_buyers,
+       |       ${r("revenue")} AS revenue,
+       |       ${r(s"list_sum(list(revenue) OVER ($cum)) / CAST(cohort_users AS DOUBLE)")} AS cum_ltv
+       |FROM ag JOIN cs USING (cohort_week)
+       |ORDER BY ag.cohort_week, ag.age_weeks""".stripMargin
+  }
+
   /** Mirrors Analytics.eventsAttribution / Behavior.attribution: identical
     * integer-microsecond lookback gate, unique-event-id tie-breaks for the
     * first/last winners, and the same three credit models; only the linear

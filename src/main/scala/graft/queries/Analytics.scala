@@ -1373,6 +1373,16 @@ object Analytics {
 
   /** Ordered funnel view → click → purchase: users completing each prefix
     * in order (graft.analytics.Behavior.funnel). */
+  /** Cohort LTV curves (first-activity-week cohorts, cumulative purchase
+    * revenue per cohort user by cohort age — see
+    * [[graft.analytics.Behavior.userLtv]]). */
+  def userLtv(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.userLtv(Bars.readEvents(s, dir))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+        col("active_buyers"), r6(col("revenue")).as("revenue"),
+        r6(col("cum_ltv")).as("cum_ltv"))
+      .orderBy("cohort_week", "age_weeks")
+
   /** Multi-touch attribution rollup: first-touch / last-touch / linear
     * credit per channel over 24h pre-purchase lookbacks (see
     * [[graft.analytics.Behavior.attribution]]). */

@@ -2278,6 +2278,31 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("userLtv: planted cohorts accumulate revenue per cohort user") {
+    val s = spark
+    import s.implicits._
+    val wk = 7L * 86400L * 1000000L
+    // u4/u5 cohort week0 (u5 via a non-purchase first touch), u6 week1
+    val ev = Seq(
+      (1L, 0L, 4L, "purchase", 10.0),
+      (2L, 1000L, 5L, "view", 0.0),
+      (3L, wk, 4L, "purchase", 20.0),
+      (4L, wk + 1L, 5L, "purchase", 30.0),
+      (5L, wk + 2L, 6L, "purchase", 40.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = graft.analytics.Behavior.userLtv(ev)
+      .orderBy("cohort_week", "age_weeks").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5)))
+    // epoch 0 is a Thursday: ts=0 and ts=wk land in different ISO weeks
+    assert(got.toSeq == Seq(
+      (0, 2L, 1L, 10.0, 5.0),   // week-0 cohort, age 0: u4's $10 over 2 users
+      (1, 2L, 2L, 50.0, 30.0),  // age 1: +$20 (u4) +$30 (u5) → cum 60/2
+      (0, 1L, 1L, 40.0, 40.0)), // u6's own cohort
+      s"got ${got.toSeq}")
+  }
+
   test("piiSummary: planted PII counts per source, email precedence over digit runs") {
     val s = spark
     import s.implicits._
