@@ -592,11 +592,17 @@ object Market {
     *
     * Garman–Klass is NULL when the frame mean goes negative (the
     * estimator is undefined there — large drift, narrow ranges).
-    * Prices are strictly positive so the logs are total. Rolling means
-    * via the cum−lag identity over the one shared exchange. */
+    * Zero/negative prices (the regenerated sf0.1 data carries value = 0
+    * rows) gate their bar's log terms to NULL explicitly on BOTH engines —
+    * without the gate Spark's ln poisons the running cums with NaN on the
+    * 0/0 bar while DuckDB raises on ln(0), so the gate is a correctness
+    * fix, not cosmetics. Rolling means via the cum−lag identity over the
+    * one shared exchange. */
   def withRangeVol(df: DataFrame, n: Int = RangeVolWindow): DataFrame = {
-    val lhl = log(col("high") / col("low"))
-    val lco = log(col("close") / col("open"))
+    val lhl = when(col("high") > 0.0 && col("low") > 0.0,
+      log(col("high") / col("low")))
+    val lco = when(col("close") > 0.0 && col("open") > 0.0,
+      log(col("close") / col("open")))
     val s1 = df.select(col("*"),
       (lhl * lhl).as("_hl2"),
       (lit(0.5) * (lhl * lhl) - lit(GkCoef) * (lco * lco)).as("_gkt"))

@@ -411,12 +411,16 @@ object OracleSql {
     val n = graft.features.Market.RangeVolWindow
     val fourLn2 = graft.features.Market.FourLn2
     val gk = graft.features.Market.GkCoef
-    s"""$barsCte, rv0 AS (
+    s"""$barsCte, rvl AS (
        |  SELECT symbol, event_id, datetime,
-       |         ln(high / low) * ln(high / low) AS hl2,
-       |         0.5 * (ln(high / low) * ln(high / low)) -
-       |           $gk * (ln(close / open) * ln(close / open)) AS gkt
+       |         CASE WHEN high > 0.0 AND low > 0.0 THEN ln(high / low) END AS lhl,
+       |         CASE WHEN close > 0.0 AND open > 0.0 THEN ln(close / open) END AS lco
        |  FROM bars
+       |), rv0 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         lhl * lhl AS hl2,
+       |         0.5 * (lhl * lhl) - $gk * (lco * lco) AS gkt
+       |  FROM rvl
        |), rv1 AS (
        |  SELECT symbol, event_id, datetime,
        |         ${cumSum("hl2")} AS _c_hl2,
@@ -2286,7 +2290,7 @@ object OracleSql {
        |  FROM bars
        |), k1 AS MATERIALIZED (
        |  SELECT symbol, event_id, datetime, rn, close, change,
-       |         SUM(absd) OVER ($Wrun) AS cum,
+       |         ${cumSum("absd")} AS cum,
        |         COUNT(absd) OVER (${frame(n)}) AS cnt
        |  FROM b2
        |), k2 AS MATERIALIZED (

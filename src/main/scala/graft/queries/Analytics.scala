@@ -847,11 +847,12 @@ object Analytics {
     * sketch per (event_type, day) — the small pre-aggregated sketch table
     * it materializes once — then answer the weekly and all-time questions
     * by UNIONING sketches (`hll_union_agg`), never rescanning raw events.
-    * Union is exactly mergeable: the weekly estimate equals the estimate of
-    * the union of the daily registers (no accuracy loss vs sketching the
-    * week directly), and register-merge is commutative/associative, so the
-    * result is partition-count-invariant — both properties PropSpec pins,
-    * plus the ±3·rsd envelope vs exact distincts. Bench-only by design:
+    * The merge is register-level but NOT estimator-bitwise (partial-merge
+    * order decides when coupon mode promotes, and the union target
+    * promotes HLL_4 → HLL_8): estimates across merge topologies and
+    * partitionings agree within ~1–2% and stay inside the ±3·rsd envelope
+    * vs exact distincts — the PropSpec contract, and exactly why this is
+    * bench-only rather than oracle-gated. Bench-only by design:
     * sketch estimates are not cross-engine reproducible (DuckDB's
     * approx_distinct is a different sketch), the same declared trade as
     * `agg_distinct_approx`. */

@@ -352,6 +352,48 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("property: linkPrediction == brute-force CN/Jaccard/Adamic-Adar (random graphs)") {
+    val s = spark
+    import s.implicits._
+    for (round <- 1 to 5) {
+      val n = 6 + rnd.nextInt(14)
+      val p = 0.2 + rnd.nextDouble() * 0.3
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val nbrs = (0L until n).map(v => v ->
+          edges.collect { case (a, b) if a == v => b
+                          case (a, b) if b == v => a }.toSet).toMap
+        val naive = (for {
+          u <- 0L until n; v <- (u + 1) until n
+          if !es((u, v))
+          common = nbrs(u) & nbrs(v)
+          if common.nonEmpty
+        } yield {
+          val aa = common.toSeq.sorted
+            .map(w => 1.0 / math.log(nbrs(w).size.toDouble)).sum
+          (u, v) -> (common.size.toLong,
+            common.size.toDouble / (nbrs(u) ++ nbrs(v)).size, aa)
+        }).toMap
+        val got = graft.analytics.Graph
+          .linkPrediction(edges.toDF("a", "b"), k = 10000)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        assert(got.keySet == naive.keySet,
+          s"round $round: pair sets differ ${got.keySet} vs ${naive.keySet}")
+        got.foreach { case (k, (cn, jac, aa)) =>
+          val (wcn, wjac, waa) = naive(k)
+          assert(cn == wcn, s"round $round $k cn")
+          assert(math.abs(jac - wjac) < 1e-12, s"round $round $k jaccard")
+          assert(math.abs(aa - waa) < 1e-9, s"round $round $k adamic-adar")
+        }
+      }
+    }
+  }
+
   test("property: approx_count_distinct stays inside the rsd envelope (random cardinalities + dup factors)") {
     val s = spark
     import s.implicits._
@@ -393,14 +435,23 @@ class PropSpec extends SparkSpec {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
       val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(u, 12))"))
         .head().getLong(0)
-      val merged = est(df.repartition(4))
-      assert(merged == direct,
-        s"trial $trial: union-of-group-sketches $merged != direct sketch $direct")
-      assert(est(df.repartition(7)) == merged,
-        s"trial $trial: partitioning moved the sketch estimate")
-      val relErr = math.abs(merged - n).toDouble / n
-      assert(relErr <= 0.05,
-        s"trial $trial: estimate $merged vs exact $n — rel err $relErr beyond 3σ")
+      val merged4 = est(df.repartition(4))
+      val merged7 = est(df.repartition(7))
+      // neither union-vs-direct nor across-partitioning is estimator-
+      // BITWISE (partial-merge order decides when coupon mode promotes to
+      // registers, and the union target promotes HLL_4 → HLL_8) — the
+      // contract is the rsd class: every topology lands within ~2% of
+      // every other and 3σ of the truth. That is exactly why the rollup is
+      // bench-only rather than oracle-gated.
+      for ((a, b, lbl) <- Seq((merged4, direct, "merge4 vs direct"),
+        (merged7, direct, "merge7 vs direct"), (merged4, merged7, "4 vs 7"))) {
+        assert(math.abs(a - b).toDouble / b <= 0.02, s"trial $trial $lbl: $a vs $b")
+      }
+      for (m <- Seq(direct, merged4, merged7)) {
+        val relErr = math.abs(m - n).toDouble / n
+        assert(relErr <= 0.05,
+          s"trial $trial: estimate $m vs exact $n — rel err $relErr beyond 3σ")
+      }
     }
   }
 
