@@ -176,4 +176,39 @@ object Relational {
         min(col(time)).as("session_start"),
         max(col(time)).as("session_end"))
   }
+
+  /** Peak concurrent sessions per hour — the load curve capacity planning
+    * reads: classic sweep-line over [[sessionize]]'s intervals (+1 at each
+    * session start, −1 at its end), the running count taken over the
+    * GLOBAL boundary order. A start ties BEFORE an end at the same instant
+    * (delta DESC), then (user, session) for a total order — the
+    * max-overlap reading, so a one-event session still registers.
+    *
+    * Scale shape: the running count goes through
+    * [[graft.analytics.Ranking.withGlobalRunningSum]] (range-bucketed
+    * integer offsets — the sweep-line WITHOUT the single-partition window
+    * that kills sweep-lines at scale; integer weights make the bucketed
+    * sum bit-equal to the sequential one under any bucketing), then one
+    * hourly max aggregate. Hours with no boundary don't emit (concurrency
+    * is unchanged there — the reader carries the previous level
+    * forward). */
+  def sessionConcurrency(events: DataFrame, key: String = "user_id",
+      time: String = "ts", tie: String = "event_id",
+      gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionize(events, key, time, tie, gapMinutes)
+    val bounds = sess.select(
+        unix_micros(col("session_start")).as("us"), lit(1L).as("delta"),
+        col(key).as("k"), col("session_idx"))
+      .unionAll(sess.select(
+        unix_micros(col("session_end")).as("us"), lit(-1L).as("delta"),
+        col(key).as("k"), col("session_idx")))
+    val swept = graft.analytics.Ranking.withGlobalRunningSum(
+      bounds, col("us"),
+      Seq(col("us"), col("delta").desc, col("k"), col("session_idx")),
+      col("delta"), "concurrent")
+    swept
+      .groupBy(floor(col("us") / lit(3600000000L)).cast("long").as("hour_bucket"))
+      .agg(count(lit(1)).as("n_boundaries"),
+        max(col("concurrent")).as("peak_concurrent"))
+  }
 }

@@ -2574,6 +2574,45 @@ object OracleSql {
        |FROM q WHERE len(reasons) > 0 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.sessionsConcurrency: the same sessionization, then
+    * the sweep-line running count as a plain single-window integer SUM
+    * (exact under any association — which is also why the Spark side's
+    * bucketed-offset formulation is bit-equal to it), same
+    * starts-before-ends tie order, same hourly max. */
+  val sessionsConcurrency: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM o
+      |), sess AS (
+      |  SELECT user_id, session_idx,
+      |         MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM s GROUP BY 1, 2
+      |), b AS (
+      |  SELECT epoch_us(session_start) AS us, CAST(1 AS BIGINT) AS delta,
+      |         user_id AS k, session_idx
+      |  FROM sess
+      |  UNION ALL
+      |  SELECT epoch_us(session_end), CAST(-1 AS BIGINT), user_id, session_idx
+      |  FROM sess
+      |), sw AS (
+      |  SELECT us,
+      |         SUM(delta) OVER (ORDER BY us, delta DESC, k, session_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+      |  FROM b
+      |)
+      |SELECT CAST(us // 3600000000 AS BIGINT) AS hour_bucket,
+      |       COUNT(*) AS n_boundaries,
+      |       CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+      |FROM sw GROUP BY 1 ORDER BY hour_bucket""".stripMargin
+
   /** Mirrors Analytics.userLtv / Behavior.userLtv: Monday-start date_trunc
     * weeks on both engines, exact-integer week ages (week-aligned day
     * diffs are multiples of 7, so the /7 is exact), and the cohort running

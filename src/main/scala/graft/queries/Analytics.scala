@@ -1374,6 +1374,12 @@ object Analytics {
 
   /** Ordered funnel view → click → purchase: users completing each prefix
     * in order (graft.analytics.Behavior.funnel). */
+  /** Peak concurrent sessions per hour (sweep-line over the sessionized
+    * intervals — see [[graft.analytics.Relational.sessionConcurrency]]). */
+  def sessionsConcurrency(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionConcurrency(Bars.readEvents(s, dir))
+      .orderBy("hour_bucket")
+
   /** Cohort LTV curves (first-activity-week cohorts, cumulative purchase
     * revenue per cohort user by cohort age — see
     * [[graft.analytics.Behavior.userLtv]]). */

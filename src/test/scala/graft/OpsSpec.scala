@@ -2278,6 +2278,29 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("sessionConcurrency: planted overlapping sessions, starts tie before ends") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000L
+    // A [0,100]s and B [50,150]s overlap; C sits alone in hour 2;
+    // D is a single-event session exactly at B's end (the tie case)
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 100L, 1L),
+      (3L, 50L, 2L), (4L, 150L, 2L),
+      (5L, 7200L, 3L), (6L, 7300L, 3L),
+      (7L, 150L, 4L))
+      .map { case (e, t, u) => (e, t * sec, u, "view", 1.0) }
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = graft.analytics.Relational.sessionConcurrency(ev)
+      .orderBy("hour_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hour 0: 6 boundaries (A, B, D start+end each), peak 2 from the A∩B
+    // overlap; the t=150 instant sweeps +D → 2, −B → 1, −D → 0 (starts tie
+    // before ends), so the one-event session registers without a new peak
+    assert(got.toSeq == Seq((0L, 6L, 2L), (2L, 2L, 1L)), s"got ${got.toSeq}")
+  }
+
   test("userLtv: planted cohorts accumulate revenue per cohort user") {
     val s = spark
     import s.implicits._
