@@ -2574,6 +2574,30 @@ object OracleSql {
        |FROM q WHERE len(reasons) > 0 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.driftChi2: identical expected-count and
+    * contribution expression trees over exact integer counts. */
+  val driftChi2: String = {
+    val eb = "CAST(n_base + n_cur AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(tb + tc AS DOUBLE)"
+    val ec = "CAST(n_base + n_cur AS DOUBLE) * CAST(tc AS DOUBLE) / CAST(tb + tc AS DOUBLE)"
+    val contrib = s"(CAST(n_base AS DOUBLE) - $eb) * (CAST(n_base AS DOUBLE) - $eb) / ($eb) + " +
+      s"(CAST(n_cur AS DOUBLE) - $ec) * (CAST(n_cur AS DOUBLE) - $ec) / ($ec)"
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |         COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_base,
+       |         COUNT(*) FILTER (WHERE event_id % 2 <> 0) AS n_cur
+       |  FROM events GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+       |         CAST(SUM(n_cur) AS BIGINT) AS tc
+       |  FROM c
+       |)
+       |SELECT event_type, n_base, n_cur,
+       |       ${r(eb)} AS exp_base, ${r(ec)} AS exp_cur,
+       |       ${r(contrib)} AS chi2_contrib
+       |FROM c CROSS JOIN t
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Mirrors Analytics.sessionsConcurrency: the same sessionization, then
     * the sweep-line running count as a plain single-window integer SUM
     * (exact under any association — which is also why the Spark side's

@@ -447,6 +447,36 @@ object Analytics {
     * away. Two partial+final aggregates and one broadcast-sized join of
     * per-bin rates: the monitoring primitive that decides "retrain or
     * not" without ever collecting a distribution to the driver. */
+  /** Chi-squared homogeneity drift over the CATEGORICAL event-type mix —
+    * the complement to the numeric drift family (PSI/KS/JS/Wasserstein
+    * bin VALUES; this asks whether the composition of event types shifted
+    * between the base and current slices). Per category: both observed
+    * counts, the expected counts under homogeneity (row·col/N), and the
+    * category's χ² contribution — Σ contrib is the test statistic with
+    * k−1 degrees of freedom. All inputs are exact integer counts; the only
+    * float surface is the expected-count division, r6-rounded. One grouped
+    * count + a 1-row broadcast total. */
+  def driftChi2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_base"))
+    val c = ev.groupBy("event_type").agg(
+      count(when(col("is_base"), 1)).as("n_base"),
+      count(when(!col("is_base"), 1)).as("n_cur"))
+    val tot = c.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val rowTot = (col("n_base") + col("n_cur")).cast("double")
+    val nTot = (col("tb") + col("tc")).cast("double")
+    val eb = rowTot * col("tb").cast("double") / nTot
+    val ec = rowTot * col("tc").cast("double") / nTot
+    val contrib =
+      (col("n_base").cast("double") - eb) * (col("n_base").cast("double") - eb) / eb +
+      (col("n_cur").cast("double") - ec) * (col("n_cur").cast("double") - ec) / ec
+    c.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        r6(eb).as("exp_base"), r6(ec).as("exp_cur"),
+        r6(contrib).as("chi2_contrib"))
+      .orderBy("event_type")
+  }
+
   def driftPsi(s: SparkSession, dir: String, binWidth: Double = 100.0): DataFrame = {
     val binned = Bars.readEvents(s, dir).select(col("event_type"),
       (col("event_id") % 2 === 0).as("is_base"),

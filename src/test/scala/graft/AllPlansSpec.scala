@@ -22,6 +22,8 @@ class AllPlansSpec extends SparkSpec {
     "corpus_colloc", "text_logprob_bigram",
     // 1-row cross side: DSIR's (target total, raw total, vocab size) scalars
     "corpus_dsir",
+    // 1-row cross side: chi2's (base total, current total) scalars
+    "drift_chi2",
     // 1-row cross side: arm totals (abtest), corpus min/max span (churn),
     // Σ√n normalizer (temperature), joint total (MI), score range (ROC)
     "abtest_ztest", "user_churn", "corpus_temperature", "events_mi", "ml_roc",
