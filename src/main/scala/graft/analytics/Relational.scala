@@ -177,6 +177,29 @@ object Relational {
         max(col(time)).as("session_end"))
   }
 
+  /** Exact weighted median per group: sort by (value, unique id), run the
+    * INTEGER cumulative weight (exact under any association), take the
+    * first value whose doubled cumulative weight reaches the group total —
+    * the weighted lower median, deterministic by the id tiebreak. Weights
+    * must be integral; see Analytics.aggWeightedMedian for the registered
+    * instance and its oracle replay. */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+      weight: Column, id: Column): DataFrame = {
+    val base = df.select(group.as("g"), value.as("v"),
+      weight.cast("long").as("qty"), id.as("id"))
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("g")
+    base.select(col("g"), col("v"), col("qty"),
+        sum(col("qty")).over(w).as("_cumw"),
+        sum(col("qty")).over(tot).as("_totw"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("_totw")).as("total_weight"),
+        min(when(col("_cumw") * 2 >= col("_totw"), col("v")))
+          .as("weighted_median"))
+  }
+
   /** Peak concurrent sessions per hour — the load curve capacity planning
     * reads: classic sweep-line over [[sessionize]]'s intervals (+1 at each
     * session start, −1 at its end), the running count taken over the

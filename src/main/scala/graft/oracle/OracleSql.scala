@@ -2574,6 +2574,29 @@ object OracleSql {
        |FROM q WHERE len(reasons) > 0 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.aggWeightedMedian: identical (value, id) ordering,
+    * integer cumulative weights (exact on both engines), the same doubled-
+    * cum-weight threshold; raw parquet values out. */
+  val aggWeightedMedian: String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |         CAST(l_quantity AS BIGINT) AS qty,
+       |         l_orderkey * 8 + l_linenumber AS id
+       |  FROM lineitem
+       |), c AS (
+       |  SELECT l_returnflag, l_extendedprice, qty,
+       |         SUM(qty) OVER (PARTITION BY l_returnflag
+       |           ORDER BY l_extendedprice, id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+       |         SUM(qty) OVER (PARTITION BY l_returnflag) AS totw
+       |  FROM li
+       |)
+       |SELECT l_returnflag, COUNT(*) AS n_rows,
+       |       CAST(MAX(totw) AS BIGINT) AS total_qty,
+       |       MIN(CASE WHEN cumw * 2 >= totw THEN l_extendedprice END)
+       |         AS weighted_median_price
+       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Mirrors Analytics.driftChi2: identical expected-count and
     * contribution expression trees over exact integer counts. */
   val driftChi2: String = {

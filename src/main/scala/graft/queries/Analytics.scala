@@ -447,6 +447,26 @@ object Analytics {
     * away. Two partial+final aggregates and one broadcast-sized join of
     * per-bin rates: the monitoring primitive that decides "retrain or
     * not" without ever collecting a distribution to the driver. */
+  /** Exact weighted median — the quantity-weighted median extended price
+    * per return flag (the "typical traded price" where a plain median
+    * over-weights small lots): sort each group by (value, unique id), run
+    * the INTEGER cumulative weight (quantities are integral, so the
+    * running sum is exact under any association — no float-order surface
+    * anywhere), and take the first value whose doubled cumulative weight
+    * reaches the group total (the weighted lower median). One grouped
+    * window + one aggregate; groups are numerous at scale, so the
+    * per-group window parallelizes like every other grouped frame. Raw
+    * parquet values out — nothing to round. */
+  def aggWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    Relational.weightedMedian(Tables.lineitem(s, dir),
+        group = col("l_returnflag"), value = col("l_extendedprice"),
+        weight = col("l_quantity"),
+        id = col("l_orderkey") * lit(8L) + col("l_linenumber"))
+      .select(col("g").as("l_returnflag"), col("n_rows"),
+        col("total_weight").as("total_qty"),
+        col("weighted_median").as("weighted_median_price"))
+      .orderBy("l_returnflag")
+
   /** Chi-squared homogeneity drift over the CATEGORICAL event-type mix —
     * the complement to the numeric drift family (PSI/KS/JS/Wasserstein
     * bin VALUES; this asks whether the composition of event types shifted

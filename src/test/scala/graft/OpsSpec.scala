@@ -2278,6 +2278,23 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("weightedMedian: weight dominance and the 50/50 lower-median boundary") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // group a: weight 10 on the largest value drags the median to it
+      ("a", 1.0, 1L, 1L), ("a", 2.0, 1L, 2L), ("a", 3.0, 10L, 3L),
+      // group b: exact 50/50 split → the LOWER median by the 2·cumw ≥ tot rule
+      ("b", 1.0, 1L, 4L), ("b", 2.0, 1L, 5L))
+      .toDF("g0", "v0", "w0", "id0")
+    val got = graft.analytics.Relational.weightedMedian(df,
+        col("g0"), col("v0"), col("w0"), col("id0"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", 3L, 12L, 3.0), ("b", 2L, 2L, 1.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("sessionConcurrency: planted overlapping sessions, starts tie before ends") {
     val s = spark
     import s.implicits._
