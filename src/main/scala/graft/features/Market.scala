@@ -122,6 +122,35 @@ object Market {
       .drop(Frames.cumHelperCols(Seq("_c_tr")): _*)
   }
 
+  val ChandelierWindow = 22
+  val ChandelierMult = 3.0
+
+  /** Chandelier exits (LeBeau): volatility-scaled trailing stops —
+    *
+    *   long  = rollmax(high, n) − k·ATR(n)    (stop under a long)
+    *   short = rollmin(low, n)  + k·ATR(n)    (stop over a short)
+    *
+    * the exit a trend system trails behind price: the stop ratchets with
+    * the n-bar extreme but breathes with volatility, so a quiet drift
+    * doesn't shake the position out while a volatility spike widens the
+    * berth. ATR is the house rolling-mean-of-TR (cum−lag identity, same
+    * tree as [[withAtr]] at n = 22); extrema are native rolling MIN/MAX
+    * (order-insensitive). NULL until both the extreme frame and the ATR
+    * gate fill. One window pass class on the shared symbol exchange. */
+  def withChandelier(df: DataFrame, n: Int = ChandelierWindow,
+      k: Double = ChandelierMult): DataFrame = {
+    val a = withAtr(df, n)
+    val frame = Frames.bySymbol.rowsBetween(-(n - 1), 0)
+    val gate = count(col("high")).over(frame) === n
+    val atr = col(s"atr_$n")
+    a.select(col("*"),
+        when(gate && atr.isNotNull,
+          max(col("high")).over(frame) - lit(k) * atr).as("chandelier_long"),
+        when(gate && atr.isNotNull,
+          min(col("low")).over(frame) + lit(k) * atr).as("chandelier_short"))
+      .drop("tr", s"atr_$n")
+  }
+
   /** On-balance volume: running sum of sign(Δclose)·volume — the classic
     * volume-flow accumulation line. The first row per symbol (no prior
     * close) contributes 0. Signs are exact ±1/0 and volumes are

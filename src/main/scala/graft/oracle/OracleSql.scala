@@ -206,6 +206,41 @@ object OracleSql {
        |FROM a2 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featChandelier (Market.withChandelier, n=22, k=3): the
+    * featAtr tree at n=22, native rolling extrema, identical gates and
+    * hh − k·atr / ll + k·atr association. */
+  val featChandelier: String = {
+    val n = graft.features.Market.ChandelierWindow
+    val k = graft.features.Market.ChandelierMult
+    val fr = frame(n)
+    val atr = s"CASE WHEN ${cumGate("_c_tr", n)} THEN (${cumRolling("_c_tr", n)}) / $n END"
+    s"""$barsCte, a1 AS (
+       |  SELECT symbol, event_id, datetime, high, low,
+       |         COALESCE(
+       |           GREATEST(high - low,
+       |                    abs(high - LAG(close, 1) OVER ($W)),
+       |                    abs(low - LAG(close, 1) OVER ($W))),
+       |           high - low) AS tr
+       |  FROM bars
+       |), a2 AS (
+       |  SELECT symbol, event_id, datetime, high, low, tr,
+       |         ${cumSum("tr")} AS _c_tr,
+       |         COUNT(tr) OVER ($Wrun) AS _c_tr_n
+       |  FROM a1
+       |), a3 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         COUNT(high) OVER ($fr) AS cnt,
+       |         MAX(high) OVER ($fr) AS hh,
+       |         MIN(low) OVER ($fr) AS ll,
+       |         $atr AS atr
+       |  FROM a2
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"CASE WHEN cnt = $n AND atr IS NOT NULL THEN hh - $k * atr END")} AS chandelier_long,
+       |       ${r(s"CASE WHEN cnt = $n AND atr IS NOT NULL THEN ll + $k * atr END")} AS chandelier_short
+       |FROM a3 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featStochastic (Market.withStochastic, n=14, smooth=3):
     * rolling MIN/MAX are order-insensitive extrema (bit-portable natively);
     * %D is the explicit left-to-right 3-term sum, null-propagating. */

@@ -271,6 +271,13 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** Chandelier trailing stops, 22-bar extremes ± 3·ATR(22)
+    * (see [[graft.features.Market.withChandelier]]). */
+  def featChandelier(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withChandelier(bars(s, dir)),
+      Seq("chandelier_long", "chandelier_short"),
+      Set("chandelier_long", "chandelier_short"))
+
   /** Candlestick pattern flags (doji, hammer, engulfings — see
     * [[graft.features.Market.withCandles]]); all-integer output. */
   def barsCandles(s: SparkSession, dir: String): DataFrame =

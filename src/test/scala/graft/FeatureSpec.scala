@@ -519,6 +519,32 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("chandelier exits replay the rollmax/rollmin ± k·ATR straight loop") {
+    val s = spark
+    import s.implicits._
+    val closes = (1 to 60).map(i => 100.0 + 8 * math.sin(i / 3.0))
+    val got = Market.withChandelier(barsOf(closes)).orderBy("event_id")
+      .select("chandelier_long", "chandelier_short").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]),
+        Option(r.get(1)).map(_.asInstanceOf[Double])))
+    val hs = closes.map(_ * 1.01); val ls = closes.map(_ * 0.99)
+    val trs = closes.indices.map { i =>
+      if (i == 0) hs(0) - ls(0)
+      else math.max(hs(i) - ls(i),
+        math.max(math.abs(hs(i) - closes(i - 1)), math.abs(ls(i) - closes(i - 1))))
+    }
+    closes.indices.foreach { i =>
+      if (i < 21) assert(got(i)._1.isEmpty && got(i)._2.isEmpty, s"row $i warmup")
+      else {
+        val atr = trs.slice(i - 21, i + 1).sum / 22.0
+        val hh = hs.slice(i - 21, i + 1).max
+        val ll = ls.slice(i - 21, i + 1).min
+        assert(math.abs(got(i)._1.get - (hh - 3.0 * atr)) < 1e-9, s"row $i long")
+        assert(math.abs(got(i)._2.get - (ll + 3.0 * atr)) < 1e-9, s"row $i short")
+      }
+    }
+  }
+
   test("candle patterns: planted OHLC bars fire each flag exactly where constructed") {
     val s = spark
     import s.implicits._
