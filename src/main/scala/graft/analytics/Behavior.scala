@@ -225,6 +225,34 @@ object Behavior {
     * per-user sum folds over the event_type-sorted list (sequential-fold
     * contract, oracle bit-equal — event types are unique per user, so the
     * sort order is total). */
+  /** Conversion-latency distribution: for every user with a signup, the
+    * time from FIRST signup to the first purchase at-or-after it, bucketed
+    * in whole hours — the activation-funnel latency histogram growth teams
+    * read activation SLAs off. Users who signed up but never purchased
+    * after land in bucket −1 (they are the denominator a naive
+    * converted-only histogram silently drops). All-integer output
+    * (microsecond floor division); two user-keyed min-aggregates + one
+    * conditional join — the as-of cost class, no window at all. */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("s_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    // the time condition rides the JOIN, not a post-filter: a user whose
+    // purchases all precede the signup must keep the unmatched row
+    // (bucket −1), which a filter after a plain left join would drop
+    signup.as("s").join(purchases.as("p"),
+        col("s.user_id") === col("p.user_id") && col("p_us") >= col("s_us"),
+        "left")
+      .groupBy(col("s.user_id"), col("s_us"))
+      .agg(min(col("p_us")).as("first_p"))
+      .select(when(col("first_p").isNotNull,
+        floor((col("first_p") - col("s_us")) / lit(3600000000L)).cast("long"))
+        .otherwise(lit(-1L)).as("latency_hours"))
+      .groupBy("latency_hours")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Cohort LTV curves: users cohorted by first-activity week, purchase
     * revenue accumulated per cohort over cohort age —
     *

@@ -2656,6 +2656,29 @@ object OracleSql {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Mirrors Analytics.eventsTimeToConvert / Behavior.timeToConvert: same
+    * join-side time gate (never-converted signups keep their unmatched
+    * row), same integer hour floor; all-integer output. */
+  val eventsTimeToConvert: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), p AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), f AS (
+      |  SELECT s.user_id, s.s_us, MIN(p.p_us) AS first_p
+      |  FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.p_us >= s.s_us
+      |  GROUP BY 1, 2
+      |), b AS (
+      |  SELECT CASE WHEN first_p IS NOT NULL
+      |              THEN CAST(floor((first_p - s_us) / 3600000000) AS BIGINT)
+      |              ELSE -1 END AS latency_hours
+      |  FROM f
+      |)
+      |SELECT latency_hours, COUNT(*) AS n_users
+      |FROM b GROUP BY 1 ORDER BY latency_hours""".stripMargin
+
   /** Mirrors Analytics.sessionsConcurrency: the same sessionization, then
     * the sweep-line running count as a plain single-window integer SUM
     * (exact under any association — which is also why the Spark side's

@@ -1424,6 +1424,12 @@ object Analytics {
 
   /** Ordered funnel view → click → purchase: users completing each prefix
     * in order (graft.analytics.Behavior.funnel). */
+  /** Signup→first-purchase latency histogram in whole hours, bucket −1 =
+    * never converted (see [[graft.analytics.Behavior.timeToConvert]]). */
+  def eventsTimeToConvert(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.timeToConvert(Bars.readEvents(s, dir))
+      .orderBy("latency_hours")
+
   /** Peak concurrent sessions per hour (sweep-line over the sessionized
     * intervals — see [[graft.analytics.Relational.sessionConcurrency]]). */
   def sessionsConcurrency(s: SparkSession, dir: String): DataFrame =

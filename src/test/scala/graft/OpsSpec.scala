@@ -2278,6 +2278,28 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("timeToConvert: first-signup anchor, pre-signup purchases don't convert, -1 bucket kept") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000L
+    val ev = Seq(
+      // u1: signup at 1h, purchases at 0.5h (BEFORE — must not count) and 3h
+      (1L, h / 2, 1L, "purchase"), (2L, h, 1L, "signup"),
+      (3L, 3L * h, 1L, "purchase"),
+      // u2: two signups — latency anchors on the FIRST; purchase at 2h
+      (4L, h, 2L, "signup"), (5L, 10L * h, 2L, "signup"),
+      (6L, 2L * h, 2L, "purchase"),
+      // u3: signup, never purchases after
+      (7L, h, 3L, "signup"))
+      .map { case (e, t, u, ty) => (e, t, u, ty, 1.0) }
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = graft.analytics.Behavior.timeToConvert(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // u1: 3h − 1h = bucket 2; u2: 2h − 1h = bucket 1; u3: −1
+    assert(got == Map(2L -> 1L, 1L -> 1L, -1L -> 1L), s"got $got")
+  }
+
   test("weightedMedian: weight dominance and the 50/50 lower-median boundary") {
     val s = spark
     import s.implicits._
