@@ -2609,6 +2609,36 @@ object OracleSql {
        |FROM q WHERE len(reasons) > 0 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Analytics.ordersBasket: per-order size/revenue then the size
+    * histogram; r4 money rounding on both revenue columns. */
+  val ordersBasket: String =
+    s"""WITH per AS (
+       |  SELECT l_orderkey, COUNT(*) AS basket_size,
+       |         SUM(l_extendedprice) AS rev
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT basket_size, COUNT(*) AS n_orders,
+       |       ${r4("SUM(rev)")} AS revenue,
+       |       ${r4(s"(${r4("SUM(rev)")}) / COUNT(*)")} AS avg_order_value
+       |FROM per GROUP BY basket_size ORDER BY basket_size""".stripMargin
+
+  /** Mirrors Analytics.supplierHhi: identical share and Σ share² trees;
+    * sum-order ulps vanish under the 6-decimal rounding of a ≤1 value. */
+  val supplierHhi: String =
+    s"""WITH rev AS (
+       |  SELECT s.s_nationkey, s.s_suppkey, SUM(l.l_extendedprice) AS rev
+       |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT s_nationkey, SUM(rev) AS tot, COUNT(*) AS n_suppliers
+       |  FROM rev GROUP BY 1
+       |)
+       |SELECT rev.s_nationkey, tot.n_suppliers,
+       |       ${r("SUM((rev.rev / tot.tot) * (rev.rev / tot.tot))")} AS hhi
+       |FROM rev JOIN tot USING (s_nationkey)
+       |GROUP BY rev.s_nationkey, tot.n_suppliers
+       |ORDER BY rev.s_nationkey""".stripMargin
+
   /** Mirrors Analytics.aggWeightedMedian: identical (value, id) ordering,
     * integer cumulative weights (exact on both engines), the same doubled-
     * cum-weight threshold; raw parquet values out. */

@@ -447,6 +447,52 @@ object Analytics {
     * away. Two partial+final aggregates and one broadcast-sized join of
     * per-bin rates: the monitoring primitive that decides "retrain or
     * not" without ever collecting a distribution to the driver. */
+  /** Basket-size profile: how many line items orders carry, and what a
+    * basket of each size is worth — the order-composition histogram retail
+    * planning reads (small-basket dominance vs. bulk orders). Two
+    * aggregates: per-order size/revenue (order-keyed, map-side partials),
+    * then the size histogram with revenue means. r4 money rounding on the
+    * revenue columns (the house convention for price sums). */
+  def ordersBasket(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("basket_size"),
+        sum(col("l_extendedprice")).as("_rev"))
+    per.groupBy("basket_size")
+      .agg(count(lit(1)).as("n_orders"),
+        r4(sum(col("_rev"))).as("revenue"),
+        // divide the ROUNDED revenue: both engines then divide the
+        // identical double by the same integer — no second float surface
+        r4(r4(sum(col("_rev"))) / count(lit(1))).as("avg_order_value"))
+      .orderBy("basket_size")
+  }
+
+  /** Supplier revenue concentration per nation: the Herfindahl–Hirschman
+    * index over each nation's suppliers' lineitem revenue —
+    *
+    *   hhi = Σ_suppliers (revenue_share)²   ∈ (0, 1]
+    *
+    * ~1/n for even markets, → 1 under monopoly; the sourcing-risk metric a
+    * supply-chain review reads next to the gini profile. Shares divide two
+    * same-engine sums, so the only float surface is the r6-rounded output;
+    * supplier revenue aggregates supplier-keyed with map-side partials,
+    * the nation rollup is 25 rows. */
+  def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("l_extendedprice")).as("_rev"))
+    val tot = rev.groupBy("s_nationkey")
+      .agg(sum(col("_rev")).as("_tot"), count(lit(1)).as("n_suppliers"))
+    rev.join(tot, Seq("s_nationkey"))
+      .select(col("s_nationkey"), col("n_suppliers"),
+        (col("_rev") / col("_tot")).as("_sh"))
+      .groupBy("s_nationkey", "n_suppliers")
+      .agg(r6(sum(col("_sh") * col("_sh"))).as("hhi"))
+      .orderBy("s_nationkey")
+  }
+
   /** Exact weighted median — the quantity-weighted median extended price
     * per return flag (the "typical traded price" where a plain median
     * over-weights small lots): sort each group by (value, unique id), run
