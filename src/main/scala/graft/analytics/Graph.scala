@@ -494,4 +494,82 @@ object Graph {
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Neighbor lists longer than this are truncated before the h-index
+    * fold. Lossless: a node's h-index is bounded by its CURRENT value
+    * c(v) (monotonically non-increasing from deg(v)), and the fold only
+    * inspects sorted-desc positions i ≤ h, so positions beyond
+    * min(c(v), cap) can never contribute once c(v) ≤ cap. The cap only
+    * bounds the FIRST rounds of a hub node's list (a 10M-degree hub's
+    * coreness estimate spends a few extra rounds descending to ≤cap, the
+    * per-row memory never exceeds ~512 KB of longs). */
+  val CorenessHubCap = 65536
+
+  /** Exact k-core decomposition — the coreness c(v) of every node — via
+    * the distributed h-index iteration (Montresor, De Pellegrini &
+    * Miorandi 2013; Lü et al. 2016): initialize c(v) = deg(v); each round
+    * set c(v) = H(c(u) : u ∈ N(v)), the largest h such that at least h
+    * neighbors currently have value ≥ h. The sequence is monotonically
+    * non-increasing, reaches the true coreness at fixpoint, and every
+    * post-fixpoint round is an EXACT no-op — which is what lets the
+    * DuckDB oracle replay a fixed round budget while this side exits
+    * early: bit-identical integer output either way.
+    *
+    * This is the formulation that scales where peeling cannot: sequential
+    * peeling (remove min-degree nodes, repeat) needs O(peel-depth)
+    * serialized rounds with a global frontier, while the h-index round is
+    * ONE co-partitioned join + ONE grouped fold, the same per-round
+    * envelope as [[pageRank]], and converges in O(graph diameter)-ish
+    * rounds. Per-node state is one long; the only per-row growth is the
+    * sorted neighbor-value array inside the aggregate, bounded by
+    * [[CorenessHubCap]] (see its losslessness note).
+    *
+    * Scale shape: edges symmetrized and hash-partitioned on `dst` ONCE
+    * (checkpointed, reused every round); the value table arrives
+    * partitioned on `id` from the previous round's groupBy, so the
+    * per-round join is exchange-free above the broadcast gate and a
+    * broadcast below it ([[RankBroadcastMaxNodes]]). Early exit costs one
+    * O(1) driver scalar per round (changed-row count), the same
+    * discipline as pageRank's L1-delta.
+    *
+    * Input: undirected edge list as (`a`, `b`) pairs, a < b, distinct.
+    * Returns ((id, c) with c = exact coreness, rounds-executed). */
+  def coreness(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst")).localCheckpoint()
+    var c = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nNodes = c.count()
+    var round = 0
+    var converged = false
+    while (round < maxIters && !converged) {
+      val next = hIndexRound(e, c, nNodes).localCheckpoint()
+      // both sides partitioned on id (groupBy outputs) — no exchange
+      val changed = next
+        .join(c.select(col("id"), col("c").as("_prev")), "id")
+        .filter(col("c") =!= col("_prev")).count()
+      converged = changed == 0L
+      c = next
+      round += 1
+    }
+    (c, round)
+  }
+
+  /** One h-index round. Exposed pre-checkpoint so PlanSpec can pin the
+    * physical shape: the value table broadcasts below
+    * [[RankBroadcastMaxNodes]] and co-partitions above it; the fold is a
+    * single grouped aggregate (collect neighbor values, sort desc,
+    * h = max_i min(value_i, i+1) — an O(deg) codegen'd array transform,
+    * no second shuffle). */
+  private[graft] def hIndexRound(e: DataFrame, c: DataFrame,
+      nNodes: Long): DataFrame = {
+    val cc = if (nNodes <= RankBroadcastMaxNodes) broadcast(c) else c
+    e.join(cc, e("dst") === cc("id"))
+      .groupBy(e("src").as("id"))
+      .agg(array_max(transform(
+        slice(reverse(sort_array(collect_list(col("c")))),
+          1, CorenessHubCap),
+        (x, i) => least(x, (i + lit(1)).cast("long")))).as("c"))
+  }
 }

@@ -3067,6 +3067,43 @@ object OracleSql {
        |) sz USING (component_id)
        |ORDER BY node""".stripMargin
 
+  /** Mirrors Analytics.graphKcore with an INDEPENDENT h-index
+    * formulation: Spark folds a sorted neighbor-value array per node; this
+    * replay ranks neighbor values with a row_number window and takes
+    * max(least(rank, value)). A FIXED 32-round budget replaces Spark's
+    * early exit — the h-index iteration is monotone with exact no-op
+    * rounds past the fixpoint (measured depth: 21 @ sf0.001, 10 @ sf0.01,
+    * 5 @ sf0.1), so the two disciplines agree bit-for-bit. Every round is
+    * MATERIALIZED: round k references round k−1 twice (value join + the
+    * implicit scan), and DuckDB's plain-CTE inlining would go exponential
+    * across 32 rounds. */
+  val graphKcore: String = {
+    val rounds = 32
+    val chain = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT t.src AS id, CAST(max(least(t.rn, t.nc)) AS BIGINT) AS c
+         |  FROM (SELECT e.src, c${i - 1}.c AS nc,
+         |               row_number() OVER (PARTITION BY e.src
+         |                 ORDER BY c${i - 1}.c DESC, e.dst) AS rn
+         |        FROM e JOIN c${i - 1} ON c${i - 1}.id = e.dst) t
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+       |), e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p
+       |), c0 AS MATERIALIZED (
+       |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1
+       |),
+       |$chain
+       |SELECT id AS node, c AS coreness FROM c$rounds ORDER BY node""".stripMargin
+  }
+
   /** Mirrors Analytics.graphLinkpred: the same wedge-at-center enumeration
     * (here a center self-join on the neighbor table with the identical
     * degree cap), the same left-anti edge removal and degree attach. The

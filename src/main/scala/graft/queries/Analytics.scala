@@ -68,6 +68,21 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** Exact coreness (k-core decomposition) of every part in the
+    * support-≥2 co-purchase graph — the "how deep in the dense
+    * bought-together mass does this product sit" signal a curation or
+    * recommendation pipeline peels spam/long-tail noise with. Computed by
+    * the distributed h-index iteration with early exit
+    * ([[graft.analytics.Graph.coreness]]); the oracle replays a FIXED
+    * 32-round budget as chained materialized CTEs with an INDEPENDENT
+    * h-index formulation (row_number window vs this side's sorted-array
+    * fold) — post-fixpoint rounds are exact no-ops, so the early-exited
+    * run and the fixed-budget replay agree bit-for-bit on the integers. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    Graph.coreness(Graph.coPurchaseEdgesSupported(s, dir))._1
+      .select(col("id").as("node"), col("c").as("coreness"))
+      .orderBy("node")
+
   /** Top-100 predicted co-purchase links (the "customers who bought these
     * also bought" candidate set): common-neighbor / Jaccard / Adamic–Adar
     * over non-adjacent part pairs, selected by the bit-deterministic

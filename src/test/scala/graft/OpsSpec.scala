@@ -1412,6 +1412,66 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  /** Sequential reference: textbook min-degree peeling (Batagelj–Zaveršnik
+    * order), the algorithm the h-index iteration must agree with. */
+  private def peelCoreness(edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val adj = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Int]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.Map.empty[Int, Int]
+    val deg = scala.collection.mutable.Map(adj.toSeq.map { case (n, s) => n -> s.size }: _*)
+    var k = 0
+    while (deg.nonEmpty) {
+      k = math.max(k, deg.values.min)
+      val peel = deg.filter(_._2 <= k).keys.toSeq
+      peel.foreach { n =>
+        core(n) = k
+        deg.remove(n)
+        adj(n).foreach { m => if (deg.contains(m)) { deg(m) -= 1; adj(m) -= n } }
+      }
+    }
+    core.toMap
+  }
+
+  test("coreness: 5-clique with a path tail — clique core 4, tail core 1, early exit") {
+    val s = spark
+    import s.implicits._
+    // clique on 1..5 (coreness 4) + tail 5-6-7 (coreness 1)
+    val clique = for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (a, b)
+    val pairs = (clique ++ Seq((5, 6), (6, 7))).toDF("a", "b")
+    val (c, rounds) = graft.analytics.Graph.coreness(pairs)
+    assert(rounds < 64, "expected early exit")
+    val m = c.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((1 to 5).forall(m(_) == 4L), s"clique coreness: $m")
+    assert(m(6) == 1L && m(7) == 1L, s"tail coreness: $m")
+  }
+
+  test("coreness: star graph — hub coreness 1 despite degree 40") {
+    val s = spark
+    import s.implicits._
+    val pairs = (1 to 40).map(i => (0, i)).toDF("a", "b")
+    val m = graft.analytics.Graph.coreness(pairs)._1
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.values.forall(_ == 1L), "every node in a star has coreness 1")
+  }
+
+  test("coreness: randomized equivalence with sequential min-degree peeling") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val edges = (for (_ <- 1 to 300) yield {
+      val a = rnd.nextInt(60); val b = rnd.nextInt(60)
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val expected = peelCoreness(edges)
+    val got = graft.analytics.Graph.coreness(edges.toDF("a", "b"))._1
+      .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected,
+      s"h-index vs peeling mismatch: ${got.toSeq.sorted.diff(expected.toSeq.sorted)}")
+  }
+
   test("ivfPqTopK: exact-codebook fixture — ADC distance equals exact L2², bucket-restricted ranking") {
     val s = spark
     import s.implicits._
