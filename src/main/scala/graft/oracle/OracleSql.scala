@@ -1695,6 +1695,31 @@ object OracleSql {
        |FROM cw ORDER BY decile""".stripMargin
   }
 
+  /** Mirrors Core.mlPrAuc: the same (score DESC, event_id) global ranking,
+    * positives re-ranked by their rank, AP = mean(pos_rn / rn). Every rank
+    * is an exact integer on both engines; the single float surface is the
+    * final mean of P ratios, orders below the 6-decimal floor. */
+  val mlPrAuc: String =
+    s"""$barsCte, sc AS (
+       |  SELECT event_id, close - LAG(close, 5) OVER ($W) AS score,
+       |         CAST(LEAD(close, 1) OVER ($W) > close AS INT) AS label
+       |  FROM bars
+       |), f AS (
+       |  SELECT * FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+       |), rk AS (
+       |  SELECT label, ROW_NUMBER() OVER (ORDER BY score DESC, event_id) AS rn
+       |  FROM f
+       |), p AS (
+       |  SELECT rn, ROW_NUMBER() OVER (ORDER BY rn) AS pos_rn
+       |  FROM rk WHERE label = 1
+       |), agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS npos,
+       |         SUM(CAST(pos_rn AS DOUBLE) / CAST(rn AS DOUBLE)) AS ap_sum
+       |  FROM p
+       |)
+       |SELECT npos, ${r("ap_sum / CAST(npos AS DOUBLE)")} AS ap
+       |FROM agg""".stripMargin
+
   /** Mirrors Core.featFisher (Market.withFisher, n=10): identical clamped
     * price-position tree (native rolling extrema), both EWMA recursions
     * replayed in ONE recursive CTE with two accumulators — the v-step tree

@@ -714,6 +714,42 @@ object Core {
       .orderBy("decile")
   }
 
+  /** Exact average precision (PR-AUC in its AP step form) for the same
+    * momentum score / next-bar-up label as [[mlAuc]]: rank all rows by
+    * score DESC (ties by event_id), then AP = (1/P) Σ_i i / r_i over the
+    * positives, where r_i is the i-th positive's global rank. AP is the
+    * class-imbalance-honest companion to ROC-AUC — at a 1:10⁴ positive
+    * rate (fraud, rare-event labels at 100 TB) ROC saturates while AP
+    * still separates models.
+    *
+    * Both rank tables come from the scalable bucket-offset numbering (no
+    * single-partition sort): one pass over all scored rows keyed on
+    * −score, a second over the positives keyed on the first rank (already
+    * monotone). Every rank is an exact integer on both engines; the only
+    * float surface is the final mean of P precision ratios — orders below
+    * the 6-decimal floor. */
+  def mlPrAuc(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.features.Frames.bySymbol
+    prAuc(bars(s, dir).select(col("event_id"),
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        (lead(col("close"), 1).over(w) > col("close")).cast("int").as("label"))
+      .filter(col("score").isNotNull && col("label").isNotNull))
+  }
+
+  /** AP core over a (event_id, score, label) frame — exposed so the spec
+    * can replay planted rankings through the exact production path. */
+  private[graft] def prAuc(scored: DataFrame): DataFrame = {
+    val (numbered, _) = graft.analytics.Ranking.withGlobalRowNumber(
+      scored, -col("score"), Seq(col("score").desc, col("event_id")))
+    val pos = numbered.filter(col("label") === 1)
+    val (posN, _) = graft.analytics.Ranking.withGlobalRowNumber(
+      pos, col("rn").cast("double"), Seq(col("rn")), rnCol = "pos_rn")
+    posN.agg(count(lit(1)).as("npos"),
+        sum(col("pos_rn").cast("double") / col("rn").cast("double")).as("ap_sum"))
+      .select(col("npos"),
+        r6(col("ap_sum") / col("npos").cast("double")).as("ap"))
+  }
+
   /** Fisher transform + signal line (two chained Ewma recursions;
     * see [[graft.features.Market.withFisher]]). */
   def featFisher(s: SparkSession, dir: String): DataFrame = {

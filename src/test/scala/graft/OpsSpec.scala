@@ -2280,6 +2280,42 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("mlPrAuc equals the brute average precision under the same tie-break") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Core.mlPrAuc(spark, dir).collect()(0)
+    val w = graft.features.Frames.bySymbol
+    val rows = graft.queries.Core.bars(spark, dir).select(col("event_id"),
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        (lead(col("close"), 1).over(w) > col("close")).cast("int").as("label"))
+      .filter(col("score").isNotNull && col("label").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // score DESC, event_id ASC — the exact ordering of both engines
+    val ranked = rows.sortBy(r => (-r._2, r._1)).zipWithIndex
+      .map { case ((_, _, label), i) => (label, i + 1L) }
+    val posRanks = ranked.filter(_._1 == 1).map(_._2)
+    val ap = posRanks.zipWithIndex
+      .map { case (r, i) => (i + 1).toDouble / r }.sum / posRanks.length
+    assert(got.getAs[Long]("npos") == posRanks.length.toLong)
+    assert(math.abs(got.getAs[Double]("ap") - ap) < 1e-6,
+      s"ap ${got.getAs[Double]("ap")} vs brute $ap")
+  }
+
+  test("prAuc planted ranking: perfect, inverted, and interleaved labelings") {
+    val s = spark
+    import s.implicits._
+    def apOf(labels: Seq[Int]): Double = {
+      val df = labels.zipWithIndex
+        .map { case (l, i) => (i.toLong, -i.toDouble, l) } // score strictly desc
+        .toDF("event_id", "score", "label")
+      graft.queries.Core.prAuc(df).collect()(0).getAs[Double]("ap")
+    }
+    assert(apOf(Seq(1, 1, 0, 0)) == 1.0)            // all positives first
+    // positives at ranks 3,4 → (1/3 + 2/4) / 2
+    assert(math.abs(apOf(Seq(0, 0, 1, 1)) - (1.0 / 3 + 0.5) / 2) < 1e-6)
+    // interleaved 1,0,1,0 → (1/1 + 2/3) / 2
+    assert(math.abs(apOf(Seq(1, 0, 1, 0)) - (1.0 + 2.0 / 3) / 2) < 1e-6)
+  }
+
   test("MIPS norm-augmentation reduction ranks identically to brute MIPS") {
     val emb = graft.source.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def ranks(df: org.apache.spark.sql.DataFrame) =
