@@ -167,6 +167,31 @@ object TextSimSql {
        |       ${r("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")} AS zipf_intercept
        |FROM ag""".stripMargin
 
+  /** Mirrors TextSim.textReadability: identical vowel-run syllable floor
+    * (list_transform + greatest(…, 1)), the same `[.!?]+` sentence runs
+    * floored at one, and the Flesch/FKGL formulas written in the same
+    * association order — the integer counts agree exactly, so the only
+    * float surface is the two final formulas. */
+  val textReadability: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |    greatest(CAST(len(toks) AS BIGINT), 1) AS n_words,
+       |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT), 1)
+       |      AS n_sentences,
+       |    CAST(COALESCE(list_sum(list_transform(toks,
+       |      t -> greatest(len(regexp_extract_all(t, '[aeiouy]+', 0)), 1))), 0)
+       |      AS BIGINT) AS n_syllables
+       |  FROM s
+       |)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${r("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)")} AS flesch,
+       |  ${r("0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59")} AS fkgl
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val textRepetition: String =
     s"""WITH s AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -39,6 +39,15 @@ object TextSim {
         col("keep"))
       .orderBy("doc_id")
 
+  /** Flesch / FKGL readability scores per document
+    * (see [[graft.text.TextStats.withReadability]]). */
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    TextStats.withReadability(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        r6(col("flesch")).as("flesch"), r6(col("fkgl")).as("fkgl"))
+      .orderBy("doc_id")
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextStats.repetition(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_tokens"),

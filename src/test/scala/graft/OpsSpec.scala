@@ -2280,6 +2280,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("readability: planted docs — hand-counted Flesch/FKGL, sentence and syllable floors") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat. it ran fast!"), // 6 words, 2 sentences, 6 syllables
+      (2L, "tsk brr"),                   // vowelless → 1-syllable floor each
+      (3L, "no punctuation here at all") // sentence floor of 1
+    ).toDF("doc_id", "text")
+    val m = graft.text.TextStats.withReadability(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1).getAs[Long]("n_words") == 6L)
+    assert(m(1).getAs[Long]("n_sentences") == 2L)
+    assert(m(1).getAs[Long]("n_syllables") == 6L)
+    // flesch = 206.835 - 1.015*3 - 84.6*1; fkgl = 0.39*3 + 11.8 - 15.59
+    assert(math.abs(m(1).getAs[Double]("flesch") - 119.19) < 1e-9)
+    assert(math.abs(m(1).getAs[Double]("fkgl") - (-2.62)) < 1e-9)
+    assert(m(2).getAs[Long]("n_syllables") == 2L, "vowelless words floor at 1")
+    assert(m(3).getAs[Long]("n_sentences") == 1L, "no punctuation floors at 1")
+  }
+
   test("mlPrAuc equals the brute average precision under the same tie-break") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.Core.mlPrAuc(spark, dir).collect()(0)
