@@ -59,4 +59,66 @@ object Sampling {
     df.withColumn(rnCol, row_number().over(w).cast("long"))
       .filter(col(rnCol) <= quota)
   }
+
+  /** Poisson(1) CDF breakpoints (k = 0..15) for the bootstrap draw:
+    * e⁻¹·Σ_{i≤k} 1/i!. Computed ONCE here and injected into both engines
+    * as the same double literals, so the inverse-CDF comparisons branch
+    * identically everywhere — the draw is a pure function of md5. CDF(15)
+    * leaves ~10⁻¹³ tail mass: a draw clamps at 16 with probability below
+    * one row in 10¹² — immaterial to a resampling estimate. */
+  val PoissonCdf: Seq[Double] = {
+    val invE = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 15).map { k =>
+      if (k > 0) fact *= k
+      cum += invE / fact
+      cum
+    }
+  }
+
+  /** One-pass Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): instead of materializing B
+    * resamples of n rows — impossible at 100 TB — each row draws an
+    * independent Poisson(1) replication count per replica (the
+    * with-replacement bootstrap's n→∞ limit), so all B replica means
+    * stream out of ONE pass over the data. Draws are md5-keyed
+    * inverse-CDF lookups over [[PoissonCdf]]: deterministic across runs,
+    * partitionings, and engines.
+    *
+    * Shuffle shape: the rows×B fan-out collapses map-side — the
+    * (group, replica) partial aggregate combines before the exchange, so
+    * the shuffle carries O(groups·B·partitions) rows, never rows×B; the
+    * final order-statistic step sorts B doubles per group.
+    *
+    * Returns per group: row count, point mean, and the nearest-rank
+    * 2.5%/97.5% bootstrap CI of the mean (the ⌈0.025B⌉-th and ⌈0.975B⌉-th
+    * of the B sorted replica means). */
+  def poissonBootstrap(df: DataFrame, group: Column, key: Column, x: Column,
+      b: Int = 100): DataFrame = {
+    require(b >= 40, s"poissonBootstrap: need b >= 40 for a 95% CI, got $b")
+    val rep = df.select(group.as("grp"), key.cast("string").as("k"),
+        x.cast("double").as("x"))
+      .select(col("grp"), col("k"), col("x"),
+        explode(expr(s"sequence(1, $b)")).as("rep"))
+    val h = conv(substring(md5(concat_ws(":", col("k"),
+      col("rep").cast("string"))), 1, 12), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val w = PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = rep.withColumn("_w", w)
+      .groupBy(col("grp"), col("rep"))
+      .agg(sum(col("_w") * col("x")).as("sx"), sum(col("_w")).as("sw"))
+      .select(col("grp"), (col("sx") / col("sw").cast("double")).as("m"))
+    val lo = math.ceil(0.025 * b).toInt
+    val hi = math.ceil(0.975 * b).toInt
+    val ci = means.groupBy("grp")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("grp"), element_at(col("ms"), lo).as("ci_lo"),
+        element_at(col("ms"), hi).as("ci_hi"))
+    df.select(group.as("grp"), x.cast("double").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), avg(col("x")).as("mean"))
+      .join(ci, Seq("grp"))
+  }
 }

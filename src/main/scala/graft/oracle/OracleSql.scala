@@ -3915,6 +3915,44 @@ object OracleSql {
        |       ${r("stddev_samp(close)")} AS sd_close
        |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  /** Mirrors Analytics.aggBootstrap / Sampling.poissonBootstrap: the same
+    * md5(key:rep) 48-bit uniform, the same inverse-CDF sum over the
+    * IDENTICAL injected breakpoint literals (Sampling.PoissonCdf — one
+    * Scala computation feeds both engines, so the >= comparisons branch
+    * identically), the same nearest-rank order statistics over the 100
+    * sorted replica means. Replica means are float sums (merge-order
+    * ulps); round(6) lands after the order-statistic selection. */
+  val aggBootstrap: String = {
+    val b = 100
+    val lo = math.ceil(0.025 * b).toInt
+    val hi = math.ceil(0.975 * b).toInt
+    val draws = graft.analytics.Sampling.PoissonCdf
+      .map(c => s"CASE WHEN u >= $c THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH rep AS (
+       |  SELECT e.event_type, e.value, r.rep,
+       |         (('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+       |             CAST(r.rep AS VARCHAR)), 1, 12))::BIGINT::DOUBLE + 0.5)
+       |           / 281474976710656.0 AS u
+       |  FROM events e
+       |  CROSS JOIN (SELECT unnest(range(1, ${b + 1})) AS rep) r
+       |), wtd AS (
+       |  SELECT event_type, rep, value, ($draws) AS w FROM rep
+       |), m AS (
+       |  SELECT event_type, rep, SUM(w * value) / CAST(SUM(w) AS DOUBLE) AS m
+       |  FROM wtd GROUP BY 1, 2
+       |), ci AS (
+       |  SELECT event_type, list(m ORDER BY m) AS ms FROM m GROUP BY 1
+       |), base AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         AVG(value) AS mean
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT b2.event_type, b2.n_rows, ${r("b2.mean")} AS mean,
+       |       ${r(s"ci.ms[$lo]")} AS ci_lo, ${r(s"ci.ms[$hi]")} AS ci_hi
+       |FROM base b2 JOIN ci ON b2.event_type = ci.event_type
+       |ORDER BY 1""".stripMargin
+  }
+
   val aggHistogram: String =
     s"""SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bin,
        |       COUNT(*) AS n, ${r("MIN(value)")} AS v_lo, ${r("MAX(value)")} AS v_hi

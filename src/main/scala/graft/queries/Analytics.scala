@@ -414,6 +414,22 @@ object Analytics {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Bootstrap 95% CI for the mean event value per event_type — the
+    * one-pass Poisson bootstrap (see
+    * [[graft.analytics.Sampling.poissonBootstrap]]: B=100 md5-keyed
+    * Poisson(1) replica weights, nearest-rank order-statistic CI). The
+    * oracle replays the identical draw from the same injected CDF
+    * breakpoints, so replica means agree to merge-order ulps and the
+    * selected order statistics match under round(6). */
+  def aggBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Sampling.poissonBootstrap(
+        Bars.readEvents(s, dir), col("event_type"), col("event_id"),
+        col("value"))
+      .select(col("grp").as("event_type"), col("n_rows"),
+        r6(col("mean")).as("mean"),
+        r6(col("ci_lo")).as("ci_lo"), r6(col("ci_hi")).as("ci_hi"))
+      .orderBy("event_type")
+
   /** Statistical aggregates per symbol: Pearson correlation and sample
     * covariance of open vs close (both engines accumulate co-moments;
     * round(6) absorbs merge-order ulps). */

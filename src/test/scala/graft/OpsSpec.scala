@@ -2280,6 +2280,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("poissonBootstrap: constant column collapses the CI; CI brackets the mean") {
+    val s = spark
+    import s.implicits._
+    val cdf = graft.analytics.Sampling.PoissonCdf
+    assert(math.abs(cdf.head - math.exp(-1.0)) < 1e-15)
+    assert(cdf.sliding(2).forall(p => p(0) < p(1)), "CDF must be increasing")
+    assert(cdf.last > 1.0 - 1e-12 && cdf.last <= 1.0)
+    // constant x: every replica mean is exactly the constant, so the CI
+    // degenerates to a point — bit-exact, no tolerance needed
+    val const = (1 to 400).map(i => ("a", i.toLong, 5.0)).toDF("g", "k", "x")
+    val r1 = graft.analytics.Sampling.poissonBootstrap(
+      const, col("g"), col("k"), col("x")).collect()(0)
+    assert(r1.getAs[Long]("n_rows") == 400L)
+    assert(r1.getAs[Double]("mean") == 5.0)
+    assert(r1.getAs[Double]("ci_lo") == 5.0 && r1.getAs[Double]("ci_hi") == 5.0)
+    // varying x: lo <= mean <= hi and the 95% band is strictly inside the
+    // data range for a 500-row sample
+    val varied = (1 to 500).map(i => ("b", i.toLong, i.toDouble)).toDF("g", "k", "x")
+    val r2 = graft.analytics.Sampling.poissonBootstrap(
+      varied, col("g"), col("k"), col("x")).collect()(0)
+    val (lo, mu, hi) = (r2.getAs[Double]("ci_lo"), r2.getAs[Double]("mean"),
+      r2.getAs[Double]("ci_hi"))
+    assert(lo < mu && mu < hi, s"CI ($lo, $hi) must bracket mean $mu")
+    assert(lo > 1.0 && hi < 500.0, "bootstrap CI of the mean is far inside the range")
+  }
+
   test("readability: planted docs — hand-counted Flesch/FKGL, sentence and syllable floors") {
     val s = spark
     import s.implicits._
