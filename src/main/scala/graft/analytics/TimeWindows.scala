@@ -60,4 +60,46 @@ object TimeWindows {
         col("close").isNull.cast("int").as("is_gap"),
         coalesce(col("n_ticks"), lit(0L)).as("n_ticks"))
   }
+
+  /** Classical additive seasonal decomposition of the hourly event-count
+    * series: y = trend + seasonal + residual, with the textbook centered
+    * 2×24 moving average for the even daily period —
+    * trend_t = (y_{t−12} + 2·Σ_{−11..+11} y + y_{t+12}) / 48 — and the
+    * seasonal index as the mean detrended deviation per hour-of-day.
+    *
+    * All intermediates stay EXACT integers until one final division:
+    * T48 = 48·trend and D48 = 48·y − T48 are longs, and the per-hod
+    * seasonal index divides an exact integer sum once — so both engines
+    * agree bit-for-bit regardless of partitioning or merge order (no
+    * float-accumulation surface at all).
+    *
+    * Scale shape: the raw events collapse to one row per hour FIRST (the
+    * only full shuffle); the unpartitioned windows then run over the
+    * aggregated series — bounded at one row per hour (<10⁵ rows for a
+    * decade), the same justified single-partition class as the 10-row
+    * lift-table window. Rows-based frames over OBSERVED hours: gap-fill
+    * upstream (see [[gapfill]]) if the corpus can go hours-silent. */
+  def decomposeHourly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("y"))
+    val seq_ = Window.orderBy("hr")
+    val inner = Window.orderBy("hr").rowsBetween(-11, 11)
+    val t48 = lag(col("y"), 12).over(seq_) +
+      lit(2L) * sum(col("y")).over(inner) + lead(col("y"), 12).over(seq_)
+    val d = hourly
+      .select(col("hr"), hour(col("hr")).cast("long").as("hod"), col("y"),
+        t48.as("t48"))
+      .withColumn("d48", lit(48L) * col("y") - col("t48"))
+    val seas = d.filter(col("d48").isNotNull).groupBy("hod")
+      .agg((sum(col("d48")).cast("double") / (lit(48.0) * count(lit(1))))
+        .as("seasonal"))
+    d.join(seas, Seq("hod"), "left")
+      .select(col("hr"), col("hod"), col("y"),
+        (col("t48").cast("double") / 48.0).as("trend"),
+        col("seasonal"),
+        (col("y").cast("double") - col("t48").cast("double") / 48.0 -
+          col("seasonal")).as("resid"))
+  }
 }

@@ -3728,6 +3728,35 @@ object OracleSql {
       |       CASE WHEN epoch_us(t) - epoch_us(lt) <= 3600000000 THEN le END AS last_error_id
       |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.seasonalityDecompose / TimeWindows.decomposeHourly:
+    * the identical 2×24 centered MA as exact integers (T48, D48 = longs on
+    * both engines), the per-hod seasonal index as one division of an exact
+    * integer sum, and the residual assembled in the same association
+    * order — zero float-accumulation surface, so parity is bit-exact by
+    * construction. */
+  val seasonalityDecompose: String =
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), t AS (
+       |  SELECT hr, CAST(hour(hr) AS BIGINT) AS hod, y,
+       |         LAG(y, 12) OVER (ORDER BY hr)
+       |           + 2 * SUM(y) OVER (ORDER BY hr
+       |               ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+       |           + LEAD(y, 12) OVER (ORDER BY hr) AS t48
+       |  FROM h
+       |), d AS (
+       |  SELECT hr, hod, y, t48, 48 * y - t48 AS d48 FROM t
+       |), seas AS (
+       |  SELECT hod, CAST(SUM(d48) AS DOUBLE) / (48.0 * COUNT(*)) AS seasonal
+       |  FROM d WHERE d48 IS NOT NULL GROUP BY 1
+       |)
+       |SELECT d.hr, d.hod, d.y,
+       |       ${r("CAST(t48 AS DOUBLE) / 48.0")} AS trend,
+       |       ${r("seasonal")} AS seasonal,
+       |       ${r("CAST(y AS DOUBLE) - CAST(t48 AS DOUBLE) / 48.0 - seasonal")} AS resid
+       |FROM d LEFT JOIN seas USING (hod) ORDER BY hr""".stripMargin
+
   val windowTumbling: String =
     s"""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
        |       ${r("SUM(value)")} AS value_sum

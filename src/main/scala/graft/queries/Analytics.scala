@@ -1364,6 +1364,16 @@ object Analytics {
       .orderBy("symbol", "hod")
   }
 
+  /** Trend / seasonal / residual split of the hourly event-count series
+    * (see [[graft.analytics.TimeWindows.decomposeHourly]] — exact-integer
+    * detrending, one division per emitted float). */
+  def seasonalityDecompose(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.TimeWindows.decomposeHourly(Bars.readEvents(s, dir))
+      .select(col("hr").cast("timestamp_ntz").as("hr"), col("hod"), col("y"),
+        r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"),
+        r6(col("resid")).as("resid"))
+      .orderBy("hr")
+
   def windowAutocorr(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
     import graft.features.Frames
     val w = Frames.bySymbol

@@ -2280,6 +2280,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("decomposeHourly: perfect 24-periodic series splits exactly — trend=level, seasonal=deviation, resid=0") {
+    val s = spark
+    import s.implicits._
+    // 72 hours, count = 100 + a(hod) with a zero-sum over the day:
+    // +24 at hod 0, -24 at hod 12. The 2x24 MA of a perfect periodic
+    // signal is EXACTLY the period mean, so the split has no slack.
+    def a(hod: Int): Int = if (hod == 0) 24 else if (hod == 12) -24 else 0
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 72).flatMap { t =>
+      val n = 100 + a(t % 24)
+      (0 until n).map(i =>
+        (new java.sql.Timestamp(base + t * 3600000L + i), t.toLong))
+    }.toDF("ts", "pad")
+    val rows = graft.analytics.TimeWindows.decomposeHourly(events)
+      .orderBy("hr").collect()
+    assert(rows.length == 72)
+    val interior = rows.filter(r => !r.isNullAt(r.fieldIndex("trend")))
+    assert(interior.length == 48, "rows 12..59 carry a full 2x24 window")
+    interior.foreach { r =>
+      val hod = r.getAs[Long]("hod").toInt
+      assert(r.getAs[Double]("trend") == 100.0, s"trend at hod $hod")
+      assert(r.getAs[Double]("seasonal") == a(hod).toDouble,
+        s"seasonal at hod $hod: ${r.getAs[Double]("seasonal")}")
+      assert(r.getAs[Double]("resid") == 0.0, s"resid at hod $hod")
+    }
+  }
+
   test("poissonBootstrap: constant column collapses the CI; CI brackets the mean") {
     val s = spark
     import s.implicits._
