@@ -4835,6 +4835,26 @@ object OracleSql {
   /** Mirrors Analytics.lakeUpsert: union base (v1) + changed (v2) + inserted
     * (v2, key + 1e9), keep the max-version row per key. Versions are unique
     * per key in the fixture, so ROW_NUMBER is deterministic. */
+  /** Mirrors Analytics.lakeCompactPlan / Lake.compactionPlan: the same
+    * hourly manifest, the same exact integer running sum and
+    * (cum−1) div 2000 bin assignment — all-integer plus two timestamps,
+    * no float surface anywhere. */
+  val lakeCompactPlan: String =
+    s"""WITH m AS (
+       |  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1
+       |), c AS (
+       |  SELECT hr, n,
+       |         CAST(SUM(n) OVER (ORDER BY hr
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS cum
+       |  FROM m
+       |)
+       |SELECT (cum - 1) // 2000 AS bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |       CAST(SUM(n) AS BIGINT) AS total_rows,
+       |       MIN(hr) AS first_hr, MAX(hr) AS last_hr
+       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+
   val lakeUpsert: String =
     s"""WITH base AS (
        |  SELECT event_id, user_id, value, CAST(1 AS BIGINT) AS version FROM events

@@ -1967,6 +1967,24 @@ object Analytics {
         col("l_orderkey") * lit(8L) + col("l_linenumber"))
       .orderBy("tile")
 
+  /** Small-file compaction plan over the hourly ingest manifest: each
+    * hour of events stands in for one streaming-sink output file (the
+    * classic small-file pathology); the planner packs them into
+    * 2000-row output bins by exact integer running sum (see
+    * [[graft.source.Lake.compactionPlan]]) — all-integer output plus two
+    * timestamps, bit-exact parity by construction. */
+  def lakeCompactPlan(s: SparkSession, dir: String): DataFrame = {
+    val manifest = Bars.readEvents(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    graft.source.Lake.compactionPlan(manifest,
+        date_format(col("hr"), "yyyy-MM-dd-HH"), col("hr"), col("n"), 2000L)
+      .select(col("bin"), col("n_files"), col("total_rows"),
+        col("first_key").cast("timestamp_ntz").as("first_hr"),
+        col("last_key").cast("timestamp_ntz").as("last_hr"))
+      .orderBy("bin")
+  }
+
   def lakeUpsert(s: SparkSession, dir: String): DataFrame = {
     val ev = Bars.readEvents(s, dir).select("event_id", "user_id", "value")
     val base = ev.withColumn("version", lit(1L))

@@ -162,6 +162,37 @@ object Lake {
     fs.delete(old, true)
   }
 
+  /** Compaction PLAN over a small-file manifest — which input files merge
+    * into which output file, decided without touching the data. Files are
+    * packed in `orderKey` order by exact integer running sum:
+    * bin = (cum − 1) div targetRows, so every file lands in exactly one
+    * bin and every bin but the last closes within one input file of the
+    * target. Order-preserving greedy (vs first-fit-decreasing, which is
+    * inherently sequential and unreplayable) keeps time-adjacent files in
+    * the same output — the property that preserves temporal clustering
+    * and partition-pruning value through the rewrite. The running sum is
+    * the bucket-offset construction ([[graft.analytics.Ranking
+    * .withGlobalRunningSum]]) — O(manifest) work, no single-partition
+    * window, no driver-side loop: planning stays distributed even for a
+    * 10⁷-file lake.
+    *
+    * @param orderKey numeric, non-null, the packing order (e.g. epoch of
+    *                 the file's hour partition)
+    * @return one row per planned OUTPUT file: bin, input-file count,
+    *         total rows, and the covered key span */
+  def compactionPlan(manifest: DataFrame, file: Column, orderKey: Column,
+      rows: Column, targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"compactionPlan: targetRows must be > 0")
+    val m = manifest.select(file.as("file"), orderKey.as("k"),
+      rows.cast("long").as("n_rows"))
+    graft.analytics.Ranking.withGlobalRunningSum(
+        m, col("k").cast("double"), Seq(col("k")), col("n_rows"))
+      .withColumn("bin", expr(s"(cum - 1L) div ${targetRows}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"),
+        min(col("k")).as("first_key"), max(col("k")).as("last_key"))
+  }
+
   /** Zone-map manifest: per-file row count + min/max of the given columns
     * (one narrow aggregate keyed by `input_file_name`). This is the
     * data-skipping index Delta/Iceberg keep in their transaction logs —

@@ -2280,6 +2280,25 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("compactionPlan: hand-packed bins — every file in exactly one bin, totals conserved") {
+    val s = spark
+    import s.implicits._
+    val manifest = Seq(
+      ("f1", 1L, 1500L), ("f2", 2L, 1500L), ("f3", 3L, 1500L),
+      ("f4", 4L, 500L), ("f5", 5L, 4000L)
+    ).toDF("file", "k", "n")
+    val plan = graft.source.Lake.compactionPlan(
+        manifest, col("file"), col("k"), col("n"), 2000L)
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("total_rows")))
+    // cums 1500,3000,4500,5000,9000 → bins (cum-1)//2000 = 0,1,2,2,4
+    assert(plan.toSeq == Seq((0L, 1L, 1500L), (1L, 1L, 1500L),
+      (2L, 2L, 2000L), (4L, 1L, 4000L)), plan.toSeq.toString)
+    assert(plan.map(_._2).sum == 5L, "every input file lands in one bin")
+    assert(plan.map(_._3).sum == 9000L, "row totals are conserved")
+  }
+
   test("decomposeHourly: perfect 24-periodic series splits exactly — trend=level, seasonal=deviation, resid=0") {
     val s = spark
     import s.implicits._
