@@ -4772,6 +4772,35 @@ object OracleSql {
   /** Mirrors Analytics.dqChecks: identical conditional counts (ELSE 0, so
     * NULL comparisons fall through the same way) and the same
     * dup-surplus sum for the uniqueness rule. */
+  /** Mirrors Analytics.dqKanon / Privacy.kAnonymityReport: the same QI
+    * grouping (hour + floor(value/100) buckets), the same size bands and
+    * worst-in-band l-diversity, the one share division over the band
+    * totals. All-integer until that division. */
+  val dqKanon: String =
+    s"""WITH cl AS (
+       |  SELECT event_type, hour(ts) AS h,
+       |         CAST(floor(value / 100.0) AS BIGINT) AS vb,
+       |         CAST(COUNT(*) AS BIGINT) AS class_size,
+       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_div
+       |  FROM events GROUP BY 1, 2, 3
+       |), b AS (
+       |  SELECT CASE WHEN class_size = 1 THEN 'k=1'
+       |              WHEN class_size <= 4 THEN 'k=2-4'
+       |              WHEN class_size <= 9 THEN 'k=5-9'
+       |              WHEN class_size <= 49 THEN 'k=10-49'
+       |              ELSE 'k>=50' END AS k_band,
+       |         class_size, l_div
+       |  FROM cl
+       |), agg AS (
+       |  SELECT k_band, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |         CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       |         MIN(l_div) AS min_l_diversity
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT k_band, n_classes, n_rows, min_l_diversity,
+       |       ${r("CAST(n_rows AS DOUBLE) / SUM(n_rows) OVER ()")} AS row_share
+       |FROM agg ORDER BY k_band""".stripMargin
+
   val dqChecks: String = {
     val vocab = Params.EventTypes.map(t => s"'$t'").mkString(", ")
     s"""WITH narrow AS (

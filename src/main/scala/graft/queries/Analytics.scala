@@ -1699,6 +1699,23 @@ object Analytics {
     * the agg_distinct_approx path documents). Both legs reduce to 1-row
     * frames, so the assembled rule table is driver-safe at any input
     * size. */
+  /** k-anonymity / l-diversity risk scorecard over the events table: the
+    * quasi-identifier tuple is (event_type, hour-of-day, value century
+    * bucket) — the kind of (category, time, coarse-amount) triple that
+    * re-identifies people in published logs — with user_id as the
+    * sensitive attribute (see
+    * [[graft.analytics.Privacy.kAnonymityReport]]). All-integer until
+    * the one row-share division. */
+  def dqKanon(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Privacy.kAnonymityReport(
+        Bars.readEvents(s, dir),
+        Seq(col("event_type"), hour(col("ts")),
+          floor(col("value") / 100.0).cast("long")),
+        col("user_id"))
+      .select(col("k_band"), col("n_classes"), col("n_rows"),
+        col("min_l_diversity"), r6(col("row_share")).as("row_share"))
+      .orderBy("k_band")
+
   def dqChecks(s: SparkSession, dir: String): DataFrame = {
     val ev = Bars.readEvents(s, dir)
     val typesList = graft.Params.EventTypes

@@ -2280,6 +2280,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("kAnonymityReport: planted classes land in the right bands with the worst l-diversity") {
+    val s = spark
+    import s.implicits._
+    // QI = (g): class "a" has 1 row (k=1), "b" has 3 rows / 1 user
+    // (k=2-4, l-div 1 — a homogeneity leak), "c" has 6 rows / 6 users.
+    val rows = Seq(("a", 10L)) ++
+      (1 to 3).map(_ => ("b", 20L)) ++
+      (1 to 6).map(i => ("c", 30L + i))
+    val got = graft.analytics.Privacy.kAnonymityReport(
+        rows.toDF("g", "user"), Seq(col("g")), col("user"))
+      .orderBy("k_band").collect()
+      .map(r => (r.getAs[String]("k_band"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("min_l_diversity"),
+        r.getAs[Double]("row_share")))
+    assert(got.toSeq == Seq(
+      ("k=1", 1L, 1L, 1L, 0.1),
+      ("k=2-4", 1L, 3L, 1L, 0.3),
+      ("k=5-9", 1L, 6L, 6L, 0.6)), got.toSeq.toString)
+  }
+
   test("compactionPlan: hand-packed bins — every file in exactly one bin, totals conserved") {
     val s = spark
     import s.implicits._
