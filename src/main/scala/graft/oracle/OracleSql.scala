@@ -1720,6 +1720,45 @@ object OracleSql {
        |SELECT npos, ${r("ap_sum / CAST(npos AS DOUBLE)")} AS ap
        |FROM agg""".stripMargin
 
+  /** Mirrors Core.mlNdcg: the same exact-integer quartile grading
+    * (`//` ↔ Spark `div` over the identical (fwd, event_id) ranking), the
+    * same two top-100 orderings, and the DCG terms written with the same
+    * power/log2 shape. The only float surface: 100 per-term divisions
+    * summed once per leg. */
+  val mlNdcg: String = {
+    val k = 100
+    s"""$barsCte, sc AS (
+       |  SELECT event_id, close - LAG(close, 5) OVER ($W) AS score,
+       |         (LEAD(close, 1) OVER ($W) - close) / close AS fwd
+       |  FROM bars
+       |), f AS (
+       |  SELECT * FROM sc WHERE score IS NOT NULL AND fwd IS NOT NULL
+       |), g AS (
+       |  SELECT event_id, score, ((rk - 1) * 4) // n AS gain
+       |  FROM (SELECT event_id, score,
+       |               ROW_NUMBER() OVER (ORDER BY fwd, event_id) AS rk,
+       |               COUNT(*) OVER () AS n
+       |        FROM f)
+       |), top AS (
+       |  SELECT gain, r FROM (
+       |    SELECT gain, ROW_NUMBER() OVER (ORDER BY score DESC, event_id) AS r
+       |    FROM g) WHERE r <= $k
+       |), ideal AS (
+       |  SELECT gain, r FROM (
+       |    SELECT gain, ROW_NUMBER() OVER (ORDER BY gain DESC, event_id) AS r
+       |    FROM g) WHERE r <= $k
+       |), d AS (
+       |  SELECT SUM((power(2.0, gain) - 1.0) / log2(CAST(r AS DOUBLE) + 1.0))
+       |    AS dcg FROM top
+       |), i AS (
+       |  SELECT SUM((power(2.0, gain) - 1.0) / log2(CAST(r AS DOUBLE) + 1.0))
+       |    AS idcg FROM ideal
+       |)
+       |SELECT CAST($k AS BIGINT) AS k, ${r("dcg")} AS dcg,
+       |       ${r("idcg")} AS idcg, ${r("dcg / idcg")} AS ndcg
+       |FROM d, i""".stripMargin
+  }
+
   /** Mirrors Core.featFisher (Market.withFisher, n=10): identical clamped
     * price-position tree (native rolling extrema), both EWMA recursions
     * replayed in ONE recursive CTE with two accumulators — the v-step tree

@@ -750,6 +750,45 @@ object Core {
         r6(col("ap_sum") / col("npos").cast("double")).as("ap"))
   }
 
+  /** NDCG@100 for the momentum score against GRADED relevance — the
+    * ranking-eval companion to the binary-label [[mlAuc]]/[[mlPrAuc]]:
+    * relevance = exact forward-return quartile (0..3, integer `div` over
+    * the scalable global numbering, so grading is bit-identical on both
+    * engines), DCG = Σ (2^gain − 1)/log₂(rank+1) over the top-100 by
+    * score, IDCG the same over the top-100 by gain, NDCG their ratio.
+    *
+    * Scale shape: one bucket-offset numbering pass to grade (no global
+    * sort), then two TakeOrderedAndProject top-100s — per-partition
+    * partial top-k, driver merges k·P candidates; the per-rank window
+    * runs over 100 rows. The float surface is 100 per-term divisions
+    * summed once — orders below the 6-decimal floor. */
+  def mlNdcg(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = graft.features.Frames.bySymbol
+    val scored = bars(s, dir).select(col("event_id"),
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        ((lead(col("close"), 1).over(w) - col("close")) / col("close"))
+          .as("fwd"))
+      .filter(col("score").isNotNull && col("fwd").isNotNull)
+    val (numbered, n) = graft.analytics.Ranking.withGlobalRowNumber(
+      scored, col("fwd"), Seq(col("fwd"), col("event_id")))
+    val graded = numbered.select(col("event_id"), col("score"),
+      expr(s"((rn - 1L) * 4L) div ${n}L").as("gain")).localCheckpoint()
+    def dcgOf(top: DataFrame, order: Seq[Column], alias: String): DataFrame =
+      top.limit(k)
+        .select(col("gain"), row_number().over(Window.orderBy(order: _*))
+          .cast("long").as("r"))
+        .agg(sum((pow(lit(2.0), col("gain")) - 1.0) /
+          log2(col("r").cast("double") + 1.0)).as(alias))
+    val byScore = Seq(col("score").desc, col("event_id"))
+    val byGain = Seq(col("gain").desc, col("event_id"))
+    dcgOf(graded.orderBy(byScore: _*), byScore, "dcg")
+      .crossJoin(dcgOf(graded.orderBy(byGain: _*), byGain, "idcg"))
+      .select(lit(k.toLong).as("k"), r6(col("dcg")).as("dcg"),
+        r6(col("idcg")).as("idcg"),
+        r6(col("dcg") / col("idcg")).as("ndcg"))
+  }
+
   /** Fisher transform + signal line (two chained Ewma recursions;
     * see [[graft.features.Market.withFisher]]). */
   def featFisher(s: SparkSession, dir: String): DataFrame = {

@@ -2412,6 +2412,29 @@ class OpsSpec extends SparkSpec {
       s"ap ${got.getAs[Double]("ap")} vs brute $ap")
   }
 
+  test("mlNdcg equals the brute NDCG@100 under the same grading and tie-breaks") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Core.mlNdcg(spark, dir).collect()(0)
+    val w = graft.features.Frames.bySymbol
+    val rows = graft.queries.Core.bars(spark, dir).select(col("event_id"),
+        (col("close") - lag(col("close"), 5).over(w)).as("score"),
+        ((lead(col("close"), 1).over(w) - col("close")) / col("close")).as("fwd"))
+      .filter(col("score").isNotNull && col("fwd").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val n = rows.length.toLong
+    val gain = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      .map { case ((id, sc, _), i) => (id, sc, (i.toLong * 4L) / n) }
+    def dcg(ranked: Seq[Long]): Double = ranked.zipWithIndex
+      .map { case (g, i) => (math.pow(2.0, g.toDouble) - 1.0) /
+        (math.log(i + 2.0) / math.log(2.0)) }.sum
+    val d = dcg(gain.sortBy(r => (-r._2, r._1)).take(100).map(_._3).toSeq)
+    val i = dcg(gain.sortBy(r => (-r._3, r._1)).take(100).map(_._3).toSeq)
+    assert(math.abs(got.getAs[Double]("dcg") - d) < 1e-6)
+    assert(math.abs(got.getAs[Double]("idcg") - i) < 1e-6)
+    assert(math.abs(got.getAs[Double]("ndcg") - d / i) < 1e-6)
+    assert(got.getAs[Double]("ndcg") > 0.0 && got.getAs[Double]("ndcg") <= 1.0)
+  }
+
   test("prAuc planted ranking: perfect, inverted, and interleaved labelings") {
     val s = spark
     import s.implicits._
