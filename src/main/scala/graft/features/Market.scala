@@ -703,6 +703,40 @@ object Market {
       .drop("_e1", "_e2", "_e3")
   }
 
+  val MassSpan = 9
+  val MassWindow = 25
+
+  /** Mass Index (Dorsey 1992): Σ over the last 25 bars of
+    * EMA₉(high−low) / EMA₉(EMA₉(high−low)) — the range-bulge reversal
+    * detector (a reading above ~27 marks a volatility bulge). Two chained
+    * adjust=true EWMA recursions (the [[withTrix]] class, riding the one
+    * symbol exchange), a zero-guard on the smoothed denominator, then the
+    * O(n) cum−lag rolling sum. The running cum is a float accumulation:
+    * Spark's window Sum folds strictly left-to-right, so the oracle
+    * replays it with the sequential list fold (`cumSum`), never DuckDB's
+    * pairwise-associating native windowed SUM. */
+  def withMassIndex(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def ema(c: org.apache.spark.sql.Column) =
+      graft.expr.Ewma.ewmaSpanOver(c, MassSpan, adjust = true, part, ord)
+    val w = Frames.bySymbol
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = df.select(col("*"), (col("high") - col("low")).as("_rng"))
+    val s2 = s1.select(col("*"), ema(col("_rng")).as("_e1"))
+    val s3 = s2.select(col("*"), ema(col("_e1")).as("_e2"))
+    val s4 = s3.select(col("*"),
+      when(col("_e2") =!= 0.0, col("_e1") / col("_e2")).as("_ratio"),
+      row_number().over(w).cast("long").as("_rn"))
+    val s5 = s4.select(col("*"), sum(col("_ratio")).over(run).as("_cum"))
+    s5.select(col("*"),
+        when(col("_rn") >= MassWindow,
+          col("_cum") - coalesce(lag(col("_cum"), MassWindow).over(w),
+            lit(0.0))).as("mass_index"))
+      .drop("_rng", "_e1", "_e2", "_ratio", "_rn", "_cum")
+  }
+
   val DemaSpan = 20
 
   /** DEMA and TEMA (Mulloy): lag-compensated moving averages built from

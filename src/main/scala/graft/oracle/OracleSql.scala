@@ -544,6 +544,56 @@ object OracleSql {
        |ORDER BY x1.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featMassIndex (Market.withMassIndex): the same two
+    * chained adjust=true EMA₉ recursions over high−low, the identical
+    * zero-guard on the smoothed denominator, and the rolling 25-sum as
+    * cum − lag(cum, 25) where the running cum is a SEQUENTIAL list fold
+    * (Spark's window Sum is strictly incremental; DuckDB's native
+    * windowed SUM pairwise-associates and would drift). */
+  val featMassIndex: String = {
+    val n = graft.features.Market.MassSpan
+    val win = graft.features.Market.MassWindow
+    val dn = d(n)
+    val wr = "PARTITION BY symbol ORDER BY rn"
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, x1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, high - low AS rng, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), e1 AS (
+       |  SELECT symbol, rn, rng AS nf, CAST(1.0 AS DOUBLE) AS df FROM x1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x1.symbol, x1.rn, e1.nf * $dn + x1.rng, e1.df * $dn + 1.0
+       |  FROM e1 JOIN x1 ON x1.symbol = e1.symbol AND x1.rn = e1.rn + 1
+       |), m1 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v1 FROM e1
+       |), e2 AS (
+       |  SELECT symbol, rn, v1 AS nf, CAST(1.0 AS DOUBLE) AS df FROM m1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m1.symbol, m1.rn, e2.nf * $dn + m1.v1, e2.df * $dn + 1.0
+       |  FROM e2 JOIN m1 ON m1.symbol = e2.symbol AND m1.rn = e2.rn + 1
+       |), m2 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v2 FROM e2
+       |), rt AS MATERIALIZED (
+       |  SELECT m1.symbol, m1.rn,
+       |         CASE WHEN m2.v2 <> 0.0 THEN m1.v1 / m2.v2 END AS ratio
+       |  FROM m1 JOIN m2 ON m2.symbol = m1.symbol AND m2.rn = m1.rn
+       |), cm AS (
+       |  SELECT symbol, rn,
+       |         COALESCE(list_sum(list(ratio) OVER ($wr
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 0.0)
+       |           AS cum
+       |  FROM rt
+       |), mx AS (
+       |  SELECT symbol, rn,
+       |         CASE WHEN rn >= $win
+       |              THEN cum - COALESCE(LAG(cum, $win) OVER ($wr), 0.0)
+       |         END AS mass_index
+       |  FROM cm
+       |)
+       |SELECT x1.symbol, x1.event_id, ${r("mx.mass_index")} AS mass_index
+       |FROM x1 JOIN mx ON mx.symbol = x1.symbol AND mx.rn = x1.rn
+       |ORDER BY x1.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featDemaTema (Market.withDemaTema, span=20): the same
     * three chained adjust=true EMA recursions as featTrix, combined with
     * the identical association order (2·v1 − v2; (3·v1 − 3·v2) + v3). */

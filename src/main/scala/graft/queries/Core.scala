@@ -271,6 +271,12 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** Mass Index range-bulge detector (two chained EMA₉ passes + cum−lag
+    * 25-sum; see [[graft.features.Market.withMassIndex]]). */
+  def featMassIndex(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withMassIndex(bars(s, dir)), Seq("mass_index"),
+      Set("mass_index"))
+
   /** Chandelier trailing stops, 22-bar extremes ± 3·ATR(22)
     * (see [[graft.features.Market.withChandelier]]). */
   def featChandelier(s: SparkSession, dir: String): DataFrame =

@@ -227,6 +227,39 @@ class FeatureSpec extends SparkSpec {
       "series must exercise both regimes")
   }
 
+  test("mass index: matches a straight-loop double-EMA reference, warmup nulls") {
+    val rnd = new scala.util.Random(7)
+    val close = (0 until 80).map(_ => 100.0 + rnd.nextDouble() * 20)
+    val df = Market.withMassIndex(barsOf(close))
+    val got: Seq[Option[Double]] = df.orderBy("event_id")
+      .select("mass_index").collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // straight-loop reference: same barsOf columns, same adjust=true EMA
+    val dn = 1.0 - 2.0 / (Market.MassSpan + 1)
+    val rng = close.map(c => c * 1.01 - c * 0.99)
+    def emaOf(xs: Seq[Double]): Seq[Double] = {
+      var nf = 0.0; var dfa = 0.0
+      xs.map { x => nf = nf * dn + x; dfa = dfa * dn + 1.0; nf / dfa }
+    }
+    val v1 = emaOf(rng)
+    val v2 = emaOf(v1)
+    val ratio = v1.zip(v2).map { case (a, b) => a / b }
+    val cum = ratio.scanLeft(0.0)(_ + _).tail
+    val want = close.indices.map { i =>
+      if (i + 1 < Market.MassWindow) None
+      else Some(cum(i) - (if (i >= Market.MassWindow) cum(i - Market.MassWindow) else 0.0))
+    }
+    got.zip(want).zipWithIndex.foreach {
+      case ((None, None), _) => ()
+      case ((Some(g), Some(w)), i) =>
+        assert(math.abs(g - w) < 1e-9, s"row $i: got $g want $w")
+      case ((g, w), i) => fail(s"row $i: null mismatch $g vs $w")
+    }
+    // a 25-sum of a ratio that hovers near 1 stays near 25
+    val vals = got.flatten
+    assert(vals.nonEmpty && vals.forall(v => v > 15.0 && v < 35.0))
+  }
+
   test("kyle lambda: perfectly linear impact recovers the planted slope x 1e6") {
     val n = Market.KyleWindow
     // alternating +2/-2 closes, constant volume 100 (barsOf) ->
