@@ -33,6 +33,8 @@ class AllPlansSpec extends SparkSpec {
     "dedup_cross_source",
     // retention_survival broadcasts the 1-row observation-end scalar
     "retention_survival",
+    // ml_ndcg crosses its two 1-row DCG/IDCG aggregates
+    "ml_ndcg",
     // NOTE: quality_perplexity_buckets inherits textLogprobBigram's vocab
     // scalar, but its scored frame localCheckpoints during construction,
     // so the registered plan is an RDD scan — nothing to allowlist.
