@@ -3181,6 +3181,57 @@ object OracleSql {
        |) sz USING (component_id)
        |ORDER BY node""".stripMargin
 
+  /** Mirrors Analytics.graphModularity: the same reachability component
+    * labels as graphComponents, exact integer degree/intra-edge/m counts,
+    * and Q assembled with the identical association order (intra/m minus
+    * the squared half-degree share written as a self-product, not
+    * power()). The only cross-engine float surface beyond single
+    * divisions is the Q-total sum over the O(communities) rows. */
+  val graphModularity: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+       |), e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |), reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+       |), lab AS MATERIALIZED (
+       |  SELECT id, MIN(r) AS component_id FROM reach GROUP BY id
+       |), deg AS (
+       |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+       |), nc AS (
+       |  SELECT lab.component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |         CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+       |  FROM lab JOIN deg USING (id) GROUP BY 1
+       |), ie AS (
+       |  SELECT la.component_id, CAST(COUNT(*) AS BIGINT) AS intra_edges
+       |  FROM p
+       |  JOIN lab la ON la.id = p.a
+       |  JOIN lab lb ON lb.id = p.b
+       |  WHERE la.component_id = lb.component_id
+       |  GROUP BY 1
+       |), mm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p
+       |), qq AS (
+       |  SELECT nc.component_id, nc.n_nodes,
+       |         COALESCE(ie.intra_edges, 0) AS intra_edges, nc.degree_sum,
+       |         CAST(COALESCE(ie.intra_edges, 0) AS DOUBLE) / mm.m
+       |           - (CAST(nc.degree_sum AS DOUBLE) / (2.0 * mm.m))
+       |             * (CAST(nc.degree_sum AS DOUBLE) / (2.0 * mm.m)) AS q
+       |  FROM nc LEFT JOIN ie USING (component_id) CROSS JOIN mm
+       |)
+       |SELECT component_id, n_nodes, intra_edges, degree_sum,
+       |       ${r("q")} AS q_contrib, ${r("SUM(q) OVER ()")} AS q_total
+       |FROM qq ORDER BY component_id""".stripMargin
+
   /** Mirrors Analytics.graphKcore with an INDEPENDENT h-index
     * formulation: Spark folds a sorted neighbor-value array per node; this
     * replay ranks neighbor values with a row_number window and takes

@@ -68,6 +68,51 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** Newman modularity of the connected-component partition over the
+    * support-≥2 co-purchase graph: per community c,
+    * Q_c = e_c/m − (d_c/2m)², with e_c intra-community edges, d_c the
+    * community degree sum, m total edges — the partition-quality score
+    * that tells a curation pipeline whether its clusters are denser than
+    * chance. All inputs are exact integer counts; each emitted float is
+    * one or two divisions from them, written in the same association
+    * order on both engines. Scale shape: the component labeling is the
+    * same alternating-star CC as [[graphComponents]]; degrees and the
+    * double label-attach are map-side-combinable joins keyed on node id;
+    * the Q window runs over the O(communities) aggregate only. */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Graph.coPurchaseEdgesSupported(s, dir).localCheckpoint()
+    val cc = graft.text.Dedup.connectedComponentsStar(
+      pairs.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val nodeAgg = cc.join(deg, Seq("id"))
+      .groupBy(col("label").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    val la = cc.select(col("id").as("a"), col("label").as("la"))
+    val lb = cc.select(col("id").as("b"), col("label").as("lb"))
+    val intra = pairs.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("component_id"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    val dd = col("degree_sum").cast("double") / (lit(2.0) * col("m"))
+    val q = col("intra_edges").cast("double") / col("m") - dd * dd
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    nodeAgg.join(intra, Seq("component_id"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("component_id"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"), col("m"))
+      .select(col("component_id"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"), q.as("_q"))
+      .select(col("component_id"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"), r6(col("_q")).as("q_contrib"),
+        r6(sum(col("_q")).over(all)).as("q_total"))
+      .orderBy("component_id")
+  }
+
   /** Exact coreness (k-core decomposition) of every part in the
     * support-≥2 co-purchase graph — the "how deep in the dense
     * bought-together mass does this product sit" signal a curation or

@@ -35,6 +35,8 @@ class AllPlansSpec extends SparkSpec {
     "retention_survival",
     // ml_ndcg crosses its two 1-row DCG/IDCG aggregates
     "ml_ndcg",
+    // graph_modularity broadcasts the 1-row total-edge-count scalar
+    "graph_modularity",
     // NOTE: quality_perplexity_buckets inherits textLogprobBigram's vocab
     // scalar, but its scored frame localCheckpoints during construction,
     // so the registered plan is an RDD scan — nothing to allowlist.

@@ -2280,6 +2280,34 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("modularity math: two disjoint triangles score Q=0.5; one component scores 0") {
+    val s = spark
+    import s.implicits._
+    // replicate the query's aggregate math on planted edges + CC labels
+    def modularity(edges: Seq[(Int, Int)]): (Map[Int, Double], Double) = {
+      val pairs = edges.toDF("a", "b").localCheckpoint()
+      val cc = graft.text.Dedup.connectedComponentsStar(
+        pairs.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      val m = edges.length.toDouble
+      val labels = cc.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val byC = labels.groupBy(_._2).map { case (c, nodes) =>
+        val ids = nodes.keySet
+        val eIn = edges.count(e => ids(e._1) && ids(e._2))
+        val dSum = ids.toSeq.map(deg).sum
+        c -> (eIn / m - (dSum / (2.0 * m)) * (dSum / (2.0 * m)))
+      }
+      (byC, byC.values.sum)
+    }
+    val (byC, total) = modularity(
+      Seq((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)))
+    assert(byC.values.forall(q => math.abs(q - 0.25) < 1e-12))
+    assert(math.abs(total - 0.5) < 1e-12)
+    val (_, one) = modularity(Seq((1, 2), (2, 3), (1, 3)))
+    assert(math.abs(one) < 1e-12, "a single component has zero modularity")
+  }
+
   test("kAnonymityReport: planted classes land in the right bands with the worst l-diversity") {
     val s = spark
     import s.implicits._
