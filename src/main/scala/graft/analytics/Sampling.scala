@@ -97,17 +97,29 @@ object Sampling {
   def poissonBootstrap(df: DataFrame, group: Column, key: Column, x: Column,
       b: Int = 100): DataFrame = {
     require(b >= 40, s"poissonBootstrap: need b >= 40 for a 95% CI, got $b")
-    val rep = df.select(group.as("grp"), key.cast("string").as("k"),
+    require(b % 2 == 0, s"poissonBootstrap: b must be even, got $b")
+    // one md5 per REPLICA PAIR: fan out to b/2 blocks, hash once per
+    // block, and emit BOTH replicas from the digest's two independent
+    // 48-bit halves (hex chars 1-12 and 13-24) — the hash runs before the
+    // second generator, so the per-row hash count is b/2, not b. The
+    // oracle slices the same digest positions.
+    val blocks = df.select(group.as("grp"), key.cast("string").as("k"),
         x.cast("double").as("x"))
       .select(col("grp"), col("k"), col("x"),
-        explode(expr(s"sequence(1, $b)")).as("rep"))
-    val h = conv(substring(md5(concat_ws(":", col("k"),
-      col("rep").cast("string"))), 1, 12), 16, 10).cast("double")
-    val u = (h + lit(0.5)) / lit(281474976710656.0) // 2^48
+        explode(expr(s"sequence(1, ${b / 2})")).as("blk"))
+      .withColumn("_hex", md5(concat_ws(":", col("k"), col("blk"))))
+    val rep = blocks.select(col("grp"), col("x"),
+      explode(array(
+        struct((col("blk") * 2 - 1).as("rep"),
+          substring(col("_hex"), 1, 12).as("slice")),
+        struct((col("blk") * 2).as("rep"),
+          substring(col("_hex"), 13, 12).as("slice")))).as("e"))
+    val u = (conv(col("e.slice"), 16, 10).cast("double") + lit(0.5)) /
+      lit(281474976710656.0) // 2^48
     val w = PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
       .reduce(_ + _)
     val means = rep.withColumn("_w", w)
-      .groupBy(col("grp"), col("rep"))
+      .groupBy(col("grp"), col("e.rep").as("rep"))
       .agg(sum(col("_w") * col("x")).as("sx"), sum(col("_w")).as("sw"))
       .select(col("grp"), (col("sx") / col("sw").cast("double")).as("m"))
     val lo = math.ceil(0.025 * b).toInt

@@ -4099,8 +4099,11 @@ object OracleSql {
       .map(c => s"CASE WHEN u >= $c THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH rep AS (
        |  SELECT e.event_type, e.value, r.rep,
-       |         (('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || ':' ||
-       |             CAST(r.rep AS VARCHAR)), 1, 12))::BIGINT::DOUBLE + 0.5)
+       |         (('0x' || substring(
+       |             md5(CAST(e.event_id AS VARCHAR) || ':' ||
+       |                 CAST((r.rep + 1) // 2 AS VARCHAR)),
+       |             CASE WHEN r.rep % 2 = 1 THEN 1 ELSE 13 END,
+       |             12))::BIGINT::DOUBLE + 0.5)
        |           / 281474976710656.0 AS u
        |  FROM events e
        |  CROSS JOIN (SELECT unnest(range(1, ${b + 1})) AS rep) r
