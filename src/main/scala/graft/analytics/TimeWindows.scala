@@ -61,6 +61,56 @@ object TimeWindows {
         coalesce(col("n_ticks"), lit(0L)).as("n_ticks"))
   }
 
+  /** Autocorrelation function of the hourly event-count series at lags
+    * 1..maxLag — the periodicity diagnostic read before picking a
+    * seasonal model (a daily cycle shows as a spike at lag 24). Uses the
+    * full-series-mean ACF convention:
+    * r_h = Σ(y_t−ȳ)(y_{t+h}−ȳ) / Σ(y_t−ȳ)².
+    *
+    * Everything data-sized is EXACT integer arithmetic: the numerator
+    * expands to Σy_t·y_{t+h}, the head/tail partial sums, and the pair
+    * count — all long sums over integer counts — and the denominator to
+    * the global power sums; each ACF value is then a handful of float
+    * ops on those exact scalars, written in the same association order
+    * on both engines. No float accumulation anywhere.
+    *
+    * Scale shape: events collapse to one row per hour first (the only
+    * data-sized shuffle); the lag pairing is a self-join of the bounded
+    * hourly series fanned ×maxLag, grouped with map-side partials; the
+    * global scalars ride one broadcast 1-row cross. The row_number runs
+    * over the aggregated series — the same justified bounded
+    * single-partition class as [[decomposeHourly]]. */
+  def hourlyAcf(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("y"))
+    val numbered = hourly
+      .select(col("y"), row_number().over(Window.orderBy("hr"))
+        .cast("long").as("rn"))
+      .localCheckpoint()
+    val ex = numbered
+      .select(col("rn"), col("y"), explode(expr(s"sequence(1, $maxLag)"))
+        .as("lag"))
+      .select((col("rn") + col("lag")).as("rn2"), col("y").as("y1"),
+        col("lag").cast("long").as("lag"))
+    val per = ex
+      .join(numbered.select(col("rn").as("rn2"), col("y").as("y2")), "rn2")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("y1") * col("y2")).as("sxy"),
+        sum(col("y1")).as("s_head"), sum(col("y2")).as("s_tail"))
+    val tot = numbered.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+      sum(col("y") * col("y")).as("ss"))
+    val ybar = col("s").cast("double") / col("n")
+    val num = col("sxy").cast("double") -
+      ybar * (col("s_head") + col("s_tail")).cast("double") +
+      col("n_pairs").cast("double") * ybar * ybar
+    val den = col("ss").cast("double") - col("n").cast("double") * ybar * ybar
+    per.crossJoin(broadcast(tot))
+      .select(col("lag"), col("n_pairs"), (num / den).as("acf"))
+  }
+
   /** Classical additive seasonal decomposition of the hourly event-count
     * series: y = trend + seasonal + residual, with the textbook centered
     * 2×24 moving average for the even daily period —

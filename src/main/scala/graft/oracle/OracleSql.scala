@@ -3868,6 +3868,38 @@ object OracleSql {
       |       CASE WHEN epoch_us(t) - epoch_us(lt) <= 3600000000 THEN le END AS last_error_id
       |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.eventsAcf / TimeWindows.hourlyAcf: the same hourly
+    * collapse, the same lag-pair self-join, and the SAME exact-integer
+    * power sums — the per-lag ACF assembles the identical float
+    * expression from identical longs, so parity is bit-exact up to those
+    * last few scalar ops. */
+  val eventsAcf: String = {
+    val maxLag = 24
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), n1 AS (
+       |  SELECT y, ROW_NUMBER() OVER (ORDER BY hr) AS rn FROM h
+       |), ex AS (
+       |  SELECT n1.rn + l.lag AS rn2, n1.y AS y1, CAST(l.lag AS BIGINT) AS lag
+       |  FROM n1 CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS lag) l
+       |), per AS (
+       |  SELECT ex.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |         CAST(SUM(ex.y1 * n2.y) AS BIGINT) AS sxy,
+       |         CAST(SUM(ex.y1) AS BIGINT) AS s_head,
+       |         CAST(SUM(n2.y) AS BIGINT) AS s_tail
+       |  FROM ex JOIN n1 n2 ON n2.rn = ex.rn2
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+       |         CAST(SUM(y * y) AS BIGINT) AS ss
+       |  FROM n1
+       |)
+       |SELECT lag, n_pairs,
+       |       ${r("(CAST(sxy AS DOUBLE) - (CAST(s AS DOUBLE) / n) * CAST(s_head + s_tail AS DOUBLE) + CAST(n_pairs AS DOUBLE) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))")} AS acf
+       |FROM per CROSS JOIN tot ORDER BY lag""".stripMargin
+  }
+
   /** Mirrors Analytics.seasonalityDecompose / TimeWindows.decomposeHourly:
     * the identical 2×24 centered MA as exact integers (T48, D48 = longs on
     * both engines), the per-hod seasonal index as one division of an exact

@@ -1409,6 +1409,14 @@ object Analytics {
       .orderBy("symbol", "hod")
   }
 
+  /** Hourly event-count ACF at lags 1..24 (see
+    * [[graft.analytics.TimeWindows.hourlyAcf]] — exact integer power
+    * sums, float assembly only on the O(lags) scalars). */
+  def eventsAcf(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.TimeWindows.hourlyAcf(Bars.readEvents(s, dir))
+      .select(col("lag"), col("n_pairs"), r6(col("acf")).as("acf"))
+      .orderBy("lag")
+
   /** Trend / seasonal / residual split of the hourly event-count series
     * (see [[graft.analytics.TimeWindows.decomposeHourly]] — exact-integer
     * detrending, one division per emitted float). */

@@ -37,6 +37,8 @@ class AllPlansSpec extends SparkSpec {
     "ml_ndcg",
     // graph_modularity broadcasts the 1-row total-edge-count scalar
     "graph_modularity",
+    // events_acf broadcasts the 1-row global power-sum scalars
+    "events_acf",
     // NOTE: quality_perplexity_buckets inherits textLogprobBigram's vocab
     // scalar, but its scored frame localCheckpoints during construction,
     // so the registered plan is an RDD scan — nothing to allowlist.

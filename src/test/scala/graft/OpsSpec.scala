@@ -2280,6 +2280,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("hourlyAcf: brute-equal on a planted 24-periodic series, lag-24 dominates") {
+    val s = spark
+    import s.implicits._
+    def a(hod: Int): Int = if (hod == 0) 24 else if (hod == 12) -24 else 0
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 96).flatMap { t =>
+      (0 until (100 + a(t % 24))).map(i =>
+        (new java.sql.Timestamp(base + t * 3600000L + i), 0L))
+    }.toDF("ts", "pad")
+    val got = graft.analytics.TimeWindows.hourlyAcf(events)
+      .orderBy("lag").collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    // brute reference over the same hourly counts
+    val y = (0 until 96).map(t => (100 + a(t % 24)).toDouble)
+    val ybar = y.sum / y.length
+    val den = y.map(v => (v - ybar) * (v - ybar)).sum
+    (1 to 24).foreach { h =>
+      val num = (0 until y.length - h)
+        .map(t => (y(t) - ybar) * (y(t + h) - ybar)).sum
+      assert(math.abs(got(h.toLong) - num / den) < 1e-9,
+        s"lag $h: ${got(h.toLong)} vs ${num / den}")
+    }
+    assert((1 to 23).forall(h => got(24L) > got(h.toLong)),
+      "the planted daily cycle must spike at lag 24")
+    assert(got(12L) < 0.0, "the half-period lag is anti-correlated")
+  }
+
   test("modularity math: two disjoint triangles score Q=0.5; one component scores 0") {
     val s = spark
     import s.implicits._
