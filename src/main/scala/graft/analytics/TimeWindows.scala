@@ -61,6 +61,42 @@ object TimeWindows {
         coalesce(col("n_ticks"), lit(0L)).as("n_ticks"))
   }
 
+  /** Forecast-baseline evaluation on the hourly event-count series: MAE
+    * and RMSE of the naive (y_{t−1}) and seasonal-naive (y_{t−24})
+    * one-step forecasts, plus MASE (Hyndman & Koehler 2006) — the
+    * seasonal model's MAE scaled by the naive MAE, the scale-free skill
+    * score a forecasting pipeline gates its models against: any model
+    * worth shipping must beat MASE of its own seasonal-naive baseline.
+    *
+    * Counts are integers, so every |error| and squared-error sum is an
+    * EXACT long; each emitted metric is one or two float ops on those
+    * scalars — no float accumulation, bit-exact parity by construction.
+    * Same bounded single-partition class as [[hourlyAcf]]: the windows
+    * run over the one-row-per-hour aggregate. */
+  def hourlyForecastEval(events: DataFrame, season: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("hr")
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("y"))
+    val d = hourly.select(col("y"),
+      (col("y") - lag(col("y"), 1).over(w)).as("d1"),
+      (col("y") - lag(col("y"), season).over(w)).as("ds"))
+    val agg = d.agg(
+      count(col("d1")).as("n1"), sum(abs(col("d1"))).as("sa1"),
+      sum(col("d1") * col("d1")).as("sq1"),
+      count(col("ds")).as("ns"), sum(abs(col("ds"))).as("sas"),
+      sum(col("ds") * col("ds")).as("sqs"))
+    val mae1 = col("sa1").cast("double") / col("n1")
+    val maes = col("sas").cast("double") / col("ns")
+    agg.select(col("n1").as("n_pairs_naive"), col("ns").as("n_pairs_seasonal"),
+      mae1.as("mae_naive"),
+      sqrt(col("sq1").cast("double") / col("n1")).as("rmse_naive"),
+      maes.as("mae_seasonal"),
+      sqrt(col("sqs").cast("double") / col("ns")).as("rmse_seasonal"),
+      (maes / mae1).as("mase_seasonal"))
+  }
+
   /** Autocorrelation function of the hourly event-count series at lags
     * 1..maxLag — the periodicity diagnostic read before picking a
     * seasonal model (a daily cycle shows as a spike at lag 24). Uses the

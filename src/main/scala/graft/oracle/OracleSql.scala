@@ -3868,6 +3868,36 @@ object OracleSql {
       |       CASE WHEN epoch_us(t) - epoch_us(lt) <= 3600000000 THEN le END AS last_error_id
       |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.eventsForecastEval / TimeWindows.hourlyForecastEval:
+    * identical integer |error| and squared-error sums over the same
+    * lag-1 / lag-24 differences; each metric is the same one-or-two float
+    * ops on exact longs. */
+  val eventsForecastEval: String =
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), d AS (
+       |  SELECT y,
+       |         y - LAG(y, 1) OVER (ORDER BY hr) AS d1,
+       |         y - LAG(y, 24) OVER (ORDER BY hr) AS ds
+       |  FROM h
+       |), agg AS (
+       |  SELECT CAST(COUNT(d1) AS BIGINT) AS n1,
+       |         CAST(SUM(abs(d1)) AS BIGINT) AS sa1,
+       |         CAST(SUM(d1 * d1) AS BIGINT) AS sq1,
+       |         CAST(COUNT(ds) AS BIGINT) AS ns,
+       |         CAST(SUM(abs(ds)) AS BIGINT) AS sas,
+       |         CAST(SUM(ds * ds) AS BIGINT) AS sqs
+       |  FROM d
+       |)
+       |SELECT n1 AS n_pairs_naive, ns AS n_pairs_seasonal,
+       |       ${r("CAST(sa1 AS DOUBLE) / n1")} AS mae_naive,
+       |       ${r("sqrt(CAST(sq1 AS DOUBLE) / n1)")} AS rmse_naive,
+       |       ${r("CAST(sas AS DOUBLE) / ns")} AS mae_seasonal,
+       |       ${r("sqrt(CAST(sqs AS DOUBLE) / ns)")} AS rmse_seasonal,
+       |       ${r("(CAST(sas AS DOUBLE) / ns) / (CAST(sa1 AS DOUBLE) / n1)")} AS mase_seasonal
+       |FROM agg""".stripMargin
+
   /** Mirrors Analytics.eventsAcf / TimeWindows.hourlyAcf: the same hourly
     * collapse, the same lag-pair self-join, and the SAME exact-integer
     * power sums — the per-lag ACF assembles the identical float

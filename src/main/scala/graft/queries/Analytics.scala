@@ -1409,6 +1409,19 @@ object Analytics {
       .orderBy("symbol", "hod")
   }
 
+  /** Naive / seasonal-naive forecast baselines with MASE skill score
+    * over the hourly event counts (see
+    * [[graft.analytics.TimeWindows.hourlyForecastEval]] — exact integer
+    * error sums, float ops only on the final scalars). */
+  def eventsForecastEval(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.TimeWindows.hourlyForecastEval(Bars.readEvents(s, dir))
+      .select(col("n_pairs_naive"), col("n_pairs_seasonal"),
+        r6(col("mae_naive")).as("mae_naive"),
+        r6(col("rmse_naive")).as("rmse_naive"),
+        r6(col("mae_seasonal")).as("mae_seasonal"),
+        r6(col("rmse_seasonal")).as("rmse_seasonal"),
+        r6(col("mase_seasonal")).as("mase_seasonal"))
+
   /** Hourly event-count ACF at lags 1..24 (see
     * [[graft.analytics.TimeWindows.hourlyAcf]] — exact integer power
     * sums, float assembly only on the O(lags) scalars). */

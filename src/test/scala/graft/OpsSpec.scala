@@ -2280,6 +2280,31 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("hourlyForecastEval: a perfect 24-periodic series has zero seasonal error, MASE 0") {
+    val s = spark
+    import s.implicits._
+    def a(hod: Int): Int = if (hod == 0) 24 else if (hod == 12) -24 else 0
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 96).flatMap { t =>
+      (0 until (100 + a(t % 24))).map(i =>
+        (new java.sql.Timestamp(base + t * 3600000L + i), 0L))
+    }.toDF("ts", "pad")
+    val r = graft.analytics.TimeWindows.hourlyForecastEval(events).collect()(0)
+    assert(r.getAs[Long]("n_pairs_naive") == 95L)
+    assert(r.getAs[Long]("n_pairs_seasonal") == 72L)
+    // seasonal-naive is EXACT on a perfectly periodic series
+    assert(r.getAs[Double]("mae_seasonal") == 0.0)
+    assert(r.getAs[Double]("rmse_seasonal") == 0.0)
+    assert(r.getAs[Double]("mase_seasonal") == 0.0)
+    // naive-1 stumbles on the two daily jumps: |d|=24 at hods 0,1,12,13
+    // per day (4 days x 4 - 1 missing first transition... brute it)
+    val y = (0 until 96).map(t => 100 + a(t % 24))
+    val d1 = (1 until 96).map(t => math.abs(y(t) - y(t - 1)))
+    assert(math.abs(r.getAs[Double]("mae_naive") - d1.sum.toDouble / 95) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rmse_naive") -
+      math.sqrt(d1.map(v => v * v).sum.toDouble / 95)) < 1e-12)
+  }
+
   test("hourlyAcf: brute-equal on a planted 24-periodic series, lag-24 dominates") {
     val s = spark
     import s.implicits._
