@@ -76,6 +76,63 @@ object Multimodal {
           .as("frame_md5"))
   }
 
+  /** Perceptual-hash (aHash) near-dup clustering over the opaque media
+    * payload: tile the payload 8×, slice it into 64 cells, sum each
+    * cell's byte values, and set bit i when cell i exceeds the payload
+    * mean — the average-hash construction real image dedup runs on
+    * decoded luma grids (the decode is the stubbed step here; the grid →
+    * bits → cluster plumbing is the real operator). Payloads that differ
+    * in a few bytes keep most cell means, hence most bits — unlike
+    * [[extractFeatures]]' exact checksum, which any single-byte change
+    * escapes.
+    *
+    * All arithmetic is EXACT integers: bit i is the comparison
+    * 64·cell_i > total (no float mean), and the hash is carried as four
+    * 16-bit chunks. Scale shape: one narrow position explode (8·len per
+    * row — the honest decode fan-out), a map-side-combinable
+    * (event, cell) aggregate, a co-partitioned per-event window +
+    * regroup, then one groupBy on the hash for cluster labels. Clusters
+    * key on the FULL 64-bit hash (exact-quantized near-dup); the chunk
+    * columns are emitted so a banded hamming join can consume them
+    * downstream. Rows with empty payloads are dropped (nothing to hash).
+    */
+  def phashClusters(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = events
+      .filter(col("props").isNotNull && length(col("props")) > 0)
+      .select(col("event_id"), col("props"),
+        length(col("props")).cast("long").as("len"))
+    val ch = src
+      .select(col("event_id"), col("props"), col("len"),
+        explode(sequence(lit(0L), col("len") * 8 - 1)).as("p"))
+      .select(col("event_id"),
+        expr("(p * 64) div (8 * len)").as("cell"),
+        ascii(expr("substring(props, CAST(p % len AS INT) + 1, 1)"))
+          .cast("long").as("v"))
+    val cells = ch.groupBy("event_id", "cell").agg(sum(col("v")).as("s"))
+    val bits = cells
+      .withColumn("total",
+        sum(col("s")).over(Window.partitionBy("event_id")))
+      .withColumn("bit", (col("s") * 64 > col("total")).cast("int"))
+    val hashes = bits.groupBy("event_id").agg(
+      expr(chunkSql(0)).as("h0"), expr(chunkSql(1)).as("h1"),
+      expr(chunkSql(2)).as("h2"), expr(chunkSql(3)).as("h3"))
+    val clusters = hashes.groupBy("h0", "h1", "h2", "h3")
+      .agg(min(col("event_id")).as("phash_cluster"),
+        count(lit(1)).as("cluster_size"))
+    hashes.join(clusters, Seq("h0", "h1", "h2", "h3"))
+      .select(col("event_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+        col("phash_cluster"), col("cluster_size"),
+        (col("event_id") === col("phash_cluster")).cast("int").as("keep"))
+  }
+
+  private def chunkSql(k: Int): String = {
+    val lo = 16 * k
+    s"sum(CASE WHEN cell >= $lo AND cell <= ${lo + 15} AND bit = 1 " +
+      s"THEN shiftleft(CAST(1 AS BIGINT), CAST(cell AS INT) - $lo) " +
+      s"ELSE CAST(0 AS BIGINT) END)"
+  }
+
   case class MediaResize(event_id: Long, kind: String, width: Int,
     height: Int, new_width: Int, new_height: Int, scale: Double)
 

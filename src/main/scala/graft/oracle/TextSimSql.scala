@@ -1818,6 +1818,52 @@ object TextSimSql {
 
   /** Mirrors TextSim.multimodalDedup: md5 over the utf8 payload bytes
     * (octet_length ↔ Spark's length-of-binary), exact integer counting. */
+  /** Mirrors TextSim.multimodalPhash / Multimodal.phashClusters: the same
+    * 8×-tiled 64-cell slicing ((p·64) // (8·len) ↔ Spark `div`), the same
+    * ord/ascii byte values, the EXACT integer bit rule 64·cell > total,
+    * and the same full-hash cluster labels — all-integer, bit-exact by
+    * construction. */
+  val multimodalPhash: String = {
+    val chunks = (0 until 4).map { k =>
+      val lo = 16 * k
+      s"""CAST(SUM(CASE WHEN cell >= $lo AND cell <= ${lo + 15} AND bit = 1
+         |   THEN (CAST(1 AS BIGINT) << CAST(cell - $lo AS INT))
+         |   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h$k""".stripMargin
+    }.mkString(",\n         ")
+    s"""WITH src AS (
+       |  SELECT event_id, props, CAST(length(props) AS BIGINT) AS len
+       |  FROM events WHERE props IS NOT NULL AND length(props) > 0
+       |), ch AS (
+       |  SELECT event_id, (p * 64) // (8 * len) AS cell,
+       |         CAST(ord(substring(props, CAST(p % len AS INT) + 1, 1))
+       |           AS BIGINT) AS v
+       |  FROM (SELECT event_id, props, len, unnest(range(8 * len)) AS p
+       |        FROM src)
+       |), cells AS (
+       |  SELECT event_id, cell, CAST(SUM(v) AS BIGINT) AS s
+       |  FROM ch GROUP BY 1, 2
+       |), hb AS (
+       |  SELECT event_id, cell,
+       |         CASE WHEN s * 64 >
+       |              CAST(SUM(s) OVER (PARTITION BY event_id) AS BIGINT)
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM cells
+       |), hs AS (
+       |  SELECT event_id,
+       |         $chunks
+       |  FROM hb GROUP BY 1
+       |), cl AS (
+       |  SELECT h0, h1, h2, h3, MIN(event_id) AS phash_cluster,
+       |         CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM hs GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT hs.event_id, hs.h0, hs.h1, hs.h2, hs.h3,
+       |       cl.phash_cluster, cl.cluster_size,
+       |       CAST(hs.event_id = cl.phash_cluster AS INT) AS keep
+       |FROM hs JOIN cl USING (h0, h1, h2, h3)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val multimodalDedup: String =
     """SELECT event_type AS kind, md5(props) AS payload_md5,
       |       MIN(event_id) AS canonical_id, COUNT(*) AS n_copies,

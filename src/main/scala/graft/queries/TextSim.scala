@@ -483,6 +483,16 @@ object TextSim {
         max(length(col("payload")).cast("long")).as("n_bytes"))
       .orderBy("kind", "payload_md5")
 
+  /** Perceptual-hash (aHash) near-dup clusters over the media payload
+    * column (see [[graft.media.Multimodal.phashClusters]] — exact integer
+    * bits, full-hash cluster labels, chunk columns for downstream banded
+    * hamming joins). All-integer output. */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashClusters(Bars.readEvents(s, dir))
+      .select(col("event_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+        col("phash_cluster"), col("cluster_size"), col("keep"))
+      .orderBy("event_id")
+
   /** OOV-rate per document against the corpus's top-k vocabulary — the
     * tokenizer-coverage readout (which docs a k-type vocab fails to cover).
     * Top-k is a TakeOrderedAndProject (count desc, term tie-break —

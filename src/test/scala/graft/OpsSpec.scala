@@ -2280,6 +2280,30 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("phashClusters: hand-computed aHash bits, identical payloads cluster") {
+    val s = spark
+    import s.implicits._
+    // "aaaabbbb" len 8 -> 64 tiled positions, exactly one char per cell,
+    // char at cell c = (c mod 8 < 4 ? 'a' : 'b'); mean is 97.5 so the 'b'
+    // cells set bits 4-7 and 12-15 of each 16-bit chunk: 0xF0F0 = 61680.
+    val events = Seq(
+      (1L, "aaaabbbb"), (2L, "aaaabbbb"), (3L, "zzzzaaaa")
+    ).toDF("event_id", "props")
+    val got = graft.media.Multimodal.phashClusters(events)
+      .orderBy("event_id").collect()
+    val r1 = got(0)
+    (0 to 3).foreach { k =>
+      assert(r1.getAs[Long](s"h$k") == 61680L, s"h$k of aaaabbbb") }
+    assert(got(0).getAs[Long]("phash_cluster") == 1L)
+    assert(got(1).getAs[Long]("phash_cluster") == 1L, "identical payloads cluster")
+    assert(got(0).getAs[Long]("cluster_size") == 2L)
+    assert(got(0).getAs[Int]("keep") == 1 && got(1).getAs[Int]("keep") == 0)
+    assert(got(2).getAs[Long]("phash_cluster") == 3L &&
+      got(2).getAs[Long]("cluster_size") == 1L)
+    // zzzzaaaa flips the bit pattern: low half set instead of high
+    assert(got(2).getAs[Long]("h0") == 0x0F0FL)
+  }
+
   test("hourlyForecastEval: a perfect 24-periodic series has zero seasonal error, MASE 0") {
     val s = spark
     import s.implicits._
