@@ -1818,6 +1818,26 @@ object TextSimSql {
 
   /** Mirrors TextSim.multimodalDedup: md5 over the utf8 payload bytes
     * (octet_length ↔ Spark's length-of-binary), exact integer counting. */
+  /** Mirrors TextSim.corpusTokenBudget / Corpus.tokenBudget: the same
+    * bit-identical quality expression orders the corpus, the running
+    * token total is an exact INTEGER windowed sum (associativity-safe —
+    * no sequential-fold workaround needed), and the inclusive-fit rule
+    * is the same integer comparison. */
+  val corpusTokenBudget: String =
+    s"""WITH $statsCtesBody, q AS (
+       |  SELECT doc_id, ws_tokens, $qualityExpr AS quality_score
+       |  FROM s2
+       |), c AS (
+       |  SELECT doc_id, ws_tokens, quality_score,
+       |         CAST(SUM(ws_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_tokens
+       |  FROM q
+       |)
+       |SELECT doc_id, ws_tokens, ${r("quality_score")} AS quality_score,
+       |       cum_tokens, CAST(cum_tokens <= 10000 AS INT) AS selected
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Mirrors TextSim.multimodalPhash / Multimodal.phashClusters: the same
     * 8×-tiled 64-cell slicing ((p·64) // (8·len) ↔ Spark `div`), the same
     * ord/ascii byte values, the EXACT integer bit rule 64·cell > total,

@@ -483,6 +483,16 @@ object TextSim {
         max(length(col("payload")).cast("long")).as("n_bytes"))
       .orderBy("kind", "payload_md5")
 
+  /** Quality-ranked token-budget cut at B=10k whitespace tokens (see
+    * [[graft.text.Corpus.tokenBudget]] — exact integer running total over
+    * the bucket-offset numbering, whole-document selection). */
+  def corpusTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenBudget(Tables.documents(s, dir), 10000L)
+      .select(col("doc_id"), col("ws_tokens"),
+        r6(col("quality_score")).as("quality_score"),
+        col("cum_tokens"), col("selected"))
+      .orderBy("doc_id")
+
   /** Perceptual-hash (aHash) near-dup clusters over the media payload
     * column (see [[graft.media.Multimodal.phashClusters]] — exact integer
     * bits, full-hash cluster labels, chunk columns for downstream banded

@@ -275,6 +275,33 @@ object Corpus {
       .drop("_n")
   }
 
+  /** Token-budget selection: rank the corpus by quality (best first) and
+    * mark the prefix whose cumulative whitespace-token count stays within
+    * `budgetTokens` — "give me the best B-token subset", the final cut a
+    * pretraining data pipeline makes after scoring. A doc is selected
+    * when its own INCLUSIVE running total fits (the first overflowing doc
+    * is dropped, not truncated — whole-document selection).
+    *
+    * The running total is the exact-integer bucket-offset construction
+    * ([[graft.analytics.Ranking.withGlobalRunningSum]] keyed on −quality
+    * with doc_id tie-break) — no single-partition window, no float
+    * accumulation; the quality ordering key itself is the bit-identical
+    * [[TextStats.withStats]] expression on both engines. Emits EVERY doc
+    * with its rank, running total, and selected flag, so the cut line is
+    * auditable. */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "tokenBudget: budget must be positive")
+    val q = TextStats.withStats(docs)
+      .select(col("doc_id"), col("ws_tokens"), col("quality_score"))
+    graft.analytics.Ranking.withGlobalRunningSum(
+        q, -col("quality_score"),
+        Seq(col("quality_score").desc, col("doc_id")), col("ws_tokens"),
+        cumCol = "cum_tokens")
+      .select(col("doc_id"), col("ws_tokens"), col("quality_score"),
+        col("cum_tokens"),
+        (col("cum_tokens") <= budgetTokens).cast("int").as("selected"))
+  }
+
   /** Curriculum ordering: bucket the corpus into quality deciles (decile 1
     * = best), deterministically shuffle WITHIN each decile (md5 draw), and
     * emit the global training order — easy → hard curriculum with no

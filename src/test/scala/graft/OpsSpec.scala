@@ -2280,6 +2280,29 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("tokenBudget: prefix property — selected docs are exactly the best-quality fit") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.source.Tables.documents(spark, dir)
+    val rows = graft.text.Corpus.tokenBudget(docs, 1000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("ws_tokens"), r.getAs[Double]("quality_score"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Int]("selected")))
+    // running total is consistent with the (quality desc, doc_id) order
+    val ordered = rows.sortBy(r => (-r._3, r._1))
+    var cum = 0L
+    ordered.foreach { r =>
+      cum += r._2
+      assert(r._4 == cum, s"doc ${r._1}: cum ${r._4} != brute $cum")
+      assert(r._5 == (if (cum <= 1000L) 1 else 0), s"doc ${r._1} flag")
+    }
+    // selection is a PREFIX of the quality ordering, non-empty, partial
+    val flags = ordered.map(_._5)
+    assert(flags.head == 1 && flags.contains(0),
+      "budget must cut the corpus mid-way at this SF")
+    assert(!flags.sliding(2).exists(p => p.head == 0 && p.last == 1),
+      "selected set must be a prefix")
+  }
+
   test("phashClusters: hand-computed aHash bits, identical payloads cluster") {
     val s = spark
     import s.implicits._
