@@ -3868,6 +3868,30 @@ object OracleSql {
       |       CASE WHEN epoch_us(t) - epoch_us(lt) <= 3600000000 THEN le END AS last_error_id
       |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.eventsUserOverlap: the same distinct (type, user)
+    * projection, ordered-pair self-join, and exact integer counts; one
+    * Jaccard division at the end. */
+  val eventsUserOverlap: String =
+    s"""WITH tu AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), totals AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+       |  FROM tu GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM tu a JOIN tu b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.type_a, p.type_b,
+       |       ta.n_users AS users_a, tb.n_users AS users_b, p.overlap,
+       |       ${r("CAST(p.overlap AS DOUBLE) / (ta.n_users + tb.n_users - p.overlap)")} AS jaccard
+       |FROM pairs p
+       |JOIN totals ta ON ta.event_type = p.type_a
+       |JOIN totals tb ON tb.event_type = p.type_b
+       |ORDER BY p.type_a, p.type_b""".stripMargin
+
   /** Mirrors Analytics.eventsForecastEval / TimeWindows.hourlyForecastEval:
     * identical integer |error| and squared-error sums over the same
     * lag-1 / lag-24 differences; each metric is the same one-or-two float

@@ -1409,6 +1409,34 @@ object Analytics {
       .orderBy("symbol", "hod")
   }
 
+  /** Audience overlap between event types: for every type pair (a < b),
+    * the distinct-user intersection and Jaccard similarity — the
+    * "do these behaviors share an audience" readout behind segmentation
+    * and cross-sell. Per-user type sets are tiny (≤ |vocab| types), so
+    * the user-keyed self-join fans out ≤ C(|vocab|,2) pairs per user —
+    * bounded, skew-safe, exact integers until the one Jaccard division. */
+  def eventsUserOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = Bars.readEvents(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val totals = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val pairs = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("n_users").as("users_a"))), Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("n_users").as("users_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("overlap"),
+        r6(col("overlap").cast("double") /
+          (col("users_a") + col("users_b") - col("overlap"))).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Naive / seasonal-naive forecast baselines with MASE skill score
     * over the hourly event counts (see
     * [[graft.analytics.TimeWindows.hourlyForecastEval]] — exact integer

@@ -2280,6 +2280,20 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("eventsUserOverlap: Jaccard bounds and symmetry invariants at sf0.001") {
+    val rows = graft.queries.Analytics
+      .eventsUserOverlap(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ua, ub, ov, j) = (r.getAs[Long]("users_a"), r.getAs[Long]("users_b"),
+        r.getAs[Long]("overlap"), r.getAs[Double]("jaccard"))
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(ov <= math.min(ua, ub), "overlap bounded by either audience")
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - ov.toDouble / (ua + ub - ov)) < 1e-6)
+    }
+  }
+
   test("tokenBudget: prefix property — selected docs are exactly the best-quality fit") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.source.Tables.documents(spark, dir)
