@@ -703,6 +703,41 @@ object Market {
       .drop("_e1", "_e2", "_e3")
   }
 
+  val AlligatorJaw = 13
+  val AlligatorTeeth = 8
+  val AlligatorLips = 5
+  val AlligatorJawShift = 8
+  val AlligatorTeethShift = 5
+  val AlligatorLipsShift = 3
+
+  /** Williams Alligator (1995): three Wilder-smoothed moving averages
+    * (SMMA = adjust=false EWMA with α=1/n) of the median price
+    * (high+low)/2 — jaw 13, teeth 8, lips 5 — each DISPLACED forward on
+    * the chart by 8/5/3 bars. The causal feature convention: the value a
+    * trading system reads at bar t is the line drawn there, i.e. the
+    * smoothing from shift bars earlier (`lag`), so no lookahead. All
+    * three recursions ride the one symbol exchange ([[withTrix]] class);
+    * the oracle replays them in ONE recursive CTE with three
+    * accumulators. */
+  def withAlligator(df: DataFrame): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    val w = Frames.bySymbol
+    def smma(c: org.apache.spark.sql.Column, n: Int) =
+      graft.expr.Ewma.ewmaOver(c, 1.0 / n, adjust = false, part, ord)
+    val s1 = df.select(col("*"),
+      ((col("high") + col("low")) / 2.0).as("_mp"))
+    val s2 = s1.select(col("*"),
+      smma(col("_mp"), AlligatorJaw).as("_j"),
+      smma(col("_mp"), AlligatorTeeth).as("_t"),
+      smma(col("_mp"), AlligatorLips).as("_l"))
+    s2.select(col("*"),
+        lag(col("_j"), AlligatorJawShift).over(w).as("alligator_jaw"),
+        lag(col("_t"), AlligatorTeethShift).over(w).as("alligator_teeth"),
+        lag(col("_l"), AlligatorLipsShift).over(w).as("alligator_lips"))
+      .drop("_mp", "_j", "_t", "_l")
+  }
+
   val MassSpan = 9
   val MassWindow = 25
 

@@ -544,6 +544,42 @@ object OracleSql {
        |ORDER BY x1.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featAlligator (Market.withAlligator): the three Wilder
+    * SMMA recursions (adjust=false, α=1/n — seed y₁=x₁, step
+    * prev·(1−α) + α·x in that association order, matching the Ewma
+    * expression) replayed in ONE recursive CTE with three accumulators,
+    * then the same causal lag displacements. */
+  val featAlligator: String = {
+    import graft.features.Market._
+    def al(n: Int) = (1.0 / n).toString
+    def dl(n: Int) = (1.0 - 1.0 / n).toString
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, x1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, (high + low) / 2.0 AS mp,
+       |         ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), ew AS (
+       |  SELECT symbol, rn, mp AS j, mp AS t, mp AS l FROM x1 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x1.symbol, x1.rn,
+       |         ew.j * ${dl(AlligatorJaw)} + ${al(AlligatorJaw)} * x1.mp,
+       |         ew.t * ${dl(AlligatorTeeth)} + ${al(AlligatorTeeth)} * x1.mp,
+       |         ew.l * ${dl(AlligatorLips)} + ${al(AlligatorLips)} * x1.mp
+       |  FROM ew JOIN x1 ON x1.symbol = ew.symbol AND x1.rn = ew.rn + 1
+       |), sh AS (
+       |  SELECT symbol, rn,
+       |         LAG(j, $AlligatorJawShift) OVER (PARTITION BY symbol ORDER BY rn) AS jaw,
+       |         LAG(t, $AlligatorTeethShift) OVER (PARTITION BY symbol ORDER BY rn) AS teeth,
+       |         LAG(l, $AlligatorLipsShift) OVER (PARTITION BY symbol ORDER BY rn) AS lips
+       |  FROM ew
+       |)
+       |SELECT x1.symbol, x1.event_id,
+       |       ${r("sh.jaw")} AS alligator_jaw,
+       |       ${r("sh.teeth")} AS alligator_teeth,
+       |       ${r("sh.lips")} AS alligator_lips
+       |FROM x1 JOIN sh ON sh.symbol = x1.symbol AND sh.rn = x1.rn
+       |ORDER BY x1.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featMassIndex (Market.withMassIndex): the same two
     * chained adjust=true EMA₉ recursions over high−low, the identical
     * zero-guard on the smoothed denominator, and the rolling 25-sum as

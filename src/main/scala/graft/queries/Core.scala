@@ -271,6 +271,13 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** Williams Alligator jaw/teeth/lips (three Wilder SMMAs, causally
+    * displaced; see [[graft.features.Market.withAlligator]]). */
+  def featAlligator(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withAlligator(bars(s, dir)),
+      Seq("alligator_jaw", "alligator_teeth", "alligator_lips"),
+      Set("alligator_jaw", "alligator_teeth", "alligator_lips"))
+
   /** Mass Index range-bulge detector (two chained EMA₉ passes + cum−lag
     * 25-sum; see [[graft.features.Market.withMassIndex]]). */
   def featMassIndex(s: SparkSession, dir: String): DataFrame =

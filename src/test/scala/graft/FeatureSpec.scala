@@ -227,6 +227,36 @@ class FeatureSpec extends SparkSpec {
       "series must exercise both regimes")
   }
 
+  test("alligator: matches straight-loop Wilder SMMAs with causal displacement") {
+    val rnd = new scala.util.Random(23)
+    val close = (0 until 60).map(_ => 100.0 + rnd.nextDouble() * 10)
+    val df = Market.withAlligator(barsOf(close))
+    val got = df.orderBy("event_id")
+      .select("alligator_jaw", "alligator_teeth", "alligator_lips")
+      .collect().toSeq.map(r => (0 to 2).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+    val mp = close.map(c => (c * 1.01 + c * 0.99) / 2.0)
+    def smma(n: Int): Seq[Double] = {
+      val a = 1.0 / n; val d = 1.0 - 1.0 / n
+      mp.tail.scanLeft(mp.head)((prev, x) => prev * d + a * x)
+    }
+    val (j, t, l) = (smma(13), smma(8), smma(5))
+    def shifted(xs: Seq[Double], s: Int, i: Int): Option[Double] =
+      if (i < s) None else Some(xs(i - s))
+    close.indices.foreach { i =>
+      val want = Seq(shifted(j, 8, i), shifted(t, 5, i), shifted(l, 3, i))
+      got(i).zip(want).foreach {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-9, s"row $i")
+        case (None, None) => ()
+        case (g, w) => fail(s"row $i null mismatch: $g vs $w")
+      }
+    }
+    // lips (fastest, least shifted) must hug the median price closest
+    val last = close.length - 1
+    val err = Seq(j(last - 8), t(last - 5), l(last - 3)).map(v => math.abs(v - mp(last)))
+    assert(err.last <= err.head + 5.0, "sanity: lines stay in price range")
+  }
+
   test("mass index: matches a straight-loop double-EMA reference, warmup nulls") {
     val rnd = new scala.util.Random(7)
     val close = (0 until 80).map(_ => 100.0 + rnd.nextDouble() * 20)
