@@ -1818,6 +1818,53 @@ object TextSimSql {
 
   /** Mirrors TextSim.multimodalDedup: md5 over the utf8 payload bytes
     * (octet_length ↔ Spark's length-of-binary), exact integer counting. */
+  /** Mirrors TextSim.textLangidNgram / TextStats.langIdNgram: identical
+    * trigram extraction (range(len−2) ↔ sequence(0, len−3)), identical
+    * (count desc, gram) rank tie-breaks, the same K=50 out-of-place
+    * penalty, and the same (distance, lang) argmin — all exact
+    * integers. */
+  val textLangidNgram: String = {
+    val k = graft.text.TextStats.CtProfileK
+    s"""WITH g AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(length(text) - 2),
+       |           p -> substring(text, CAST(p AS INT) + 1, 3))) AS gram
+       |  FROM documents WHERE length(text) >= 3
+       |), dt AS (
+       |  SELECT doc_id, gram, CAST(rn AS BIGINT) AS dr FROM (
+       |    SELECT doc_id, gram,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY COUNT(*) DESC, gram) AS rn
+       |    FROM g GROUP BY doc_id, gram)
+       |  WHERE rn <= $k
+       |), lp AS (
+       |  SELECT lang AS cand, gram, CAST(rn AS BIGINT) AS lr FROM (
+       |    SELECT lang, gram,
+       |           ROW_NUMBER() OVER (PARTITION BY lang
+       |             ORDER BY COUNT(*) DESC, gram) AS rn
+       |    FROM g GROUP BY lang, gram)
+       |  WHERE rn <= $k
+       |), langs AS (
+       |  SELECT DISTINCT lang AS cand FROM documents
+       |), dist AS (
+       |  SELECT dt.doc_id, l.cand,
+       |         CAST(SUM(COALESCE(abs(dt.dr - lp.lr), $k)) AS BIGINT)
+       |           AS rank_distance
+       |  FROM dt CROSS JOIN langs l
+       |  LEFT JOIN lp ON lp.cand = l.cand AND lp.gram = dt.gram
+       |  GROUP BY 1, 2
+       |), best AS (
+       |  SELECT doc_id, cand, rank_distance,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |           ORDER BY rank_distance, cand) AS rk
+       |  FROM dist
+       |)
+       |SELECT b.doc_id, b.cand AS predicted_lang, d.lang,
+       |       CAST(b.cand = d.lang AS INT) AS is_correct, b.rank_distance
+       |FROM best b JOIN documents d USING (doc_id)
+       |WHERE b.rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors TextSim.corpusTokenBudget / Corpus.tokenBudget: the same
     * bit-identical quality expression orders the corpus, the running
     * token total is an exact INTEGER windowed sum (associativity-safe —

@@ -26,6 +26,19 @@ object TextSim {
       .select(col("doc_id"), col("predicted_lang"), col("lang"), col("is_correct"))
       .orderBy("doc_id")
 
+  /** Cavnar–Trenkle trigram rank-distance language ID (see
+    * [[graft.text.TextStats.langIdNgram]] — exact integer ranks and
+    * distances, broadcast profiles). */
+  def textLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.langIdNgram(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("predicted_lang"), col("lang"),
+        (col("predicted_lang") === col("lang")).cast("int").as("is_correct"),
+        col("rank_distance"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher heuristic quality gates: raw signals + per-rule flags + keep
     * (see [[graft.text.TextStats.withGopherQuality]]). */
   def qualityGopher(s: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,58 @@ object TextStats {
       .withColumn("is_correct", (col("predicted_lang") === col("lang")).cast("int"))
   }
 
+  /** Profile size for the Cavnar–Trenkle language ID. */
+  val CtProfileK = 50
+
+  /** Cavnar–Trenkle (1994) n-gram language ID: build each language's
+    * rank profile (top-K char trigrams by frequency, ties by gram), rank
+    * each document's own trigrams the same way, and classify by minimal
+    * out-of-place rank distance — Σ |doc_rank − profile_rank| with a
+    * K penalty for grams missing from the profile. The classic
+    * dictionary-free language detector, an order stronger than the
+    * marker-word heuristic ([[withLangId]]) on short or stopword-poor
+    * text.
+    *
+    * Everything is exact integers (counts, ranks, |rank diffs|) with
+    * deterministic (count desc, gram) tie-breaks, so both engines agree
+    * bit-for-bit. Scale shape: one narrow trigram explode (the decode
+    * fan-out), two map-side-combinable counting shuffles; the per-doc
+    * rank window partitions by doc_id (bounded by doc length), the
+    * per-lang window by language over its distinct-gram table; profiles
+    * are O(langs·K) and BROADCAST to the doc-gram stream — the doc side
+    * never reshuffles for the comparison. */
+  def langIdNgram(docs: DataFrame, k: Int = CtProfileK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, length(text) - 3), p -> substring(text, p + 1, 3))"))
+          .as("gram"))
+      .localCheckpoint()
+    val wd = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+    val docTop = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(wd).cast("long"))
+      .filter(col("dr") <= k)
+    val wl = Window.partitionBy("lang").orderBy(col("c").desc, col("gram"))
+    val profile = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("lr", row_number().over(wl).cast("long"))
+      .filter(col("lr") <= k)
+      .select(col("lang").as("cand"), col("gram"), col("lr"))
+    val langs = docs.select(col("lang").as("cand")).distinct()
+    val dist = docTop.crossJoin(broadcast(langs))
+      .join(broadcast(profile), Seq("cand", "gram"), "left")
+      .groupBy("doc_id", "cand")
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(k.toLong)))
+        .as("rank_distance"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("rank_distance"), col("cand"))
+    dist.withColumn("_rk", row_number().over(wBest))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("cand").as("predicted_lang"),
+        col("rank_distance"))
+  }
+
   /** Flesch reading ease + Flesch–Kincaid grade level (Kincaid et al.
     * 1975) with the standard dictionary-free syllable heuristic: per-word
     * count of vowel-group runs (`[aeiouy]+`) floored at one syllable.

@@ -39,6 +39,8 @@ class AllPlansSpec extends SparkSpec {
     "graph_modularity",
     // events_acf broadcasts the 1-row global power-sum scalars
     "events_acf",
+    // text_langid_ngram crosses the O(langs) candidate list (5 rows)
+    "text_langid_ngram",
     // NOTE: quality_perplexity_buckets inherits textLogprobBigram's vocab
     // scalar, but its scored frame localCheckpoints during construction,
     // so the registered plan is an RDD scan — nothing to allowlist.

@@ -2280,6 +2280,27 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("langIdNgram: separable planted corpus classifies perfectly, zero self-distance structure") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "la casa es blanca y la mesa es grande", "es"),
+      (2L, "el perro es negro y la luna es clara", "es"),
+      (3L, "the house is white and the table is large", "en"),
+      (4L, "the dog is black and the moon is bright", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.text.TextStats.langIdNgram(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("predicted_lang"), r.getAs[String]("lang"),
+        r.getAs[Long]("rank_distance")))
+    assert(got.length == 4)
+    got.foreach { case (id, pred, lang, d) =>
+      assert(pred == lang, s"doc $id predicted $pred, true $lang (dist $d)")
+      assert(d >= 0L)
+    }
+  }
+
   test("eventsUserOverlap: Jaccard bounds and symmetry invariants at sf0.001") {
     val rows = graft.queries.Analytics
       .eventsUserOverlap(spark, "/root/testdata/sf0.001").collect()
