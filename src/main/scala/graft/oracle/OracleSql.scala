@@ -3904,6 +3904,29 @@ object OracleSql {
       |       CASE WHEN epoch_us(t) - epoch_us(lt) <= 3600000000 THEN le END AS last_error_id
       |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.ordersBacklog: the same open-span derivation
+    * (orderdate .. last ship + 1), day-grain delta collapse, and exact
+    * integer running sum (associativity-safe, native windowed SUM). */
+  val ordersBacklog: String =
+    s"""WITH closes AS (
+       |  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close_date
+       |  FROM lineitem GROUP BY 1
+       |), spans AS (
+       |  SELECT CAST(o.o_orderdate AS DATE) AS o_orderdate, c.close_date
+       |  FROM orders o JOIN closes c ON c.l_orderkey = o.o_orderkey
+       |), deltas AS (
+       |  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+       |    SELECT o_orderdate AS day, 1 AS d FROM spans
+       |    UNION ALL
+       |    SELECT close_date + 1 AS day, -1 AS d FROM spans)
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(day AS TIMESTAMP) AS day, delta,
+       |       CAST(SUM(delta) OVER (ORDER BY day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS backlog
+       |FROM deltas ORDER BY day""".stripMargin
+
   /** Mirrors Analytics.eventsUserOverlap: the same distinct (type, user)
     * projection, ordered-pair self-join, and exact integer counts; one
     * Jaccard division at the end. */

@@ -1409,6 +1409,36 @@ object Analytics {
       .orderBy("symbol", "hod")
   }
 
+  /** Open-order backlog over time: each order is open from o_orderdate
+    * until its LAST lineitem ships; the backlog curve is the sweep-line
+    * running sum of +1/−1 deltas at the span boundaries — the
+    * work-in-progress inventory readout, one row per change day. The
+    * running sum is exact integers over the bucket-offset construction
+    * ([[graft.analytics.Ranking.withGlobalRunningSum]]) — no
+    * single-partition window even though change days are few here; at
+    * 100 TB the day-grain delta table is still tiny but the construction
+    * costs nothing extra. */
+  def ordersBacklog(s: SparkSession, dir: String): DataFrame = {
+    val closes = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate").cast("date")).as("close_date"))
+    val spans = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .join(closes, Seq("l_orderkey"))
+    val deltas = spans
+      .select(col("o_orderdate").as("day"), lit(1L).as("d"))
+      .unionAll(spans.select(date_add(col("close_date"), 1).as("day"),
+        lit(-1L).as("d")))
+      .groupBy("day").agg(sum(col("d")).as("delta"))
+    graft.analytics.Ranking.withGlobalRunningSum(
+        deltas, unix_date(col("day")), Seq(col("day")), col("delta"),
+        cumCol = "backlog")
+      .select(col("day").cast("timestamp_ntz").as("day"), col("delta"),
+        col("backlog"))
+      .orderBy("day")
+  }
+
   /** Audience overlap between event types: for every type pair (a < b),
     * the distinct-user intersection and Jaccard similarity — the
     * "do these behaviors share an audience" readout behind segmentation

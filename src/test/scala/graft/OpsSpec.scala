@@ -2280,6 +2280,24 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("ordersBacklog invariants at sf0.001: conservation, bounds, net zero") {
+    val rows = graft.queries.Analytics
+      .ordersBacklog(spark, "/root/testdata/sf0.001")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("delta"), r.getAs[Long]("backlog")))
+    assert(rows.nonEmpty)
+    // running sum is internally consistent
+    var cum = 0L
+    rows.foreach { case (d, b) => cum += d; assert(b == cum, s"$b != $cum") }
+    // every order opens once and closes once → the curve returns to zero
+    assert(rows.last._2 == 0L, "all orders eventually close")
+    assert(rows.map(_._2).max > 0L, "backlog is positive somewhere")
+    assert(rows.forall(_._2 >= 0L), "an order cannot close before it opens")
+    val nOrders = graft.source.Tables.orders(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_._1).filter(_ > 0).sum <= nOrders &&
+      rows.map(_._1).sum == 0L, "plus/minus deltas balance")
+  }
+
   test("langIdNgram: separable planted corpus classifies perfectly, zero self-distance structure") {
     val s = spark
     import s.implicits._
