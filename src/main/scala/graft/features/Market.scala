@@ -1292,6 +1292,39 @@ object Market {
       .drop("_rn", "_rx", "_rh")
   }
 
+  val CoppockRocLong = 14
+  val CoppockRocShort = 11
+  val CoppockWma = 10
+
+  /** Coppock curve (1965): 10-period WMA of ROC(14) + ROC(11) — the
+    * long-horizon momentum bottom-finder. The WMA is the same O(n)
+    * closed form as [[withHull]] (row-number weight identity over two
+    * running sums — no O(n·w) sliding frame); the raw ROC sum leads with
+    * nulls through the warmup and the count gate opens the WMA only on a
+    * full window of non-null values, exactly the Hull discipline. Float
+    * running sums: Spark's window Sum folds sequentially and the oracle
+    * replays with the sequential list fold. */
+  def withCoppock(df: DataFrame): DataFrame = {
+    val w = Frames.bySymbol
+    def roc(n: Int) =
+      (col("close") / lag(col("close"), n).over(w) - 1.0) * 100.0
+    def wmaCol(cx: String, crx: String, wn: Int) =
+      when(Frames.cumCountGate(cx, wn),
+        (Frames.cumRolling(crx, wn) -
+          (col("_rn") - wn) * Frames.cumRolling(cx, wn)) /
+          (wn * (wn + 1) / 2.0))
+    val s1 = df.select(col("*"),
+      row_number().over(w).cast("double").as("_rn"),
+      (roc(CoppockRocLong) + roc(CoppockRocShort)).as("coppock_raw"))
+    val s2 = Frames.withCums(
+      s1.select(col("*"), (col("_rn") * col("coppock_raw")).as("_rc")),
+      Map("_c_c" -> col("coppock_raw"), "_c_rc" -> col("_rc")))
+    s2.select(col("*"),
+        wmaCol("_c_c", "_c_rc", CoppockWma).as("coppock"))
+      .drop(Frames.cumHelperCols(Seq("_c_c", "_c_rc")): _*)
+      .drop("_rn", "_rc")
+  }
+
   val ForceSpan = 13
 
   /** Elder's Force Index: price change × volume, EMA(13)-smoothed

@@ -1081,6 +1081,35 @@ object OracleSql {
        |FROM h4 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featCoppock (Market.withCoppock): the same ROC sum
+    * (identical association), the same Hull-class WMA closed form over
+    * SEQUENTIAL list-fold cums, the same full-window count gate. */
+  val featCoppock: String = {
+    val nl = graft.features.Market.CoppockRocLong
+    val ns = graft.features.Market.CoppockRocShort
+    val wn = graft.features.Market.CoppockWma
+    val wma =
+      s"CASE WHEN ${cumGate("_c_c", wn)} THEN ((${cumRolling("_c_rc", wn)}) - " +
+        s"(_rn - $wn) * (${cumRolling("_c_c", wn)})) / ${wn * (wn + 1) / 2.0} END"
+    s"""$barsCte, c1 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         CAST(ROW_NUMBER() OVER ($W) AS DOUBLE) AS _rn,
+       |         (close / LAG(close, $nl) OVER ($W) - 1.0) * 100.0 +
+       |         (close / LAG(close, $ns) OVER ($W) - 1.0) * 100.0 AS coppock_raw
+       |  FROM bars
+       |), c2 AS (
+       |  SELECT symbol, event_id, datetime, _rn, coppock_raw,
+       |         ${cumSum("coppock_raw")} AS _c_c,
+       |         COUNT(coppock_raw) OVER ($Wrun) AS _c_c_n,
+       |         ${cumSum("_rn * coppock_raw")} AS _c_rc,
+       |         COUNT(_rn * coppock_raw) OVER ($Wrun) AS _c_rc_n
+       |  FROM c1
+       |)
+       |SELECT symbol, event_id, ${r("coppock_raw")} AS coppock_raw,
+       |       ${r(wma)} AS coppock
+       |FROM c2 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featForce (Market.withForce, span 13, adjust=false):
     * the leading-NULL diff seeds the recursion at bar 2; identical
     * decay/alpha literals via Double.toString. */

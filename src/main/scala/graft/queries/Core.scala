@@ -271,6 +271,13 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** Coppock curve (WMA(10) of ROC(14)+ROC(11); see
+    * [[graft.features.Market.withCoppock]]). */
+  def featCoppock(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("coppock_raw", "coppock")
+    keyed(Market.withCoppock(bars(s, dir)), out, out.toSet)
+  }
+
   /** Williams Alligator jaw/teeth/lips (three Wilder SMMAs, causally
     * displaced; see [[graft.features.Market.withAlligator]]). */
   def featAlligator(s: SparkSession, dir: String): DataFrame =

@@ -227,6 +227,32 @@ class FeatureSpec extends SparkSpec {
       "series must exercise both regimes")
   }
 
+  test("coppock: matches a straight-loop WMA-of-ROC-sum reference, warmup nulls") {
+    val rnd = new scala.util.Random(31)
+    val close = (0 until 60).map(_ => 100.0 + rnd.nextDouble() * 10)
+    val got: Seq[Option[Double]] = Market.withCoppock(barsOf(close))
+      .orderBy("event_id").select("coppock").collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val raw: Seq[Option[Double]] = close.indices.map { i =>
+      if (i < 14) None
+      else Some((close(i) / close(i - 14) - 1.0) * 100.0 +
+        (close(i) / close(i - 11) - 1.0) * 100.0)
+    }
+    val want = close.indices.map { i =>
+      val window = (i - 9 to i).filter(_ >= 0).flatMap(raw)
+      if (i < 9 || window.length < 10) None
+      else Some(window.zipWithIndex.map { case (v, j) => v * (j + 1) }.sum /
+        (10 * 11 / 2.0))
+    }
+    got.zip(want).zipWithIndex.foreach {
+      case ((None, None), _) => ()
+      case ((Some(g), Some(w)), i) =>
+        assert(math.abs(g - w) < 1e-9, s"row $i: got $g want $w")
+      case ((g, w), i) => fail(s"row $i: null mismatch $g vs $w")
+    }
+    assert(got.flatten.nonEmpty)
+  }
+
   test("alligator: matches straight-loop Wilder SMMAs with causal displacement") {
     val rnd = new scala.util.Random(23)
     val close = (0 until 60).map(_ => 100.0 + rnd.nextDouble() * 10)
