@@ -3933,6 +3933,36 @@ object OracleSql {
       |       CASE WHEN epoch_us(t) - epoch_us(lt) <= 3600000000 THEN le END AS last_error_id
       |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors Analytics.userPareto: the same (n_ev desc, user_id) ranking
+    * and exact integer running sum; the cut indices CEIL(p·n) compute
+    * from the same count with the same single multiply, so both engines
+    * pick identical rows. */
+  val userPareto: String =
+    s"""WITH t AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+       |  FROM events GROUP BY 1
+       |), rk AS (
+       |  SELECT n_ev,
+       |         ROW_NUMBER() OVER (ORDER BY n_ev DESC, user_id) AS rn,
+       |         CAST(SUM(n_ev) OVER (ORDER BY n_ev DESC, user_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_ev
+       |  FROM t
+       |), n AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       |         CAST(SUM(n_ev) AS BIGINT) AS total_ev
+       |  FROM t
+       |), cuts AS (
+       |  SELECT p.pct, CAST(CEIL(p.pct * n.n_users) AS BIGINT) AS n_top_users,
+       |         n.total_ev
+       |  FROM (VALUES (0.01), (0.05), (0.10), (0.25), (0.50)) p(pct)
+       |  CROSS JOIN n
+       |)
+       |SELECT c.pct, c.n_top_users, rk.cum_ev AS events_covered, c.total_ev,
+       |       ${r("CAST(rk.cum_ev AS DOUBLE) / c.total_ev")} AS share
+       |FROM cuts c JOIN rk ON rk.rn = c.n_top_users
+       |ORDER BY c.pct""".stripMargin
+
   /** Mirrors Analytics.ordersBacklog: the same open-span derivation
     * (orderdate .. last ship + 1), day-grain delta collapse, and exact
     * integer running sum (associativity-safe, native windowed SUM). */

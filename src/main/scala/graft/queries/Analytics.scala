@@ -1409,6 +1409,34 @@ object Analytics {
       .orderBy("symbol", "hod")
   }
 
+  /** Activity-concentration (Pareto) readout: the share of ALL events
+    * produced by the top 1/5/10/25/50% most-active users — the "whales"
+    * diagnostic behind rate-limit, sampling, and dedup-budget decisions.
+    * User totals and the ranked running sum are exact integers over the
+    * bucket-offset constructions; the cut indices ⌈p·n⌉ derive from the
+    * same n on both engines, and the one float division per row lands
+    * under round(6). */
+  def userPareto(s: SparkSession, dir: String): DataFrame = {
+    val totals = Bars.readEvents(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+      .localCheckpoint()
+    val (ranked, nUsers) = graft.analytics.Ranking.withGlobalRowNumber(
+      totals, -col("n_ev"), Seq(col("n_ev").desc, col("user_id")))
+    val cum = graft.analytics.Ranking.withGlobalRunningSum(
+      ranked, -col("n_ev"), Seq(col("n_ev").desc, col("user_id")),
+      col("n_ev"), cumCol = "cum_ev")
+    val pcts = Seq(0.01, 0.05, 0.10, 0.25, 0.50)
+    val cuts = pcts.map(p => (p, math.ceil(p * nUsers).toLong))
+    val cutDf = s.createDataFrame(cuts).toDF("pct", "n_top_users")
+    val totalRow = totals.agg(sum(col("n_ev")).as("total_ev"))
+    cum.join(broadcast(cutDf), col("rn") === col("n_top_users"))
+      .crossJoin(broadcast(totalRow))
+      .select(col("pct"), col("n_top_users"),
+        col("cum_ev").as("events_covered"), col("total_ev"),
+        r6(col("cum_ev").cast("double") / col("total_ev")).as("share"))
+      .orderBy("pct")
+  }
+
   /** Open-order backlog over time: each order is open from o_orderdate
     * until its LAST lineitem ships; the backlog curve is the sweep-line
     * running sum of +1/−1 deltas at the span boundaries — the

@@ -41,6 +41,8 @@ class AllPlansSpec extends SparkSpec {
     "events_acf",
     // text_langid_ngram crosses the O(langs) candidate list (5 rows)
     "text_langid_ngram",
+    // user_pareto broadcasts the 1-row total-event scalar
+    "user_pareto",
     // NOTE: quality_perplexity_buckets inherits textLogprobBigram's vocab
     // scalar, but its scored frame localCheckpoints during construction,
     // so the registered plan is an RDD scan — nothing to allowlist.

@@ -2280,6 +2280,25 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("userPareto: monotone share, exact cuts at sf0.001") {
+    val rows = graft.queries.Analytics
+      .userPareto(spark, "/root/testdata/sf0.001")
+      .orderBy("pct").collect()
+    assert(rows.length == 5)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.sliding(2).forall(p => p(0) <= p(1)), "share grows with p")
+    assert(shares.forall(s => s > 0.0 && s <= 1.0))
+    rows.foreach { r =>
+      val p = r.getAs[Double]("pct")
+      val k = r.getAs[Long]("n_top_users")
+      assert(r.getAs[Double]("share") >= p - 1e-9 ||
+        r.getAs[Long]("events_covered") >= k,
+        "top users cover at least their uniform share")
+    }
+    // the top slice must be super-proportional on a skewed corpus
+    assert(shares.head > 0.01, "top 1% of users covers more than 1% of events")
+  }
+
   test("ordersBacklog invariants at sf0.001: conservation, bounds, net zero") {
     val rows = graft.queries.Analytics
       .ordersBacklog(spark, "/root/testdata/sf0.001")
