@@ -1292,6 +1292,26 @@ object Market {
       .drop("_rn", "_rx", "_rh")
   }
 
+  val AwesomeFast = 5
+  val AwesomeSlow = 34
+
+  /** Awesome Oscillator (Williams): SMA₅ − SMA₃₄ of the median price
+    * (high+low)/2 — the momentum gauge that pairs with [[withAlligator]].
+    * Both rolling means are the O(n) cum−lag identity over ONE running
+    * float cum (sequential on both engines: Spark's window Sum folds
+    * left-to-right, the oracle list-folds), gated on full windows. */
+  def withAwesome(df: DataFrame): DataFrame = {
+    val s1 = Frames.withCums(
+      df.select(col("*"), ((col("high") + col("low")) / 2.0).as("_mp")),
+      Map("_c_mp" -> col("_mp")))
+    def sma(w: Int) = when(Frames.cumCountGate("_c_mp", w),
+      Frames.cumRolling("_c_mp", w) / w.toDouble)
+    s1.select(col("*"),
+        (sma(AwesomeFast) - sma(AwesomeSlow)).as("awesome"))
+      .drop(Frames.cumHelperCols(Seq("_c_mp")): _*)
+      .drop("_mp")
+  }
+
   val CoppockRocLong = 14
   val CoppockRocShort = 11
   val CoppockWma = 10

@@ -1081,6 +1081,28 @@ object OracleSql {
        |FROM h4 ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featAwesome (Market.withAwesome): the same median
+    * price, the same sequential-fold running cum, the same cum−lag
+    * rolling means and full-window gates, subtracted in the same order. */
+  val featAwesome: String = {
+    val f = graft.features.Market.AwesomeFast
+    val sl = graft.features.Market.AwesomeSlow
+    def sma(w: Int) =
+      s"CASE WHEN ${cumGate("_c_mp", w)} THEN (${cumRolling("_c_mp", w)}) / ${w.toDouble} END"
+    s"""$barsCte, a1 AS (
+       |  SELECT symbol, event_id, datetime, (high + low) / 2.0 AS _mp
+       |  FROM bars
+       |), a2 AS (
+       |  SELECT symbol, event_id, datetime,
+       |         ${cumSum("_mp")} AS _c_mp,
+       |         COUNT(_mp) OVER ($Wrun) AS _c_mp_n
+       |  FROM a1
+       |)
+       |SELECT symbol, event_id,
+       |       ${r(s"${sma(f)} - ${sma(sl)}")} AS awesome
+       |FROM a2 ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors Core.featCoppock (Market.withCoppock): the same ROC sum
     * (identical association), the same Hull-class WMA closed form over
     * SEQUENTIAL list-fold cums, the same full-window count gate. */

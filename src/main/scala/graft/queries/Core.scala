@@ -271,6 +271,11 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** Awesome Oscillator (SMA₅ − SMA₃₄ of median price; see
+    * [[graft.features.Market.withAwesome]]). */
+  def featAwesome(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withAwesome(bars(s, dir)), Seq("awesome"), Set("awesome"))
+
   /** Coppock curve (WMA(10) of ROC(14)+ROC(11); see
     * [[graft.features.Market.withCoppock]]). */
   def featCoppock(s: SparkSession, dir: String): DataFrame = {

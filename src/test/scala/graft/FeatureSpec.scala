@@ -227,6 +227,26 @@ class FeatureSpec extends SparkSpec {
       "series must exercise both regimes")
   }
 
+  test("awesome oscillator: matches brute SMA difference, null until slow window fills") {
+    val rnd = new scala.util.Random(41)
+    val close = (0 until 50).map(_ => 100.0 + rnd.nextDouble() * 10)
+    val got: Seq[Option[Double]] = Market.withAwesome(barsOf(close))
+      .orderBy("event_id").select("awesome").collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val mp = close.map(c => (c * 1.01 + c * 0.99) / 2.0)
+    def sma(i: Int, w: Int): Option[Double] =
+      if (i + 1 < w) None else Some(mp.slice(i - w + 1, i + 1).sum / w)
+    close.indices.foreach { i =>
+      (got(i), sma(i, 5).zip(sma(i, 34)).map { case (a, b) => a - b }) match {
+        case (None, None) => ()
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-9, s"row $i")
+        case (g, w) => fail(s"row $i: null mismatch $g vs $w")
+      }
+    }
+    assert(got.take(33).forall(_.isEmpty) && got(33).nonEmpty,
+      "first defined value lands exactly when the 34-window fills")
+  }
+
   test("coppock: matches a straight-loop WMA-of-ROC-sum reference, warmup nulls") {
     val rnd = new scala.util.Random(31)
     val close = (0 until 60).map(_ => 100.0 + rnd.nextDouble() * 10)
