@@ -167,6 +167,46 @@ object TextSimSql {
        |       ${r("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")} AS zipf_intercept
        |FROM ag""".stripMargin
 
+  /** Mirrors TextSim.corpusHeaps / TextStats.heapsFit: the same per-type
+    * first-doc and per-doc token counts (exact integers), the same
+    * doc-ordered growth curve, and the same fixed-fold regression sums
+    * (ORDER-BY list fold ↔ Spark's left-to-right running window sum). */
+  val corpusHeaps: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+       |), nt AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM (
+       |    SELECT t, MIN(doc_id) AS doc_id FROM tok GROUP BY 1)
+       |  GROUP BY 1
+       |), dl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks FROM tok GROUP BY 1
+       |), pts AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(n_toks) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_tokens,
+       |         CAST(SUM(nt) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_types
+       |  FROM (SELECT dl.doc_id, dl.n_toks, COALESCE(nt.nt, 0) AS nt
+       |        FROM dl LEFT JOIN nt USING (doc_id))
+       |), tm AS (
+       |  SELECT doc_id, ln(CAST(cum_tokens AS DOUBLE)) AS x,
+       |         ln(CAST(cum_types AS DOUBLE)) AS y
+       |  FROM pts WHERE cum_tokens >= 1 AND cum_types >= 1
+       |), ag AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |         COALESCE(list_sum(list(x ORDER BY doc_id)), 0.0) AS sx,
+       |         COALESCE(list_sum(list(y ORDER BY doc_id)), 0.0) AS sy,
+       |         COALESCE(list_sum(list(x * x ORDER BY doc_id)), 0.0) AS sxx,
+       |         COALESCE(list_sum(list(x * y ORDER BY doc_id)), 0.0) AS sxy
+       |  FROM tm
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_points,
+       |       ${r("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS heaps_beta,
+       |       ${r("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")} AS heaps_ln_k
+       |FROM ag""".stripMargin
+
   /** Mirrors TextSim.textReadability: identical vowel-run syllable floor
     * (list_transform + greatest(…, 1)), the same `[.!?]+` sentence runs
     * floored at one, and the Flesch/FKGL formulas written in the same

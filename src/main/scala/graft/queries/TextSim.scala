@@ -121,6 +121,14 @@ object TextSim {
       .select(col("n_types"), r6(col("zipf_slope")).as("zipf_slope"),
         r6(col("zipf_intercept")).as("zipf_intercept"))
 
+  /** Heaps'-law vocabulary-growth fit (see
+    * [[graft.text.TextStats.heapsFit]] — the β/ln K pair a corpus
+    * monitor thresholds for template-spam or near-random text). */
+  def corpusHeaps(s: SparkSession, dir: String): DataFrame =
+    TextStats.heapsFit(Tables.documents(s, dir))
+      .select(col("n_points"), r6(col("heaps_beta")).as("heaps_beta"),
+        r6(col("heaps_ln_k")).as("heaps_ln_k"))
+
   /** Sliding-window token chunking (context-window prep before
     * tokenization). */
   def docChunks(s: SparkSession, dir: String): DataFrame =

@@ -501,6 +501,54 @@ object TextStats {
       ((col("sy") - slope * col("sx")) / col("n")).as("zipf_intercept"))
   }
 
+  /** Heaps'-law fit over vocabulary growth: V(n) = K·n^β, measured at doc
+    * granularity — after each doc (in doc_id order), n = cumulative
+    * tokens and V = cumulative distinct types seen — and fit by
+    * least-squares of ln V on ln n. Natural corpora sit near β ≈ 0.5–0.6;
+    * a β collapsing toward 0 means the vocabulary saturated (template
+    * spam, heavy duplication), toward 1 means near-random text. Emits
+    * (β, ln K) — the intercept stays in log space so no cross-engine
+    * exp() enters the surface.
+    *
+    * Scale shape: one token explode, two map-side-combinable aggregates
+    * (per-type first doc, per-doc token count); the growth curve and the
+    * four regression sums run over the O(docs) point table with the
+    * zipfFit fixed-fold device — ordered running sums (Spark's window Sum
+    * folds left-to-right) whose MAX is the total, replayed in the oracle
+    * by an ORDER-BY list fold: identical association on both engines. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val newTypes = toks.groupBy("t").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val docLens = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = docLens.join(newTypes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .select(col("doc_id"),
+        sum(col("n_toks")).over(w).as("cum_tokens"),
+        sum(col("nt")).over(w).as("cum_types"))
+      .filter(col("cum_tokens") >= 1 && col("cum_types") >= 1)
+    val terms = pts.select(col("doc_id"),
+      log(col("cum_tokens").cast("double")).as("x"),
+      log(col("cum_types").cast("double")).as("y"))
+    val cums = terms.select(
+      sum(col("x")).over(w).as("_sx"), sum(col("y")).over(w).as("_sy"),
+      sum(col("x") * col("x")).over(w).as("_sxx"),
+      sum(col("x") * col("y")).over(w).as("_sxy"))
+    val agg = cums.agg(count(lit(1)).cast("double").as("n"),
+      max(col("_sx")).as("sx"), max(col("_sy")).as("sy"),
+      max(col("_sxx")).as("sxx"), max(col("_sxy")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("n").cast("long").as("n_points"),
+      slope.as("heaps_beta"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("heaps_ln_k"))
+  }
+
   val NoveltyGram = 3
 
   /** N-gram novelty vs the corpus prefix: per document, the fraction of its

@@ -2280,6 +2280,36 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("heapsFit: brute OLS equality on a planted corpus; saturated vocab drives beta down") {
+    val s = spark
+    import s.implicits._
+    // growing-vocab corpus: doc k introduces k fresh types
+    val grow = (1 to 12).map { k =>
+      (k.toLong, ((1 to k).map(i => s"w${k}_$i") ++ Seq("the", "a")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val g = graft.text.TextStats.heapsFit(grow).collect()(0)
+    // brute reference
+    var seen = Set.empty[String]; var cumTok = 0L
+    val pts = (1 to 12).map { k =>
+      val toks = ((1 to k).map(i => s"w${k}_$i") ++ Seq("the", "a"))
+      cumTok += toks.length; seen ++= toks
+      (math.log(cumTok.toDouble), math.log(seen.size.toDouble))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(g.getAs[Long]("n_points") == 12L)
+    assert(math.abs(g.getAs[Double]("heaps_beta") - beta) < 1e-9)
+    assert(math.abs(g.getAs[Double]("heaps_ln_k") - (sy - beta * sx) / n) < 1e-9)
+    // saturated corpus: same 3 types forever → beta near 0, far below grow's
+    val flat = (1 to 12).map(k => (k.toLong, "the a of the a of")).toDF("doc_id", "text")
+    val f = graft.text.TextStats.heapsFit(flat).collect()(0)
+    assert(f.getAs[Double]("heaps_beta") < 0.1)
+    assert(g.getAs[Double]("heaps_beta") > f.getAs[Double]("heaps_beta") + 0.3)
+  }
+
   test("userPareto: monotone share, exact cuts at sf0.001") {
     val rows = graft.queries.Analytics
       .userPareto(spark, "/root/testdata/sf0.001")
