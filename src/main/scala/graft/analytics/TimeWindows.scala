@@ -61,6 +61,45 @@ object TimeWindows {
         coalesce(col("n_ticks"), lit(0L)).as("n_ticks"))
   }
 
+  /** Dickey–Fuller unit-root diagnostic on the hourly event-count series:
+    * regress Δy_t on (1, y_{t−1}) and report the t-statistic of the
+    * mean-reversion coefficient ρ — strongly negative t means the ingest
+    * rate mean-reverts (stationary), t near 0 means a random-walk drift
+    * the capacity planner must treat differently. (The statistic is the
+    * DF test's; compare against the DF critical values offline.)
+    *
+    * All data-sized sums are EXACT integers (y, y², Δ, Δ², yΔ over
+    * integer counts); ρ, α, the residual sum of squares, and the t-stat
+    * assemble from those six scalars in a fixed expression order on both
+    * engines — no float accumulation. Same bounded hourly-series class
+    * as [[hourlyAcf]]. */
+  def hourlyStationarity(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("hr")
+    val d = events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("y"), lag(col("y"), 1).over(w).as("x"))
+      .filter(col("x").isNotNull)
+      .select(col("x"), (col("y") - col("x")).as("dy"))
+    val agg = d.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+      sum(col("dy")).as("sd"), sum(col("dy") * col("dy")).as("sdd"),
+      sum(col("x") * col("dy")).as("sxd"))
+    val n = col("n").cast("double")
+    val (s1, s2) = (col("s1").cast("double"), col("s2").cast("double"))
+    val (sd, sdd, sxd) = (col("sd").cast("double"), col("sdd").cast("double"),
+      col("sxd").cast("double"))
+    val rho = (n * sxd - s1 * sd) / (n * s2 - s1 * s1)
+    val alpha = (sd - rho * s1) / n
+    val ssr = sdd + n * alpha * alpha + rho * rho * s2 -
+      lit(2.0) * alpha * sd - lit(2.0) * rho * sxd +
+      lit(2.0) * alpha * rho * s1
+    val se = sqrt((ssr / (n - 2.0)) * n / (n * s2 - s1 * s1))
+    agg.select(col("n").as("n_obs"), rho.as("rho"), alpha.as("alpha"),
+      (rho / se).as("df_t"))
+  }
+
   /** Forecast-baseline evaluation on the hourly event-count series: MAE
     * and RMSE of the naive (y_{t−1}) and seasonal-naive (y_{t−24})
     * one-step forecasts, plus MASE (Hyndman & Koehler 2006) — the

@@ -4032,6 +4032,37 @@ object OracleSql {
        |JOIN totals tb ON tb.event_type = p.type_b
        |ORDER BY p.type_a, p.type_b""".stripMargin
 
+  /** Mirrors Analytics.eventsStationarity / TimeWindows.hourlyStationarity:
+    * the six integer power sums are exact on both engines; ρ, α, SSR and
+    * the t-stat assemble in the identical expression order. */
+  val eventsStationarity: String = {
+    val rho = "(n * sxd - s1 * sd) / (n * s2 - s1 * s1)"
+    val alpha = s"(sd - ($rho) * s1) / n"
+    val ssr = s"sdd + n * ($alpha) * ($alpha) + ($rho) * ($rho) * s2 " +
+      s"- 2.0 * ($alpha) * sd - 2.0 * ($rho) * sxd " +
+      s"+ 2.0 * ($alpha) * ($rho) * s1"
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), d AS (
+       |  SELECT x, y - x AS dy FROM (
+       |    SELECT y, LAG(y, 1) OVER (ORDER BY hr) AS x FROM h)
+       |  WHERE x IS NOT NULL
+       |), agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+       |         CAST(COUNT(*) AS DOUBLE) AS n,
+       |         CAST(SUM(x) AS DOUBLE) AS s1,
+       |         CAST(SUM(x * x) AS DOUBLE) AS s2,
+       |         CAST(SUM(dy) AS DOUBLE) AS sd,
+       |         CAST(SUM(dy * dy) AS DOUBLE) AS sdd,
+       |         CAST(SUM(x * dy) AS DOUBLE) AS sxd
+       |  FROM d
+       |)
+       |SELECT n_obs, ${r(rho)} AS rho, ${r(alpha)} AS alpha,
+       |       ${r(s"($rho) / sqrt((($ssr) / (n - 2.0)) * n / (n * s2 - s1 * s1))")} AS df_t
+       |FROM agg""".stripMargin
+  }
+
   /** Mirrors Analytics.eventsForecastEval / TimeWindows.hourlyForecastEval:
     * identical integer |error| and squared-error sums over the same
     * lag-1 / lag-24 differences; each metric is the same one-or-two float

@@ -1495,6 +1495,14 @@ object Analytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** Dickey–Fuller unit-root diagnostic over hourly event counts (see
+    * [[graft.analytics.TimeWindows.hourlyStationarity]] — exact integer
+    * power sums, fixed-order float assembly). */
+  def eventsStationarity(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.TimeWindows.hourlyStationarity(Bars.readEvents(s, dir))
+      .select(col("n_obs"), r6(col("rho")).as("rho"),
+        r6(col("alpha")).as("alpha"), r6(col("df_t")).as("df_t"))
+
   /** Naive / seasonal-naive forecast baselines with MASE skill score
     * over the hourly event counts (see
     * [[graft.analytics.TimeWindows.hourlyForecastEval]] — exact integer

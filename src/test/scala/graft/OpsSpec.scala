@@ -2280,6 +2280,35 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-6)
   }
 
+  test("hourlyStationarity: mean-reverting series gives strongly negative t; near-walk does not") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def series(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, t) =>
+      (0 until c).map(i => (new java.sql.Timestamp(base + t * 3600000L + i), 0L))
+    }.toDF("ts", "pad")
+    // hard mean reversion: alternating 80/120 with a small deterministic
+    // perturbation so the fit has nonzero residuals (a perfect fit would
+    // degenerate the t-stat's zero SSR)
+    val counts = (0 until 60).map(t => (if (t % 2 == 0) 80 else 120) + t % 3)
+    val rAlt = graft.analytics.TimeWindows
+      .hourlyStationarity(series(counts)).collect()(0)
+    assert(rAlt.getAs[Long]("n_obs") == 59L)
+    assert(rAlt.getAs[Double]("df_t") < -5.0, "alternation is loudly stationary")
+    // monotone trend: dy constant, uncorrelated with level after intercept
+    val walk = series((0 until 60).map(t => 100 + t))
+    val rWalk = graft.analytics.TimeWindows.hourlyStationarity(walk).collect()(0)
+    assert(math.abs(rWalk.getAs[Double]("rho")) < 1e-6,
+      "constant drift loads on the intercept, not the level")
+    // brute OLS equality on the alternating series
+    val y = counts.map(_.toDouble)
+    val x = y.dropRight(1); val dy = y.tail.zip(x).map { case (a, b) => a - b }
+    val n = x.length.toDouble
+    val rho = (n * x.zip(dy).map(p => p._1 * p._2).sum - x.sum * dy.sum) /
+      (n * x.map(v => v * v).sum - x.sum * x.sum)
+    assert(math.abs(rAlt.getAs[Double]("rho") - rho) < 1e-9)
+  }
+
   test("heapsFit: brute OLS equality on a planted corpus; saturated vocab drives beta down") {
     val s = spark
     import s.implicits._
