@@ -88,35 +88,25 @@ object Multimodal {
     *
     * All arithmetic is EXACT integers: bit i is the comparison
     * 64·cell_i > total (no float mean), and the hash is carried as four
-    * 16-bit chunks. Scale shape: one narrow position explode (8·len per
-    * row — the honest decode fan-out), a map-side-combinable
-    * (event, cell) aggregate, a co-partitioned per-event window +
-    * regroup, then one groupBy on the hash for cluster labels. Clusters
-    * key on the FULL 64-bit hash (exact-quantized near-dup); the chunk
-    * columns are emitted so a banded hamming join can consume them
+    * 16-bit chunks. Scale shape: ONE narrow O(len) per-row pass
+    * ([[graft.expr.AHashChunk]] — the 8×-tiling makes all 64 cell sums a
+    * period-8 repeat of 8 slice sums, so every 16-bit chunk equals the
+    * 8-bit pattern · 257; see its scaladoc for the bit-exact derivation),
+    * then one groupBy on the hash for cluster labels. The previous plan
+    * exploded 8 shuffle rows per payload byte through a (event, cell)
+    * aggregate + per-event window — 8× the corpus byte volume through the
+    * shuffle at 100 TB; this one shuffles only the 100-byte hash rows.
+    * Clusters key on the FULL 64-bit hash (exact-quantized near-dup); the
+    * chunk columns are emitted so a banded hamming join can consume them
     * downstream. Rows with empty payloads are dropped (nothing to hash).
     */
   def phashClusters(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val src = events
+    val hashes = events
       .filter(col("props").isNotNull && length(col("props")) > 0)
-      .select(col("event_id"), col("props"),
-        length(col("props")).cast("long").as("len"))
-    val ch = src
-      .select(col("event_id"), col("props"), col("len"),
-        explode(sequence(lit(0L), col("len") * 8 - 1)).as("p"))
       .select(col("event_id"),
-        expr("(p * 64) div (8 * len)").as("cell"),
-        ascii(expr("substring(props, CAST(p % len AS INT) + 1, 1)"))
-          .cast("long").as("v"))
-    val cells = ch.groupBy("event_id", "cell").agg(sum(col("v")).as("s"))
-    val bits = cells
-      .withColumn("total",
-        sum(col("s")).over(Window.partitionBy("event_id")))
-      .withColumn("bit", (col("s") * 64 > col("total")).cast("int"))
-    val hashes = bits.groupBy("event_id").agg(
-      expr(chunkSql(0)).as("h0"), expr(chunkSql(1)).as("h1"),
-      expr(chunkSql(2)).as("h2"), expr(chunkSql(3)).as("h3"))
+        graft.expr.AHashChunk.ahashChunk(col("props")).as("h0"))
+      .select(col("event_id"), col("h0"), col("h0").as("h1"),
+        col("h0").as("h2"), col("h0").as("h3"))
     val clusters = hashes.groupBy("h0", "h1", "h2", "h3")
       .agg(min(col("event_id")).as("phash_cluster"),
         count(lit(1)).as("cluster_size"))
@@ -124,13 +114,6 @@ object Multimodal {
       .select(col("event_id"), col("h0"), col("h1"), col("h2"), col("h3"),
         col("phash_cluster"), col("cluster_size"),
         (col("event_id") === col("phash_cluster")).cast("int").as("keep"))
-  }
-
-  private def chunkSql(k: Int): String = {
-    val lo = 16 * k
-    s"sum(CASE WHEN cell >= $lo AND cell <= ${lo + 15} AND bit = 1 " +
-      s"THEN shiftleft(CAST(1 AS BIGINT), CAST(cell AS INT) - $lo) " +
-      s"ELSE CAST(0 AS BIGINT) END)"
   }
 
   case class MediaResize(event_id: Long, kind: String, width: Int,

@@ -2458,6 +2458,48 @@ class OpsSpec extends SparkSpec {
     assert(got(2).getAs[Long]("h0") == 0x0F0FL)
   }
 
+  test("AHashChunk: bit-exact vs brute-force 64-cell tiled construction") {
+    val s = spark
+    import s.implicits._
+    // Brute-force replay of the ORIGINAL explode-based plan: position
+    // p in [0, 8*len), cell = (p*64) div (8*len), v = codepoint of char
+    // p mod len; bit c iff 64*cell_c > total; chunk k = sum of bits
+    // 16k..16k+15 shifted to the low 16. AHashChunk must match every
+    // chunk for lengths that do and do not divide 8.
+    def brute(str: String): Seq[Long] = {
+      val cps = str.codePoints().toArray.map(_.toLong)
+      val len = cps.length
+      val cells = new Array[Long](64)
+      var p = 0L
+      while (p < 8L * len) {
+        cells(((p * 64) / (8L * len)).toInt) += cps((p % len).toInt)
+        p += 1
+      }
+      val total = cells.sum
+      (0 until 4).map { k =>
+        (0 until 16).map { i =>
+          if (64L * cells(16 * k + i) > total) 1L << i else 0L
+        }.sum
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    val strs = Seq("a", "ab", "aaaabbbb", "zzzzaaaa", "abcdefg",
+      "hello world, 13!", "x" * 37) ++
+      (0 until 20).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(50)).mkString)
+    val got = strs.toDF("s")
+      .select(col("s"), graft.expr.AHashChunk.ahashChunk(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { str =>
+      val exp = brute(str)
+      assert(exp.distinct.size == 1, s"'$str': chunks must all be equal")
+      assert(got(str) == exp.head, s"'$str': ${got(str)} != ${exp.head}")
+    }
+    // empty payload is filtered upstream but the expression itself is total
+    assert(Seq("").toDF("s")
+      .select(graft.expr.AHashChunk.ahashChunk(col("s")))
+      .collect()(0).getLong(0) == 0L)
+  }
+
   test("hourlyForecastEval: a perfect 24-periodic series has zero seasonal error, MASE 0") {
     val s = spark
     import s.implicits._
