@@ -11,21 +11,29 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Algorithm, exactly the reference BPE trainer's shape: operate on the
   * WORD-TYPE table (distinct word, occurrence count), never the raw corpus —
-  * at 100 TB the corpus has ~10¹² tokens but only ~10⁷ word types, so after
-  * ONE corpus-wide token count every round touches |V| rows. Each round:
+  * at 100 TB the corpus has ~10¹² tokens but only ~10⁷ word types. Pair
+  * counts are maintained INCREMENTALLY (the HuggingFace-trainer shape):
   *
-  *  1. adjacent symbol pairs per word, weighted by the word's corpus count —
-  *     a narrow per-row array transform + one tiny pair-keyed aggregate;
-  *  2. the most frequent pair wins (ties: lexicographic (left, right) —
-  *     deterministic across engines);
-  *  3. every word's symbol list merges that pair greedily left-to-right
-  *     (non-overlapping, the textbook scan) via a fold over its own symbols
-  *     — narrow, no shuffle.
+  *  1. ONE initial pass extracts all adjacent symbol pairs weighted by the
+  *     word's corpus count into a distributed (a, b, freq) table — the only
+  *     round that shuffles pair volume proportional to Σ|word|;
+  *  2. each round the most frequent pair wins (ties: lexicographic
+  *     (left, right) — deterministic across engines), read straight off the
+  *     maintained pair table (a TakeOrdered, no recount);
+  *  3. ONLY the words whose symbol list contains the winning pair adjacently
+  *     are re-segmented (greedy left-to-right non-overlapping fold, narrow);
+  *     their before/after pair multisets become ± deltas folded into the
+  *     pair table — so round cost is O(affected words + |pair table|), not
+  *     O(|V| · avg word length). At 32k real-tokenizer merges the late
+  *     rounds touch a sliver of the vocab; a full recount per round would
+  *     be 32k shuffles of ~10⁸ weighted pair rows each.
   *
   * The K winning pairs ARE the model (the merge table every BPE tokenizer
   * ships); collecting one (pair, freq) row per round to the driver is the
-  * algorithm, not a scale compromise. The per-round vocab stays distributed
-  * and localCheckpointed (bounded lineage across rounds).
+  * algorithm, not a scale compromise. The per-round vocab and pair table
+  * stay distributed and localCheckpointed (bounded lineage across rounds);
+  * the conditional merge is applied in place (`when(hasPair, …)`), so
+  * unaffected words pass through the per-round map untouched.
   */
 object Bpe {
 
@@ -70,32 +78,89 @@ object Bpe {
       .select(col("word"), col("cnt"),
         size(col("sym")).cast("long").as("n_subwords"))
 
+  /** Adjacent-pair presence test. Safe for size-1 symbol lists without a
+    * guard: `sequence(0, -1)` runs descending to [0, -1], but `sym[-1]` /
+    * `sym[size]` are null under non-ANSI element access, the equality
+    * yields null, and `exists` over no-true-elements is falsy. */
+  private def hasPairExpr(a: String, b: String): String = {
+    require(!(a + b).exists(c => c == '\'' || c == '\\'),
+      s"BPE symbols must not contain quotes/backslashes: '$a', '$b'")
+    s"size(sym) >= 2 AND exists(sequence(0, size(sym) - 2), " +
+      s"i -> sym[i] = '$a' AND sym[i+1] = '$b')"
+  }
+
+  /** Weighted adjacent pairs of a (cnt, sym) table: one row per pair
+    * occurrence, weight = ±cnt. Single-symbol words carry no pair (and
+    * Spark's sequence(0, -1) would run DESCENDING, fabricating null pairs
+    * — filter first). */
+  private def pairWeights(vocab: DataFrame, sign: Long): DataFrame =
+    vocab.filter(size(col("sym")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(sym) - 2), " +
+          "i -> struct(sym[i] AS a, sym[i+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        (col("cnt") * sign).as("w"))
+
   private def run(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+    val (t, v, _) = runWithStats(docs, merges, collectStats = false)
+    (t, v)
+  }
+
+  /** Core loop; `collectStats = true` additionally counts the words
+    * touched per round (an extra narrow job per round — spec/diagnostic
+    * use only). Returns (mergeTable, vocab, touchedWordsPerRound).
+    *
+    * The aggregated pair-count table lives on the DRIVER as a mutable map
+    * — it is METADATA-sized (distinct symbol pairs: bounded by
+    * symbol-vocab², ~10⁵–10⁶ entries even at web scale, a few MB), never
+    * data-sized, exactly like the zone-map manifest collect in Lake. Each
+    * round collects only the AGGREGATED ± deltas (distinct pairs touched
+    * by the winning merge), so driver traffic per round is proportional
+    * to the merge's blast radius, not the corpus. The argmax is then a
+    * driver-side scan — no Spark job. Tie-break note: driver String
+    * ordering (UTF-16 code units) equals Spark/DuckDB UTF-8 byte order
+    * for all non-supplementary text; corpus tokens here are ASCII. */
+  private[graft] def runWithStats(docs: DataFrame, merges: Int,
+      collectStats: Boolean): (DataFrame, DataFrame, Seq[Long]) = {
     val spark = docs.sparkSession
     var vocab = wordTypes(docs).localCheckpoint()
-    val out = Seq.newBuilder[(Long, String, String, String, Long)]
-    var rank = 0
-    var exhausted = false
-    while (rank < merges && !exhausted) {
-      // single-symbol words carry no pair (and Spark's sequence(0, -1)
-      // would run DESCENDING, fabricating null pairs — filter first)
-      val best = vocab.filter(size(col("sym")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(0, size(sym) - 2), " +
-            "i -> struct(sym[i] AS a, sym[i+1] AS b))")).as("p"))
-        .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("freq"))
-        .orderBy(col("freq").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, f) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        rank += 1
-        out += ((rank.toLong, a, b, a + b, f))
-        vocab = vocab
-          .withColumn("sym", expr(mergeExpr(a, b)))
-          .localCheckpoint()
+    // the ONE full pair count; every later round folds ± deltas into it
+    val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    pairWeights(vocab, 1L).groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .collect().foreach { r =>
+        pairCnt((r.getString(0), r.getString(1))) = r.getLong(2)
       }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    val touched = Seq.newBuilder[Long]
+    var rank = 0
+    while (rank < merges && pairCnt.nonEmpty) {
+      val ((a, b), f) = pairCnt.minBy { case ((pa, pb), w) => (-w, pa, pb) }
+      rank += 1
+      out += ((rank.toLong, a, b, a + b, f))
+      val hasPair = expr(hasPairExpr(a, b))
+      // ONE full-vocab pass per round: the conditional merge, keeping the
+      // pre-merge symbols + a changed flag so the delta pass below reads
+      // only the (checkpointed) touched sliver — never the whole vocab.
+      val staged = vocab
+        .select(col("word"), col("cnt"), col("sym").as("old_sym"),
+          when(hasPair, expr(mergeExpr(a, b))).otherwise(col("sym"))
+            .as("sym"),
+          hasPair.as("changed"))
+        .localCheckpoint()
+      if (collectStats)
+        touched += staged.filter(col("changed")).count()
+      val changed = staged.filter(col("changed"))
+      // pair-table update: remove the changed words' old pairs, add their
+      // re-segmented pairs — everything else is untouched
+      pairWeights(changed.select(col("cnt"), col("old_sym").as("sym")), -1L)
+        .union(pairWeights(changed.select(col("cnt"), col("sym")), 1L))
+        .groupBy("a", "b").agg(sum(col("w")).as("w"))
+        .collect().foreach { r =>
+          val k = (r.getString(0), r.getString(1))
+          val nw = pairCnt.getOrElse(k, 0L) + r.getLong(2)
+          if (nw > 0L) pairCnt(k) = nw else pairCnt.remove(k)
+        }
+      vocab = staged.select(col("word"), col("cnt"), col("sym"))
     }
     val mergeTable = spark.createDataFrame(
       spark.sparkContext.parallelize(out.result().map(Row.fromTuple), 1),
@@ -105,6 +170,7 @@ object Bpe {
         StructField("rhs", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("freq", LongType, nullable = false))))
-    (mergeTable, vocab)
+    (mergeTable, vocab, touched.result())
   }
+
 }

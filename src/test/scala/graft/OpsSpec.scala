@@ -1998,6 +1998,94 @@ class OpsSpec extends SparkSpec {
       (2L, "bb", "b", "bbb", 2L)))
   }
 
+  test("bpe: 120-merge run matches driver brute-force; incremental rounds touch shrinking slivers") {
+    val s = spark
+    import s.implicits._
+    // A corpus rich enough to sustain 120 merges: 400 random words over a
+    // 6-letter alphabet with zipf-ish counts, plus repeated stems so early
+    // merges cover many words and late merges few.
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdef"
+    val words = (0 until 400).map { i =>
+      val len = 3 + rnd.nextInt(8)
+      val w = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val cnt = 1 + 400 / (i + 1) // zipf-ish
+      (w, cnt)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val docs = words.zipWithIndex.map { case ((w, c), i) =>
+      (i.toLong, Array.fill(c)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // Driver brute-force BPE over the word-type table: full pair recount
+    // each round, same greedy fold and (freq desc, a, b) tie-break.
+    def brute(wt: Map[String, Long], merges: Int): Seq[(String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        wt.map { case (w, c) => w.map(_.toString).toVector -> c }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < merges && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (sym, c) =>
+          sym.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), f) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+          out += ((a, b, f))
+          r += 1
+          vocab = vocab.toSeq.map { case (sym, c) =>
+            val acc = Vector.newBuilder[String]
+            var last: String = null
+            sym.foreach { x =>
+              if (last == a && x == b) { // close the pair
+                val v = acc.result(); acc.clear()
+                v.dropRight(1).foreach(acc += _); acc += (a + b); last = a + b
+              } else { acc += x; last = x }
+            }
+            acc.result() -> c
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+      out.result()
+    }
+
+    val wt = words.map { case (w, c) => w -> c.toLong }.toMap
+    val expected = brute(wt, 120)
+    assert(expected.size == 120, s"corpus exhausted at ${expected.size} merges")
+
+    val (table, _, touched) =
+      graft.text.Bpe.runWithStats(docs, 120, collectStats = true)
+    val got = table.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expected, {
+      val firstDiff = got.zip(expected).indexWhere { case (g, e) => g != e }
+      if (firstDiff < 0)
+        s"size mismatch: got ${got.size} merges (${got.takeRight(3)}), " +
+          s"expected ${expected.size} (${expected.slice(got.size - 1, got.size + 2)})"
+      else
+        s"first divergence at rank ${firstDiff + 1}: got ${got(firstDiff)}, " +
+          s"expected ${expected(firstDiff)}"
+    })
+
+    // Incremental claim: each round re-segments ONLY the words containing
+    // the winning pair. Late rounds must touch slivers: the mean touched
+    // count over the last 40 rounds far below the first round's, and the
+    // total touched far below merges x vocabSize (the full-recount cost).
+    val vocabSize = wt.size.toLong
+    assert(touched.size == 120)
+    assert(touched.forall(_ >= 1L))
+    assert(touched.forall(_ <= vocabSize))
+    val early = touched.take(10).sum.toDouble / 10
+    val late = touched.takeRight(40).sum.toDouble / 40
+    assert(late < early,
+      s"late rounds ($late) should touch fewer words than early ($early)")
+    assert(touched.sum < 120L * vocabSize / 5,
+      s"total touched ${touched.sum} not a sliver of ${120L * vocabSize}")
+  }
+
   test("userTypeEntropy: uniform 2-type user = 1 bit, single-type user = 0") {
     val s = spark
     import s.implicits._
