@@ -248,6 +248,42 @@ object Graph {
     * top-k plans as TakeOrderedAndProject — no global sort, no driver
     * state. Degree-1 centers form no wedge, so 1/ln(deg) never divides by
     * zero. */
+  /** Per-source-node wedge counting + bounded selection for
+    * [[linkPrediction]]: groups the (u, w, vs) contribution rows by u,
+    * tallies cn locally, drops v ∈ N(u) (the group's w-stream), and emits
+    * u's top `k` by (cn DESC, v). Generic over the node id type; the JVM
+    * Ordering must agree with Spark's native sort for the id type, which
+    * holds for integral ids always and for strings up to the BMP (Java
+    * UTF-16 vs UTF8 byte order — the same single-code-unit caveat as
+    * [[graft.expr.MinGramMd5]]). */
+  private def topPairsPerSource[T](contrib: DataFrame, k: Int)(implicit
+      ord: Ordering[T],
+      keyEnc: org.apache.spark.sql.Encoder[T],
+      inEnc: org.apache.spark.sql.Encoder[(T, T, Array[T])],
+      outEnc: org.apache.spark.sql.Encoder[(T, T, Long)]): DataFrame = {
+    val candOrd: Ordering[(T, Long)] =
+      Ordering.Tuple2(Ordering.Long.reverse, ord).on { case (v, c) => (c, v) }
+    contrib.as[(T, T, Array[T])](inEnc)
+      .groupByKey(_._1)(keyEnc)
+      .flatMapGroups { (u: T, it: Iterator[(T, T, Array[T])]) =>
+        val nu = new java.util.HashSet[T]()
+        val cnt = new java.util.HashMap[T, Long]()
+        it.foreach { case (_, w, vs) =>
+          nu.add(w)
+          var i = 0
+          while (i < vs.length) {
+            cnt.merge(vs(i), 1L, java.lang.Long.sum _)
+            i += 1
+          }
+        }
+        val cand = new scala.collection.mutable.ArrayBuffer[(T, Long)]()
+        cnt.forEach { (v, c) => if (!nu.contains(v)) cand += ((v, c)) }
+        cand.sortInPlace()(candOrd)
+        cand.take(k).iterator.map { case (v, c) => (u, v, c) }
+      }(outEnc)
+      .toDF("u", "v", "cn")
+  }
+
   def linkPrediction(edges: DataFrame, k: Int = 100,
       maxCenterDegree: Int = LinkPredMaxCenterDegree): DataFrame = {
     val e = edges.localCheckpoint()
@@ -260,27 +296,48 @@ object Graph {
       .agg(sort_array(collect_list(col("n"))).as("ns"))
       .withColumn("d", size(col("ns")))
       .localCheckpoint()
-    // wedges at center w: ordered pairs (i < j) of the sorted neighbor
-    // array — posexplode picks u, slice(ns, i+2, d) yields only the
-    // strictly-later neighbors, so u < v and each pair emits once per w.
-    // The stream carries NOTHING but the two ids: the count aggregate is
-    // the Θ(#wedges) stage, so every byte on the wedge row is paid ~10⁸
-    // times per 10⁶ edges — aa/jaccard are re-derived intersection-side
-    // for only the k winners below.
-    val wedges = adj
-      .filter(col("d") <= maxCenterDegree)
-      .select(col("d"), posexplode(col("ns")).as(Seq("i", "u")), col("ns"))
-      .select(col("u"), explode(slice(col("ns"), col("i") + lit(2),
-        col("d") - col("i") - lit(1))).as("v"))
-    val top = wedges.groupBy("u", "v")
-      .agg(count(lit(1)).as("cn"))
-      .join(e.select(col("a").as("u"), col("b").as("v")),
-        Seq("u", "v"), "left_anti")
+    // Wedge counting, grouped at the wedge's LOWER endpoint u rather than
+    // flattened to (u, v) rows: every neighbor w of u ships the
+    // strictly-greater suffix of its sorted adjacency (so u < v and each
+    // common sub-cap neighbor contributes exactly once), and a per-u local
+    // counter tallies cn for all v at once. Why not the flat
+    // groupBy(u, v).count: candidate-pair cardinality is Θ(Σd²) (10⁸ at
+    // sf0.1) — a flat plan materializes that key space THREE times (final
+    // hash aggregate, anti-join against the edge list, TakeOrdered input).
+    // Here the shuffle still carries the honest Θ(#wedges) bytes — the
+    // suffix arrays, ~8 B/wedge, with capped centers shipping empty
+    // arrays — but pair keys never exist outside a per-group counter, the
+    // edge anti-check is a local set probe (the group's w-stream IS N(u),
+    // shipped uncapped so the probe set is exact even when centers are
+    // capped), and only each u's (cn DESC, v) top-k survives to the global
+    // TakeOrdered — ≤ k·|V| rows instead of 10⁸. Exact by prefix argument:
+    // the global top-k restricted to a fixed u is a prefix of u's local
+    // order, so per-u top-k loses nothing. Typed flatMapGroups is the
+    // deliberate escape hatch here (same justification as the multimodal
+    // decoder): the per-group dense counter + bounded selection has no
+    // Catalyst equivalent that avoids re-materializing the pair key space.
+    val contrib = nb.select(col("n").as("u"), col("w"))
+      .join(adj, Seq("w"))
+      .select(col("u"), col("w"),
+        when(col("d") <= maxCenterDegree, expr("filter(ns, x -> x > u)"))
+          .otherwise(slice(col("ns"), 1, 0)).as("vs"))
+    import e.sparkSession.implicits._
+    val grouped = contrib.schema("u").dataType match {
+      case org.apache.spark.sql.types.LongType => topPairsPerSource[Long](contrib, k)
+      case org.apache.spark.sql.types.IntegerType => topPairsPerSource[Int](contrib, k)
+      case org.apache.spark.sql.types.StringType => topPairsPerSource[String](contrib, k)
+      case dt => throw new IllegalArgumentException(
+        s"linkPrediction: unsupported node id type ${dt.simpleString}")
+    }
+    val top = grouped
       .orderBy(col("cn").desc, col("u"), col("v")).limit(k)
     // k-row frame from here on: attach both neighbor arrays (broadcast the
     // k pairs), intersect for the exact common-neighbor set, then the
     // Adamic–Adar sum over its (≤ max-degree) members and the Jaccard from
-    // the array sizes. size(∩) == cn by construction (edges are distinct).
+    // the array sizes. NOTE: cn counts only sub-cap centers, so
+    // cn == size(ws) only when no common neighbor exceeds the degree cap —
+    // never substitute size(ws) for cn (the aa stage below re-applies the
+    // cap for the same reason).
     val attached = broadcast(top)
       .join(adj.select(col("w").as("u"), col("ns").as("nu"),
         col("d").cast("long").as("du")), Seq("u"))
