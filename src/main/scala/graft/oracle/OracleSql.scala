@@ -4269,6 +4269,40 @@ object OracleSql {
        |WHERE fwd IS NOT NULL AND $notNull ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors Core.featImportanceCorr: the full mlMatrix as a MATERIALIZED
+    * CTE (inlining it once per feature would replay the 4-window pipeline
+    * 49×), the same floor-form integerization (exact: matrix features are
+    * r6-rounded), exact DECIMAL power sums, and the identical double-
+    * domain corr formula — bit-equal by the events_stationarity recipe. */
+  val featImportanceCorr: String = {
+    val feats = graft.queries.Core.MlMatrixFeatures
+    val unpivot = feats.map(f =>
+      s"""SELECT '$f' AS feature,
+         |         CAST(floor(CAST($f AS DOUBLE) * 1000000.0 + 0.5) AS DECIMAL(19,0)) AS kx,
+         |         CAST(target AS DECIMAL(19,0)) AS ky FROM m""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val corr =
+      "CASE WHEN (nd * sxx - sx * sx) <= 0.0 OR (nd * syy - sy * sy) <= 0.0 " +
+        "THEN 0.0 ELSE abs((nd * sxy - sx * sy) / " +
+        "(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))) END"
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT * FROM (
+       |$mlMatrix
+       |  ) q
+       |), u AS MATERIALIZED (
+       |  $unpivot
+       |), s AS (
+       |  SELECT feature, CAST(COUNT(*) AS DOUBLE) AS nd,
+       |         CAST(SUM(kx) AS DOUBLE) AS sx, CAST(SUM(ky) AS DOUBLE) AS sy,
+       |         CAST(SUM(kx * kx) AS DOUBLE) AS sxx,
+       |         CAST(SUM(ky * ky) AS DOUBLE) AS syy,
+       |         CAST(SUM(kx * ky) AS DOUBLE) AS sxy
+       |  FROM u GROUP BY 1
+       |)
+       |SELECT feature, ${r(corr)} AS abs_corr
+       |FROM s ORDER BY abs_corr DESC, feature LIMIT 20""".stripMargin
+  }
+
   val windowRank: String =
     s"""$barsCte
        |SELECT symbol, event_id, volume,

@@ -135,6 +135,46 @@ object Core {
     MlPipeline.topImportances(model, fcols, 20)
   }
 
+  /** Deterministic feature-importance surrogate: per-feature |Pearson
+    * corr(feature, target)| over the frozen [[mlMatrix]], top 20 by
+    * (|corr| DESC, feature) — the oracle-checkable twin of
+    * [[topkImportance]] (GBT importances are not cross-engine
+    * reproducible; the correlation screen is the standard cheap proxy a
+    * feature-selection pass runs first). Exactness recipe (the
+    * events_stationarity pattern): features are r6-rounded, so
+    * floor(f·10⁶ + 0.5) is an exact integer — power sums accumulate in
+    * DECIMAL (exact, order-independent), and only the final corr formula
+    * runs in doubles with the identical op tree on both engines. One
+    * narrow unpivot + one 49-group aggregate; no extra shuffle beyond the
+    * matrix itself. */
+  def featImportanceCorr(s: SparkSession, dir: String): DataFrame =
+    absCorrTopK(mlMatrix(s, dir), MlMatrixFeatures, "target", 20)
+
+  /** |corr| screen core: exact-integer power sums over floor-form 10⁶-
+    * scaled features (see [[featImportanceCorr]]'s recipe note). */
+  private[graft] def absCorrTopK(matrix: DataFrame, feats: Seq[String],
+      target: String, k: Int): DataFrame = {
+    val stackExpr = s"stack(${feats.size}, " + feats.map(f =>
+      s"'$f', CAST(floor(CAST($f AS DOUBLE) * 1000000.0 + 0.5) AS DECIMAL(19,0))")
+      .mkString(", ") + ") AS (feature, kx)"
+    matrix
+      .select(expr(stackExpr), col(target).cast("decimal(19,0)").as("ky"))
+      .groupBy("feature")
+      .agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(col("kx")).cast("double").as("sx"),
+        sum(col("ky")).cast("double").as("sy"),
+        sum(expr("kx * kx")).cast("double").as("sxx"),
+        sum(expr("ky * ky")).cast("double").as("syy"),
+        sum(expr("kx * ky")).cast("double").as("sxy"))
+      .select(col("feature"), r6(expr(
+        "CASE WHEN (nd * sxx - sx * sx) <= 0.0 OR (nd * syy - sy * sy) <= 0.0 " +
+          "THEN 0.0 ELSE abs((nd * sxy - sx * sy) / " +
+          "(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))) END"))
+        .as("abs_corr"))
+      .orderBy(col("abs_corr").desc, col("feature")).limit(k)
+  }
+
   /** W2/W7/W13/W14: per-period momentum block. */
   def featMomentum(s: SparkSession, dir: String): DataFrame = {
     val out = Params.MomentumPeriods.flatMap(p => Seq(

@@ -214,6 +214,34 @@ class OpsSpec extends SparkSpec {
     assert(perStratum.length == 5 && perStratum.forall(_ == 10L))
   }
 
+  test("absCorrTopK: planted matrix matches driver Pearson; zero-variance -> 0; order (|corr| desc, name)") {
+    val s = spark
+    import s.implicits._
+    // f1 perfectly anti-correlated with target, f2 partially, f3 constant
+    val rows = Seq(
+      (0.25, 1.5, 7.0, 1), (0.5, 3.25, 7.0, 1), (0.75, 2.0, 7.0, 0),
+      (1.0, 5.5, 7.0, 0), (1.25, 4.0, 7.0, 0), (1.5, 6.75, 7.0, 0))
+    val m = rows.toDF("f1", "f2", "f3", "target")
+    val got = graft.queries.Core.absCorrTopK(m, Seq("f1", "f2", "f3"), "target", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val ys = rows.map(_._4.toDouble)
+    val e1 = math.abs(pearson(rows.map(_._1), ys))
+    val e2 = math.abs(pearson(rows.map(_._2), ys))
+    assert(got.map(_._1).toSeq == Seq("f1", "f2", "f3"), s"order: ${got.toSeq}")
+    // planted values are exact at 1e6 scaling, so the decimal-power-sum
+    // path must match a plain driver Pearson to rounding of the 6dp emit
+    assert(math.abs(got(0)._2 - e1) < 1e-6 && math.abs(got(1)._2 - e2) < 1e-6)
+    assert(got(2)._2 == 0.0, "zero-variance feature reports 0, not NaN")
+    assert(e1 > e2 && e2 > 0.0, "planted ordering premise")
+  }
+
   test("query registry is consistent: every query has an oracle or is known rows-only") {
     val rowsOnly = Set("topk_importance")
     val queries = SparkEntry.queries.keySet
