@@ -186,6 +186,48 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("property: incremental EWMA backfill == full recompute on the new rows (rsi bit-exact)") {
+    import graft.features.{Incremental, Technical}
+    for (trial <- 1 to 3) {
+      // A long, B short (including 1-row history: avg_gain still null in
+      // state), C entirely new (no state row)
+      val nA = 60 + rnd.nextInt(80)
+      val nB = 1 + rnd.nextInt(4)
+      val nC = 3 + rnd.nextInt(10)
+      val a = barsOf(Seq.fill(nA)(50.0 + rnd.nextDouble() * 100), "A")
+      val b = barsOf(Seq.fill(nB)(50.0 + rnd.nextDouble() * 100), "B")
+      val c = barsOf(Seq.fill(nC)(50.0 + rnd.nextDouble() * 100), "C")
+      val full = a.unionByName(b).unionByName(c)
+      val newFromA = nA - (1 + rnd.nextInt(20))
+      val isNew = (col("symbol") === "A" && col("event_id") >= newFromA) ||
+        (col("symbol") === "B" && col("event_id") >= nB - 1) ||
+        (col("symbol") === "C")
+      val state = Incremental.ewmaState(full.filter(!isNew))
+      val got = Incremental.backfillEwma(state, full.filter(isNew))
+      val want = Technical.withTechnical(full).filter(isNew)
+      val cols = Seq("symbol", "event_id") ++ Incremental.EwmaFeatureCols
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).orderBy("symbol", "event_id")
+          .collect().map(_.toSeq).toSeq
+      val (g, w2) = (rows(got), rows(want))
+      assert(g.length == w2.length, s"trial $trial: row counts differ")
+      g.zip(w2).foreach { case (gr, wr) =>
+        gr.zip(wr).zipWithIndex.foreach {
+          case ((a: java.lang.Double, b: java.lang.Double), i) if cols(i) == "rsi" =>
+            // adjust=false continuation re-enters the exact terminal mean
+            // through the seed branch: bit-equality, not just tolerance
+            assert(a == b, s"trial $trial row ${gr.take(2)} rsi: $a vs $b")
+          case ((a: java.lang.Double, b: java.lang.Double), i) =>
+            val denom = math.max(1.0, math.max(math.abs(a), math.abs(b)))
+            assert(math.abs(a - b) / denom <= 1e-9,
+              s"trial $trial row ${gr.take(2)} col ${cols(i)}: $a vs $b")
+          case ((a, b), i) =>
+            assert(a == b, s"trial $trial row ${gr.take(2)} col ${cols(i)}: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("property: upsert is idempotent and equals the max-version lookup") {
     val s = spark
     import s.implicits._
