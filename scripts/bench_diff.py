@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression table.
+
+Compares a fresh bench_out.json against a baseline (the previous round's
+bench_out.json, committed at round close) and prints per-query warm-time
+deltas, flagging regressions.
+
+    python3 scripts/bench_diff.py [BASELINE [CURRENT]] [--threshold X]
+                                  [--min-sec S] [--fail]
+
+Defaults: BASELINE=bench_out.json (committed), CURRENT=bench_out_new.json.
+A query REGRESSES when current_warm > threshold * baseline_warm (default
+1.5x) AND current_warm >= min-sec (default 0.3 s — sub-300ms queries are
+dominated by per-job fixed costs and flap). --fail exits 1 on any
+regression; without it the table is advisory (warn-only), matching the
+gate's use: the judge reads intent from the table, a human decides whether
+a flagged delta is a deliberate trade (documented in the commit) or a bug.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("queries", {})
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    base_path = args[0] if len(args) > 0 else "bench_out.json"
+    cur_path = args[1] if len(args) > 1 else "bench_out_new.json"
+    threshold = 1.5
+    min_sec = 0.3
+    fail = "--fail" in flags
+    for f in flags:
+        if f.startswith("--threshold"):
+            threshold = float(f.split("=", 1)[1])
+        if f.startswith("--min-sec"):
+            min_sec = float(f.split("=", 1)[1])
+
+    base, cur = load(base_path), load(cur_path)
+    regressions, improved, added, removed = [], [], [], []
+    for q, t in sorted(cur.items()):
+        if q not in base:
+            added.append((q, t))
+            continue
+        b = base[q]
+        if b <= 0 or t <= 0:
+            continue
+        ratio = t / b
+        if ratio > threshold and t >= min_sec:
+            regressions.append((q, b, t, ratio))
+        elif ratio < 1.0 / threshold and b >= min_sec:
+            improved.append((q, b, t, ratio))
+    for q in sorted(base):
+        if q not in cur:
+            removed.append(q)
+
+    tb = sum(v for v in base.values() if v > 0)
+    tc = sum(v for v in cur.values() if v > 0)
+    print(f"[bench-diff] total: {tb:.1f}s -> {tc:.1f}s "
+          f"({tc / tb:.2f}x) over {len(cur)} queries "
+          f"(+{len(added)} new, -{len(removed)} removed)")
+    if improved:
+        print(f"[bench-diff] improved >{threshold}x:")
+        for q, b, t, r in sorted(improved, key=lambda x: x[3]):
+            print(f"  [ok]   {q:36s} {b:8.2f}s -> {t:7.2f}s ({r:.2f}x)")
+    if regressions:
+        print(f"[bench-diff] REGRESSED >{threshold}x (warm >= {min_sec}s):")
+        for q, b, t, r in sorted(regressions, key=lambda x: -x[3]):
+            print(f"  [WARN] {q:36s} {b:8.2f}s -> {t:7.2f}s ({r:.2f}x)")
+    else:
+        print(f"[bench-diff] no regressions beyond {threshold}x")
+    if regressions and fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
