@@ -118,19 +118,26 @@ object Sampling {
       lit(281474976710656.0) // 2^48
     val w = PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
       .reduce(_ + _)
+    val point = df.select(group.as("grp"), x.cast("double").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), avg(col("x")).as("mean"))
+    // All-zero-weight replica (P ≈ e^-n per replica — real for small
+    // groups): its mean is 0/0 = NaN, which sorts ABOVE every real mean
+    // and would surface as ci_hi. Deterministic rule, mirrored in the
+    // oracle: an empty resample reports the group's point mean.
     val means = rep.withColumn("_w", w)
       .groupBy(col("grp"), col("e.rep").as("rep"))
       .agg(sum(col("_w") * col("x")).as("sx"), sum(col("_w")).as("sw"))
-      .select(col("grp"), (col("sx") / col("sw").cast("double")).as("m"))
+      .join(point.select(col("grp"), col("mean").as("_pm")), Seq("grp"))
+      .select(col("grp"),
+        when(col("sw") === 0L, col("_pm"))
+          .otherwise(col("sx") / col("sw").cast("double")).as("m"))
     val lo = math.ceil(0.025 * b).toInt
     val hi = math.ceil(0.975 * b).toInt
     val ci = means.groupBy("grp")
       .agg(sort_array(collect_list(col("m"))).as("ms"))
       .select(col("grp"), element_at(col("ms"), lo).as("ci_lo"),
         element_at(col("ms"), hi).as("ci_hi"))
-    df.select(group.as("grp"), x.cast("double").as("x"))
-      .groupBy("grp")
-      .agg(count(lit(1)).as("n_rows"), avg(col("x")).as("mean"))
-      .join(ci, Seq("grp"))
+    point.join(ci, Seq("grp"))
   }
 }

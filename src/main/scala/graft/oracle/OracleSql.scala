@@ -4388,7 +4388,11 @@ object OracleSql {
     val hi = math.ceil(0.975 * b).toInt
     val draws = graft.analytics.Sampling.PoissonCdf
       .map(c => s"CASE WHEN u >= $c THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH rep AS (
+    s"""WITH base AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         AVG(value) AS mean
+       |  FROM events GROUP BY 1
+       |), rep AS (
        |  SELECT e.event_type, e.value, r.rep,
        |         (('0x' || substring(
        |             md5(CAST(e.event_id AS VARCHAR) || ':' ||
@@ -4401,14 +4405,14 @@ object OracleSql {
        |), wtd AS (
        |  SELECT event_type, rep, value, ($draws) AS w FROM rep
        |), m AS (
-       |  SELECT event_type, rep, SUM(w * value) / CAST(SUM(w) AS DOUBLE) AS m
-       |  FROM wtd GROUP BY 1, 2
+       |  -- all-zero-weight replica reports the point mean (Spark mirror:
+       |  -- Sampling.poissonBootstrap's sw = 0 branch)
+       |  SELECT w.event_type, w.rep,
+       |         CASE WHEN SUM(w.w) = 0 THEN MIN(b0.mean)
+       |              ELSE SUM(w.w * w.value) / CAST(SUM(w.w) AS DOUBLE) END AS m
+       |  FROM wtd w JOIN base b0 USING (event_type) GROUP BY 1, 2
        |), ci AS (
        |  SELECT event_type, list(m ORDER BY m) AS ms FROM m GROUP BY 1
-       |), base AS (
-       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       |         AVG(value) AS mean
-       |  FROM events GROUP BY 1
        |)
        |SELECT b2.event_type, b2.n_rows, ${r("b2.mean")} AS mean,
        |       ${r(s"ci.ms[$lo]")} AS ci_lo, ${r(s"ci.ms[$hi]")} AS ci_hi

@@ -122,11 +122,21 @@ object Analytics {
     * 32-round budget as chained materialized CTEs with an INDEPENDENT
     * h-index formulation (row_number window vs this side's sorted-array
     * fold) — post-fixpoint rounds are exact no-ops, so the early-exited
-    * run and the fixed-budget replay agree bit-for-bit on the integers. */
-  def graphKcore(s: SparkSession, dir: String): DataFrame =
-    Graph.coreness(Graph.coPurchaseEdgesSupported(s, dir))._1
+    * run and the fixed-budget replay agree bit-for-bit on the integers —
+    * PROVIDED convergence lands within the oracle's 32-round budget; the
+    * guard below turns a deeper-than-32 convergence (possible at a new SF)
+    * into a loud failure at the source instead of a silent hash
+    * mismatch. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val (cores, rounds) =
+      Graph.coreness(Graph.coPurchaseEdgesSupported(s, dir))
+    require(rounds <= 32,
+      s"graphKcore converged in $rounds rounds > the oracle's fixed " +
+        "32-round budget — raise OracleSql.graphKcore's budget in lockstep")
+    cores
       .select(col("id").as("node"), col("c").as("coreness"))
       .orderBy("node")
+  }
 
   /** Top-100 predicted co-purchase links (the "customers who bought these
     * also bought" candidate set): common-neighbor / Jaccard / Adamic–Adar

@@ -2786,6 +2786,15 @@ class OpsSpec extends SparkSpec {
       r2.getAs[Double]("ci_hi"))
     assert(lo < mu && mu < hi, s"CI ($lo, $hi) must bracket mean $mu")
     assert(lo > 1.0 && hi < 500.0, "bootstrap CI of the mean is far inside the range")
+    // 1-row group: ~37% of replicas draw weight 0 (empty resample) — they
+    // must report the point mean, not 0/0 = NaN sorting into ci_hi, so the
+    // whole CI degenerates to the point
+    val tiny = Seq(("c", 1L, 7.0)).toDF("g", "k", "x")
+    val r3 = graft.analytics.Sampling.poissonBootstrap(
+      tiny, col("g"), col("k"), col("x")).collect()(0)
+    assert(r3.getAs[Double]("ci_lo") == 7.0 && r3.getAs[Double]("ci_hi") == 7.0,
+      s"empty-resample guard: got (${r3.getAs[Double]("ci_lo")}, " +
+        s"${r3.getAs[Double]("ci_hi")})")
   }
 
   test("readability: planted docs — hand-counted Flesch/FKGL, sentence and syllable floors") {
