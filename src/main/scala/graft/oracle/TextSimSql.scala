@@ -1079,6 +1079,69 @@ object TextSimSql {
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e0
        |)""".stripMargin
 
+  /** Mirrors Similarity.dimStats: identical floor-form 10⁶ quantization,
+    * exact DECIMAL power sums, identical double-domain mean/std formula
+    * (events_stationarity recipe); min/max compare raw components. */
+  val embDimStats: String =
+    s"""WITH x AS (
+       |  SELECT d AS dim, CAST(embedding[d + 1] AS DOUBLE) AS x
+       |  FROM (SELECT embedding, unnest(range(len(embedding))) AS d
+       |        FROM embeddings)
+       |), q AS (
+       |  SELECT dim, x,
+       |         CAST(floor(x * 1000000.0 + 0.5) AS DECIMAL(19,0)) AS kx
+       |  FROM x
+       |), s AS (
+       |  SELECT dim, CAST(COUNT(*) AS DOUBLE) AS nd,
+       |         CAST(SUM(kx) AS DOUBLE) AS sx,
+       |         CAST(SUM(kx * kx) AS DOUBLE) AS sxx,
+       |         MIN(x) AS mn, MAX(x) AS mx
+       |  FROM q GROUP BY 1
+       |)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(nd AS BIGINT) AS n,
+       |       ${r("(sx / nd) / 1000000.0")} AS mean,
+       |       ${r("CASE WHEN nd <= 1.0 OR (nd * sxx - sx * sx) <= 0.0 THEN 0.0 ELSE sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0))) / 1000000.0 END")} AS std,
+       |       ${r("mn")} AS v_min, ${r("mx")} AS v_max
+       |FROM s ORDER BY dim""".stripMargin
+
+  /** Mirrors Similarity.whiten: z-scores against the 6dp-rounded dimStats
+    * (both engines whiten with the identical published stats), zero-std
+    * dims → 0, norms as the sequential-fold dot (bit-equal to Spark's
+    * DotProduct). */
+  val embWhiten: String =
+    s"""WITH x AS (
+       |  SELECT d AS dim, CAST(embedding[d + 1] AS DOUBLE) AS x
+       |  FROM (SELECT embedding, unnest(range(len(embedding))) AS d
+       |        FROM embeddings)
+       |), q AS (
+       |  SELECT dim, CAST(floor(x * 1000000.0 + 0.5) AS DECIMAL(19,0)) AS kx
+       |  FROM x
+       |), s AS (
+       |  SELECT dim, CAST(COUNT(*) AS DOUBLE) AS nd,
+       |         CAST(SUM(kx) AS DOUBLE) AS sx,
+       |         CAST(SUM(kx * kx) AS DOUBLE) AS sxx
+       |  FROM q GROUP BY 1
+       |), st AS (
+       |  SELECT dim,
+       |         ${r("(sx / nd) / 1000000.0")} AS m,
+       |         ${r("CASE WHEN nd <= 1.0 OR (nd * sxx - sx * sx) <= 0.0 THEN 0.0 ELSE sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0))) / 1000000.0 END")} AS s
+       |  FROM s
+       |), arr AS (
+       |  SELECT list(m ORDER BY dim) AS means, list(s ORDER BY dim) AS stds
+       |  FROM st
+       |), z AS (
+       |  SELECT vec_id, label, v,
+       |         list_transform(range(1, len(v) + 1),
+       |           i -> CASE WHEN stds[i] <= 0.0 THEN 0.0
+       |                     ELSE (v[i] - means[i]) / stds[i] END) AS z
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings) e0, arr
+       |)
+       |SELECT vec_id, label,
+       |       ${r(s"sqrt(${dot("v", "v")})")} AS norm_raw,
+       |       ${r(s"sqrt(${dot("z", "z")})")} AS norm_z
+       |FROM z ORDER BY vec_id""".stripMargin
+
   /** Mirrors TextSim.simMips: the simTopk scan ranked on the raw
     * sequential-fold inner product (no norm divide). */
   val simMips: String =

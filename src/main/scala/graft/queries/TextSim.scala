@@ -350,6 +350,23 @@ object TextSim {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
       .orderBy("probe_id", "rank")
 
+  /** Per-dimension embedding stats (see [[graft.sim.Similarity.dimStats]]
+    * — quantized exact power sums, so mean/std hash-match DuckDB). */
+  def embDimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(Tables.embeddings(s, dir))
+      .select(col("dim"), col("n"), r6(col("mean")).as("mean"),
+        r6(col("std")).as("std"), r6(col("v_min")).as("v_min"),
+        r6(col("v_max")).as("v_max"))
+      .orderBy("dim")
+
+  /** Z-score whitening norms per vector
+    * (see [[graft.sim.Similarity.whiten]]). */
+  def embWhiten(s: SparkSession, dir: String): DataFrame =
+    Similarity.whiten(Tables.embeddings(s, dir), r6)
+      .select(col("vec_id"), col("label"), r6(col("norm_raw")).as("norm_raw"),
+        r6(col("norm_z")).as("norm_z"))
+      .orderBy("vec_id")
+
   /** Exact max-inner-product top-k
     * (see [[graft.sim.Similarity.mipsTopK]]; the norm-augmentation
     * reduction to cosine ANN is spec-proven rank-equal). */

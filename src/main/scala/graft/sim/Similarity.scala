@@ -496,4 +496,64 @@ object Similarity {
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adist"))
   }
+
+  /** Per-dimension corpus statistics of the embedding column — the
+    * normalization/whitening pass a training pipeline runs before ANN,
+    * clustering, or quantization (and the diagnostic that catches dead or
+    * exploding dimensions). One narrow posexplode (n·dims rows, no fatter
+    * than the corpus) into a dims-group aggregate with map-side partials.
+    *
+    * Exactness recipe (events_stationarity pattern): each component is
+    * quantized to the exact integer floor(x·10⁶ + 0.5) — identical IEEE
+    * ops both engines — so mean/std come from exact DECIMAL power sums
+    * with only the final formula in doubles; min/max compare raw values
+    * (comparison is exact). The 1e-6 quantization is the operator's
+    * published contract (components are O(1), so the moment error is
+    * ≤ 5e-7 — far inside the 6dp emit). */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x"),
+        expr("CAST(floor(x * 1000000.0 + 0.5) AS DECIMAL(19,0))").as("kx"))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(col("kx")).cast("double").as("sx"),
+        sum(expr("kx * kx")).cast("double").as("sxx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("dim"), col("nd").cast("long").as("n"),
+        expr("(sx / nd) / 1000000.0").as("mean"),
+        expr("CASE WHEN nd <= 1.0 OR (nd * sxx - sx * sx) <= 0.0 THEN 0.0 " +
+          "ELSE sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0))) / 1000000.0 " +
+          "END").as("std"),
+        col("mn").as("v_min"), col("mx").as("v_max"))
+
+  /** Per-vector z-score whitening against [[dimStats]]' published (6dp)
+    * per-dimension mean/std — zero-std dimensions map to 0. Emits the
+    * before/after L2 norms (the whiteness check: a well-conditioned
+    * whitened corpus has norm_z ≈ √dims). The stats table is O(dims) rows
+    * — collected to one broadcast array row, the same scalar-side-only
+    * cross-join shape as the PQ distance table; the corpus scan stays
+    * narrow. `statRound` is the house 6dp rounding so both engines whiten
+    * against the identical published stats. */
+  def whiten(embeddings: DataFrame,
+      statRound: Column => Column): DataFrame = {
+    val stats = dimStats(embeddings)
+      .select(col("dim"), statRound(col("mean")).as("m"),
+        statRound(col("std")).as("s"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"), col("s"))))
+        .as("st"))
+      .select(expr("transform(st, e -> e.m)").as("means"),
+        expr("transform(st, e -> e.s)").as("stds"))
+    embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("label"), col("v"),
+        expr("zip_with(zip_with(v, means, (x, m) -> x - m), stds, " +
+          "(y, s) -> CASE WHEN s <= 0D THEN 0D ELSE y / s END)").as("z"))
+      .select(col("vec_id"), col("label"),
+        sqrt(graft.expr.DotProduct.dot(col("v"), col("v"))).as("norm_raw"),
+        sqrt(graft.expr.DotProduct.dot(col("z"), col("z"))).as("norm_z"))
+  }
 }

@@ -37,6 +37,8 @@ class AllPlansSpec extends SparkSpec {
     "ml_ndcg",
     // graph_modularity broadcasts the 1-row total-edge-count scalar
     "graph_modularity",
+    // emb_whiten broadcasts the 1-row per-dimension stats arrays
+    "emb_whiten",
     // events_acf broadcasts the 1-row global power-sum scalars
     "events_acf",
     // text_langid_ngram crosses the O(langs) candidate list (5 rows)

@@ -242,6 +242,34 @@ class OpsSpec extends SparkSpec {
     assert(e1 > e2 && e2 > 0.0, "planted ordering premise")
   }
 
+  test("dimStats/whiten: hand values on planted vectors; zero-std dim maps to 0") {
+    val s = spark
+    import s.implicits._
+    // dim0: {1,3} -> mean 2, std sqrt(2); dim1 constant 5 -> std 0
+    val emb = Seq((1L, Seq(1.0f, 5.0f), 0), (2L, Seq(3.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val st = graft.sim.Similarity.dimStats(emb)
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // std replays the published quantized formula exactly:
+    // sqrt((n·Sxx − Sx²)/(n(n−1)))/10⁶ over kx = {1e6, 3e6} — one ulp off
+    // plain sqrt(2), and that ulp IS the contract (it is what the oracle
+    // hashes)
+    val stdQ = math.sqrt((2.0 * 1e13 - 4e6 * 4e6) / (2.0 * 1.0)) / 1e6
+    assert(st(0) == ((0L, 2L, 2.0, stdQ, 1.0, 3.0)))
+    assert(st(1)._3 == 5.0 && st(1)._4 == 0.0, "constant dim: std 0")
+    // whiten against the 6dp stats: z0 = (x - 2)/round6(stdQ), z1 = 0
+    val got = graft.sim.Similarity.whiten(emb, graft.queries.Core.r6)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    val s6 = math.floor(stdQ * 1e6 + 0.5) / 1e6
+    assert(math.abs(got(0)._2 - math.sqrt(1.0 + 25.0)) < 1e-12) // norm_raw
+    assert(math.abs(got(0)._3 - math.abs((1.0 - 2.0) / s6)) < 1e-12,
+      s"norm_z of (1,5): ${got(0)._3}") // zero-std dim contributes 0
+    assert(math.abs(got(1)._3 - (3.0 - 2.0) / s6) < 1e-12)
+  }
+
   test("query registry is consistent: every query has an oracle or is known rows-only") {
     val rowsOnly = Set("topk_importance")
     val queries = SparkEntry.queries.keySet
