@@ -1079,6 +1079,34 @@ object TextSimSql {
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e0
        |)""".stripMargin
 
+  /** Mirrors Similarity.hardNegatives: the simTopk scan restricted to
+    * different-label candidates, same sequential-fold cosine and
+    * (cos DESC, neighbor_id) rank ties. */
+  val simHardNegatives: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, sqrt(${dot("v", "v")}) AS nv
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings) e0
+       |), p AS (
+       |  SELECT vec_id AS probe_id, label AS probe_label, v AS pv, nv AS np
+       |  FROM e WHERE vec_id < 10
+       |), j AS (
+       |  SELECT probe_id, probe_label, e.vec_id AS neighbor_id,
+       |         e.label AS neighbor_label,
+       |         ${cosP("pv", "v", "np", "nv")} AS cos
+       |  FROM e, p
+       |  WHERE e.vec_id != probe_id AND e.label != probe_label
+       |), rr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM j
+       |)
+       |SELECT probe_id, CAST(probe_label AS BIGINT) AS probe_label,
+       |       CAST(rnk AS BIGINT) AS "rank", neighbor_id,
+       |       CAST(neighbor_label AS BIGINT) AS neighbor_label,
+       |       ${r("cos")} AS cos
+       |FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   /** Mirrors Similarity.dimStats: identical floor-form 10⁶ quantization,
     * exact DECIMAL power sums, identical double-domain mean/std formula
     * (events_stationarity recipe); min/max compare raw components. */

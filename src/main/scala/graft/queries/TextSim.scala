@@ -350,6 +350,14 @@ object TextSim {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cos"))
       .orderBy("probe_id", "rank")
 
+  /** Contrastive hard negatives: per probe, the top-5 different-label
+    * near-misses (see [[graft.sim.Similarity.hardNegatives]]). */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(s, dir))
+      .select(col("probe_id"), col("probe_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"), r6(col("cos")).as("cos"))
+      .orderBy("probe_id", "rank")
+
   /** Per-dimension embedding stats (see [[graft.sim.Similarity.dimStats]]
     * — quantized exact power sums, so mean/std hash-match DuckDB). */
   def embDimStats(s: SparkSession, dir: String): DataFrame =

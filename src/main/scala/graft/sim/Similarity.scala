@@ -497,6 +497,37 @@ object Similarity {
         col("neighbor_id"), col("adist"))
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * `k` highest-cosine corpus vectors carrying a DIFFERENT label — the
+    * near-miss negatives that dominate the gradient signal (easy random
+    * negatives are already far away). Same broadcast-probe scan shape as
+    * [[bruteTopK]] with the label inequality pushed into the join
+    * condition, so rejected same-label candidates never reach the scoring
+    * projection. Ranked on the bit-portable sequential-fold cosine with
+    * (cos DESC, neighbor_id) ties — deterministic cross-engine. */
+  def hardNegatives(embeddings: DataFrame, numProbes: Int = 10,
+      k: Int = 5): DataFrame = {
+    val lab = embeddings.select(col("vec_id").as("id"), col("label"))
+    val probes = withNorm(embeddings.filter(col("vec_id") < numProbes),
+        "probe_id", "p", "np")
+      .join(lab.select(col("id").as("probe_id"),
+        col("label").as("probe_label")), Seq("probe_id"))
+    val cand = withNorm(embeddings, "neighbor_id", "v", "nv")
+      .join(lab.select(col("id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(probes),
+        col("neighbor_id") =!= col("probe_id") &&
+          col("neighbor_label") =!= col("probe_label"))
+      .withColumn("cos", cosPre("p", "v", "np", "nv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("probe_label").cast("long").as("probe_label"),
+        col("rank").cast("long").as("rank"), col("neighbor_id"),
+        col("neighbor_label").cast("long").as("neighbor_label"), col("cos"))
+  }
+
   /** Per-dimension corpus statistics of the embedding column — the
     * normalization/whitening pass a training pipeline runs before ANN,
     * clustering, or quantization (and the diagnostic that catches dead or

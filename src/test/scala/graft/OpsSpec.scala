@@ -242,6 +242,23 @@ class OpsSpec extends SparkSpec {
     assert(e1 > e2 && e2 > 0.0, "planted ordering premise")
   }
 
+  test("hardNegatives: same-label near-misses excluded, cross-label ranked by cosine") {
+    val s = spark
+    import s.implicits._
+    // probe 0 (label 0) is nearly parallel to 1 (label 0, SAME -> excluded)
+    // and to 2 (label 1); 3 (label 1) is orthogonal-ish
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.99f, 0.1f), 0),
+      (2L, Seq(0.9f, 0.2f), 1), (3L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.sim.Similarity.hardNegatives(emb, numProbes = 1, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 0L, 1L, 2L, 1L), (0L, 0L, 2L, 3L, 1L)),
+      s"got ${got.toSeq}") // vec 1 (same label) never appears
+  }
+
   test("dimStats/whiten: hand values on planted vectors; zero-std dim maps to 0") {
     val s = spark
     import s.implicits._
