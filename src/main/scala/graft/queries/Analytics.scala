@@ -54,13 +54,17 @@ object Analytics {
     * [[graft.analytics.Graph.coPurchaseEdgesSupported]]): the product-
     * affinity clusters behind "bundle" groupings. Components via the
     * alternating large-star/small-star algorithm
-    * ([[graft.text.Dedup.connectedComponentsStar]], O(log² n) rounds);
-    * the oracle recomputes labels with an INDEPENDENT recursive
-    * reachability CTE (min reachable id == the star fixpoint root). */
+    * ([[graft.text.Dedup.connectedComponents]] — per-hop min-propagation
+    * with broadcast labels, which converges in diameter rounds and this
+    * dense co-purchase graph is shallow; components deeper than the cap
+    * fall back to the alternating-star variant automatically, so the
+    * labeling is the unique fixpoint either way); the oracle recomputes
+    * labels with an INDEPENDENT recursive reachability CTE (min reachable
+    * id == the propagation fixpoint root). */
   def graphComponents(s: SparkSession, dir: String): DataFrame = {
     val pairs = Graph.coPurchaseEdgesSupported(s, dir)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    val cc = graft.text.Dedup.connectedComponentsStar(pairs)
+    val cc = graft.text.Dedup.connectedComponents(pairs)
     val sizes = cc.groupBy("label").agg(count(lit(1)).as("component_size"))
     cc.join(sizes, Seq("label"))
       .select(col("id").as("node"), col("label").as("component_id"),
@@ -76,13 +80,13 @@ object Analytics {
     * chance. All inputs are exact integer counts; each emitted float is
     * one or two divisions from them, written in the same association
     * order on both engines. Scale shape: the component labeling is the
-    * same alternating-star CC as [[graphComponents]]; degrees and the
+    * same adaptive CC as [[graphComponents]]; degrees and the
     * double label-attach are map-side-combinable joins keyed on node id;
     * the Q window runs over the O(communities) aggregate only. */
   def graphModularity(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = Graph.coPurchaseEdgesSupported(s, dir).localCheckpoint()
-    val cc = graft.text.Dedup.connectedComponentsStar(
+    val cc = graft.text.Dedup.connectedComponents(
       pairs.select(col("a").as("doc_a"), col("b").as("doc_b")))
     val deg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
