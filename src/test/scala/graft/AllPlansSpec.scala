@@ -54,7 +54,7 @@ class AllPlansSpec extends SparkSpec {
     // executedPlan is an RDD scan — nothing to allowlist.
     // broadcast centroid / probe tables (16 / 10 rows by construction):
     "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk",
-    "sim_ann_pq", "sim_mips",
+    "sim_ann_pq", "sim_mips", "sim_hard_negatives",
     // sim_matryoshka is four sim_topk-class scans (10-row probe broadcast)
     "sim_matryoshka")
 
