@@ -2645,7 +2645,11 @@ class OpsSpec extends SparkSpec {
     }
     val rnd = new scala.util.Random(42)
     val strs = Seq("a", "ab", "aaaabbbb", "zzzzaaaa", "abcdefg",
-      "hello world, 13!", "x" * 37) ++
+      "hello world, 13!", "x" * 37,
+      // non-ASCII: ord/ascii are CODE POINTS (é=233, 日=26085, 😀=128512 —
+      // a supplementary char, 2 UTF-16 units but ONE position like Spark's
+      // code-point length())
+      "héllo", "日本語テキスト", "mix😀ed") ++
       (0 until 20).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(50)).mkString)
     val got = strs.toDF("s")
       .select(col("s"), graft.expr.AHashChunk.ahashChunk(col("s")).as("h"))
