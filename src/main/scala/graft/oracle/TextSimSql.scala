@@ -698,6 +698,26 @@ object TextSimSql {
        |HAVING COUNT(*) >= 1
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors Dedup.duplicationDensity: same md5 8-token windows (distinct
+    * per doc), df ≥ 2 bit per gram, per-doc fraction. */
+  val dedupDensity: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS g
+       |  FROM t, UNNEST(range(1, len(w) - 7 + 1)) u(i)
+       |  WHERE len(w) >= 8
+       |), g AS (
+       |  SELECT DISTINCT doc_id, g FROM g0
+       |), df AS (
+       |  SELECT g, CAST(COUNT(*) >= 2 AS INT) AS dup FROM g GROUP BY 1
+       |)
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(df.dup) AS BIGINT) AS n_dup_grams,
+       |       ${r("CAST(SUM(df.dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS dup_density
+       |FROM g JOIN df USING (g)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val textTfidf: String =
     s"""WITH toks AS (
        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents

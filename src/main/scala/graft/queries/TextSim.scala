@@ -334,6 +334,15 @@ object TextSim {
     Dedup.simhashPairs(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** Per-doc duplication density: fraction of a doc's distinct 8-token
+    * windows that occur in ≥1 other doc — the linear prefilter before any
+    * pairwise dedup (see [[graft.text.Dedup.duplicationDensity]]). */
+  def dedupDensity(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicationDensity(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        r6(col("dup_density")).as("dup_density"))
+      .orderBy("doc_id")
+
   /** Exact shared-window pairs (verbatim 8-token windows in common) — the
     * substring-overlap duplicate class, vs the Jaccard classes above. */
   def dedupSharedNgrams(s: SparkSession, dir: String): DataFrame =

@@ -463,6 +463,39 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-document inter-corpus duplication density: of the document's
+    * DISTINCT w-token windows, the fraction that also occur in at least
+    * one OTHER document — the linear-cost prefilter a dedup pipeline runs
+    * before any pairwise stage (docs above a density threshold are the
+    * near-dup suspects; [[sharedNgramPairs]] is the pairwise follow-up on
+    * the survivors). Same md5 gram construction as the pairwise op.
+    *
+    * Scale shape: NO pair blowup anywhere — one gram-keyed aggregate
+    * counting distinct docs per gram (map-side combinable; df is capped to
+    * "2" since only df ≥ 2 matters, so a viral boilerplate gram costs the
+    * same as any other), one doc-keyed aggregate for the fraction. Both
+    * shuffles carry ≤ one row per distinct (doc, gram). */
+  def duplicationDensity(docs: DataFrame, w: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $w), ' '))))")).as("g"))
+      .localCheckpoint() // feeds both the df count and the per-doc join
+    val df = grams.groupBy("g")
+      .agg((count(lit(1)) >= 2).as("_dup")) // distinct docs per gram: the
+    // construction is already (doc, gram)-distinct, so a plain count IS
+    // the document frequency; only the ≥2 bit is needed downstream
+    grams.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_dup").cast("long")).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") /
+          col("n_grams").cast("double")).as("dup_density"))
+  }
+
   /** 32-bit SimHash over the token multiset: bit b of md5's first 8 hex
     * digits votes +1/-1 per token occurrence; the sign of the vote sum sets
     * the output bit. Whole-fingerprint-per-row form (graft.expr.SimHashSig):

@@ -242,6 +242,27 @@ class OpsSpec extends SparkSpec {
     assert(e1 > e2 && e2 > 0.0, "planted ordering premise")
   }
 
+  test("duplicationDensity: planted shared windows, distinct-per-doc, short docs dropped") {
+    val s = spark
+    import s.implicits._
+    // w=3: doc1 has 4 windows, two of which ("b c d", "c d e") also appear
+    // in doc2; doc3 repeats a window INTERNALLY (distinct-per-doc: counted
+    // once, and it appears in no other doc -> density 0); doc4 too short
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x b c d e y"),
+      (3L, "p q r p q r p q"), (4L, "s t")).toDF("doc_id", "text")
+    val got = graft.text.Dedup.duplicationDensity(docs, w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "doc4 (< w tokens) dropped")
+    assert(got(0) == ((1L, 4L, 2L, 0.5)), s"doc1: ${got(0)}")
+    assert(got(1) == ((2L, 4L, 2L, 0.5)))
+    // doc3: windows p-q-r, q-r-p, r-p-q (x2 dropped by distinct) -> 3+...
+    // tokens p q r p q r p q -> 6 windows, distinct = {pqr, qrp, rpq} +
+    // trailing {rpq(5), pq? no: windows at i=1..6} -> distinct 3; none dup
+    assert(got(2)._3 == 0L && got(2)._4 == 0.0, s"doc3: ${got(2)}")
+  }
+
   test("hardNegatives: same-label near-misses excluded, cross-label ranked by cosine") {
     val s = spark
     import s.implicits._
