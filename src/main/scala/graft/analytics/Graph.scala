@@ -248,44 +248,90 @@ object Graph {
     * top-k plans as TakeOrderedAndProject — no global sort, no driver
     * state. Degree-1 centers form no wedge, so 1/ln(deg) never divides by
     * zero. */
+  /** Counter-entry cap per source group in [[topPairsPerSource]]: a hub
+    * SOURCE node's candidate set is unbounded (its degree is not capped —
+    * only wedge centers are), so a group whose counter would exceed this
+    * flushes partial counts as rows and lets the relational tail finish
+    * them. ~1M entries ≈ tens of MB — far below executor memory, far above
+    * any non-adversarial group. */
+  val LinkPredMaxCounterEntries: Int = 1 << 20
+
   /** Per-source-node wedge counting + bounded selection for
     * [[linkPrediction]]: groups the (u, w, vs) contribution rows by u,
     * tallies cn locally, drops v ∈ N(u) (the group's w-stream), and emits
-    * u's top `k` by (cn DESC, v). Generic over the node id type; the JVM
-    * Ordering must agree with Spark's native sort for the id type, which
-    * holds for integral ids always and for strings up to the BMP (Java
-    * UTF-16 vs UTF8 byte order — the same single-code-unit caveat as
-    * [[graft.expr.MinGramMd5]]). */
-  private def topPairsPerSource[T](contrib: DataFrame, k: Int)(implicit
+    * u's top `k` by (cn DESC, v) flagged `done = true`.
+    *
+    * Hub-source safety valve: a group whose counter exceeds
+    * `maxCounterEntries` (possible only when deg(u)·cap outgrows it —
+    * hub sources) FLUSHES its partial counts as `done = false` rows and
+    * keeps going with an empty counter; each wedge lands in exactly one
+    * flush, so summing the partials downstream reproduces cn exactly, and
+    * the relational tail (groupBy sum → edge anti-join → global
+    * TakeOrdered) finishes those pairs with no per-node hot spot. Memory
+    * per task stays bounded no matter the degree distribution.
+    *
+    * Generic over the node id type; the JVM Ordering must agree with
+    * Spark's native sort for the id type, which holds for integral ids
+    * always and for strings up to the BMP (Java UTF-16 vs UTF8 byte order
+    * — the same single-code-unit caveat as [[graft.expr.MinGramMd5]]). */
+  private def topPairsPerSource[T](contrib: DataFrame, e: DataFrame, k: Int,
+      maxCounterEntries: Int)(implicit
       ord: Ordering[T],
       keyEnc: org.apache.spark.sql.Encoder[T],
       inEnc: org.apache.spark.sql.Encoder[(T, T, Array[T])],
-      outEnc: org.apache.spark.sql.Encoder[(T, T, Long)]): DataFrame = {
+      outEnc: org.apache.spark.sql.Encoder[(T, T, Long, Boolean)]): DataFrame = {
     val candOrd: Ordering[(T, Long)] =
       Ordering.Tuple2(Ordering.Long.reverse, ord).on { case (v, c) => (c, v) }
-    contrib.as[(T, T, Array[T])](inEnc)
+    val raw = contrib.as[(T, T, Array[T])](inEnc)
       .groupByKey(_._1)(keyEnc)
       .flatMapGroups { (u: T, it: Iterator[(T, T, Array[T])]) =>
         val nu = new java.util.HashSet[T]()
         val cnt = new java.util.HashMap[T, Long]()
+        var flushed = List.empty[Iterator[(T, T, Long, Boolean)]]
         it.foreach { case (_, w, vs) =>
-          nu.add(w)
+          if (flushed.isEmpty) nu.add(w) // probe set unused once flushing
           var i = 0
           while (i < vs.length) {
             cnt.merge(vs(i), 1L, java.lang.Long.sum _)
             i += 1
           }
+          if (cnt.size > maxCounterEntries) {
+            val part = new Array[(T, T, Long, Boolean)](cnt.size)
+            var j = 0
+            cnt.forEach { (v, c) => part(j) = (u, v, c, false); j += 1 }
+            cnt.clear()
+            flushed = part.iterator :: flushed
+          }
         }
-        val cand = new scala.collection.mutable.ArrayBuffer[(T, Long)]()
-        cnt.forEach { (v, c) => if (!nu.contains(v)) cand += ((v, c)) }
-        cand.sortInPlace()(candOrd)
-        cand.take(k).iterator.map { case (v, c) => (u, v, c) }
+        if (flushed.isEmpty) {
+          val cand = new scala.collection.mutable.ArrayBuffer[(T, Long)]()
+          cnt.forEach { (v, c) => if (!nu.contains(v)) cand += ((v, c)) }
+          cand.sortInPlace()(candOrd)
+          cand.take(k).iterator.map { case (v, c) => (u, v, c, true) }
+        } else {
+          val rest = new Array[(T, T, Long, Boolean)](cnt.size)
+          var j = 0
+          cnt.forEach { (v, c) => rest(j) = (u, v, c, false); j += 1 }
+          (rest.iterator :: flushed).reduceLeft(_ ++ _)
+        }
       }(outEnc)
-      .toDF("u", "v", "cn")
+      .toDF("u", "v", "cn", "done")
+      .localCheckpoint() // both branches below read it; compute once
+    val fast = raw.filter(col("done")).select("u", "v", "cn")
+    // hub-source remainder: complete the counts relationally, anti-join
+    // existing edges, and hand the candidates straight to the global
+    // TakeOrdered (a per-partition heap — no per-u hot partition)
+    val hub = raw.filter(!col("done"))
+      .groupBy("u", "v").agg(sum(col("cn")).as("cn"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select("u", "v", "cn")
+    fast.unionByName(hub)
   }
 
   def linkPrediction(edges: DataFrame, k: Int = 100,
-      maxCenterDegree: Int = LinkPredMaxCenterDegree): DataFrame = {
+      maxCenterDegree: Int = LinkPredMaxCenterDegree,
+      maxCounterEntries: Int = LinkPredMaxCounterEntries): DataFrame = {
     val e = edges.localCheckpoint()
     val nb = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
@@ -323,9 +369,12 @@ object Graph {
           .otherwise(slice(col("ns"), 1, 0)).as("vs"))
     import e.sparkSession.implicits._
     val grouped = contrib.schema("u").dataType match {
-      case org.apache.spark.sql.types.LongType => topPairsPerSource[Long](contrib, k)
-      case org.apache.spark.sql.types.IntegerType => topPairsPerSource[Int](contrib, k)
-      case org.apache.spark.sql.types.StringType => topPairsPerSource[String](contrib, k)
+      case org.apache.spark.sql.types.LongType =>
+        topPairsPerSource[Long](contrib, e, k, maxCounterEntries)
+      case org.apache.spark.sql.types.IntegerType =>
+        topPairsPerSource[Int](contrib, e, k, maxCounterEntries)
+      case org.apache.spark.sql.types.StringType =>
+        topPairsPerSource[String](contrib, e, k, maxCounterEntries)
       case dt => throw new IllegalArgumentException(
         s"linkPrediction: unsupported node id type ${dt.simpleString}")
     }

@@ -3002,6 +3002,15 @@ class OpsSpec extends SparkSpec {
     val capped = graft.analytics.Graph.linkPrediction(edges, maxCenterDegree = 2)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(capped == Map(("a", "d") -> 2L, ("b", "c") -> 1L))
+    // hub-source flush valve: forcing the counter cap to 1 sends every
+    // group through the partial-flush + relational-remainder path; output
+    // must be identical (each wedge lands in exactly one flush)
+    val flushed = graft.analytics.Graph.linkPrediction(edges,
+        maxCounterEntries = 1)
+      .orderBy(col("cn").desc, col("u"), col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(flushed.toSeq == got.toSeq, "flush path must equal counter path")
   }
 
   test("timeToConvert: first-signup anchor, pre-signup purchases don't convert, -1 bucket kept") {
