@@ -420,8 +420,14 @@ class PropSpec extends SparkSpec {
           (u, v) -> (common.size.toLong,
             common.size.toDouble / (nbrs(u) ++ nbrs(v)).size, aa)
         }).toMap
+        // alternate rounds force the hub-source flush valve (counter cap 1)
+        // so the partial-flush + relational-remainder path is also checked
+        // against brute force on random graphs
+        val mce = if (round % 2 == 0) 1
+          else graft.analytics.Graph.LinkPredMaxCounterEntries
         val got = graft.analytics.Graph
-          .linkPrediction(edges.toDF("a", "b"), k = 10000)
+          .linkPrediction(edges.toDF("a", "b"), k = 10000,
+            maxCounterEntries = mce)
           .collect().map(r => (r.getLong(0), r.getLong(1)) ->
             (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
         assert(got.keySet == naive.keySet,
