@@ -4303,6 +4303,40 @@ object OracleSql {
        |FROM s ORDER BY abs_corr DESC, feature LIMIT 20""".stripMargin
   }
 
+  /** Mirrors Core.mlFeatureBins: same mlMatrix frame (MATERIALIZED), same
+    * quantile_cont thresholds (bit-equal to Spark percentile — the
+    * agg_quantiles precedent), same CASE bin edges, exact-integer
+    * sum/count target rate. */
+  val mlFeatureBins: String = {
+    val feats = graft.queries.Core.FeatureBinCols
+    val unpivot = feats.map(f =>
+      s"SELECT '$f' AS feature, CAST($f AS DOUBLE) AS x, " +
+        s"CAST(target AS BIGINT) AS y FROM m")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT * FROM (
+       |$mlMatrix
+       |  ) q
+       |), u AS MATERIALIZED (
+       |  $unpivot
+       |), t AS (
+       |  SELECT feature, quantile_cont(x, 0.25) AS p25,
+       |         quantile_cont(x, 0.5) AS p50, quantile_cont(x, 0.75) AS p75
+       |  FROM u GROUP BY 1
+       |), b AS (
+       |  SELECT u.feature, u.y,
+       |         CASE WHEN u.x <= t.p25 THEN 1
+       |              WHEN u.x <= t.p50 THEN 2
+       |              WHEN u.x <= t.p75 THEN 3
+       |              ELSE 4 END AS bin
+       |  FROM u JOIN t USING (feature)
+       |)
+       |SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(SUM(y) AS BIGINT) AS n_pos,
+       |       ${r("CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS target_rate
+       |FROM b GROUP BY 1, 2 ORDER BY feature, bin""".stripMargin
+  }
+
   val windowRank: String =
     s"""$barsCte
        |SELECT symbol, event_id, volume,

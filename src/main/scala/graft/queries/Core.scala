@@ -175,6 +175,43 @@ object Core {
       .orderBy(col("abs_corr").desc, col("feature")).limit(k)
   }
 
+  /** Features the [[mlFeatureBins]] discretizer reports on. */
+  val FeatureBinCols: Seq[String] = Seq("rsi", "macd", "returns", "bb_width")
+
+  /** Supervised quartile binning over the frozen [[mlMatrix]]: per feature,
+    * the exact p25/p50/p75 thresholds and each quartile bin's row count and
+    * target rate — the WoE-style diagnostic a feature-prep pass runs before
+    * monotonic binning or calibration. Exactness: thresholds are Spark
+    * `percentile` over the 6dp-rounded matrix values (bit-equal to DuckDB
+    * `quantile_cont` — the agg_quantiles precedent); bin assignment is a
+    * CASE over those identical doubles; target rate is an exact-integer
+    * sum/count division. One unpivot + two feature-keyed aggregates; the
+    * 4-row threshold table broadcasts back onto the stream. */
+  def mlFeatureBins(s: SparkSession, dir: String): DataFrame = {
+    val feats = FeatureBinCols
+    val stackExpr = s"stack(${feats.size}, " +
+      feats.map(f => s"'$f', CAST($f AS DOUBLE)").mkString(", ") +
+      ") AS (feature, x)"
+    val m = mlMatrix(s, dir)
+      .select(expr(stackExpr), col("target").cast("long").as("y"))
+    val thresholds = m.groupBy("feature").agg(
+      expr("percentile(x, 0.25)").as("p25"),
+      expr("percentile(x, 0.5)").as("p50"),
+      expr("percentile(x, 0.75)").as("p75"))
+    m.join(broadcast(thresholds), Seq("feature"))
+      .select(col("feature"), col("y"),
+        when(col("x") <= col("p25"), lit(1))
+          .when(col("x") <= col("p50"), lit(2))
+          .when(col("x") <= col("p75"), lit(3))
+          .otherwise(lit(4)).as("bin"))
+      .groupBy("feature", "bin")
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"))
+      .select(col("feature"), col("bin"), col("n_rows"), col("n_pos"),
+        r6(col("n_pos").cast("double") / col("n_rows").cast("double"))
+          .as("target_rate"))
+      .orderBy("feature", "bin")
+  }
+
   /** W2/W7/W13/W14: per-period momentum block. */
   def featMomentum(s: SparkSession, dir: String): DataFrame = {
     val out = Params.MomentumPeriods.flatMap(p => Seq(

@@ -242,6 +242,26 @@ class OpsSpec extends SparkSpec {
     assert(e1 > e2 && e2 > 0.0, "planted ordering premise")
   }
 
+  test("mlFeatureBins: quartiles partition rows; rates reconstruct the total positives") {
+    val got = graft.queries.Core.mlFeatureBins(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val byFeat = got.groupBy(_._1)
+    assert(byFeat.keySet == graft.queries.Core.FeatureBinCols.toSet)
+    byFeat.foreach { case (f, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4), s"$f bins")
+      val n = rows.map(_._3).sum
+      // quartiles: each bin holds 15-35% of rows (ties can skew mildly)
+      rows.foreach { r =>
+        assert(r._3 > n / 8 && r._3 < n / 2, s"$f bin ${r._2}: ${r._3}/$n") }
+      // target_rate is n_pos/n_rows to 6dp
+      rows.foreach { r =>
+        assert(math.abs(r._5 - r._4.toDouble / r._3) < 1e-6, s"$f rate") }
+    }
+    // every feature's bins cover the same matrix rows
+    assert(byFeat.values.map(_.map(_._3).sum).toSet.size == 1)
+  }
+
   test("duplicationDensity: planted shared windows, distinct-per-doc, short docs dropped") {
     val s = spark
     import s.implicits._
