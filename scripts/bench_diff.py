@@ -17,7 +17,11 @@ gate's use: the judge reads intent from the table, a human decides whether
 a flagged delta is a deliberate trade (documented in the commit) or a bug.
 """
 import json
+import signal
 import sys
+
+# behave under `| head` (default SIGPIPE handling, no traceback)
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def load(path):
