@@ -31,20 +31,21 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = [a for a in sys.argv[1:] if a.startswith("--")]
-    base_path = args[0] if len(args) > 0 else "bench_out.json"
-    cur_path = args[1] if len(args) > 1 else "bench_out_new.json"
-    threshold = 1.5
-    min_sec = 0.3
-    fail = "--fail" in flags
-    for f in flags:
-        if f.startswith("--threshold"):
-            threshold = float(f.split("=", 1)[1])
-        if f.startswith("--min-sec"):
-            min_sec = float(f.split("=", 1)[1])
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("baseline", nargs="?", default="bench_out.json")
+    p.add_argument("current", nargs="?", default="bench_out_new.json")
+    p.add_argument("--threshold", type=float, default=1.5)
+    p.add_argument("--min-sec", type=float, default=0.3, dest="min_sec")
+    p.add_argument("--fail", action="store_true")
+    a = p.parse_args()
+    threshold, min_sec, fail = a.threshold, a.min_sec, a.fail
 
-    base, cur = load(base_path), load(cur_path)
+    base, cur = load(a.baseline), load(a.current)
+    if not base or not cur:
+        print(f"[bench-diff] skipped: empty query map in "
+              f"{a.baseline if not base else a.current}")
+        return
     regressions, improved, added, removed = [], [], [], []
     for q, t in sorted(cur.items()):
         if q not in base:

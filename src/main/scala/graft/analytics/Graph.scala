@@ -320,10 +320,16 @@ object Graph {
     val fast = raw.filter(col("done")).select("u", "v", "cn")
     // hub-source remainder: complete the counts relationally, anti-join
     // existing edges, and hand the candidates straight to the global
-    // TakeOrdered (a per-partition heap — no per-u hot partition)
+    // TakeOrdered (a per-partition heap — no per-u hot partition). The
+    // anti-join is SYMMETRIC (both orientations) so this path excludes
+    // exactly what the fast path's N(u) probe set excludes — identical
+    // semantics regardless of which side of the valve a group lands on,
+    // even for a non-canonical (b > a or doubly-oriented) edge row; on
+    // contract-canonical a < b input the second branch matches nothing.
     val hub = raw.filter(!col("done"))
       .groupBy("u", "v").agg(sum(col("cn")).as("cn"))
-      .join(e.select(col("a").as("u"), col("b").as("v")),
+      .join(e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"))),
         Seq("u", "v"), "left_anti")
       .select("u", "v", "cn")
     fast.unionByName(hub)

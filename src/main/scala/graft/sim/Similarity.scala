@@ -581,8 +581,17 @@ object Similarity {
         col("embedding").cast("array<double>").as("v"))
       .crossJoin(broadcast(stats))
       .select(col("vec_id"), col("label"), col("v"),
-        expr("zip_with(zip_with(v, means, (x, m) -> x - m), stds, " +
-          "(y, s) -> CASE WHEN s <= 0D THEN 0D ELSE y / s END)").as("z"))
+        // indexed over the VECTOR's own length (not zip_with against the
+        // global stats arrays, which would null-pad a shorter vector and
+        // null-poison its norm) — the oracle iterates range(1, len(v))
+        // with the same per-element expression
+        // (size guard: Spark's sequence(1, 0) runs DESCENDING — an empty
+        // vector must yield an empty z, like the oracle's empty range)
+        expr("CASE WHEN size(v) = 0 THEN CAST(array() AS array<double>) " +
+          "ELSE transform(sequence(1, size(v)), i -> " +
+          "CASE WHEN element_at(stds, i) <= 0D THEN 0D " +
+          "ELSE (element_at(v, i) - element_at(means, i)) / " +
+          "element_at(stds, i) END) END").as("z"))
       .select(col("vec_id"), col("label"),
         sqrt(graft.expr.DotProduct.dot(col("v"), col("v"))).as("norm_raw"),
         sqrt(graft.expr.DotProduct.dot(col("z"), col("z"))).as("norm_z"))

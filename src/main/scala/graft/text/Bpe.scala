@@ -117,9 +117,9 @@ object Bpe {
     * round collects only the AGGREGATED ± deltas (distinct pairs touched
     * by the winning merge), so driver traffic per round is proportional
     * to the merge's blast radius, not the corpus. The argmax is then a
-    * driver-side scan — no Spark job. Tie-break note: driver String
-    * ordering (UTF-16 code units) equals Spark/DuckDB UTF-8 byte order
-    * for all non-supplementary text; corpus tokens here are ASCII. */
+    * driver-side scan — no Spark job, with frequency ties broken in
+    * UTF-8 byte order (exactly Spark's UTF8String / DuckDB binary
+    * comparison — valid for ANY text, not just the BMP). */
   private[graft] def runWithStats(docs: DataFrame, merges: Int,
       collectStats: Boolean): (DataFrame, DataFrame, Seq[Long]) = {
     val spark = docs.sparkSession
@@ -132,9 +132,17 @@ object Bpe {
       }
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     val touched = Seq.newBuilder[Long]
+    // tie-break in UTF-8 BYTE order (= Spark UTF8String / DuckDB binary
+    // comparison), not Java's UTF-16 code-unit compareTo — they diverge
+    // when a supplementary-plane symbol ties against a U+E000..U+FFFF one
+    implicit val utf8Ord: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var rank = 0
     while (rank < merges && pairCnt.nonEmpty) {
-      val ((a, b), f) = pairCnt.minBy { case ((pa, pb), w) => (-w, pa, pb) }
+      val ((a, b), f) = pairCnt.minBy { case ((pa, pb), w) => (-w, pa, pb) }(
+        Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
       rank += 1
       out += ((rank.toLong, a, b, a + b, f))
       val hasPair = expr(hasPairExpr(a, b))

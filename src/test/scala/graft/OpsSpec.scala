@@ -3031,6 +3031,17 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))
     assert(flushed.toSeq == got.toSeq, "flush path must equal counter path")
+    // non-canonical edge row (b, a order): both valve sides must exclude
+    // the existing edge identically — the flush path's anti-join is
+    // symmetric for exactly this reason
+    val nonCanon = edges.unionAll(Seq(("d", "a")).toDF("a", "b"))
+    Seq(graft.analytics.Graph.LinkPredMaxCounterEntries, 1).foreach { mce =>
+      val pairs = graft.analytics.Graph
+        .linkPrediction(nonCanon, maxCounterEntries = mce)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(!pairs.contains(("a", "d")),
+        s"mce=$mce: existing (reversed) edge a-d must not be predicted")
+    }
   }
 
   test("timeToConvert: first-signup anchor, pre-signup purchases don't convert, -1 bucket kept") {
