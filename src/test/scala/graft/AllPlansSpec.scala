@@ -71,6 +71,14 @@ class AllPlansSpec extends SparkSpec {
         bnlSeen += name
         if (!bnlAllowed(name)) offenders += s"$name: BroadcastNestedLoopJoin (not allowlisted)"
       }
+      // shuffle-count ceiling: today's registry maxes at 16 shuffle
+      // Exchanges (sim_ann_recall — exact truth + ANN + compare in one
+      // plan); a query suddenly planning more than 18 is an accidental
+      // per-column/per-item shuffle explosion, not a new workload
+      val shuffles = "(?m)^\\s*(?:[+:|\\-]*\\s*)*Exchange ".r
+        .findAllIn(plan).size
+      if (shuffles > 18)
+        offenders += s"$name: $shuffles shuffle Exchanges (> 18 ceiling)"
     }
     assert(offenders.isEmpty, s"plan guard violations:\n  ${offenders.mkString("\n  ")}")
     // the allowlist must stay exact — a stale entry would mask a future
