@@ -65,8 +65,9 @@ def main():
 
     tb = sum(v for v in base.values() if v > 0)
     tc = sum(v for v in cur.values() if v > 0)
+    ratio_s = f"{tc / tb:.2f}x" if tb > 0 else "n/a"
     print(f"[bench-diff] total: {tb:.1f}s -> {tc:.1f}s "
-          f"({tc / tb:.2f}x) over {len(cur)} queries "
+          f"({ratio_s}) over {len(cur)} queries "
           f"(+{len(added)} new, -{len(removed)} removed)")
     if improved:
         print(f"[bench-diff] improved >{threshold}x:")

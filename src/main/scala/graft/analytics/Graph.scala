@@ -271,9 +271,9 @@ object Graph {
     * per task stays bounded no matter the degree distribution.
     *
     * Generic over the node id type; the JVM Ordering must agree with
-    * Spark's native sort for the id type, which holds for integral ids
-    * always and for strings up to the BMP (Java UTF-16 vs UTF8 byte order
-    * — the same single-code-unit caveat as [[graft.expr.MinGramMd5]]). */
+    * Spark's native sort for the id type — trivially true for integral
+    * ids, and the String instantiation passes [[graft.Utf8Order.ofString]]
+    * so supplementary-plane ids tie-break identically to the engine. */
   private def topPairsPerSource[T](contrib: DataFrame, e: DataFrame, k: Int,
       maxCounterEntries: Int)(implicit
       ord: Ordering[T],
@@ -380,6 +380,9 @@ object Graph {
       case org.apache.spark.sql.types.IntegerType =>
         topPairsPerSource[Int](contrib, e, k, maxCounterEntries)
       case org.apache.spark.sql.types.StringType =>
+        // tie-breaks must agree with the downstream orderBy and the oracle:
+        // UTF-8 byte order, not Java's UTF-16 code-unit compareTo
+        implicit val utf8Ord: Ordering[String] = graft.Utf8Order.ofString
         topPairsPerSource[String](contrib, e, k, maxCounterEntries)
       case dt => throw new IllegalArgumentException(
         s"linkPrediction: unsupported node id type ${dt.simpleString}")

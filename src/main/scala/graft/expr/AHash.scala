@@ -51,7 +51,7 @@ case class AHashChunk(child: Expression)
       var j = 0
       while (j < len) {
         val v = cps(j).toLong
-        slice((8 * j) / len) += v
+        slice((8L * j / len).toInt) += v // 8L: 8*j overflows Int past ~268M code points
         total += v
         j += 1
       }

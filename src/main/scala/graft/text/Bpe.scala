@@ -39,6 +39,22 @@ object Bpe {
 
   val DefaultMerges = 8
 
+  /** Driver-memory guard for the pair-count map: distinct adjacent symbol
+    * pairs are bounded by Σ(|word|−1) over word types, which can reach ~10⁸
+    * on an adversarially diverse web corpus. 2²⁴ entries ≈ 1.5 GB of map
+    * overhead — past that we warn (once) rather than fail, since the run is
+    * still correct, just driver-heavy. */
+  val PairCountWarnEntries: Int = 1 << 24
+
+  private def warnPairCount(size: Int, warned: Boolean): Boolean = {
+    if (!warned && size > PairCountWarnEntries)
+      System.err.println(
+        s"[graft.Bpe] WARN: driver pair-count map at $size entries " +
+          s"(> $PairCountWarnEntries) — consider pre-filtering rare word " +
+          "types or raising driver memory")
+    warned || size > PairCountWarnEntries
+  }
+
   /** (word, cnt, sym) — word-type table with per-char symbol arrays.
     * Char split via substring so the oracle's identical 1-indexed
     * substring replay matches exactly. */
@@ -111,9 +127,14 @@ object Bpe {
     * use only). Returns (mergeTable, vocab, touchedWordsPerRound).
     *
     * The aggregated pair-count table lives on the DRIVER as a mutable map
-    * — it is METADATA-sized (distinct symbol pairs: bounded by
-    * symbol-vocab², ~10⁵–10⁶ entries even at web scale, a few MB), never
-    * data-sized, exactly like the zone-map manifest collect in Lake. Each
+    * — it is WORD-TYPE-sized, never corpus-sized: distinct adjacent symbol
+    * pairs are bounded by the total adjacent slots over word types
+    * (Σ(|word|−1) ≤ ~10⁸ at 10⁷ word types early on, shrinking as merges
+    * coalesce symbols; typical corpora stay in the 10⁵–10⁷ range). That is
+    * driver-safe for realistic vocabularies but NOT unconditionally tiny,
+    * so growth past [[Bpe.PairCountWarnEntries]] logs a warning (mirroring
+    * the `LinkPredMaxCounterEntries` guard in analytics.Graph) instead of
+    * silently pressuring driver memory. Each
     * round collects only the AGGREGATED ± deltas (distinct pairs touched
     * by the winning merge), so driver traffic per round is proportional
     * to the merge's blast radius, not the corpus. The argmax is then a
@@ -130,15 +151,13 @@ object Bpe {
       .collect().foreach { r =>
         pairCnt((r.getString(0), r.getString(1))) = r.getLong(2)
       }
+    var pairCntWarned = warnPairCount(pairCnt.size, warned = false)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     val touched = Seq.newBuilder[Long]
     // tie-break in UTF-8 BYTE order (= Spark UTF8String / DuckDB binary
     // comparison), not Java's UTF-16 code-unit compareTo — they diverge
     // when a supplementary-plane symbol ties against a U+E000..U+FFFF one
-    implicit val utf8Ord: Ordering[String] = (x: String, y: String) =>
-      java.util.Arrays.compareUnsigned(
-        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    implicit val utf8Ord: Ordering[String] = graft.Utf8Order.ofString
     var rank = 0
     while (rank < merges && pairCnt.nonEmpty) {
       val ((a, b), f) = pairCnt.minBy { case ((pa, pb), w) => (-w, pa, pb) }(
@@ -168,6 +187,7 @@ object Bpe {
           val nw = pairCnt.getOrElse(k, 0L) + r.getLong(2)
           if (nw > 0L) pairCnt(k) = nw else pairCnt.remove(k)
         }
+      pairCntWarned = warnPairCount(pairCnt.size, pairCntWarned)
       vocab = staged.select(col("word"), col("cnt"), col("sym"))
     }
     val mergeTable = spark.createDataFrame(
