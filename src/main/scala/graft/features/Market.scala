@@ -1854,4 +1854,101 @@ object Market {
       .join(broadcast(piv), Seq(Frames.SymbolCol, "_d"), "left")
       .drop("_d")
   }
+
+  val TsiLong = 25
+  val TsiShort = 13
+
+  /** True Strength Index (Blau 1991) — double-EMA-smoothed 1-bar momentum:
+    *
+    *   mom = close − lag(close, 1)
+    *   tsi = 100 · ema₁₃(ema₂₅(mom)) / ema₁₃(ema₂₅(|mom|))
+    *
+    * EMAs are adjust=true (the MACD convention, reference
+    * engineering.py:49-52 default). `mom` is null on each symbol's first
+    * bar, so both chains start on bar 2 ([[graft.expr.Ewma]] leading-null
+    * semantics); since mom and |mom| share null positions, the two chains
+    * share the EWMA denominator bit-for-bit — the oracle exploits that
+    * with one df accumulator per stage. All four Ewma window expressions
+    * ride the ONE per-symbol exchange (the [[withTrix]] chained-WindowExec
+    * class). Flat symbol (denominator 0) → NULL. */
+  def withTsi(df: DataFrame, nLong: Int = TsiLong,
+      nShort: Int = TsiShort): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def ema(c: org.apache.spark.sql.Column, n: Int) =
+      graft.expr.Ewma.ewmaSpanOver(c, n, adjust = true, part, ord)
+    val mom = col("close") - lag(col("close"), 1).over(Frames.bySymbol)
+    val s1 = df.select(col("*"), mom.as("_m"), abs(mom).as("_am"))
+    val s2 = s1.select(col("*"),
+      ema(col("_m"), nLong).as("_e1"), ema(col("_am"), nLong).as("_ae1"))
+    val s3 = s2.select(col("*"),
+      ema(col("_e1"), nShort).as("_e2"), ema(col("_ae1"), nShort).as("_ae2"))
+    s3.select(col("*"),
+        when(col("_ae2").isNotNull && col("_ae2") =!= 0.0,
+          col("_e2") / col("_ae2") * 100.0).as("tsi"))
+      .drop("_m", "_am", "_e1", "_ae1", "_e2", "_ae2")
+  }
+
+  val PpoFast = 12
+  val PpoSlow = 26
+  val PpoSignal = 9
+
+  /** Percentage Price Oscillator — MACD normalized by the slow EMA so the
+    * oscillator is comparable across price levels:
+    *
+    *   ppo        = 100 · (ema₁₂(close) − ema₂₆(close)) / ema₂₆(close)
+    *   ppo_signal = ema₉(ppo)        ppo_hist = ppo − ppo_signal
+    *
+    * Same two-stage plan as MACD (the signal EMA consumes a derived
+    * series), one shared per-symbol exchange. Prices are positive so the
+    * slow EMA never reaches zero; the guard is mirrored in the oracle
+    * regardless. */
+  def withPpo(df: DataFrame, fast: Int = PpoFast, slow: Int = PpoSlow,
+      signal: Int = PpoSignal): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def ema(c: org.apache.spark.sql.Column, n: Int) =
+      graft.expr.Ewma.ewmaSpanOver(c, n, adjust = true, part, ord)
+    val s1 = df.select(col("*"),
+      ema(col("close"), fast).as("_ef"), ema(col("close"), slow).as("_es"))
+    val s2 = s1.select(col("*"),
+      when(col("_es") =!= 0.0,
+        (col("_ef") - col("_es")) / col("_es") * 100.0).as("ppo"))
+    val sig = ema(col("ppo"), signal)
+    s2.select(col("*"),
+        sig.as("ppo_signal"), (col("ppo") - sig).as("ppo_hist"))
+      .drop("_ef", "_es")
+  }
+
+  val KlingerFast = 34
+  val KlingerSlow = 55
+  val KlingerSignal = 13
+
+  /** Klinger Volume Oscillator (simplified trend-sign volume force):
+    *
+    *   hlc3 = (high + low + close) / 3
+    *   vf   = volume · sign(hlc3 − lag(hlc3, 1))
+    *   kvo  = ema₃₄(vf) − ema₅₅(vf)      klinger_signal = ema₁₃(kvo)
+    *
+    * The volume-force series is null on bar 1 (no prior hlc3), so both
+    * EMAs and the signal chain start on bar 2 — the [[withTsi]] seeding
+    * class. Three Ewma expressions + one signal pass over the one
+    * per-symbol exchange; the oracle replays the fast/slow pair in a
+    * single recursive CTE with a shared df (identical null positions). */
+  def withKlinger(df: DataFrame, fast: Int = KlingerFast,
+      slow: Int = KlingerSlow, signal: Int = KlingerSignal): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def ema(c: org.apache.spark.sql.Column, n: Int) =
+      graft.expr.Ewma.ewmaSpanOver(c, n, adjust = true, part, ord)
+    val hlc3 = (col("high") + col("low") + col("close")) / 3.0
+    val s1 = df.select(col("*"),
+      (col("volume") * signum(hlc3 - lag(hlc3, 1).over(Frames.bySymbol)))
+        .as("_vf"))
+    val s2 = s1.select(col("*"),
+      (ema(col("_vf"), fast) - ema(col("_vf"), slow)).as("kvo"))
+    val sig = ema(col("kvo"), signal)
+    s2.select(col("*"), sig.as("klinger_signal"))
+      .drop("_vf")
+  }
 }

@@ -544,6 +544,140 @@ object OracleSql {
        |ORDER BY x1.event_id""".stripMargin
   }
 
+  /** Mirrors Core.featTsi (Market.withTsi): momentum and |momentum| share
+    * null positions, so their adjust=true EWMA chains share ONE df
+    * accumulator per stage — the recursions replay (nf, anf, df) seeded at
+    * rn = 2 (mom is null on bar 1), exactly the Ewma expression's
+    * leading-null semantics. LEFT JOIN emits NULL tsi on bar 1. */
+  val featTsi: String = {
+    import graft.features.Market._
+    val dL = d(TsiLong)
+    val dS = d(TsiShort)
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, x1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), m0 AS MATERIALIZED (
+       |  SELECT symbol, rn,
+       |         close - LAG(close, 1) OVER (PARTITION BY symbol ORDER BY rn) AS mom
+       |  FROM x1
+       |), e1 AS (
+       |  SELECT symbol, rn, mom AS nf, abs(mom) AS anf, CAST(1.0 AS DOUBLE) AS df
+       |  FROM m0 WHERE rn = 2
+       |  UNION ALL
+       |  SELECT m0.symbol, m0.rn,
+       |         e1.nf * $dL + m0.mom, e1.anf * $dL + abs(m0.mom), e1.df * $dL + 1.0
+       |  FROM e1 JOIN m0 ON m0.symbol = e1.symbol AND m0.rn = e1.rn + 1
+       |), m1 AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS v, anf / df AS av FROM e1
+       |), e2 AS (
+       |  SELECT symbol, rn, v AS nf, av AS anf, CAST(1.0 AS DOUBLE) AS df
+       |  FROM m1 WHERE rn = 2
+       |  UNION ALL
+       |  SELECT m1.symbol, m1.rn,
+       |         e2.nf * $dS + m1.v, e2.anf * $dS + m1.av, e2.df * $dS + 1.0
+       |  FROM e2 JOIN m1 ON m1.symbol = e2.symbol AND m1.rn = e2.rn + 1
+       |), tt AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df AS e2v, anf / df AS ae2v FROM e2
+       |)
+       |SELECT x1.symbol, x1.event_id,
+       |       ${r("CASE WHEN ae2v IS NOT NULL AND ae2v <> 0.0 THEN e2v / ae2v * 100.0 END")} AS tsi
+       |FROM x1 LEFT JOIN tt ON tt.symbol = x1.symbol AND tt.rn = x1.rn
+       |ORDER BY x1.event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featPpo (Market.withPpo): the MACD fast/slow pair with
+    * the slow-EMA normalization; the signal recursion seeds at each
+    * symbol's FIRST NON-NULL ppo (running COUNT(ppo) = 1) and skips null
+    * inputs with the state untouched — the Ewma expression's null
+    * semantics, which matter because a leading close of exactly 0 (sf0.1
+    * events carry value = 0 rows) nulls ppo until the first positive
+    * close. */
+  val featPpo: String = {
+    import graft.features.Market._
+    val f = d(PpoFast)
+    val sl = d(PpoSlow)
+    val sg = d(PpoSignal)
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
+       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  FROM bars
+       |), emas AS (
+       |  SELECT symbol, rn, close AS nf, CAST(1.0 AS DOUBLE) AS df,
+       |         close AS ns, CAST(1.0 AS DOUBLE) AS ds
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b2.symbol, b2.rn,
+       |         emas.nf * $f + b2.close,  emas.df * $f + 1.0,
+       |         emas.ns * $sl + b2.close, emas.ds * $sl + 1.0
+       |  FROM emas JOIN b2 ON b2.symbol = emas.symbol AND b2.rn = emas.rn + 1
+       |), m AS MATERIALIZED (
+       |  SELECT symbol, rn,
+       |         CASE WHEN ns / ds <> 0.0
+       |              THEN (nf / df - ns / ds) / (ns / ds) * 100.0 END AS ppo,
+       |         COUNT(CASE WHEN ns / ds <> 0.0 THEN 1 END)
+       |           OVER (PARTITION BY symbol ORDER BY rn) AS nn
+       |  FROM emas
+       |), sig AS (
+       |  SELECT symbol, rn, ppo, ppo AS sn, CAST(1.0 AS DOUBLE) AS sd
+       |  FROM m WHERE ppo IS NOT NULL AND nn = 1
+       |  UNION ALL
+       |  SELECT m.symbol, m.rn, m.ppo,
+       |         CASE WHEN m.ppo IS NULL THEN sig.sn ELSE sig.sn * $sg + m.ppo END,
+       |         CASE WHEN m.ppo IS NULL THEN sig.sd ELSE sig.sd * $sg + 1.0 END
+       |  FROM sig JOIN m ON m.symbol = sig.symbol AND m.rn = sig.rn + 1
+       |)
+       |SELECT b2.symbol, b2.event_id,
+       |       ${r("sig.ppo")} AS ppo,
+       |       ${r("sig.sn / sig.sd")} AS ppo_signal,
+       |       ${r("sig.ppo - sig.sn / sig.sd")} AS ppo_hist
+       |FROM b2 LEFT JOIN sig ON sig.symbol = b2.symbol AND sig.rn = b2.rn
+       |ORDER BY b2.event_id""".stripMargin
+  }
+
+  /** Mirrors Core.featKlinger (Market.withKlinger): volume force
+    * vf = volume · sign(Δhlc3) is null on bar 1, so the fast/slow EMA
+    * pair seeds at rn = 2 (one recursion, shared df — identical null
+    * positions) and the signal chain seeds at rn = 2 over the derived
+    * kvo. */
+  val featKlinger: String = {
+    import graft.features.Market._
+    val f = d(KlingerFast)
+    val sl = d(KlingerSlow)
+    val sg = d(KlingerSignal)
+    s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, x1 AS MATERIALIZED (
+       |  SELECT symbol, event_id, ROW_NUMBER() OVER ($W) AS rn,
+       |         (high + low + close) / 3.0 AS hlc3, volume
+       |  FROM bars
+       |), v0 AS MATERIALIZED (
+       |  SELECT symbol, rn,
+       |         volume * sign(hlc3 - LAG(hlc3, 1)
+       |           OVER (PARTITION BY symbol ORDER BY rn)) AS vf
+       |  FROM x1
+       |), e1 AS (
+       |  SELECT symbol, rn, vf AS nf, CAST(1.0 AS DOUBLE) AS df,
+       |         vf AS ns, CAST(1.0 AS DOUBLE) AS ds
+       |  FROM v0 WHERE rn = 2
+       |  UNION ALL
+       |  SELECT v0.symbol, v0.rn,
+       |         e1.nf * $f + v0.vf,  e1.df * $f + 1.0,
+       |         e1.ns * $sl + v0.vf, e1.ds * $sl + 1.0
+       |  FROM e1 JOIN v0 ON v0.symbol = e1.symbol AND v0.rn = e1.rn + 1
+       |), m AS MATERIALIZED (
+       |  SELECT symbol, rn, nf / df - ns / ds AS kvo FROM e1
+       |), sig AS (
+       |  SELECT symbol, rn, kvo, kvo AS sn, CAST(1.0 AS DOUBLE) AS sd
+       |  FROM m WHERE rn = 2
+       |  UNION ALL
+       |  SELECT m.symbol, m.rn, m.kvo,
+       |         sig.sn * $sg + m.kvo, sig.sd * $sg + 1.0
+       |  FROM sig JOIN m ON m.symbol = sig.symbol AND m.rn = sig.rn + 1
+       |)
+       |SELECT x1.symbol, x1.event_id,
+       |       ${r("sig.kvo")} AS kvo,
+       |       ${r("sig.sn / sig.sd")} AS klinger_signal
+       |FROM x1 LEFT JOIN sig ON sig.symbol = x1.symbol AND sig.rn = x1.rn
+       |ORDER BY x1.event_id""".stripMargin
+  }
+
   /** Mirrors Core.featAlligator (Market.withAlligator): the three Wilder
     * SMMA recursions (adjust=false, α=1/n — seed y₁=x₁, step
     * prev·(1−α) + α·x in that association order, matching the Ewma

@@ -348,6 +348,25 @@ object Core {
   def featTrix(s: SparkSession, dir: String): DataFrame =
     keyed(Market.withTrix(bars(s, dir)), Seq("trix"), Set("trix"))
 
+  /** True Strength Index — double-EMA momentum ratio, spans 25/13
+    * (see [[graft.features.Market.withTsi]]). */
+  def featTsi(s: SparkSession, dir: String): DataFrame =
+    keyed(Market.withTsi(bars(s, dir)), Seq("tsi"), Set("tsi"))
+
+  /** Percentage Price Oscillator — normalized MACD, spans 12/26/9
+    * (see [[graft.features.Market.withPpo]]). */
+  def featPpo(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("ppo", "ppo_signal", "ppo_hist")
+    keyed(Market.withPpo(bars(s, dir)), out, out.toSet)
+  }
+
+  /** Klinger Volume Oscillator — trend-sign volume force EMAs 34/55/13
+    * (see [[graft.features.Market.withKlinger]]). */
+  def featKlinger(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("kvo", "klinger_signal")
+    keyed(Market.withKlinger(bars(s, dir)), out, out.toSet)
+  }
+
   /** Awesome Oscillator (SMA₅ − SMA₃₄ of median price; see
     * [[graft.features.Market.withAwesome]]). */
   def featAwesome(s: SparkSession, dir: String): DataFrame =
