@@ -5576,4 +5576,104 @@ object OracleSql {
       |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
       |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
       |FROM c ORDER BY user_id, version""".stripMargin
+
+  // ---- sketches (analytics.Sketches): deterministic md5-keyed HLL / CMS ----
+
+  /** The (bucket, rho) projection shared by both HLL oracles: 48-bit md5
+    * prefix (== Spark conv(hex,16,10)), top 8 bits → bucket, rho = 41 −
+    * bitlength of the low 40 bits (bin() is minimal-digits in both
+    * engines — exact integer log2, no float). */
+  private def hllBr(keyExpr: String, extraSel: String,
+      extraName: String): String =
+    s"""h AS (
+       |  SELECT $extraSel,
+       |         ('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT AS h48
+       |  FROM events
+       |), br AS (
+       |  SELECT $extraName, h48 >> 40 AS bucket,
+       |         CASE WHEN h48 % 1099511627776 > 0
+       |              THEN 41 - length(bin(h48 % 1099511627776)) ELSE 41 END AS rho
+       |  FROM h
+       |)""".stripMargin
+
+  /** zint folds registers as exact BIGINTs (2^(41−rho) per present bucket,
+    * 2^41 per empty one) so the single double division is order-free; the
+    * small-range branch mirrors Sketches.hllEstimate verbatim. */
+  private def hllEstSql(grp: String): String =
+    s"""gz AS (
+       |  SELECT $grp,
+       |         CAST(SUM(CAST(1 AS BIGINT) << (41 - rho)) AS BIGINT) AS zp,
+       |         CAST(COUNT(*) AS BIGINT) AS np
+       |  FROM regs GROUP BY 1
+       |), ee AS (
+       |  SELECT $grp, zp + (256 - np) * 2199023255552 AS zint, 256 - np AS v
+       |  FROM gz
+       |), est AS (
+       |  SELECT $grp,
+       |         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2199023255552.0 / CAST(zint AS DOUBLE)) <= 640.0 AND v > 0
+       |              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+       |              ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2199023255552.0 / CAST(zint AS DOUBLE) END AS hll_est
+       |  FROM ee
+       |)""".stripMargin
+
+  /** Mirrors Analytics.aggHll (Sketches.hllRegisters/hllEstimate). */
+  val aggHll: String =
+    s"""WITH ${hllBr("user_id", "event_type", "event_type")}, regs AS (
+       |  SELECT event_type, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2
+       |), ${hllEstSql("event_type")}, ex AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT ex.event_type, ex.n_exact,
+       |       ${r("hll_est")} AS hll_est,
+       |       ${r("(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
+       |FROM ex JOIN est USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  /** Mirrors Analytics.eventsHllSliding: daily registers re-maxed over the
+    * trailing 7-day window (sketch-union = union-sketch), exact side from
+    * per-day distinct (day, user) pairs. */
+  val eventsHllSliding: String =
+    s"""WITH ${hllBr("user_id", "CAST(ts AS DATE) AS day", "day")}, regs0 AS (
+       |  SELECT day, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2
+       |), days AS (
+       |  SELECT DISTINCT day AS d FROM regs0
+       |), regs AS (
+       |  SELECT d.d AS day, r0.bucket, MAX(r0.rho) AS rho
+       |  FROM days d JOIN regs0 r0 ON r0.day BETWEEN d.d - 6 AND d.d
+       |  GROUP BY 1, 2
+       |), ${hllEstSql("day")}, du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |), ex AS (
+       |  SELECT d.d AS day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_exact_7d
+       |  FROM days d JOIN du ON du.day BETWEEN d.d - 6 AND d.d
+       |  GROUP BY 1
+       |)
+       |SELECT ex.day, ex.n_exact_7d,
+       |       ${r("hll_est")} AS hll_est_7d,
+       |       ${r("(hll_est - CAST(n_exact_7d AS DOUBLE)) / CAST(n_exact_7d AS DOUBLE)")} AS rel_err
+       |FROM ex JOIN est USING (day)
+       |ORDER BY day""".stripMargin
+
+  /** Mirrors Analytics.aggCmsTopk (Sketches.cmsSketch): 4×64 salted-md5
+    * Count-Min counters, point-query = min over the 4 rows, top-k by
+    * (estimate DESC, user_id) against exact counts. All-integer. */
+  val aggCmsTopk: String =
+    s"""WITH e4 AS (
+       |  SELECT t.i,
+       |         ('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 64 AS b
+       |  FROM events CROSS JOIN range(0, 4) t(i)
+       |), sketch AS (
+       |  SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM e4 GROUP BY 1, 2
+       |), users AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events GROUP BY 1
+       |), cand AS (
+       |  SELECT u.user_id, u.n_exact, MIN(s.c) AS cms_est
+       |  FROM users u CROSS JOIN range(0, 4) t(i)
+       |  JOIN sketch s ON s.i = t.i
+       |   AND s.b = ('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)), 1, 12))::BIGINT % 64
+       |  GROUP BY 1, 2
+       |)
+       |SELECT user_id, n_exact, cms_est, cms_est - n_exact AS overcount
+       |FROM cand ORDER BY cms_est DESC, user_id LIMIT 20""".stripMargin
 }

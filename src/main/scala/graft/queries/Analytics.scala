@@ -2241,4 +2241,79 @@ object Analytics {
         col("valid_to").cast("timestamp_ntz").as("valid_to"),
         col("version"))
       .orderBy("user_id", "version")
+
+  /** HyperLogLog distinct users per event type, reported against the exact
+    * count so the sketch error is measured, not asserted (see
+    * [[graft.analytics.Sketches]]; estimate and registers are fully
+    * deterministic, so the oracle replays them hash-for-hash). The HLL side
+    * shuffles ≤ m rows per (type, partition) — at 100 TB the exact side is
+    * what you could NOT afford; it is computed here as the yardstick. */
+  def aggHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Sketches
+    val ev = Bars.readEvents(s, dir)
+    val regs = Sketches.hllRegisters(ev, col("user_id"), Seq("event_type"))
+    val est = Sketches.hllEstimate(regs, Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(broadcast(est), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        r6(col("hll_est")).as("hll_est"),
+        r6((col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  /** Sliding 7-day distinct users per day via HLL register MERGE: daily
+    * registers (one narrow pass over events) range-join the tiny day list
+    * and re-max — the union of sketches IS the sketch of the union, so the
+    * 7-day window never rescans events. The exact 7-day distinct (computed
+    * from the per-day distinct (day, user) pairs, NOT the raw stream) rides
+    * along as the yardstick. The day list is O(calendar) rows and
+    * broadcast; the BNL range join is allowlisted scalar-side-only. */
+  def eventsHllSliding(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Sketches
+    val ev = Bars.readEvents(s, dir).withColumn("day", to_date(col("ts")))
+    val regs = Sketches.hllRegisters(ev, col("user_id"), Seq("day"))
+    val days = regs.select(col("day").as("d")).distinct()
+    val regs7 = regs.join(broadcast(days),
+        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .groupBy(col("d"), col("bucket")).agg(max(col("rho")).as("rho"))
+      .withColumnRenamed("d", "day")
+    val est = Sketches.hllEstimate(regs7, Seq("day"))
+    val du = ev.select(col("day"), col("user_id")).distinct()
+    val exact = du.join(broadcast(days),
+        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("n_exact_7d"))
+      .withColumnRenamed("d", "day")
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("n_exact_7d"),
+        r6(col("hll_est")).as("hll_est_7d"),
+        r6((col("hll_est") - col("n_exact_7d").cast("double")) /
+          col("n_exact_7d").cast("double")).as("rel_err"))
+      .orderBy("day")
+  }
+
+  /** Count-Min heavy hitters: the 4×64 counter sketch estimates every
+    * user's event count with one-sided error; top-k by estimate is
+    * reported against exact counts (overcount = collisions' contribution).
+    * The sketch is 256 rows — broadcast onto the candidate set, so the
+    * only wide op is the candidate groupBy itself. All-integer → exact
+    * cross-engine. */
+  def aggCmsTopk(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.analytics.Sketches
+    val ev = Bars.readEvents(s, dir)
+    val sketch = Sketches.cmsSketch(ev, col("user_id"))
+    val users = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    val cand = users
+      .select(col("user_id"), col("n_exact"),
+        explode(lit((0 until Sketches.CmsDepth).toArray)).as("i"))
+      .select(col("user_id"), col("n_exact"), col("i"),
+        Sketches.cmsBucket(col("i"), col("user_id")).as("b"))
+      .join(broadcast(sketch), Seq("i", "b"))
+      .groupBy("user_id").agg(max(col("n_exact")).as("n_exact"),
+        min(col("c")).as("cms_est"))
+    cand.select(col("user_id"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("cms_est").desc, col("user_id")).limit(k)
+  }
 }

@@ -56,7 +56,10 @@ class AllPlansSpec extends SparkSpec {
     "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk",
     "sim_ann_pq", "sim_mips", "sim_hard_negatives",
     // sim_matryoshka is four sim_topk-class scans (10-row probe broadcast)
-    "sim_matryoshka")
+    "sim_matryoshka",
+    // events_hll_sliding range-joins the O(calendar-days) broadcast day
+    // list twice (register re-max + exact yardstick)
+    "events_hll_sliding")
 
   test("no registered query plans a CartesianProduct; BNLJ only on scalar-side allowlist") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
