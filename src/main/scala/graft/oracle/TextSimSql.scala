@@ -718,6 +718,35 @@ object TextSimSql {
        |FROM g JOIN df USING (g)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Mirrors Dedup.boilerplate: same md5 8-token windows (distinct per
+    * doc), source-scoped doc frequency, template bit = df ≥ 2 AND
+    * df ≥ 0.05·(source's eligible docs), per-doc template fraction. */
+  val textBoilerplate: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, source, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS g
+       |  FROM t, UNNEST(range(1, len(w) - 7 + 1)) u(i)
+       |  WHERE len(w) >= 8
+       |), g AS (
+       |  SELECT DISTINCT doc_id, source, g FROM g0
+       |), nd AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM t WHERE len(w) >= 8 GROUP BY 1
+       |), tpl AS (
+       |  SELECT g.source, g.g,
+       |         CAST(COUNT(*) >= 2 AND
+       |              CAST(COUNT(*) AS DOUBLE) >= 0.05 * CAST(nd.nd AS DOUBLE)
+       |           AS INT) AS tpl
+       |  FROM g JOIN nd USING (source)
+       |  GROUP BY g.source, g.g, nd.nd
+       |)
+       |SELECT g.doc_id, g.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(tpl.tpl) AS BIGINT) AS n_tpl_grams,
+       |       ${r("CAST(SUM(tpl.tpl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS boilerplate_ratio
+       |FROM g JOIN tpl ON tpl.source = g.source AND tpl.g = g.g
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val textTfidf: String =
     s"""WITH toks AS (
        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents

@@ -343,6 +343,15 @@ object TextSim {
         r6(col("dup_density")).as("dup_density"))
       .orderBy("doc_id")
 
+  /** Per-doc boilerplate density: fraction of a doc's distinct 8-token
+    * windows that are source-level templates (≥30% of the source's docs;
+    * see [[graft.text.Dedup.boilerplate]]). */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplate(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_tpl_grams"),
+        r6(col("boilerplate_ratio")).as("boilerplate_ratio"))
+      .orderBy("doc_id")
+
   /** Exact shared-window pairs (verbatim 8-token windows in common) — the
     * substring-overlap duplicate class, vs the Jaccard classes above. */
   def dedupSharedNgrams(s: SparkSession, dir: String): DataFrame =

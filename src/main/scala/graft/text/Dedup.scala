@@ -496,6 +496,49 @@ object Dedup {
           col("n_grams").cast("double")).as("dup_density"))
   }
 
+  /** Source-scoped boilerplate detection — the template-removal pass of a
+    * CCNet/RefinedWeb-style pipeline: an 8-token window is BOILERPLATE for
+    * a source when it appears in ≥ `minFrac` of that source's (eligible)
+    * docs and in ≥ `minDf` docs (navigation chrome, legal footers, scraper
+    * artifacts repeat across a site; organic text does not). Emits each
+    * doc's gram count, template-gram count, and boilerplate ratio. The
+    * synthetic corpus has near-zero within-source duplication (max df = 2
+    * at every SF), so the 5% default is what exercises the flagging path
+    * there; DedupSpec plants a real 3-of-5-docs template to pin the
+    * semantics.
+    *
+    * Scale shape: same (doc, gram)-distinct stream as
+    * [[duplicationDensity]]; the doc-frequency aggregate is keyed by
+    * (source, gram) so partial aggregation collapses repeats map-side, and
+    * the per-source doc totals are an O(|sources|) broadcast. Nothing
+    * pairwise, nothing corpus-width on the driver. */
+  def boilerplate(docs: DataFrame, w: Int = 8, minDf: Int = 2,
+      minFrac: Double = 0.05): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $w), ' '))))")).as("g"))
+      .localCheckpoint() // feeds both the df aggregate and the per-doc join
+    val nDocs = docs
+      .filter(size(split(col("text"), " ")) >= w)
+      .groupBy("source").agg(count(lit(1)).as("_nd"))
+    val tpl = grams.groupBy("source", "g").agg(count(lit(1)).as("_df"))
+      .join(broadcast(nDocs), Seq("source"))
+      .select(col("source"), col("g"),
+        (col("_df") >= minDf &&
+          col("_df").cast("double") >= lit(minFrac) * col("_nd").cast("double"))
+          .as("_tpl"))
+    grams.join(tpl, Seq("source", "g"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_tpl").cast("long")).as("n_tpl_grams"))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_tpl_grams"),
+        (col("n_tpl_grams").cast("double") /
+          col("n_grams").cast("double")).as("boilerplate_ratio"))
+  }
+
   /** 32-bit SimHash over the token multiset: bit b of md5's first 8 hex
     * digits votes +1/-1 per token occurrence; the sign of the vote sum sets
     * the output bit. Whole-fingerprint-per-row form (graft.expr.SimHashSig):

@@ -283,6 +283,56 @@ class OpsSpec extends SparkSpec {
     assert(got(2)._3 == 0L && got(2)._4 == 0.0, s"doc3: ${got(2)}")
   }
 
+  test("boilerplate: planted 3-of-5 template flagged source-scoped, other source untouched") {
+    val s = spark
+    import s.implicits._
+    // srcA: 5 docs, 3 share the 8-token template window "c o p y r i g h"
+    // -> df=3, frac=0.6 >= 0.05 and df >= 2 -> template. srcB has the SAME
+    // window once — source-scoped, so it is NOT boilerplate there (df=1).
+    val tpl = "c o p y r i g h"
+    val docs = Seq(
+      (1L, s"$tpl a b d e f g h", "srcA"), (2L, s"$tpl q w e r t y u", "srcA"),
+      (3L, s"z x $tpl m n b v c", "srcA"), (4L, "j k l 1 2 3 4 5 6 7", "srcA"),
+      (5L, "9 8 7 6 5 4 3 2 1 0", "srcA"),
+      (6L, s"$tpl only once here x", "srcB"), (7L, "u i o p a s d f g h", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.text.Dedup.boilerplate(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // docs 1-3 each contain the template window (plus their unique windows);
+    // every unique window has df=1 -> not template
+    assert(got.filter(_._2 == "srcA").forall { case (id, _, _, nTpl) =>
+      if (id <= 3L) nTpl == 1L else nTpl == 0L
+    }, s"srcA template counts: ${got.mkString(", ")}")
+    assert(got.filter(_._2 == "srcB").forall(_._4 == 0L),
+      s"srcB must be untouched: ${got.mkString(", ")}")
+    // doc1: 15 tokens -> 8 windows, all distinct, exactly 1 is template
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1._3 == 8L && d1._4 == 1L, s"doc1: $d1")
+  }
+
+  test("hll: register merge (max) equals registers of the union; estimate within 3 sigma") {
+    val s = spark
+    import s.implicits._
+    import graft.analytics.Sketches
+    val a = (0L until 3000L).map(i => ("g", i)).toDF("grp", "k")
+    val b = (1500L until 5000L).map(i => ("g", i)).toDF("grp", "k")
+    val u = a.union(b)
+    val regsU = Sketches.hllRegisters(u, col("k"), Seq("grp"))
+    val merged = Sketches.hllRegisters(a, col("k"), Seq("grp"))
+      .union(Sketches.hllRegisters(b, col("k"), Seq("grp")))
+      .groupBy("grp", "bucket").agg(max(col("rho")).as("rho"))
+    // sketch-of-union == union-of-sketches, register for register
+    assert(regsU.except(merged).isEmpty && merged.except(regsU).isEmpty,
+      "register tables diverge")
+    val est = Sketches.hllEstimate(regsU, Seq("grp"))
+      .collect()(0).getDouble(1)
+    val exact = 5000.0
+    val sigma = 1.04 / math.sqrt(Sketches.HllM) * exact
+    assert(math.abs(est - exact) <= 3 * sigma,
+      s"estimate $est vs exact $exact exceeds 3 sigma ($sigma)")
+  }
+
   test("hardNegatives: same-label near-misses excluded, cross-label ranked by cosine") {
     val s = spark
     import s.implicits._
