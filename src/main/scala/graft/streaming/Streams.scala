@@ -107,6 +107,28 @@ object Streams {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("value_sum"))
 
+  /** Streaming HLL register maintenance — the incremental form of
+    * [[graft.analytics.Sketches.hllRegisters]]: per (day-window, bucket)
+    * the running max(rho) is the COMPLETE sketch state for distinct-user
+    * counting, m=256 longs per day no matter how many events stream
+    * through. Max is the canonical streaming-mergeable aggregate (idempotent
+    * + commutative + associative), so the maintained registers are
+    * bit-identical to the batch pass — StreamingSpec proves it and feeds
+    * them through [[graft.analytics.Sketches.hllEstimate]]. At 100 TB/day
+    * this is THE way to track distinct users: the watermark bounds state to
+    * the open day windows, and closed days' registers land downstream ready
+    * to union into weekly/monthly counts ([[graft.queries]]
+    * `events_hll_sliding`). */
+  def hllDailyRegisters(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.analytics.Sketches
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        Sketches.hllBucket(col("user_id")).as("bucket"))
+      .agg(max(Sketches.hllRho(col("user_id"))).as("rho"))
+      .select(col("w.start").cast("date").as("day"), col("bucket"), col("rho"))
+  }
+
   /** Streaming exact dedup on the event key: state is bounded by the
     * watermark (a duplicate arriving later than the watermark delay is
     * passed through — the at-scale tradeoff that keeps the dedup state from

@@ -29,6 +29,28 @@ class StreamingSpec extends SparkSpec {
     assert(g.sameElements(w))
   }
 
+  test("streaming HLL registers equal the batch sketch register for register") {
+    import graft.analytics.Sketches
+    val stream = Streams.hllDailyRegisters(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("stream_hll")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_hll")
+    val ev = graft.source.Bars.readEvents(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val want = Sketches.hllRegisters(ev, col("user_id"), Seq("day"))
+    assert(got.count() == want.count(), "register row counts diverge")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "maintained registers must be bit-identical to the batch sketch")
+    // and the estimate built FROM the streamed registers matches the batch
+    // estimate exactly (register-identical => estimate-identical)
+    val gEst = Sketches.hllEstimate(got, Seq("day")).orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+    val wEst = Sketches.hllEstimate(want, Seq("day")).orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+    assert(gEst.sameElements(wEst))
+  }
+
   test("streaming sliding window counts equal the batch sliding aggregation") {
     val stream = Streams.slidingCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_sliding")
