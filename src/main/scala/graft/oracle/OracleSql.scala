@@ -5599,21 +5599,22 @@ object OracleSql {
   /** zint folds registers as exact BIGINTs (2^(41−rho) per present bucket,
     * 2^41 per empty one) so the single double division is order-free; the
     * small-range branch mirrors Sketches.hllEstimate verbatim. */
-  private def hllEstSql(grp: String): String =
-    s"""gz AS (
+  private def hllEstSql(grp: String, src: String = "regs",
+      sfx: String = ""): String =
+    s"""gz$sfx AS (
        |  SELECT $grp,
        |         CAST(SUM(CAST(1 AS BIGINT) << (41 - rho)) AS BIGINT) AS zp,
        |         CAST(COUNT(*) AS BIGINT) AS np
-       |  FROM regs GROUP BY 1
-       |), ee AS (
+       |  FROM $src GROUP BY ALL
+       |), ee$sfx AS (
        |  SELECT $grp, zp + (256 - np) * 2199023255552 AS zint, 256 - np AS v
-       |  FROM gz
-       |), est AS (
+       |  FROM gz$sfx
+       |), est$sfx AS (
        |  SELECT $grp,
        |         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2199023255552.0 / CAST(zint AS DOUBLE)) <= 640.0 AND v > 0
        |              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
        |              ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2199023255552.0 / CAST(zint AS DOUBLE) END AS hll_est
-       |  FROM ee
+       |  FROM ee$sfx
        |)""".stripMargin
 
   /** Mirrors Analytics.aggHll (Sketches.hllRegisters/hllEstimate). */
@@ -5629,6 +5630,58 @@ object OracleSql {
        |       ${r("(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
        |FROM ex JOIN est USING (event_type)
        |ORDER BY event_type""".stripMargin
+
+  /** Mirrors TextSim.corpusVocabOverlap: per-source word registers (raw
+    * token stream — HLL is duplicate-insensitive), pair-wise union =
+    * register max, inclusion–exclusion estimate, exact intersection from
+    * distinct (source, word) pairs; pairs with no shared words zero-fill. */
+  val corpusVocabOverlap: String =
+    s"""WITH toks AS (
+       |  SELECT source, UNNEST(string_split(text, ' ')) AS word
+       |  FROM documents
+       |), h AS (
+       |  SELECT source,
+       |         ('0x' || substring(md5(CAST(word AS VARCHAR)), 1, 12))::BIGINT AS h48
+       |  FROM toks
+       |), br AS (
+       |  SELECT source, h48 >> 40 AS bucket,
+       |         CASE WHEN h48 % 1099511627776 > 0
+       |              THEN 41 - length(bin(h48 % 1099511627776)) ELSE 41 END AS rho
+       |  FROM h
+       |), regs AS (
+       |  SELECT source, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2
+       |), ${hllEstSql("source")}, ty AS (
+       |  SELECT DISTINCT source FROM regs
+       |), pairs AS (
+       |  SELECT x.source AS src_a, y.source AS src_b
+       |  FROM ty x JOIN ty y ON x.source < y.source
+       |), mem AS (
+       |  SELECT src_a, src_b, src_a AS source FROM pairs
+       |  UNION ALL
+       |  SELECT src_a, src_b, src_b AS source FROM pairs
+       |), regsu AS (
+       |  SELECT m.src_a, m.src_b, r.bucket, MAX(r.rho) AS rho
+       |  FROM mem m JOIN regs r USING (source)
+       |  GROUP BY 1, 2, 3
+       |), ${hllEstSql("src_a, src_b", "regsu", "u")}, sw AS (
+       |  SELECT DISTINCT source, word FROM toks
+       |), ex AS (
+       |  SELECT x.source AS src_a, y.source AS src_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_exact_inter
+       |  FROM sw x JOIN sw y
+       |    ON x.word = y.word AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.src_a, p.src_b,
+       |       COALESCE(ex.n_exact_inter, 0) AS n_exact_inter,
+       |       ${r("ea.hll_est + eb.hll_est - eu.hll_est")} AS hll_inter_est,
+       |       ${r("eu.hll_est")} AS hll_union_est
+       |FROM pairs p
+       |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+       |JOIN est ea ON ea.source = p.src_a
+       |JOIN est eb ON eb.source = p.src_b
+       |JOIN estu eu ON eu.src_a = p.src_a AND eu.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
 
   /** Mirrors Analytics.eventsHllSliding: daily registers re-maxed over the
     * trailing 7-day window (sketch-union = union-sketch), exact side from

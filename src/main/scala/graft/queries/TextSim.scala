@@ -343,6 +343,51 @@ object TextSim {
         r6(col("dup_density")).as("dup_density"))
       .orderBy("doc_id")
 
+  /** Sketch-algebra vocabulary overlap: |vocab(A) ∩ vocab(B)| distinct
+    * words between every source pair by inclusion–exclusion over HLL
+    * registers — est(A) + est(B) − est(A ∪ B), where the union sketch is
+    * the register-wise max (no rescan; HLL is duplicate-insensitive, so
+    * the raw token stream needs no distinct first). The exact intersection
+    * rides along as the yardstick. At 100 TB this answers "how much does
+    * crawl A's vocabulary overlap crawl B's" from per-source register
+    * tables alone — 256 longs per source, the corpora are never re-read
+    * or joined. */
+  def corpusVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Sketches
+    val words = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val regs = Sketches.hllRegisters(words, col("word"), Seq("source"))
+    val est1 = Sketches.hllEstimate(regs, Seq("source"))
+    val srcs = regs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")),
+        col("src_a") < col("src_b"))
+    val mem = pairs.select(col("src_a"), col("src_b"),
+      explode(array(col("src_a"), col("src_b"))).as("source"))
+    val regsU = broadcast(mem).join(regs, Seq("source"))
+      .groupBy("src_a", "src_b", "bucket").agg(max(col("rho")).as("rho"))
+    val estU = Sketches.hllEstimate(regsU, Seq("src_a", "src_b"))
+      .withColumnRenamed("hll_est", "est_u")
+    val sw = words.distinct()
+    val exact = sw.as("x").join(sw.as("y"),
+        col("x.word") === col("y.word") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairs
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .join(broadcast(est1.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("hll_est", "est_a")), Seq("src_a"))
+      .join(broadcast(est1.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("hll_est", "est_b")), Seq("src_b"))
+      .join(broadcast(estU), Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        r6(col("est_a") + col("est_b") - col("est_u")).as("hll_inter_est"),
+        r6(col("est_u")).as("hll_union_est"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Per-doc boilerplate density: fraction of a doc's distinct 8-token
     * windows that are source-level templates (≥30% of the source's docs;
     * see [[graft.text.Dedup.boilerplate]]). */
