@@ -59,7 +59,10 @@ class AllPlansSpec extends SparkSpec {
     "sim_matryoshka",
     // events_hll_sliding range-joins the O(calendar-days) broadcast day
     // list twice (register re-max + exact yardstick)
-    "events_hll_sliding")
+    "events_hll_sliding",
+    // corpus_vocab_overlap builds the source-pair grid (O(|sources|^2)
+    // <= 400 rows) with a broadcast < self-join, like dedup_cross_source
+    "corpus_vocab_overlap")
 
   test("no registered query plans a CartesianProduct; BNLJ only on scalar-side allowlist") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
