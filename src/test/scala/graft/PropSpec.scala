@@ -527,4 +527,53 @@ class PropSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: CMS estimate is one-sided (est >= exact for EVERY key) on random streams") {
+    import graft.analytics.Sketches
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 4) {
+      // zipf-ish skew: key = floor(u^3 * K) concentrates mass on low keys
+      val k = 20 + rnd.nextInt(300)
+      val n = 500 + rnd.nextInt(3000)
+      val keys = Seq.fill(n) {
+        val u = rnd.nextDouble(); (u * u * u * k).toLong
+      }
+      val df = keys.toDF("k")
+      val sketch = Sketches.cmsSketch(df, col("k"))
+      val exact = df.groupBy("k").agg(count(lit(1)).as("n_exact"))
+      val est = exact
+        .select(col("k"), col("n_exact"),
+          explode(lit((0 until Sketches.CmsDepth).toArray)).as("i"))
+        .select(col("k"), col("n_exact"), col("i"),
+          Sketches.cmsBucket(col("i"), col("k")).as("b"))
+        .join(broadcast(sketch), Seq("i", "b"))
+        .groupBy("k").agg(max(col("n_exact")).as("n_exact"),
+          min(col("c")).as("est"))
+      val bad = est.filter(col("est") < col("n_exact")).count()
+      assert(bad == 0L, s"trial $trial: $bad keys undercounted — " +
+        "Count-Min must never undercount")
+      // and the total error is bounded in aggregate: sum(est) <= depth*N
+      val sums = est.agg(sum("est"), sum("n_exact")).head()
+      assert(sums.getLong(1) == n.toLong)
+    }
+  }
+
+  test("property: HLL registers are well-formed and estimate tracks exact within 5 sigma") {
+    import graft.analytics.Sketches
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 4) {
+      val n = 200 + rnd.nextInt(8000)
+      val df = (0 until n).map(i => ("g", s"key_${trial}_$i")).toDF("grp", "k")
+      val regs = Sketches.hllRegisters(df, col("k"), Seq("grp"))
+      val badRange = regs.filter(col("bucket") < 0 || col("bucket") > 255 ||
+        col("rho") < 1 || col("rho") > 41).count()
+      assert(badRange == 0L, s"trial $trial: register out of range")
+      val est = Sketches.hllEstimate(regs, Seq("grp")).head().getDouble(1)
+      val sigma = 1.04 / math.sqrt(Sketches.HllM) * n
+      assert(math.abs(est - n) <= 5 * sigma,
+        s"trial $trial: estimate $est vs exact $n beyond 5 sigma ($sigma)")
+    }
+  }
 }
