@@ -42,6 +42,12 @@ object Params {
   val HoltAlpha = 0.3
   val HoltBeta = 0.1
 
+  /** Kleinberg 2-state burst detection (`events_burst`): the burst state
+    * emits at `ratio`× the user's baseline rate; switching into it costs
+    * `gamma` (Kleinberg 2002's s and γ with n=2 states). */
+  val BurstRateRatio = 4.0
+  val BurstGamma = 1.0
+
   /** Kaufman Adaptive MA (`window_kama`): efficiency-ratio window and the
     * classic fast/slow EMA spans (10/2/30). */
   val KamaWindow = 10

@@ -5577,6 +5577,60 @@ object OracleSql {
       |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
       |FROM c ORDER BY user_id, version""".stripMargin
 
+  /** Mirrors Analytics.eventsBurst (expr.Burst2): the 2-state Viterbi cost
+    * recursion replayed per user in a recursive CTE. The per-row cost
+    * terms contain NO data-dependent libm call (the shared −ln λ is
+    * dropped, argmin-invariant; ln s is the interpolated Scala literal),
+    * so every double is an identical IEEE op in both engines; the min
+    * re-basing per step is replayed verbatim (expressions duplicated
+    * inline — same value, single recursion reference per term). Seed at
+    * rn = 2 from the pre-observation costs (0, γ); rn = 1 rows emit NULLs
+    * via the LEFT JOIN, matching the expression's not-started contract. */
+  val eventsBurst: String = {
+    val ga = Params.BurstGamma.toString
+    val s0 = Params.BurstRateRatio.toString
+    val ln0 = math.log(Params.BurstRateRatio).toString
+    def t0(c0: String, c1: String) =
+      s"LEAST($c0, $c1 + $ga) + g.lam * g.x"
+    def t1(c0: String, c1: String) =
+      s"LEAST($c1, $c0 + $ga) + ($s0 * g.lam * g.x - $ln0)"
+    def step(c0: String, c1: String) = {
+      val e0 = t0(c0, c1)
+      val e1 = t1(c0, c1)
+      s"""($e0) - LEAST(($e0), ($e1)) AS c0,
+         |         ($e1) - LEAST(($e0), ($e1)) AS c1""".stripMargin
+    }
+    s"""WITH RECURSIVE e0 AS MATERIALIZED (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), st AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |         MAX(tus) - MIN(tus) AS span
+       |  FROM e0 GROUP BY 1
+       |  HAVING COUNT(*) >= 3 AND MAX(tus) - MIN(tus) > 0
+       |), g AS MATERIALIZED (
+       |  SELECT e0.user_id, e0.event_id, e0.rn,
+       |         CAST(e0.tus - LAG(e0.tus) OVER (PARTITION BY e0.user_id ORDER BY e0.rn) AS DOUBLE) AS x,
+       |         CAST(st.n - 1 AS DOUBLE) / CAST(st.span AS DOUBLE) AS lam
+       |  FROM e0 JOIN st USING (user_id)
+       |), r AS (
+       |  SELECT g.user_id, g.rn,
+       |         ${step("0.0", ga)}
+       |  FROM g WHERE g.rn = 2
+       |  UNION ALL
+       |  SELECT g.user_id, g.rn,
+       |         ${step("r.c0", "r.c1")}
+       |  FROM r JOIN g ON g.user_id = r.user_id AND g.rn = r.rn + 1
+       |)
+       |SELECT g.user_id, g.event_id,
+       |       CAST(CASE WHEN r.c1 < r.c0 THEN 1
+       |                 WHEN r.c1 >= r.c0 THEN 0 END AS INT) AS burst,
+       |       ${r("r.c0")} AS cost0, ${r("r.c1")} AS cost1
+       |FROM g LEFT JOIN r ON r.user_id = g.user_id AND r.rn = g.rn
+       |ORDER BY g.user_id, g.event_id""".stripMargin
+  }
+
   // ---- sketches (analytics.Sketches): deterministic md5-keyed HLL / CMS ----
 
   /** The (bucket, rho) projection shared by both HLL oracles: 48-bit md5

@@ -2242,6 +2242,37 @@ object Analytics {
         col("version"))
       .orderBy("user_id", "version")
 
+  /** Kleinberg 2-state burst detection over each user's inter-event gaps
+    * (see [[graft.expr.Burst2]]): the causal Viterbi cost pair plus the
+    * derived burst flag, one custom window recursion per user stream over
+    * the per-user exchange the gap lag already needs. Baseline rate is the
+    * user's MLE (n−1)/span in exact µs; users with < 3 events or zero span
+    * carry no rate information and are excluded (oracle-mirrored). */
+  def eventsBurst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Bars.readEvents(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), unix_micros(col("ts")).as("_tus"))
+    val st = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("_n"),
+        (max(col("_tus")) - min(col("_tus"))).as("_span"))
+      .filter(col("_n") >= 3 && col("_span") > 0)
+      .select(col("user_id"),
+        ((col("_n") - 1).cast("double") / col("_span").cast("double"))
+          .as("_lam"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val g = ev.join(st, "user_id")
+      .withColumn("_x", (col("_tus") - lag(col("_tus"), 1).over(w))
+        .cast("double"))
+    val b = graft.expr.Burst2.burst2Over(col("_x"), col("_lam"),
+      graft.Params.BurstRateRatio, graft.Params.BurstGamma,
+      Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+    g.select(col("user_id"), col("event_id"), b.as("_b"))
+      .select(col("user_id"), col("event_id"),
+        (col("_b.cost1") < col("_b.cost0")).cast("int").as("burst"),
+        r6(col("_b.cost0")).as("cost0"), r6(col("_b.cost1")).as("cost1"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** HyperLogLog distinct users per event type, reported against the exact
     * count so the sketch error is measured, not asserted (see
     * [[graft.analytics.Sketches]]; estimate and registers are fully

@@ -311,6 +311,52 @@ class OpsSpec extends SparkSpec {
     assert(d1._3 == 8L && d1._4 == 1L, s"doc1: $d1")
   }
 
+  test("burst2: equals the straight-loop Viterbi replay bit-for-bit; planted burst flagged") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    def exp(mean: Double) = -mean * math.log(1.0 - rnd.nextDouble())
+    // baseline gaps (mean 1000), a 20-gap burst at 10x rate, baseline again
+    val gaps = Seq.fill(30)(exp(1000.0)) ++ Seq.fill(20)(exp(100.0)) ++
+      Seq.fill(30)(exp(1000.0))
+    val lam = gaps.length.toDouble / gaps.sum // events-per-time MLE, any const works
+    val rows = (null.asInstanceOf[java.lang.Double] +: gaps.map(
+      java.lang.Double.valueOf)).zipWithIndex.map { case (x, i) =>
+      ("u", i.toLong, x, lam)
+    }
+    val df = rows.toDF("user_id", "event_id", "x", "lam")
+    val b = graft.expr.Burst2.burst2Over(col("x"), col("lam"), 4.0, 1.0,
+      Seq(col("user_id")), Seq(col("event_id")))
+    val got = df.select(col("event_id"), b.as("b"))
+      .select(col("event_id"), col("b.cost0"), col("b.cost1"))
+      .orderBy("event_id").collect()
+      .map(r => (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getDouble(2)))))
+    // straight-loop replay of the exact arithmetic
+    val lnS = math.log(4.0)
+    var c0 = 0.0; var c1 = 1.0
+    val want = gaps.map { x =>
+      val t0 = math.min(c0, c1 + 1.0) + lam * x
+      val t1 = math.min(c1, c0 + 1.0) + (4.0 * lam * x - lnS)
+      val m = math.min(t0, t1)
+      c0 = t0 - m; c1 = t1 - m
+      (c0, c1)
+    }
+    assert(got.head.isEmpty, "first row (no gap) must be null")
+    got.tail.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.isDefined, s"row $i null")
+      assert(java.lang.Double.doubleToLongBits(g.get._1) ==
+        java.lang.Double.doubleToLongBits(w._1) &&
+        java.lang.Double.doubleToLongBits(g.get._2) ==
+          java.lang.Double.doubleToLongBits(w._2),
+        s"row $i: ${g.get} != $w")
+    }
+    val flags = want.map { case (a0, a1) => a1 < a0 }
+    assert(flags.slice(30, 50).count(identity) >= 10,
+      s"planted burst not detected: ${flags.mkString(",")}")
+    assert(flags.take(25).count(identity) <= 5,
+      "baseline prefix misflagged as burst")
+  }
+
   test("hll: register merge (max) equals registers of the union; estimate within 3 sigma") {
     val s = spark
     import s.implicits._
