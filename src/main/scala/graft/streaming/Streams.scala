@@ -292,6 +292,74 @@ object Streams {
       }
   }
 
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      lam: Double)
+  case class BurstPoint(user_id: Long, event_id: Long,
+      cost0: Double, cost1: Double, burst: Boolean)
+  case class BurstState(hasPrev: Boolean, prevUs: Long, c0: Double, c1: Double)
+
+  /** Per-user MLE baseline rates for [[streamingBurst]] — the batch-trained
+    * side of the stream-static pattern (exactly the rate table
+    * `Analytics.eventsBurst` derives): (n−1)/span in events-per-µs, users
+    * with < 3 events or zero span excluded. */
+  def burstRates(events: DataFrame): DataFrame =
+    events.select(col("user_id"), unix_micros(col("ts")).as("_tus"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("_n"),
+        (max(col("_tus")) - min(col("_tus"))).as("_span"))
+      .filter(col("_n") >= 3 && col("_span") > 0)
+      .select(col("user_id"),
+        ((col("_n") - 1).cast("double") / col("_span").cast("double"))
+          .as("lam"))
+
+  /** Stateful streaming Kleinberg burst detection — the batch
+    * [[graft.expr.Burst2]] recursion carried as per-user state (prev
+    * event-time µs + the two normalized Viterbi costs), with the baseline
+    * rate table joined stream-static (rates are trained offline, detection
+    * runs online — the deployment shape). Identical JVM double arithmetic
+    * in the exact association order of the Catalyst expression, so
+    * streaming and batch agree bit-for-bit row for row; each user's first
+    * event emits nothing (the batch row is NULL there). Ordering contract
+    * as [[streamingRsi]]. */
+  def streamingBurst(events: DataFrame, rates: DataFrame,
+      ratio: Double = graft.Params.BurstRateRatio,
+      gamma: Double = graft.Params.BurstGamma): Dataset[BurstPoint] = {
+    import events.sparkSession.implicits._
+    val lnS = math.log(ratio)
+    val src = events.select(col("user_id"), col("ts"), col("event_id"))
+      .join(rates, "user_id")
+      .select(col("user_id"), col("ts"), col("event_id"), col("lam"))
+      .as[UserEvent]
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, BurstPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[BurstState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            BurstState(hasPrev = false, 0L, 0.0, gamma))
+          val out = sorted.flatMap { e =>
+            val us = micros(e.ts)
+            if (!st.hasPrev) {
+              st = st.copy(hasPrev = true, prevUs = us)
+              None
+            } else {
+              val x = (us - st.prevUs).toDouble
+              val t0 = math.min(st.c0, st.c1 + gamma) + e.lam * x
+              val t1 = math.min(st.c1, st.c0 + gamma) +
+                (ratio * e.lam * x - lnS)
+              val m = math.min(t0, t1)
+              st = BurstState(hasPrev = true, us, t0 - m, t1 - m)
+              Some(BurstPoint(uid, e.event_id, t0 - m, t1 - m,
+                (t1 - m) < (t0 - m)))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class HoltPoint(symbol: String, event_id: Long,
       level: Double, trend: Double)
   case class HoltState(started: Boolean, l: Double, b: Double)

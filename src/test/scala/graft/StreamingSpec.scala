@@ -126,6 +126,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming burst detection equals the batch events_burst bit-for-bit") {
+    val rates = Streams.burstRates(graft.source.Bars.readEvents(spark, dir))
+      .localCheckpoint() // static side of the stream-static join
+    val stream = Streams.streamingBurst(
+      Streams.readEventStream(spark, dir), rates)
+    val q = stream.writeStream.format("memory").queryName("stream_burst")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_burst")
+    // batch side r6-rounds at the output boundary; first-event rows are
+    // NULL there and absent from the stream — compare the non-null set
+    val want = graft.queries.Analytics.eventsBurst(spark, dir)
+      .filter(col("burst").isNotNull)
+    assert(got.count() == want.count(),
+      s"row sets differ: ${got.count()} vs ${want.count()}")
+    val joined = got.as("g").join(want.as("w"), Seq("event_id"), "full_outer")
+      .select(col("g.cost0"), col("w.cost0"),
+        col("g.cost1"), col("w.cost1"),
+        col("g.burst"), col("w.burst"))
+      .collect()
+    joined.foreach { r =>
+      assert(!r.anyNull, s"row set mismatch: $r")
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-7 &&
+        math.abs(r.getDouble(2) - r.getDouble(3)) < 5e-7, s"costs diverge: $r")
+      assert((r.getBoolean(4)) == (r.getInt(5) == 1), s"flags diverge: $r")
+    }
+  }
+
   test("streaming Holt equals the batch window_holt bit-for-bit") {
     val stream = Streams.streamingHolt(
       Streams.tickStream(Streams.readEventStream(spark, dir)))
