@@ -3721,6 +3721,47 @@ object OracleSql {
        |       ${r("abs(ss / n - CAST(st AS DOUBLE) / n)")} AS calib_gap
        |FROM b ORDER BY bin""".stripMargin
 
+  /** Mirrors Core.mlKs: same LOO-scored frame as mlCalibration, integer
+    * class counts cumulated over the ordered distinct-score frame, KS row
+    * selected on the ROUNDED statistic (both engines order by the identical
+    * r6 expression, ties to the lowest threshold). */
+  val mlKs: String =
+    s"""$targetsCte, tt AS (
+       |  SELECT symbol, CAST(fwd > 0 AS BIGINT) AS target
+       |  FROM t WHERE fwd IS NOT NULL
+       |), ww AS (
+       |  SELECT target,
+       |         CASE WHEN cnt = 1 THEN NULL
+       |              ELSE CAST(tsum - target AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) END AS score
+       |  FROM (
+       |    SELECT target,
+       |           CAST(SUM(target) OVER (PARTITION BY symbol) AS BIGINT) AS tsum,
+       |           COUNT(*) OVER (PARTITION BY symbol) AS cnt
+       |    FROM tt
+       |  )
+       |), sc AS (
+       |  SELECT score,
+       |         CAST(COUNT(*) FILTER (WHERE target = 1) AS BIGINT) AS cp0,
+       |         CAST(COUNT(*) FILTER (WHERE target = 0) AS BIGINT) AS cn0
+       |  FROM ww WHERE score IS NOT NULL GROUP BY 1
+       |), cum AS (
+       |  SELECT score,
+       |         CAST(SUM(cp0) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+       |         CAST(SUM(cn0) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+       |         CAST(SUM(cp0) OVER () AS BIGINT) AS tp,
+       |         CAST(SUM(cn0) OVER () AS BIGINT) AS tn
+       |  FROM sc
+       |)
+       |SELECT ${r("score")} AS threshold,
+       |       ${r("abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))")} AS ks_stat,
+       |       ${r("CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)")} AS cdf_pos,
+       |       ${r("CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)")} AS cdf_neg,
+       |       tp AS n_pos, tn AS n_neg
+       |FROM cum
+       |ORDER BY ${r("abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))")} DESC,
+       |         ${r("score")}
+       |LIMIT 1""".stripMargin
+
   /** Mirrors Core.featureTargetCorr: same lag/lead feature frame, DuckDB's
     * corr over the same null-pair-skipping semantics as Spark's; one row
     * per feature via UNION ALL (Spark's stack). */

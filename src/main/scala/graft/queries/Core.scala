@@ -1179,6 +1179,43 @@ object Core {
       .orderBy("bin")
   }
 
+  /** Kolmogorov–Smirnov separability of the deterministic LOO score
+    * (classifier-eval complement to `ml_auc`/`ml_roc` — the classic
+    * credit-scoring KS): max |CDF⁺ − CDF⁻| over score thresholds, reported
+    * with the achieving threshold and class totals. The distinct-score
+    * frame is ≤ 2·|symbols| rows (the LOO score takes two values per
+    * symbol), so the one global cumulative window is metadata-sized by
+    * construction — never a data-wide single-partition sort. Integer
+    * cumulative counts → the two CDF divisions are the only doubles. */
+  def mlKs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Targets.withTarget(bars(s, dir), targetType = "classification")
+      .select(col("symbol"), col("target").cast("long").as("target"))
+    val w = Window.partitionBy("symbol")
+    val scored = t.select(col("target"),
+        try_divide((sum(col("target")).over(w) - col("target")).cast("double"),
+          (count(lit(1)).over(w) - 1).cast("double")).as("score"))
+      .filter(col("score").isNotNull)
+    val sc = scored.groupBy("score").agg(
+      sum(when(col("target") === 1, 1L).otherwise(0L)).as("cp0"),
+      sum(when(col("target") === 0, 1L).otherwise(0L)).as("cn0"))
+    val wc = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = sc.select(col("score"),
+      sum(col("cp0")).over(wc).as("cp"), sum(col("cn0")).over(wc).as("cn"),
+      sum(col("cp0")).over(wAll).as("tp"), sum(col("cn0")).over(wAll).as("tn"))
+    val cdfp = col("cp").cast("double") / col("tp").cast("double")
+    val cdfn = col("cn").cast("double") / col("tn").cast("double")
+    cum.select(r6(col("score")).as("threshold"),
+        r6(abs(cdfp - cdfn)).as("ks_stat"),
+        r6(cdfp).as("cdf_pos"), r6(cdfn).as("cdf_neg"),
+        col("tp").as("n_pos"), col("tn").as("n_neg"))
+      .orderBy(col("ks_stat").desc, col("threshold"))
+      .limit(1)
+  }
+
   /** Feature-selection screen: global Pearson correlation of each candidate
     * feature against the forward-return regression target, ranked by
     * |corr| — the univariate relevance pass a feature store runs before
