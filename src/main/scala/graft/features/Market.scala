@@ -1920,6 +1920,27 @@ object Market {
       .drop("_ef", "_es")
   }
 
+  /** Percentage Volume Oscillator — [[withPpo]] on volume instead of
+    * price. Volume CAN hit zero (unlike prices), so the slow-EMA guard and
+    * the signal chain's first-non-null seeding are live paths here, not
+    * belt-and-braces. */
+  def withPvo(df: DataFrame, fast: Int = PpoFast, slow: Int = PpoSlow,
+      signal: Int = PpoSignal): DataFrame = {
+    val part = Seq(col(Frames.SymbolCol))
+    val ord = Seq(col(Frames.TimeCol), col(Frames.TieCol))
+    def ema(c: org.apache.spark.sql.Column, n: Int) =
+      graft.expr.Ewma.ewmaSpanOver(c, n, adjust = true, part, ord)
+    val s1 = df.select(col("*"),
+      ema(col("volume"), fast).as("_ef"), ema(col("volume"), slow).as("_es"))
+    val s2 = s1.select(col("*"),
+      when(col("_es") =!= 0.0,
+        (col("_ef") - col("_es")) / col("_es") * 100.0).as("pvo"))
+    val sig = ema(col("pvo"), signal)
+    s2.select(col("*"),
+        sig.as("pvo_signal"), (col("pvo") - sig).as("pvo_hist"))
+      .drop("_ef", "_es")
+  }
+
   val KlingerFast = 34
   val KlingerSlow = 55
   val KlingerSignal = 13

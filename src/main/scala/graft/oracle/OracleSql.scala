@@ -592,22 +592,22 @@ object OracleSql {
     * semantics, which matter because a leading close of exactly 0 (sf0.1
     * events carry value = 0 rows) nulls ppo until the first positive
     * close. */
-  val featPpo: String = {
+  private def ppoLikeSql(src: String, pfx: String): String = {
     import graft.features.Market._
     val f = d(PpoFast)
     val sl = d(PpoSlow)
     val sg = d(PpoSignal)
     s"""${barsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, b2 AS MATERIALIZED (
-       |  SELECT symbol, event_id, close, ROW_NUMBER() OVER ($W) AS rn
+       |  SELECT symbol, event_id, $src AS v, ROW_NUMBER() OVER ($W) AS rn
        |  FROM bars
        |), emas AS (
-       |  SELECT symbol, rn, close AS nf, CAST(1.0 AS DOUBLE) AS df,
-       |         close AS ns, CAST(1.0 AS DOUBLE) AS ds
+       |  SELECT symbol, rn, v AS nf, CAST(1.0 AS DOUBLE) AS df,
+       |         v AS ns, CAST(1.0 AS DOUBLE) AS ds
        |  FROM b2 WHERE rn = 1
        |  UNION ALL
        |  SELECT b2.symbol, b2.rn,
-       |         emas.nf * $f + b2.close,  emas.df * $f + 1.0,
-       |         emas.ns * $sl + b2.close, emas.ds * $sl + 1.0
+       |         emas.nf * $f + b2.v,  emas.df * $f + 1.0,
+       |         emas.ns * $sl + b2.v, emas.ds * $sl + 1.0
        |  FROM emas JOIN b2 ON b2.symbol = emas.symbol AND b2.rn = emas.rn + 1
        |), m AS MATERIALIZED (
        |  SELECT symbol, rn,
@@ -626,12 +626,19 @@ object OracleSql {
        |  FROM sig JOIN m ON m.symbol = sig.symbol AND m.rn = sig.rn + 1
        |)
        |SELECT b2.symbol, b2.event_id,
-       |       ${r("sig.ppo")} AS ppo,
-       |       ${r("sig.sn / sig.sd")} AS ppo_signal,
-       |       ${r("sig.ppo - sig.sn / sig.sd")} AS ppo_hist
+       |       ${r("sig.ppo")} AS $pfx,
+       |       ${r("sig.sn / sig.sd")} AS ${pfx}_signal,
+       |       ${r("sig.ppo - sig.sn / sig.sd")} AS ${pfx}_hist
        |FROM b2 LEFT JOIN sig ON sig.symbol = b2.symbol AND sig.rn = b2.rn
        |ORDER BY b2.event_id""".stripMargin
   }
+
+  val featPpo: String = ppoLikeSql("close", "ppo")
+
+  /** Mirrors Core.featPvo (Market.withPvo): the PPO recursion over volume
+    * — the zero-EMA guard and first-non-null signal seeding are live here
+    * (volume hits 0). */
+  val featPvo: String = ppoLikeSql("volume", "pvo")
 
   /** Mirrors Core.featKlinger (Market.withKlinger): volume force
     * vf = volume · sign(Δhlc3) is null on bar 1, so the fast/slow EMA

@@ -360,6 +360,13 @@ object Core {
     keyed(Market.withPpo(bars(s, dir)), out, out.toSet)
   }
 
+  /** Percentage Volume Oscillator — PPO on volume, spans 12/26/9
+    * (see [[graft.features.Market.withPvo]]). */
+  def featPvo(s: SparkSession, dir: String): DataFrame = {
+    val out = Seq("pvo", "pvo_signal", "pvo_hist")
+    keyed(Market.withPvo(bars(s, dir)), out, out.toSet)
+  }
+
   /** Klinger Volume Oscillator — trend-sign volume force EMAs 34/55/13
     * (see [[graft.features.Market.withKlinger]]). */
   def featKlinger(s: SparkSession, dir: String): DataFrame = {
