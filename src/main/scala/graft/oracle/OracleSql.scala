@@ -5625,6 +5625,39 @@ object OracleSql {
       |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
       |FROM c ORDER BY user_id, version""".stripMargin
 
+  /** Mirrors Analytics.eventsDispersion: dense hourly grid via per-type
+    * range(), exact BIGINT power sums, identical double formula chain
+    * (var = (k·s2 − s1²)/(k·(k−1)), vmr = var/mean, chi2 = vmr·(k−1)). */
+  val eventsDispersion: String =
+    s"""WITH e0 AS (
+       |  SELECT event_type,
+       |         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hb
+       |  FROM events
+       |), c AS (
+       |  SELECT event_type, hb, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM e0 GROUP BY 1, 2
+       |), sp AS (
+       |  SELECT event_type, MIN(hb) AS h0, MAX(hb) AS h1 FROM e0 GROUP BY 1
+       |), grid AS (
+       |  SELECT sp.event_type, u.hb
+       |  FROM sp, UNNEST(range(sp.h0, sp.h1 + 1)) u(hb)
+       |), dense AS (
+       |  SELECT grid.event_type, grid.hb, COALESCE(c.n, 0) AS n
+       |  FROM grid LEFT JOIN c
+       |    ON c.event_type = grid.event_type AND c.hb = grid.hb
+       |), agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+       |         CAST(SUM(n) AS BIGINT) AS s1,
+       |         CAST(SUM(n * n) AS BIGINT) AS s2
+       |  FROM dense GROUP BY 1
+       |  HAVING COUNT(*) >= 2 AND SUM(n) > 0
+       |)
+       |SELECT event_type, k AS n_bins, s1 AS n_events,
+       |       ${r("CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)")} AS mean_count,
+       |       ${r("CAST(k * s2 - s1 * s1 AS DOUBLE) / CAST(k * (k - 1) AS DOUBLE) / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))")} AS vmr,
+       |       ${r("CAST(k * s2 - s1 * s1 AS DOUBLE) / CAST(k * (k - 1) AS DOUBLE) / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) * CAST(k - 1 AS DOUBLE)")} AS chi2
+       |FROM agg ORDER BY event_type""".stripMargin
+
   /** Mirrors Analytics.eventsBurst (expr.Burst2): the 2-state Viterbi cost
     * recursion replayed per user in a recursive CTE. The per-row cost
     * terms contain NO data-dependent libm call (the shared −ln λ is

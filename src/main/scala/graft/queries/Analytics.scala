@@ -2242,6 +2242,45 @@ object Analytics {
         col("version"))
       .orderBy("user_id", "version")
 
+  /** Poisson overdispersion test per event type: hourly arrival counts
+    * over the DENSE hour grid (zero-count hours are evidence — the
+    * sequence-exploded grid is |types|·|hours|, metadata-sized), then the
+    * variance-to-mean ratio and the chi-square dispersion statistic
+    * (k−1)·VMR. Counts are exact integers, so mean/variance come from
+    * exact BIGINT power sums — the divisions are the only doubles and they
+    * replay bit-for-bit in the oracle. VMR ≈ 1 is Poisson; > 1 flags
+    * clustering/burstiness at the population level (the per-user
+    * complement of `events_burst`). */
+  def eventsDispersion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(3600000000L)).as("hb"))
+    val counts = ev.groupBy("event_type", "hb").agg(count(lit(1)).as("n"))
+    val span = ev.groupBy("event_type")
+      .agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+    val grid = span.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"))).as("hb"))
+    val dense = grid.join(counts, Seq("event_type", "hb"), "left")
+      .select(col("event_type"), col("hb"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    dense.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .filter(col("k") >= 2 && col("s1") > 0)
+      .select(col("event_type"), col("k").as("n_bins"),
+        col("s1").as("n_events"),
+        r6(col("s1").cast("double") / col("k").cast("double"))
+          .as("mean_count"),
+        r6((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("k") * (col("k") - 1)).cast("double") /
+          (col("s1").cast("double") / col("k").cast("double"))).as("vmr"),
+        r6((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("k") * (col("k") - 1)).cast("double") /
+          (col("s1").cast("double") / col("k").cast("double")) *
+          (col("k") - 1).cast("double")).as("chi2"))
+      .orderBy("event_type")
+  }
+
   /** Kleinberg 2-state burst detection over each user's inter-event gaps
     * (see [[graft.expr.Burst2]]): the causal Viterbi cost pair plus the
     * derived burst flag, one custom window recursion per user stream over
