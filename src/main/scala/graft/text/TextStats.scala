@@ -79,19 +79,24 @@ object TextStats {
     * never reshuffles for the comparison. */
   def langIdNgram(docs: DataFrame, k: Int = CtProfileK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        explode(expr(
-          "transform(sequence(0, length(text) - 3), p -> substring(text, p + 1, 3))"))
-          .as("gram"))
-      .localCheckpoint()
-    val wd = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
-    val docTop = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .withColumn("dr", row_number().over(wd).cast("long"))
-      .filter(col("dr") <= k)
+    // Per-doc top-k and per-doc gram counts come out of ONE narrow pass
+    // each (graft.expr.Trigram — value-identical to the relational
+    // explode → groupBy → row_number pipeline, ties in UTF-8 byte order),
+    // so nothing corpus-CHARACTER-sized is ever materialized, shuffled, or
+    // sorted: the doc side ships ≤ k rows per doc, the profile side ships
+    // per-doc DISTINCT gram counts that partial-aggregate map-side. The
+    // oracle keeps replaying the relational form unchanged.
+    val base = docs.filter(length(col("text")) >= 3)
+    val docTop = base
+      .select(col("doc_id"),
+        posexplode(graft.expr.Trigram.topK(col("text"), k))
+          .as(Seq("_p", "gram")))
+      .select(col("doc_id"), col("gram"), (col("_p") + 1).cast("long").as("dr"))
     val wl = Window.partitionBy("lang").orderBy(col("c").desc, col("gram"))
-    val profile = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    val profile = base
+      .select(col("lang"),
+        explode(graft.expr.Trigram.counts(col("text"))).as(Seq("gram", "_c")))
+      .groupBy("lang", "gram").agg(sum(col("_c")).as("c"))
       .withColumn("lr", row_number().over(wl).cast("long"))
       .filter(col("lr") <= k)
       .select(col("lang").as("cand"), col("gram"), col("lr"))

@@ -311,6 +311,42 @@ class OpsSpec extends SparkSpec {
     assert(d1._3 == 8L && d1._4 == 1L, s"doc1: $d1")
   }
 
+  test("trigram expressions equal the relational explode pipeline (ties, supplementary chars)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // tie-heavy text (abcabcabd: abc x2 ties vs others), a supplementary-
+    // plane char (code point > BMP, where UTF-16 vs UTF-8 order diverge),
+    // and a too-short doc
+    val docs = Seq(
+      (1L, "abcabcabd", "en"), (2L, "xyzxyzxy", "fr"),
+      (3L, "a😀b😀c", "en"), (4L, "ab", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val k = 4
+    // relational reference (the pre-round-10 pipeline)
+    val grams = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, length(text) - 3), p -> substring(text, p + 1, 3))"))
+        .as("gram"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+    val wantTop = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(wd).cast("long"))
+      .filter(col("dr") <= k).select("doc_id", "gram", "dr")
+    val gotTop = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        posexplode(graft.expr.Trigram.topK(col("text"), k)).as(Seq("_p", "gram")))
+      .select(col("doc_id"), col("gram"), (col("_p") + 1).cast("long").as("dr"))
+    assert(gotTop.except(wantTop).isEmpty && wantTop.except(gotTop).isEmpty,
+      s"topK diverges: got ${gotTop.collect().mkString(",")} want ${wantTop.collect().mkString(",")}")
+    val wantCnt = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    val gotCnt = docs.filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(graft.expr.Trigram.counts(col("text"))).as(Seq("gram", "_c")))
+      .groupBy("lang", "gram").agg(sum(col("_c")).as("c"))
+    assert(gotCnt.except(wantCnt).isEmpty && wantCnt.except(gotCnt).isEmpty,
+      "counts diverge")
+  }
+
   test("burst2: equals the straight-loop Viterbi replay bit-for-bit; planted burst flagged") {
     val s = spark
     import s.implicits._
