@@ -116,6 +116,50 @@ object Multimodal {
         (col("event_id") === col("phash_cluster")).cast("int").as("keep"))
   }
 
+  /** Near-duplicate CLUSTER pairs by banded Hamming join over the aHash
+    * pattern table — the downstream join [[phashClusters]]' chunks exist
+    * for, run at the right granularity for 100 TB: dedupe exact-hash
+    * clusters first (the groupBy phashClusters already does), then band
+    * the DISTINCT patterns (≤ 2⁸ rows here — hash-table-sized, never
+    * corpus-sized) and verify candidates with one xor+bit_count.
+    * Pigeonhole: the 8-bit pattern splits into three bands (3+3+2 bits);
+    * any pair within Hamming distance 2 flips bits in at most 2 bands, so
+    * it agrees on ≥ 1 band and candidates come from a band equi-join,
+    * never all-pairs. Emits each qualifying cluster pair with both 8-bit
+    * and full-64-bit distances (the 64-bit hash is the pattern repeated
+    * 8× — see [[graft.expr.AHashChunk]] — so hd64 = 8·hd8 exactly). */
+  def phashNeighbors(events: DataFrame, maxDist: Int = 2): DataFrame = {
+    val clusters = phashClusters(events)
+      .filter(col("keep") === 1)
+      .select(expr("h0 div 257").as("p"), // h0 = P*257 exactly
+        col("phash_cluster"), col("cluster_size"))
+    val banded = clusters.select(col("p"), col("phash_cluster"),
+      col("cluster_size"),
+      explode(array(
+        struct(lit(0).as("bi"), (col("p") % 8).as("nib")),
+        struct(lit(1).as("bi"), expr("(p div 8) % 8").as("nib")),
+        struct(lit(2).as("bi"), expr("p div 64").as("nib"))))
+        .as("b"))
+      .select(col("p"), col("phash_cluster"), col("cluster_size"),
+        col("b.bi"), col("b.nib"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.nib") === col("b.nib") &&
+          col("a.phash_cluster") < col("b.phash_cluster"))
+      .select(col("a.p").as("pa"), col("b.p").as("pb"),
+        col("a.phash_cluster").as("cluster_a"),
+        col("b.phash_cluster").as("cluster_b"),
+        col("a.cluster_size").as("size_a"),
+        col("b.cluster_size").as("size_b"))
+      .distinct() // distinct patterns never agree on both nibbles; belt only
+    cand
+      .select(col("cluster_a"), col("cluster_b"), col("size_a"),
+        col("size_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hd8"))
+      .filter(col("hd8") <= maxDist && col("hd8") > 0)
+      .select(col("cluster_a"), col("cluster_b"), col("size_a"),
+        col("size_b"), col("hd8"), (col("hd8") * 8L).as("hd64"))
+  }
+
   case class MediaResize(event_id: Long, kind: String, width: Int,
     height: Int, new_width: Int, new_height: Int, scale: Double)
 

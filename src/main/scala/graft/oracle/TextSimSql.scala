@@ -2111,6 +2111,36 @@ object TextSimSql {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Mirrors TextSim.multimodalPhashNeighbors (Multimodal.phashNeighbors):
+    * same cluster table as multimodalPhash, patterns = h0 // 257,
+    * 3-band (3+3+2 bit) pigeonhole candidates, xor + bit_count verify at
+    * HD ≤ 2. */
+  val multimodalPhashNeighbors: String = {
+    val base = multimodalPhash.split("\\)\\nSELECT")(0)
+    s"""$base), pat AS (
+       |  SELECT h0 // 257 AS p, phash_cluster, cluster_size FROM cl
+       |), bands AS (
+       |  SELECT p, phash_cluster, cluster_size, 0 AS bi, p % 8 AS nib FROM pat
+       |  UNION ALL
+       |  SELECT p, phash_cluster, cluster_size, 1 AS bi, (p // 8) % 8 AS nib FROM pat
+       |  UNION ALL
+       |  SELECT p, phash_cluster, cluster_size, 2 AS bi, p // 64 AS nib FROM pat
+       |), cand AS (
+       |  SELECT DISTINCT a.p AS pa, b.p AS pb,
+       |         a.phash_cluster AS cluster_a, b.phash_cluster AS cluster_b,
+       |         a.cluster_size AS size_a, b.cluster_size AS size_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.nib = b.nib
+       |   AND a.phash_cluster < b.phash_cluster
+       |)
+       |SELECT cluster_a, cluster_b, size_a, size_b,
+       |       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hd8,
+       |       CAST(bit_count(xor(pa, pb)) * 8 AS BIGINT) AS hd64
+       |FROM cand
+       |WHERE bit_count(xor(pa, pb)) <= 2 AND bit_count(xor(pa, pb)) > 0
+       |ORDER BY cluster_a, cluster_b""".stripMargin
+  }
+
   val multimodalDedup: String =
     """SELECT event_type AS kind, md5(props) AS payload_md5,
       |       MIN(event_id) AS canonical_id, COUNT(*) AS n_copies,

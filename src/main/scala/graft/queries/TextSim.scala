@@ -612,6 +612,13 @@ object TextSim {
         col("phash_cluster"), col("cluster_size"), col("keep"))
       .orderBy("event_id")
 
+  /** Near-duplicate aHash-cluster pairs via the banded Hamming join (see
+    * [[graft.media.Multimodal.phashNeighbors]] — nibble pigeonhole over
+    * the hash-table-sized distinct-pattern frame, xor+bit_count verify). */
+  def multimodalPhashNeighbors(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNeighbors(Bars.readEvents(s, dir))
+      .orderBy("cluster_a", "cluster_b")
+
   /** OOV-rate per document against the corpus's top-k vocabulary — the
     * tokenizer-coverage readout (which docs a k-type vocab fails to cover).
     * Top-k is a TakeOrderedAndProject (count desc, term tie-break —

@@ -311,6 +311,23 @@ class OpsSpec extends SparkSpec {
     assert(d1._3 == 8L && d1._4 == 1L, s"doc1: $d1")
   }
 
+  test("phashNeighbors banded join equals brute-force HD<=2 over the pattern table") {
+    val ev = graft.source.Bars.readEvents(spark, "/root/testdata/sf0.001")
+    val got = graft.media.Multimodal.phashNeighbors(ev)
+      .select("cluster_a", "cluster_b", "hd8").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pats = graft.media.Multimodal.phashClusters(ev)
+      .filter(col("keep") === 1)
+      .select(expr("h0 div 257").as("p"), col("phash_cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (pa, ca) <- pats; (pb, cb) <- pats if ca < cb
+      hd = java.lang.Long.bitCount(pa ^ pb) if hd >= 1 && hd <= 2
+    } yield (ca, cb, hd.toLong)).toSet
+    assert(got == want,
+      s"banded != brute force: got $got want $want (patterns: ${pats.mkString(",")})")
+  }
+
   test("trigram expressions equal the relational explode pipeline (ties, supplementary chars)") {
     val s = spark
     import s.implicits._
