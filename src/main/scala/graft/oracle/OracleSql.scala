@@ -5625,6 +5625,35 @@ object OracleSql {
       |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
       |FROM c ORDER BY user_id, version""".stripMargin
 
+  /** Mirrors Analytics.aggTrimmedMean: exact-rank 5% trim under the total
+    * order (value, event_id), winsorized twin clamps tails to the inner
+    * min/max; float sums meet only at the r6 boundary (agg_stats class). */
+  val aggTrimmedMean: String =
+    s"""WITH rk AS (
+       |  SELECT event_type, event_id, value,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+       |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM events
+       |), c AS (
+       |  SELECT event_type, value, rk, n,
+       |         CAST(floor(CAST(n AS DOUBLE) * 0.05) AS BIGINT) AS cut
+       |  FROM rk
+       |), st AS (
+       |  SELECT event_type, n, cut, value, rk,
+       |         CASE WHEN rk > cut AND rk <= n - cut THEN value END AS v_in
+       |  FROM c
+       |), st2 AS (
+       |  SELECT event_type, n, cut, rk, value, v_in,
+       |         MIN(v_in) OVER (PARTITION BY event_type) AS lo,
+       |         MAX(v_in) OVER (PARTITION BY event_type) AS hi
+       |  FROM st
+       |)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       |       CAST(MAX(cut) AS BIGINT) AS n_cut_each,
+       |       ${r("SUM(v_in) / COUNT(v_in)")} AS trimmed_mean,
+       |       ${r("SUM(CASE WHEN rk > cut AND rk <= n - cut THEN value WHEN rk <= cut THEN lo ELSE hi END) / COUNT(*)")} AS winsorized_mean
+       |FROM st2 GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Mirrors Analytics.eventsDispersion: dense hourly grid via per-type
     * range(), exact BIGINT power sums, identical double formula chain
     * (var = (k·s2 − s1²)/(k·(k−1)), vmr = var/mean, chi2 = vmr·(k−1)). */

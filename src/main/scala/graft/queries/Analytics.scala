@@ -2242,6 +2242,40 @@ object Analytics {
         col("version"))
       .orderBy("user_id", "version")
 
+  /** Trimmed (5%) and winsorized means per event type — the robust
+    * location estimates a reporting layer wants next to `agg_stats`' raw
+    * mean. Trimming is EXACT-RANK based (drop floor(0.05·n) rows from each
+    * tail under the total order (value, event_id) — no float quantile
+    * estimation, so the cut is engine-portable by construction); the
+    * winsorized variant clamps instead of dropping. One per-type window
+    * sort — the keyed per-group sort a robust aggregate costs anywhere. */
+  def aggTrimmedMean(s: SparkSession, dir: String,
+      trim: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val ranked = Bars.readEvents(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type")).cast("long"))
+      .withColumn("cut", floor(col("n").cast("double") * trim).cast("long"))
+    val inner = col("rk") > col("cut") && col("rk") <= col("n") - col("cut")
+    val wType = Window.partitionBy("event_type")
+    val staged = ranked
+      .withColumn("v_in", when(inner, col("value")))
+      .withColumn("lo", min(col("v_in")).over(wType))
+      .withColumn("hi", max(col("v_in")).over(wType))
+      .withColumn("v_wins", when(inner, col("value"))
+        .otherwise(when(col("rk") <= col("cut"), col("lo"))
+          .otherwise(col("hi"))))
+    staged.groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("cut")).as("n_cut_each"),
+        r6(sum(col("v_in")) / count(col("v_in"))).as("trimmed_mean"),
+        r6(sum(col("v_wins")) / count(lit(1))).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   /** Poisson overdispersion test per event type: hourly arrival counts
     * over the DENSE hour grid (zero-count hours are evidence — the
     * sequence-exploded grid is |types|·|hours|, metadata-sized), then the
