@@ -3965,6 +3965,16 @@ object OracleSql {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Mirrors Analytics.q6Revenue (TPC-H Q6 shape on this data's ranges). */
+  val q6Revenue: String =
+    """SELECT round(SUM(l_extendedprice * l_discount), 0) + 0.0 AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   val q3Shipping: String =
     s"""SELECT l.l_orderkey, o.o_orderdate,
       |       ${r4("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue

@@ -262,6 +262,23 @@ object Analytics {
         col("event_type"), col("n"), r6(col("value_sum")).as("value_sum"))
       .orderBy("w_start", "event_type")
 
+  /** TPC-H Q6-style forecasting revenue: the pure filter-aggregate whose
+    * entire WHERE clause must reach the parquet scan as PushedFilters
+    * (date range + discount band + quantity cap — PlanSpec-class pushdown
+    * showcase; the scan reads 4 of 11 columns and the aggregate is one
+    * partial+final pair, no shuffle wider than 1 row per partition).
+    * Whole-dollar rounding, the q1_pricing convention. */
+  def q6Revenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        (round(sum(col("l_extendedprice") * col("l_discount")), 0) + lit(0.0))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+
   /** TPC-H Q1-style pricing summary: multi-aggregate rollup per
     * (returnflag, linestatus) — partial+final hash agg, no join. */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
