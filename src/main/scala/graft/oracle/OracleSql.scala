@@ -3975,6 +3975,24 @@ object OracleSql {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Mirrors Analytics.q5LocalSupplier (TPC-H Q5, region ASIA, year
+    * 2000): same join cycle, whole-dollar rounding. */
+  val q5LocalSupplier: String =
+    """SELECT n.n_name,
+      |       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) + 0.0 AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |               AND s.s_nationkey = c.c_nationkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
   val q3Shipping: String =
     s"""SELECT l.l_orderkey, o.o_orderdate,
       |       ${r4("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue

@@ -279,6 +279,40 @@ object Analytics {
           .as("revenue"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q5-style local-supplier revenue: the six-table join with the
+    * cycle condition (supplier's nation must equal the customer's nation)
+    * — per-nation revenue inside one region and year. Plan shape: the four
+    * dimension tables broadcast (nation/region are O(10) rows, customer/
+    * supplier are key+nationkey projections), lineitem↔orders is the one
+    * keyed shuffle, and the cycle closes as an equi-condition on the two
+    * broadcast-joined nationkeys — no second fact shuffle. Whole-dollar
+    * rounding, the q1_pricing convention. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir)
+    val rg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nr = n.join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+          + lit(0.0)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** TPC-H Q1-style pricing summary: multi-aggregate rollup per
     * (returnflag, linestatus) — partial+final hash agg, no join. */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
