@@ -38,8 +38,14 @@ object Sketches {
   val HllP = 8
   val HllM = 256
   val HllWBits = 40
-  private val TwoPowW = 1099511627776L // 2^40
-  private val TwoPowW1 = 2199023255552L // 2^41: the "empty register" weight
+  val TwoPowW = 1099511627776L // 2^40
+  val TwoPowW1 = 2199023255552L // 2^41: the "empty register" weight
+  /** α_m bias correction (Flajolet et al. §4, m ≥ 128 branch) and the
+    * small-range linear-counting threshold — derived from HllM so raising
+    * HllP keeps the whole formula (and the generated oracle SQL, which
+    * interpolates the same constants) consistent. */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM.toDouble)
+  val HllSmallRange: Double = 2.5 * HllM
 
   /** 48-bit uniform hash of a key — md5 hex prefix, the house
     * engine-portable construction. */
@@ -81,9 +87,9 @@ object Sketches {
       .agg(zp.as("_zp"), present.as("_np"))
     val zint = col("_zp") + (lit(HllM.toLong) - col("_np")) * lit(TwoPowW1)
     val v = lit(HllM.toLong) - col("_np")
-    val eraw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(256.0) * lit(256.0) * lit(TwoPowW1.toDouble) / zint.cast("double")
-    val est = when(eraw <= lit(2.5 * HllM) && v > 0,
+    val eraw = lit(HllAlpha) * lit(HllM.toDouble) * lit(HllM.toDouble) *
+      lit(TwoPowW1.toDouble) / zint.cast("double")
+    val est = when(eraw <= lit(HllSmallRange) && v > 0,
       lit(HllM.toDouble) * log(lit(HllM.toDouble) / v.cast("double")))
       .otherwise(eraw)
     g.select(groupCols.map(col) :+ est.as("hll_est"): _*)

@@ -150,7 +150,12 @@ object Multimodal {
         col("b.phash_cluster").as("cluster_b"),
         col("a.cluster_size").as("size_a"),
         col("b.cluster_size").as("size_b"))
-      .distinct() // distinct patterns never agree on both nibbles; belt only
+      // Load-bearing: a pair within the distance budget can agree on MORE
+      // than one band (e.g. HD=1 flips a single band and matches the other
+      // two), so the band join emits that pair once per agreeing band.
+      // distinct() collapses those multi-band hits to one candidate row —
+      // required for correct output cardinality, not just hygiene.
+      .distinct()
     cand
       .select(col("cluster_a"), col("cluster_b"), col("size_a"),
         col("size_b"),

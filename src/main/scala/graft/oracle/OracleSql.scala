@@ -5711,8 +5711,8 @@ object OracleSql {
        |)
        |SELECT event_type, k AS n_bins, s1 AS n_events,
        |       ${r("CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)")} AS mean_count,
-       |       ${r("CAST(k * s2 - s1 * s1 AS DOUBLE) / CAST(k * (k - 1) AS DOUBLE) / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))")} AS vmr,
-       |       ${r("CAST(k * s2 - s1 * s1 AS DOUBLE) / CAST(k * (k - 1) AS DOUBLE) / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) * CAST(k - 1 AS DOUBLE)")} AS chi2
+       |       ${r("CAST(CAST(k AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)) - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / CAST(k * (k - 1) AS DOUBLE) / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))")} AS vmr,
+       |       ${r("CAST(CAST(k AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)) - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE) / CAST(k * (k - 1) AS DOUBLE) / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) * CAST(k - 1 AS DOUBLE)")} AS chi2
        |FROM agg ORDER BY event_type""".stripMargin
 
   /** Mirrors Analytics.eventsBurst (expr.Burst2): the 2-state Viterbi cost
@@ -5790,24 +5790,29 @@ object OracleSql {
 
   /** zint folds registers as exact BIGINTs (2^(41−rho) per present bucket,
     * 2^41 per empty one) so the single double division is order-free; the
-    * small-range branch mirrors Sketches.hllEstimate verbatim. */
+    * small-range branch mirrors Sketches.hllEstimate verbatim. All m/α/2^w
+    * constants are interpolated from graft.analytics.Sketches so raising
+    * HllP regenerates a consistent oracle (Double.toString round-trips
+    * bit-exactly, so the SQL literal equals the Spark-side lit()). */
   private def hllEstSql(grp: String, src: String = "regs",
-      sfx: String = ""): String =
+      sfx: String = ""): String = {
+    import graft.analytics.Sketches.{HllM, HllWBits, HllAlpha, HllSmallRange, TwoPowW1}
     s"""gz$sfx AS (
        |  SELECT $grp,
-       |         CAST(SUM(CAST(1 AS BIGINT) << (41 - rho)) AS BIGINT) AS zp,
+       |         CAST(SUM(CAST(1 AS BIGINT) << (${HllWBits + 1} - rho)) AS BIGINT) AS zp,
        |         CAST(COUNT(*) AS BIGINT) AS np
        |  FROM $src GROUP BY ALL
        |), ee$sfx AS (
-       |  SELECT $grp, zp + (256 - np) * 2199023255552 AS zint, 256 - np AS v
+       |  SELECT $grp, zp + ($HllM - np) * $TwoPowW1 AS zint, $HllM - np AS v
        |  FROM gz$sfx
        |), est$sfx AS (
        |  SELECT $grp,
-       |         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2199023255552.0 / CAST(zint AS DOUBLE)) <= 640.0 AND v > 0
-       |              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
-       |              ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2199023255552.0 / CAST(zint AS DOUBLE) END AS hll_est
+       |         CASE WHEN (CAST('$HllAlpha' AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST($TwoPowW1 AS DOUBLE) / CAST(zint AS DOUBLE)) <= CAST($HllSmallRange AS DOUBLE) AND v > 0
+       |              THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / CAST(v AS DOUBLE))
+       |              ELSE CAST('$HllAlpha' AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST($TwoPowW1 AS DOUBLE) / CAST(zint AS DOUBLE) END AS hll_est
        |  FROM ee$sfx
        |)""".stripMargin
+  }
 
   /** Mirrors Analytics.aggHll (Sketches.hllRegisters/hllEstimate). */
   val aggHll: String =

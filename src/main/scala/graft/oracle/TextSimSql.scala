@@ -2070,14 +2070,18 @@ object TextSimSql {
     * ord/ascii byte values, the EXACT integer bit rule 64·cell > total,
     * and the same full-hash cluster labels — all-integer, bit-exact by
     * construction. */
-  val multimodalPhash: String = {
+  /** The shared WITH-chain (through the `cl` cluster CTE) that both
+    * multimodalPhash and multimodalPhashNeighbors compose — a named body,
+    * not post-hoc string surgery on the finished query, so reformatting
+    * one query can't silently break the other. */
+  private val phashCtesBody: String = {
     val chunks = (0 until 4).map { k =>
       val lo = 16 * k
       s"""CAST(SUM(CASE WHEN cell >= $lo AND cell <= ${lo + 15} AND bit = 1
          |   THEN (CAST(1 AS BIGINT) << CAST(cell - $lo AS INT))
          |   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h$k""".stripMargin
     }.mkString(",\n         ")
-    s"""WITH src AS (
+    s"""src AS (
        |  SELECT event_id, props, CAST(length(props) AS BIGINT) AS len
        |  FROM events WHERE props IS NOT NULL AND length(props) > 0
        |), ch AS (
@@ -2103,21 +2107,23 @@ object TextSimSql {
        |  SELECT h0, h1, h2, h3, MIN(event_id) AS phash_cluster,
        |         CAST(COUNT(*) AS BIGINT) AS cluster_size
        |  FROM hs GROUP BY 1, 2, 3, 4
-       |)
+       |)""".stripMargin
+  }
+
+  val multimodalPhash: String =
+    s"""WITH $phashCtesBody
        |SELECT hs.event_id, hs.h0, hs.h1, hs.h2, hs.h3,
        |       cl.phash_cluster, cl.cluster_size,
        |       CAST(hs.event_id = cl.phash_cluster AS INT) AS keep
        |FROM hs JOIN cl USING (h0, h1, h2, h3)
        |ORDER BY event_id""".stripMargin
-  }
 
   /** Mirrors TextSim.multimodalPhashNeighbors (Multimodal.phashNeighbors):
     * same cluster table as multimodalPhash, patterns = h0 // 257,
     * 3-band (3+3+2 bit) pigeonhole candidates, xor + bit_count verify at
     * HD ≤ 2. */
-  val multimodalPhashNeighbors: String = {
-    val base = multimodalPhash.split("\\)\\nSELECT")(0)
-    s"""$base), pat AS (
+  val multimodalPhashNeighbors: String =
+    s"""WITH $phashCtesBody, pat AS (
        |  SELECT h0 // 257 AS p, phash_cluster, cluster_size FROM cl
        |), bands AS (
        |  SELECT p, phash_cluster, cluster_size, 0 AS bi, p % 8 AS nib FROM pat
@@ -2139,7 +2145,6 @@ object TextSimSql {
        |FROM cand
        |WHERE bit_count(xor(pa, pb)) <= 2 AND bit_count(xor(pa, pb)) > 0
        |ORDER BY cluster_a, cluster_b""".stripMargin
-  }
 
   val multimodalDedup: String =
     """SELECT event_type AS kind, md5(props) AS payload_md5,

@@ -2332,8 +2332,12 @@ object Analytics {
     * sequence-exploded grid is |types|·|hours|, metadata-sized), then the
     * variance-to-mean ratio and the chi-square dispersion statistic
     * (k−1)·VMR. Counts are exact integers, so mean/variance come from
-    * exact BIGINT power sums — the divisions are the only doubles and they
-    * replay bit-for-bit in the oracle. VMR ≈ 1 is Poisson; > 1 flags
+    * exact power sums: s1/s2 accumulate in BIGINT and the variance
+    * numerator k·s2 − s1² runs in DECIMAL(38,0) so it cannot wrap at any
+    * realistic per-type volume (the remaining bound is Σn² < 2^63, i.e.
+    * ~3e9 events landing in a single hour bin — per-hour, not per-type).
+    * The divisions are the only doubles and they replay bit-for-bit in
+    * the oracle. VMR ≈ 1 is Poisson; > 1 flags
     * clustering/burstiness at the population level (the per-user
     * complement of `events_burst`). */
   def eventsDispersion(s: SparkSession, dir: String): DataFrame = {
@@ -2348,6 +2352,13 @@ object Analytics {
     val dense = grid.join(counts, Seq("event_type", "hb"), "left")
       .select(col("event_type"), col("hb"),
         coalesce(col("n"), lit(0L)).as("n"))
+    // k·s2 and s1² overflow BIGINT past ~3e9 events per type (non-ANSI
+    // Spark would wrap silently where the oracle errors), so the variance
+    // numerator runs in DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) —
+    // exact integer math with ~1e19 headroom, the house power-sum recipe.
+    val d19 = "decimal(19,0)"
+    val varNum = (col("k").cast(d19) * col("s2").cast(d19) -
+      col("s1").cast(d19) * col("s1").cast(d19)).cast("double")
     dense.groupBy("event_type")
       .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
         sum(col("n") * col("n")).as("s2"))
@@ -2356,11 +2367,9 @@ object Analytics {
         col("s1").as("n_events"),
         r6(col("s1").cast("double") / col("k").cast("double"))
           .as("mean_count"),
-        r6((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
-          (col("k") * (col("k") - 1)).cast("double") /
+        r6(varNum / (col("k") * (col("k") - 1)).cast("double") /
           (col("s1").cast("double") / col("k").cast("double"))).as("vmr"),
-        r6((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
-          (col("k") * (col("k") - 1)).cast("double") /
+        r6(varNum / (col("k") * (col("k") - 1)).cast("double") /
           (col("s1").cast("double") / col("k").cast("double")) *
           (col("k") - 1).cast("double")).as("chi2"))
       .orderBy("event_type")

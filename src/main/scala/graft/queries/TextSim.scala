@@ -389,8 +389,9 @@ object TextSim {
   }
 
   /** Per-doc boilerplate density: fraction of a doc's distinct 8-token
-    * windows that are source-level templates (≥30% of the source's docs;
-    * see [[graft.text.Dedup.boilerplate]]). */
+    * windows that are source-level templates (windows appearing in ≥5% of
+    * the source's eligible docs — [[graft.text.Dedup.boilerplate]]'s
+    * default `minFrac = 0.05`, mirrored by the DuckDB oracle). */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame =
     Dedup.boilerplate(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"), col("n_grams"), col("n_tpl_grams"),
