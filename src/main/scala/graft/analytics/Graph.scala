@@ -76,11 +76,27 @@ object Graph {
       damping: Double = PrDamping, tol: Option[Double] = None): DataFrame =
     pageRankWithRounds(edges, iters, damping, tol)._1
 
-  /** [[pageRank]] plus the number of rounds actually run — the observable
-    * the early-exit spec pins (fewer rounds on a fast-converging graph,
-    * output bit-identical to the fixed-round run of the same length). */
+  /** Early-exit tolerance for [[graft.queries.Analytics.graphPagerankDirected]]:
+    * the customer→part graph contracts its L1 rank delta ~0.36×/round
+    * (measured identically at sf0.001/0.01/0.1), so 1.2e-3 sits at the
+    * geometric midpoint of the round-6/round-7 delta gap (2.0e-3 / 7.3e-4)
+    * and the run exits after 7 of the 10 budget rounds at every SF. The
+    * oracle replays the full budget with the same per-round stop test —
+    * post-exit rounds pass ranks through unchanged (exact no-ops), so the
+    * early-exited run and the budget replay agree bit-for-bit (the kcore
+    * fixed-budget pattern, generalized to float recursions). The margin
+    * guard in the query turns a delta landing within 10% of tol (possible
+    * on regenerated testdata; would make the cross-engine stop decision
+    * float-fragile) into a loud failure. */
+  val PrDirectedTol = 1.2e-3
+
+  /** [[pageRank]] plus the number of rounds actually run and the per-round
+    * L1 deltas (tol runs only; one Double per executed round) — the
+    * observables the early-exit spec and the oracle-parity margin guard
+    * pin (fewer rounds on a fast-converging graph, output bit-identical to
+    * the fixed-round run of the same length). */
   private[graft] def pageRankWithRounds(edges: DataFrame, iters: Int = PrIters,
-      damping: Double = PrDamping, tol: Option[Double] = None): (DataFrame, Int) = {
+      damping: Double = PrDamping, tol: Option[Double] = None): (DataFrame, Int, List[Double]) = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — partitioned by src once, reused all rounds
     val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
@@ -99,6 +115,7 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     var round = 0
     var converged = false
+    var deltas = List.empty[Double]
     val dangOpt = if (nDangling == 0L) None else Some(dangling)
     while (round < iters && !converged) {
       val next = prRound(e, zeros, ranks, teleport, damping, n, dangOpt)
@@ -109,12 +126,14 @@ object Graph {
         val row = next
           .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
           .agg(sum(abs(col("rank") - col("_prev")))).head()
-        converged = !row.isNullAt(0) && row.getDouble(0) <= t
+        val d = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+        deltas ::= d
+        converged = d <= t
       }
       ranks = next
       round += 1
     }
-    (ranks, round)
+    (ranks, round, deltas.reverse)
   }
 
   /** One damped PageRank round. Exposed pre-checkpoint so PlanSpec can
@@ -442,7 +461,23 @@ object Graph {
     * 1-row aggregate crossJoined back (broadcast), never a per-round
     * driver action. Scores are localCheckpoint'ed per round to truncate
     * lineage. */
-  def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
+  /** Early-exit tolerance for [[graft.queries.Analytics.graphHits]]: the
+    * customer→part HITS recursion contracts its hub L1 delta ~0.1×/round
+    * (measured at all three SFs), so 2e-5 sits inside the round-4/round-5
+    * gap (3.1e-5 / 6.0e-6 at the tightest SF) and the run exits after 5 of
+    * the 8 budget rounds. Oracle parity is the same budget-replay
+    * pass-through as [[PrDirectedTol]]; the query's margin guard makes a
+    * near-tol delta loud. */
+  val HitsTol = 2e-5
+
+  def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame =
+    hitsWithRounds(edges, iters, None)._1
+
+  /** [[hits]] plus rounds run and per-round hub L1 deltas (tol runs only)
+    * — the stop test is on the hub side of each full round, matching the
+    * oracle replay's per-round pass-through condition. */
+  private[graft] def hitsWithRounds(edges: DataFrame, iters: Int = HitsIters,
+      tol: Option[Double] = None): (DataFrame, Int, List[Double]) = {
     val e = edges.repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
@@ -466,16 +501,30 @@ object Graph {
     }
     var hub = nodes.select(col("node"), lit(1.0 / n).as("hub"))
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    var round = 0
+    var converged = false
+    var deltas = List.empty[Double]
+    while (round < iters && !converged) {
       auth = half(hub, "hub", "src", "dst", "auth").localCheckpoint()
-      hub = half(auth, "auth", "dst", "src", "hub").localCheckpoint()
+      val nextHub = half(auth, "auth", "dst", "src", "hub").localCheckpoint()
+      tol.foreach { t =>
+        val row = nextHub
+          .join(hub.select(col("node"), col("hub").as("_prev")), "node")
+          .agg(sum(abs(col("hub") - col("_prev")))).head()
+        val d = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+        deltas ::= d
+        converged = d <= t
+      }
+      hub = nextHub
+      round += 1
     }
-    nodes
+    val out = nodes
       .join(hub, Seq("node"), "left")
       .join(auth, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
+    (out, round, deltas.reverse)
   }
 
   /** The customer→part endorsement graph: a genuinely DIRECTED edge per

@@ -2830,15 +2830,29 @@ object OracleSql {
     val d = graft.analytics.Graph.PrDamping
     val t = 1.0 - graft.analytics.Graph.PrDamping
     val iters = graft.analytics.Graph.PrIters
+    val tol = graft.analytics.Graph.PrDirectedTol
+    // Budget replay with the same early-exit test the Spark run applies:
+    // st$k is the stop flag BEFORE round k (L1 delta of round k−1 vs its
+    // prev column ≤ tol; NULL prev on r0 → never stop before round 1).
+    // A stopped round copies ranks forward unchanged — an exact no-op, so
+    // the fixed budget lands bit-for-bit on the early-exited run's ranks
+    // at any SF. The Spark side's margin guard keeps the stop decision out
+    // of float-noise range of tol.
     val rks = (1 to iters).map { k =>
-      s"""dm$k AS (
+      s"""st$k AS (
+         |  SELECT COALESCE(SUM(ABS(rank - prev)) <= CAST('$tol' AS DOUBLE), FALSE) AS stop
+         |  FROM r${k - 1}
+         |), dm$k AS (
          |  SELECT COALESCE(SUM(r.rank), 0.0) AS m
          |  FROM r${k - 1} r JOIN dangling g ON g.node = r.node
-         |), r$k AS (
+         |), r$k AS MATERIALIZED (
          |  SELECT nodes.node,
-         |         CAST($t AS DOUBLE) / nn.n
-         |           + $d * (COALESCE(c.s, 0.0) + dm$k.m / nn.n) AS rank
-         |  FROM nodes CROSS JOIN nn CROSS JOIN dm$k
+         |         CASE WHEN st$k.stop THEN p.rank
+         |              ELSE CAST($t AS DOUBLE) / nn.n
+         |                + $d * (COALESCE(c.s, 0.0) + dm$k.m / nn.n) END AS rank,
+         |         p.rank AS prev
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dm$k CROSS JOIN st$k
+         |  JOIN r${k - 1} p ON p.node = nodes.node
          |  LEFT JOIN (
          |    SELECT e.dst AS node, SUM(r.rank / e.outdeg) AS s
          |    FROM ew e JOIN r${k - 1} r ON r.node = e.src
@@ -2862,7 +2876,9 @@ object OracleSql {
        |), nn AS (
        |  SELECT COUNT(*) AS n FROM nodes
        |), r0 AS (
-       |  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+       |  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank,
+       |         CAST(NULL AS DOUBLE) AS prev
+       |  FROM nodes CROSS JOIN nn
        |),
        |$rks
        |SELECT node, ${r("rank")} AS rank FROM r$iters ORDER BY node""".stripMargin
@@ -3546,21 +3562,33 @@ object OracleSql {
     * 6-decimal floor rounding. */
   val graphHits: String = {
     val iters = graft.analytics.Graph.HitsIters
+    val tol = graft.analytics.Graph.HitsTol
     // every per-round CTE is MATERIALIZED and the L1 scalar is a 1-row
     // CROSS JOIN (not a scalar subquery): each round references its
     // predecessor twice, and DuckDB inlines plain CTEs per reference —
     // un-materialized, the replay re-executes the whole chain 2^(2·iters)
-    // times (measured: minutes of CPU at 8 rounds vs milliseconds here)
+    // times (measured: minutes of CPU at 8 rounds vs milliseconds here).
+    // st$k replays the Spark run's early-exit test (hub L1 delta of the
+    // previous round ≤ tol; hn0's NULL phub → never stop before round 1):
+    // a stopped round copies hub AND auth forward unchanged — exact no-ops
+    // — so the fixed budget lands on the early-exited run's scores at any
+    // SF, margin-guarded on the Spark side.
     val steps = (1 to iters).map { k =>
-      s"""ar$k AS MATERIALIZED (
+      s"""st$k AS (
+         |  SELECT COALESCE(SUM(ABS(hub - phub)) <= CAST('$tol' AS DOUBLE), FALSE) AS stop
+         |  FROM hn${k - 1}
+         |), ar$k AS MATERIALIZED (
          |  SELECT nodes.node, COALESCE(c.s, 0.0) AS raw
          |  FROM nodes LEFT JOIN (
          |    SELECT e.dst AS node, SUM(h.hub) AS s
          |    FROM ed e JOIN hn${k - 1} h ON h.node = e.src GROUP BY 1
          |  ) c ON c.node = nodes.node
          |), an$k AS MATERIALIZED (
-         |  SELECT node, raw / t.s AS auth
+         |  SELECT ar$k.node,
+         |         CASE WHEN st$k.stop THEN pa.auth ELSE raw / t.s END AS auth
          |  FROM ar$k CROSS JOIN (SELECT SUM(raw) AS s FROM ar$k) t
+         |  CROSS JOIN st$k
+         |  JOIN an${k - 1} pa ON pa.node = ar$k.node
          |), hr$k AS MATERIALIZED (
          |  SELECT nodes.node, COALESCE(c.s, 0.0) AS raw
          |  FROM nodes LEFT JOIN (
@@ -3568,8 +3596,12 @@ object OracleSql {
          |    FROM ed e JOIN an$k a ON a.node = e.dst GROUP BY 1
          |  ) c ON c.node = nodes.node
          |), hn$k AS MATERIALIZED (
-         |  SELECT node, raw / t.s AS hub
+         |  SELECT hr$k.node,
+         |         CASE WHEN st$k.stop THEN p.hub ELSE raw / t.s END AS hub,
+         |         p.hub AS phub
          |  FROM hr$k CROSS JOIN (SELECT SUM(raw) AS s FROM hr$k) t
+         |  CROSS JOIN st$k
+         |  JOIN hn${k - 1} p ON p.node = hr$k.node
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH ed AS MATERIALIZED (
@@ -3579,7 +3611,11 @@ object OracleSql {
        |), nodes AS MATERIALIZED (
        |  SELECT src AS node FROM ed UNION SELECT dst FROM ed
        |), hn0 AS (
-       |  SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS hub FROM nodes
+       |  SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS hub,
+       |         CAST(NULL AS DOUBLE) AS phub
+       |  FROM nodes
+       |), an0 AS (
+       |  SELECT node, CAST(NULL AS DOUBLE) AS auth FROM nodes
        |),
        |$steps
        |SELECT nodes.node, ${r("h.hub")} AS hub, ${r("a.auth")} AS auth

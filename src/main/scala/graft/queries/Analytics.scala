@@ -10,6 +10,30 @@ import Core.{r4, r6}
   * SURVEY.md §7.6). */
 object Analytics {
 
+  /** Guard for the adaptive-round graph queries ([[graphPagerankDirected]],
+    * [[graphHits]]): the oracle replays a fixed budget whose post-exit
+    * rounds pass scores through unchanged, so cross-engine parity needs
+    * both engines to take the SAME exit round — safe only while every
+    * measured delta clears tol by a margin (float-sum order differs
+    * ~1e-15 relative between engines; 10% is overkill on purpose). A delta
+    * inside the margin band (possible on regenerated testdata) fails here,
+    * loudly, instead of as a silent hash mismatch. */
+  private def requireCleanExit(name: String, rounds: Int, budget: Int,
+      deltas: List[Double], tol: Double): Unit = {
+    if (rounds < budget) {
+      val last = deltas(rounds - 1)
+      require(last <= tol * 0.9,
+        s"$name: exit-round delta $last is within 10% of tol $tol — " +
+          "cross-engine stop-round parity is float-fragile; move the tol")
+      if (rounds >= 2) {
+        val prev = deltas(rounds - 2)
+        require(prev >= tol * 1.1,
+          s"$name: pre-exit delta $prev is within 10% of tol $tol — " +
+            "cross-engine stop-round parity is float-fragile; move the tol")
+      }
+    }
+  }
+
   /** Star-schema revenue rollup: broadcast dims, one fact shuffle. */
   def joinStar(s: SparkSession, dir: String): DataFrame = {
     val df = Relational.starRevenue(
@@ -32,11 +56,20 @@ object Analytics {
     * exercises the src∪dst node set and the per-round dangling-mass
     * redistribution end-to-end against the oracle's chained-CTE replay
     * (which recomputes D_i/N per round in SQL — cross-engine sum-order
-    * drift stays orders below the 6-decimal floor rounding). */
-  def graphPagerankDirected(s: SparkSession, dir: String): DataFrame =
-    Graph.pageRank(Graph.customerPartEdges(s, dir))
+    * drift stays orders below the 6-decimal floor rounding). Runs with the
+    * [[graft.analytics.Graph.PrDirectedTol]] early exit (7 of the 10
+    * budget rounds on this fast-contracting graph); the oracle replays the
+    * full budget with pass-through post-exit rounds, and
+    * [[requireCleanExit]] makes a margin-violating delta loud. */
+  def graphPagerankDirected(s: SparkSession, dir: String): DataFrame = {
+    val (ranks, rounds, deltas) = Graph.pageRankWithRounds(
+      Graph.customerPartEdges(s, dir), tol = Some(Graph.PrDirectedTol))
+    requireCleanExit("graphPagerankDirected", rounds, Graph.PrIters, deltas,
+      Graph.PrDirectedTol)
+    ranks
       .select(col("node"), r6(col("rank")).as("rank"))
       .orderBy("node")
+  }
 
   /** Per-part triangle participation over the order co-purchase graph —
     * the local clustering signal behind "bought-together" bundles (see
@@ -160,11 +193,19 @@ object Analytics {
     * authorities (parts have no out-edges, so their hub score is exactly 0
     * — and symmetrically customer authority). L1 normalization per
     * half-step keeps the oracle replay a plain sum-and-divide per CTE; see
-    * [[graft.analytics.Graph.hits]]. */
-  def graphHits(s: SparkSession, dir: String): DataFrame =
-    Graph.hits(Graph.customerPartEdges(s, dir))
+    * [[graft.analytics.Graph.hits]]. Runs with the
+    * [[graft.analytics.Graph.HitsTol]] early exit (5 of the 8 budget
+    * rounds — HITS contracts ~0.1×/round here); oracle parity and the
+    * margin guard as in [[graphPagerankDirected]]. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val (scores, rounds, deltas) = Graph.hitsWithRounds(
+      Graph.customerPartEdges(s, dir), tol = Some(Graph.HitsTol))
+    requireCleanExit("graphHits", rounds, Graph.HitsIters, deltas,
+      Graph.HitsTol)
+    scores
       .select(col("node"), r6(col("hub")).as("hub"), r6(col("auth")).as("auth"))
       .orderBy("node")
+  }
 
   /** Personalized PageRank from the BUILDING-segment customers over the
     * directed customer→part graph — "which parts does this segment's

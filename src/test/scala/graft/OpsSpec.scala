@@ -1657,7 +1657,7 @@ class OpsSpec extends SparkSpec {
     val nodes4 = Seq("a", "b", "c", "d")
     val edges = (for { u <- nodes4; v <- nodes4 if u != v } yield (u, v))
       .toDF("src", "dst")
-    val (ranks, rounds) = graft.analytics.Graph.pageRankWithRounds(
+    val (ranks, rounds, _) = graft.analytics.Graph.pageRankWithRounds(
       edges, iters = 50, tol = Some(1e-12))
     assert(rounds < 50, s"expected early exit on K4, ran all $rounds rounds")
     // bit-identical to running exactly that many fixed rounds
@@ -3463,5 +3463,23 @@ class OpsSpec extends SparkSpec {
     // each L1-normalized side sums to exactly 1 (up to float-sum noise)
     assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("hits: tol early exit stops in fewer rounds, bit-identical to the fixed run of that length") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("c1", "p1"), ("c1", "p2"), ("c2", "p1")).toDF("src", "dst")
+    val (scores, rounds, deltas) = graft.analytics.Graph.hitsWithRounds(
+      edges, iters = 50, tol = Some(1e-10))
+    assert(rounds < 50, s"expected early exit, ran all $rounds rounds")
+    assert(deltas.length == rounds && deltas.last <= 1e-10)
+    assert(deltas.dropRight(1).forall(_ > 1e-10), "stopped at the FIRST delta <= tol")
+    val fixed = graft.analytics.Graph.hits(edges, iters = rounds)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    scores.collect().foreach { r =>
+      assert(r.getDouble(1) == fixed(r.getString(0))._1 &&
+        r.getDouble(2) == fixed(r.getString(0))._2,
+        s"node ${r.getString(0)}: early-exit scores differ from fixed-$rounds run")
+    }
   }
 }
