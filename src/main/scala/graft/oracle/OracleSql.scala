@@ -4029,6 +4029,57 @@ object OracleSql {
       |  AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Mirrors Analytics.q17SmallQuantity: the decorrelated per-part average
+    * (exact — l_quantity is integer-valued, so the double sum is
+    * order-free) probed back into the brand-scoped lineitem set; COUNT/SUM
+    * per part, LEFT JOIN keeps zero-small parts. */
+  val q17SmallQuantity: String =
+    s"""WITH pq AS (
+       |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+       |), sc AS MATERIALIZED (
+       |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+       |  FROM lineitem l JOIN pq ON pq.p_partkey = l.l_partkey
+       |), thr AS MATERIALIZED (
+       |  SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM sc GROUP BY 1
+       |), sm AS (
+       |  SELECT s.l_partkey, CAST(COUNT(*) AS BIGINT) AS n_small,
+       |         CAST(SUM(CAST(floor(s.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM sc s JOIN thr t ON t.l_partkey = s.l_partkey
+       |  WHERE s.l_quantity < 0.2 * t.avg_qty
+       |  GROUP BY 1
+       |)
+       |SELECT t.l_partkey AS p_partkey, ${r("t.avg_qty")} AS avg_qty,
+       |       CAST(COALESCE(sm.n_small, 0) AS BIGINT) AS n_small,
+       |       ${r("CAST(COALESCE(sm.cents, 0) AS DOUBLE) / 100.0")} AS small_revenue
+       |FROM thr t LEFT JOIN sm ON sm.l_partkey = t.l_partkey
+       |ORDER BY p_partkey""".stripMargin
+
+  /** Mirrors Analytics.q20ExcessStock: one conditional aggregate per
+    * (supplier, part) pair over the name-scoped lineitem, the exact
+    * half-total threshold (integer-valued quantities), then the
+    * per-supplier collapse joined to supplier/nation. */
+  val q20ExcessStock: String =
+    s"""WITH pq AS (
+       |  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+       |), pairs AS (
+       |  SELECT l.l_suppkey, l.l_partkey,
+       |         SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+       |                   AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+       |                  THEN l.l_quantity ELSE 0.0 END) AS qty_year,
+       |         SUM(l.l_quantity) AS qty_total
+       |  FROM lineitem l JOIN pq ON pq.p_partkey = l.l_partkey
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+       |  FROM pairs WHERE qty_year > 0.5 * qty_total
+       |  GROUP BY 1
+       |)
+       |SELECT s.s_suppkey, s.s_name, n.n_name, ex.n_excess_parts
+       |FROM ex
+       |JOIN supplier s ON s.s_suppkey = ex.l_suppkey
+       |JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |ORDER BY s.s_suppkey""".stripMargin
+
   val q3Shipping: String =
     s"""SELECT l.l_orderkey, o.o_orderdate,
       |       ${r4("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue

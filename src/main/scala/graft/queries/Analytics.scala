@@ -354,6 +354,96 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q17-style small-quantity revenue: the classic CORRELATED SCALAR
+    * SUBQUERY (each lineitem row compares against 0.2× its part's average
+    * quantity), decorrelated the way a 100 TB plan must run it — never a
+    * per-row subquery. The brand's part keys broadcast into both lineitem
+    * passes (scoping every scan to ~5% of parts), pass one builds the
+    * per-part average as a partial+final hash aggregate (a brand-sized
+    * table), and pass two probes that aggregate back into the scoped scan
+    * as a broadcast join — zero fact-table shuffles end to end (above
+    * broadcast size the threshold table degrades to one co-partitioned
+    * shuffle join on l_partkey, still never row-at-a-time). The threshold
+    * itself is cross-engine exact: l_quantity is integer-valued, so the
+    * per-part sum is order-free in doubles and avg replays bit-for-bit.
+    * Per-part output (avg, small-row count, exact-cent revenue — the
+    * integer-cents power-sum recipe, since a float revenue sum lands on
+    * .50 rounding boundaries at sf0.1) rather than Q17's single scalar,
+    * so the oracle checks every group. */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val pq = Tables.part(s, dir).filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    val scoped = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    // persisted: thr feeds BOTH the broadcast probe and the final left
+    // join — without it the plan re-scans lineitem a third time for the
+    // same brand-sized aggregate
+    val thr = scoped.groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .persist()
+    // revenue folds as EXACT integer cents (floor(x·100 + 0.5) per row —
+    // the house power-sum recipe): a float sum here lands on .50 whole-
+    // dollar boundaries at sf0.1 and the engines' sum orders disagree
+    val small = scoped.join(broadcast(thr), Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("_cents"))
+    thr.join(small, Seq("l_partkey"), "left")
+      .select(col("l_partkey").as("p_partkey"),
+        r6(col("avg_qty")).as("avg_qty"),
+        coalesce(col("n_small"), lit(0L)).as("n_small"),
+        r6(coalesce(col("_cents"), lit(0L)).cast("double") / lit(100.0))
+          .as("small_revenue"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q20-style excess-stock suppliers: the SEMI JOIN THROUGH A
+    * CORRELATED AGGREGATE THRESHOLD — suppliers (with their nation) that
+    * shipped, for at least one 'small…' part, more than half of that
+    * (supplier, part) pair's all-time quantity inside year 2000 (the
+    * "stock committed to one year" signal; the testdata has no partsupp
+    * table, so the correlated availqty aggregate becomes the pair's
+    * all-time shipped total). Decorrelation shape: the year-window sum and
+    * the all-time sum fold into ONE conditional aggregate over the
+    * name-scoped scan (the part filter broadcasts into the only fact
+    * shuffle — groupBy (l_suppkey, l_partkey)), the threshold filter is a
+    * row-local comparison on that aggregate (exact: quantities are
+    * integer-valued doubles), and the surviving pairs collapse to a
+    * per-supplier count that joins the supplier/nation dims broadcast —
+    * no cartesian anywhere, one fact shuffle end to end, never a per-row
+    * subquery. */
+  def q20ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    val pq = Tables.part(s, dir).filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val y0 = lit("2000-01-01").cast("timestamp")
+    val y1 = lit("2001-01-01").cast("timestamp")
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"),
+        col("l_shipdate"))
+      .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(col("l_shipdate") >= y0 && col("l_shipdate") < y1,
+          col("l_quantity")).otherwise(lit(0.0))).as("qty_year"),
+        sum(col("l_quantity")).as("qty_total"))
+      .filter(col("qty_year") > lit(0.5) * col("qty_total"))
+    val perSupp = pairs.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"))
+    val su = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    perSupp
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_excess_parts"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q1-style pricing summary: multi-aggregate rollup per
     * (returnflag, linestatus) — partial+final hash agg, no join. */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =

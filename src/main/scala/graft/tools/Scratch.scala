@@ -118,3 +118,12 @@ object Scratch {
     }
   }
 }
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val s = graft.GraftSession.local()
+    args.drop(1).foreach { q =>
+      println(s"===== $q =====")
+      graft.SparkEntry.queries(q)(s, args(0)).explain("formatted")
+    }
+  }
+}
