@@ -140,6 +140,15 @@ object Streams {
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   case class SessState(lastTs: Long, sessions: Long, events: Long)
+  /** One CLOSED session — the row shape of the batch
+    * [[graft.analytics.Relational.sessionize]] twin. */
+  case class SessionRow(user_id: Long, session_idx: Long, n_events: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+  /** Per-user sessionization state: the open session (if any) plus the
+    * session counter, which survives session flushes so `session_idx`
+    * keeps counting exactly like the batch cumulative-sum index. */
+  case class SessOpenState(open: Boolean, startUs: Long, endUs: Long,
+    n: Long, idx: Long)
 
   /** Stream-stream interval self-join: each purchase matched to the same
     * user's error events in the preceding hour. Both sides carry watermarks
@@ -817,8 +826,70 @@ object Streams {
   /** Stateful gap-sessionization: per user, count sessions split on >30 min
     * gaps. Demonstrates flatMapGroupsWithState with explicit state; events
     * within a micro-batch are sorted in the group function (streaming
-    * iterators are unordered). A production variant would use event-time
-    * timeout to emit closed sessions incrementally. */
+    * iterators are unordered). [[streamingSessionize]] is the per-session
+    * variant: event-time timeout emits each closed session incrementally. */
+  /** Streaming twin of the batch [[graft.analytics.Relational.sessionize]]:
+    * per user, gap-split sessions emitted as CLOSED rows in Append mode —
+    * by the successor event that breaks the gap, or by EVENT-TIME TIMEOUT
+    * once the watermark passes session_end + gap (no in-order event can
+    * extend the session past that point, so the flush is safe, and a
+    * later-than-watermark straggler would be dropped by the same watermark
+    * on the input side — the two rules agree by construction). State is
+    * one open session + the per-user session counter; the counter survives
+    * flushes so `session_idx` matches the batch cumulative-sum index row
+    * for row. At 100 TB the counter state is one row per user — TTL it
+    * with a second timeout horizon if the user universe is unbounded.
+    * Ordering contract within/across micro-batches as [[streamingRsi]]. */
+  def streamingSessionize(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessOpenState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state: GroupState[SessOpenState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          def toTs(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
+          }
+          if (!it.hasNext) {
+            // timeout: watermark passed session_end + gap — flush the open
+            // session, keep the counter for the user's next session
+            val st = state.get
+            state.update(st.copy(open = false))
+            if (st.open)
+              Iterator(SessionRow(uid, st.idx, st.n, toTs(st.startUs), toTs(st.endUs)))
+            else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(SessOpenState(
+              open = false, 0L, 0L, 0L, 0L))
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionRow]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (st.open && t - st.endUs > gapUs) {
+                closed += SessionRow(uid, st.idx, st.n, toTs(st.startUs), toTs(st.endUs))
+                st = SessOpenState(open = true, t, t, 1L, st.idx + 1)
+              } else if (st.open) {
+                st = st.copy(endUs = t, n = st.n + 1)
+              } else {
+                st = SessOpenState(open = true, t, t, 1L, st.idx + 1)
+              }
+            }
+            state.update(st)
+            // fires strictly after the last µs that could extend the session
+            state.setTimeoutTimestamp(
+              Math.floorDiv(st.endUs + gapUs, 1000L) + 1L)
+            closed.iterator
+          }
+      }
+  }
+
   def sessionCounts(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L

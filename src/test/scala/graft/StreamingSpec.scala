@@ -12,6 +12,36 @@ class StreamingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Stage the events as 3 time-ordered parquet files with increasing
+    * mtimes so the file source replays them as 3 separate micro-batches;
+    * cached per source file + mtime so regenerated fixtures invalidate. */
+  private def timeSplitDir(): java.nio.file.Path = {
+    val srcFile = java.nio.file.Paths.get(dir, "events.parquet")
+    val cacheKey = Integer.toHexString(
+      (srcFile.toString + java.nio.file.Files.getLastModifiedTime(srcFile)).hashCode)
+    val splitDir = java.nio.file.Paths.get("/tmp", s"graft-stream-split-$cacheKey")
+    if (!java.nio.file.Files.exists(splitDir.resolve("2.parquet"))) {
+      java.nio.file.Files.createDirectories(splitDir)
+      val raw = spark.read.parquet(s"$dir/events.parquet") // ts stays as stored (NTZ)
+        .orderBy("ts", "event_id").collect()
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val thirds = raw.grouped((raw.length + 2) / 3).toSeq
+      thirds.zipWithIndex.foreach { case (rows, i) =>
+        val part = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        val tmp = s"$splitDir/stage_$i"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = splitDir.resolve(s"$i.parquet")
+        java.nio.file.Files.move(f.toPath, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        target.toFile.setLastModified(1000000L * (i + 1))
+      }
+    }
+    splitDir
+  }
+
   test("streaming tumbling window counts equal the batch window aggregation") {
     val stream = Streams.tumblingCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_tumbling")
@@ -225,33 +255,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming RSI state carries across micro-batches (time-split files)") {
-    // stage the events as 3 time-ordered files with increasing mtimes so the
-    // file source replays them as 3 separate micro-batches
-    // key the staging dir to the source path + its mtime so regenerated
-    // fixtures invalidate the cache instead of replaying stale files
-    val srcFile = java.nio.file.Paths.get(dir, "events.parquet")
-    val cacheKey = Integer.toHexString(
-      (srcFile.toString + java.nio.file.Files.getLastModifiedTime(srcFile)).hashCode)
-    val splitDir = java.nio.file.Paths.get("/tmp", s"graft-stream-split-$cacheKey")
-    if (!java.nio.file.Files.exists(splitDir.resolve("2.parquet"))) {
-      java.nio.file.Files.createDirectories(splitDir)
-      val raw = spark.read.parquet(s"$dir/events.parquet") // ts stays as stored (NTZ)
-        .orderBy("ts", "event_id").collect()
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      val thirds = raw.grouped((raw.length + 2) / 3).toSeq
-      thirds.zipWithIndex.foreach { case (rows, i) =>
-        val part = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
-        val tmp = s"$splitDir/stage_$i"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val f = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val target = splitDir.resolve(s"$i.parquet")
-        java.nio.file.Files.move(f.toPath, target,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        target.toFile.setLastModified(1000000L * (i + 1))
-      }
-    }
+    val splitDir = timeSplitDir()
     val stream = Streams.streamingRsi(Streams.tickStream(
       Streams.readEventStreamFrom(spark, splitDir.toString, Some(1))))
     val q = stream.writeStream.format("memory").queryName("stream_rsi_mb")
@@ -514,6 +518,52 @@ class StreamingSpec extends SparkSpec {
         col("g.n_events") =!= col("w.n_events"))
     assert(got.count() == want.count())
     assert(joined.count() == 0, "streaming and batch session counts diverge")
+  }
+
+  test("streaming sessionize emits each closed batch session exactly once, incl. watermark-expiry flush") {
+    val splitDir = timeSplitDir()
+    val stream = Streams.streamingSessionize(
+      Streams.readEventStreamFrom(spark, splitDir.toString, Some(1)))
+    val q = stream.writeStream.format("memory").queryName("stream_sessionize")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected >= 3 non-empty micro-batches")
+    val gapUs = 30L * 60L * 1000000L
+    val delayMs = 3600000L // streamingSessionize's default 1 h watermark
+    // the expected emission set, from the batch twin: a session flushes if
+    // a successor event closed it (any batch), or by event-time timeout —
+    // state written in batch <= 2 whose (end + gap) timeout precedes the
+    // watermark at batch 3's start (max event time of files 0+1 − delay);
+    // sessions whose last event is in file 2 have no later batch to flush.
+    val batch = Relational.sessionize(graft.source.Bars.readEvents(spark, dir))
+      .withColumn("_end_us", unix_micros(col("session_end")))
+      .withColumn("_last_idx",
+        max(col("session_idx")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+    // AvailableNow runs a final no-data micro-batch after the last file,
+    // so timeouts are evaluated one last time against the FINAL watermark
+    // (max event time over the whole replay − delay)
+    val maxUsAll = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    val wmFinalMs = Math.floorDiv(maxUsAll, 1000L) - delayMs
+    val cols = Seq("user_id", "session_idx", "n_events",
+      "session_start", "session_end")
+    val want = batch.filter(
+      col("session_idx") < col("_last_idx") || // closed by a successor event
+        (floor((col("_end_us") + lit(gapUs)) / 1000L) + 1L) < lit(wmFinalMs))
+      .select(cols.map(col): _*)
+    val got = spark.table("stream_sessionize").select(cols.map(col): _*)
+    assert(got.count() > 0, "no sessions emitted")
+    // at least one session must have flushed by TIMEOUT (a user-last
+    // session with no successor event) — the expiry path under test
+    val timeoutFlushed = got.join(
+      batch.filter(col("session_idx") === col("_last_idx"))
+        .select("user_id", "session_idx"),
+      Seq("user_id", "session_idx"))
+    assert(timeoutFlushed.count() > 0, "no watermark-expiry session flush observed")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"streaming sessions diverge from the batch twin: got ${got.count()} want ${want.count()}")
   }
 
   test("streaming GARCH equals the batch feat_garch row for row") {
