@@ -1346,17 +1346,44 @@ object TextSimSql {
        |FROM a2 WHERE crank = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared IVF assignment over TRAINED centroids (mirrors
+    * Similarity.ivfAssign → kmeansCentroids: first-16 seed, ONE Lloyd
+    * update with the sequential-fold means, then the final assignment) —
+    * the same chain as [[simKmeans]] at k = 16, CTE names prefixed `iv`
+    * to keep the PQ training chain's s1/a1/… namespace free. */
   private val ivfCte: String =
-    s"""$embCte, c AS (
+    s"""$embCte, ivc0 AS (
        |  SELECT vec_id AS cent_id, v AS cv, nv AS nc FROM e WHERE vec_id < 16
-       |), a0 AS (
-       |  SELECT e.vec_id, v, nv, cent_id, ${cosP("cv", "v", "nc", "nv")} AS ccos FROM e, c
-       |), a1 AS (
+       |), ivs1 AS (
+       |  SELECT e.vec_id, e.v, e.nv, cent_id, ${cosP("v", "cv", "nv", "nc")} AS ccos
+       |  FROM e CROSS JOIN ivc0
+       |), iva1 AS (
+       |  SELECT vec_id, v, cent_id AS cluster,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+       |  FROM ivs1
+       |), ivb1 AS (
+       |  SELECT vec_id, v, cluster FROM iva1 WHERE crank = 1
+       |), ivx1 AS (
+       |  SELECT cluster, vec_id, i - 1 AS idx, v[i] AS x
+       |  FROM ivb1, UNNEST(range(1, len(v) + 1)) u(i)
+       |), ivm1 AS (
+       |  SELECT cluster, idx,
+       |         list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS m
+       |  FROM ivx1 GROUP BY cluster, idx
+       |), ivc1 AS (
+       |  SELECT cluster AS cent_id, list(m ORDER BY idx) AS cv
+       |  FROM ivm1 GROUP BY cluster
+       |), ivc1n AS MATERIALIZED (
+       |  SELECT cent_id, cv, sqrt(${dot("cv", "cv")}) AS nc FROM ivc1
+       |), ivs2 AS (
+       |  SELECT e.vec_id, e.v, e.nv, cent_id, ${cosP("v", "cv", "nv", "nc")} AS ccos
+       |  FROM e CROSS JOIN ivc1n
+       |), iva2 AS (
        |  SELECT vec_id, v, nv, cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
-       |  FROM a0
-       |), asg AS (
-       |  SELECT vec_id, v, nv, cent_id AS bucket FROM a1 WHERE crank = 1
+       |  FROM ivs2
+       |), asg AS MATERIALIZED (
+       |  SELECT vec_id, v, nv, cent_id AS bucket FROM iva2 WHERE crank = 1
        |)""".stripMargin
 
   val simAnnIvf: String =

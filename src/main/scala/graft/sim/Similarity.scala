@@ -101,18 +101,18 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
-  /** Coarse IVF assignment: nearest of the first `numCentroids` vectors
-    * (deterministic stand-in for trained centroids). Output keeps the
-    * per-vector norm for downstream pair scoring. */
+  /** Coarse IVF assignment: nearest of the TRAINED k-means centroids
+    * ([[kmeansCentroids]] — first-`numCentroids` seed, one Lloyd update,
+    * deterministic and oracle-replayable; see [[kmeans]] for the
+    * bit-portability contract). Output keeps the per-vector norm for
+    * downstream pair scoring. The assignment is the same map-side
+    * struct-max as the k-means rounds — the shuffle carries n partial
+    * maxima, never the n·k scored rows. */
   def ivfAssign(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
-    val cents = withNorm(embeddings.filter(col("vec_id") < numCentroids), "cent_id", "c", "nc")
+    val cents = kmeansCentroids(embeddings, k = numCentroids)
     val vecs = withNorm(embeddings, "vec_id", "v", "nv")
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosPre("c", "v", "nc", "nv"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nv"), col("cent_id").as("bucket"))
+    kmeansAssign(vecs, cents)
+      .select(col("vec_id"), col("v"), col("nv"), col("cluster").as("bucket"))
   }
 
   /** ANN top-k: probes search only their own IVF bucket. */
@@ -260,36 +260,67 @@ object Similarity {
       iters: Int = KmeansIters): DataFrame = {
     require(k > 0 && iters > 0, s"kmeans: need k > 0, iters > 0 (got $k, $iters)")
     val vecs = withNorm(embeddings, "vec_id", "v", "nv")
-    var cents = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+    var cents = kmeansSeeds(vecs, k)
     var assigned: DataFrame = null
     for (round <- 1 to iters) {
-      assigned = vecs.crossJoin(broadcast(cents))
-        .withColumn("ccos", cosPre("v", "cv", "nv", "nc"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("ccos"), (-col("cent_id")).as("_nid"),
-          col("cent_id"), col("v"))).as("_b"))
-        .select(col("vec_id"), col("_b.v").as("v"),
-          col("_b.cent_id").as("cluster"), col("_b.ccos").as("ccos"))
-        .localCheckpoint()
-      if (round < iters) {
-        val comps = assigned
-          .select(col("cluster"), col("vec_id"),
-            posexplode(col("v")).as(Seq("idx", "x")))
-          .groupBy("cluster", "idx")
-          .agg(count(lit(1)).as("cnt"),
-            array_sort(collect_list(struct(col("vec_id"), col("x")))).as("s"))
-          .select(col("cluster"), col("idx"),
-            (expr("aggregate(s, 0D, (acc, e) -> acc + e.x)") /
-              col("cnt")).as("m"))
-        cents = comps.groupBy("cluster")
-          .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("s"))
-          .select(col("cluster").as("cent_id"),
-            expr("transform(s, e -> e.m)").as("cv"))
-          .withColumn("nc", sqrt(dot("cv", "cv")))
-      }
+      assigned = kmeansAssign(vecs, cents)
+      if (round < iters) cents = kmeansUpdate(assigned)
     }
     assigned.select(col("vec_id"), col("cluster"), col("ccos").as("cos"))
+  }
+
+  /** TRAINED centroids only — the loop of [[kmeans]] stopped after its
+    * last centroid update ((iters−1) Lloyd updates from the first-`k`
+    * seed), checkpointed for reuse across every downstream assignment.
+    * This is what [[ivfAssign]] buckets against: real cluster centers
+    * instead of the first-N-vectors stand-in, same determinism contract
+    * (the oracle replays the identical training chain). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame = {
+    require(k > 0 && iters > 0, s"kmeansCentroids: need k > 0, iters > 0 (got $k, $iters)")
+    val vecs = withNorm(embeddings, "vec_id", "v", "nv")
+    var cents = kmeansSeeds(vecs, k)
+    for (_ <- 1 until iters)
+      cents = kmeansUpdate(kmeansAssign(vecs, cents))
+    cents.localCheckpoint()
+  }
+
+  private def kmeansSeeds(vecs: DataFrame, k: Int): DataFrame =
+    vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+
+  /** One assignment round: broadcast the centroids, struct-max argmax
+    * (cos DESC, cent_id ASC — see [[kmeans]]'s scaladoc for why this beats
+    * the row_number window at scale). Carries v and nv through the struct
+    * (never compared: cent_id is unique) for downstream reuse. */
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosPre("v", "cv", "nv", "nc"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("_nid"),
+        col("cent_id"), col("v"), col("nv"))).as("_b"))
+      .select(col("vec_id"), col("_b.v").as("v"), col("_b.nv").as("nv"),
+        col("_b.cent_id").as("cluster"), col("_b.ccos").as("ccos"))
+      .localCheckpoint()
+
+  /** One Lloyd centroid update: per-(cluster, dim) sequential-fold mean
+    * (the oracle-replayable exact form — see [[kmeans]]); empty clusters
+    * drop out. */
+  private def kmeansUpdate(assigned: DataFrame): DataFrame = {
+    val comps = assigned
+      .select(col("cluster"), col("vec_id"),
+        posexplode(col("v")).as(Seq("idx", "x")))
+      .groupBy("cluster", "idx")
+      .agg(count(lit(1)).as("cnt"),
+        array_sort(collect_list(struct(col("vec_id"), col("x")))).as("s"))
+      .select(col("cluster"), col("idx"),
+        (expr("aggregate(s, 0D, (acc, e) -> acc + e.x)") /
+          col("cnt")).as("m"))
+    comps.groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("s"))
+      .select(col("cluster").as("cent_id"),
+        expr("transform(s, e -> e.m)").as("cv"))
+      .withColumn("nc", sqrt(dot("cv", "cv")))
   }
 
   def labelCentroidCosines(embeddings: DataFrame): DataFrame = {
