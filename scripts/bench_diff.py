@@ -25,9 +25,19 @@ signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def load(path):
+    """Per-query robust warm time: min over the raw sample array when
+    present (box noise is one-sided — co-tenant interference only ever
+    slows a run — so min-of-N is the best floor estimate and each extra
+    sample cuts false-regression odds multiplicatively), else the stored
+    best-of value."""
     with open(path) as f:
         d = json.load(f)
-    return d.get("queries", {})
+    qs = dict(d.get("queries", {}))
+    for q, ss in (d.get("samples") or {}).items():
+        good = [t for t in (ss or []) if isinstance(t, (int, float)) and t >= 0]
+        if good:
+            qs[q] = min(good)
+    return qs
 
 
 def main():

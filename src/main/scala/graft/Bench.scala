@@ -122,16 +122,29 @@ object Bench {
       if (args.isEmpty) benchable
       else benchable.filter(kv => args.contains(kv._1))
 
-    // Best of two runs per query: first run absorbs per-plan codegen/JIT,
-    // min() suppresses co-tenant noise — steady-state numbers, matching how
-    // the reference's scaling notebook measures warmed loops. Raw samples
+    // Best of two runs per query (three for slow queries): the first run
+    // absorbs per-plan codegen/JIT, min() suppresses co-tenant noise —
+    // steady-state numbers, matching how the reference's scaling notebook
+    // measures warmed loops. Box noise here is ONE-SIDED (co-tenant runs
+    // only ever get slower), so min-of-N estimates the true floor strictly
+    // better than a median, and each extra sample cuts the false-regression
+    // probability multiplicatively; queries at/above `SlowQuerySec` (the
+    // graph family swings ~2× between identical-code runs) get the third
+    // sample, where the absolute wall-clock risk concentrates. Raw samples
     // ride along in the JSON so a round-over-round regression can be
-    // attributed to variance (one outlier sample) without a re-run.
+    // attributed to variance (one outlier sample) without a re-run, and
+    // bench_diff compares min-over-samples, not the single stored value.
+    val SlowQuerySec = 2.0
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t1 = runOne(fn)
       val t2 = runOne(fn)
-      val best = if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2)
-      (name, best, Seq(t1, t2))
+      val ok2 = Seq(t1, t2).filter(_ >= 0)
+      val samples =
+        if (ok2.nonEmpty && ok2.min >= SlowQuerySec) Seq(t1, t2, runOne(fn))
+        else Seq(t1, t2)
+      val ok = samples.filter(_ >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.min
+      (name, best, samples)
     }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
