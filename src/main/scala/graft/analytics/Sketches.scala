@@ -114,4 +114,86 @@ object Sketches {
       .select(col("_k"), explode(lit((0 until CmsDepth).toArray)).as("i"))
       .select(col("i"), cmsBucket(col("i"), col("_k")).as("b"))
       .groupBy("i", "b").agg(count(lit(1)).as("c"))
+
+  // ---- Mergeable rank/quantile sketch (HDR-style log2 histogram) ----
+  //
+  // The rank companion to HLL (cardinality) and CMS (frequency): values
+  // quantize to integer µ-units (the house floor(x·1e6 + 0.5) recipe),
+  // µ-units map to a DETERMINISTIC bucket id — exact below 2^(S+1), then
+  // 2^S sub-buckets per octave (relative bucket width ≤ 2^−S) — and the
+  // sketch is just the (bucket → count) table. Merging sketches is integer
+  // addition (order-free, partition-invariant, union-of-sketches IS the
+  // sketch-of-the-union, exactly), a quantile estimate is the lower bound
+  // of the first bucket whose cumulative count reaches ceil(q·N), and
+  // every step is exact integer arithmetic both engines replay verbatim
+  // (bitlength via length(bin(u)); variable shifts as exact
+  // multiply/divide by 2^e, which is exponent arithmetic in doubles).
+  // State per group is ≤ 64 + 32·octaves counters regardless of data
+  // volume — the bounded-state at-scale contract. Non-negative inputs
+  // (bucket 0 holds exact zeros); a signed variant would mirror the
+  // bucket space below 0.
+
+  /** Sub-bucket bits S: 32 sub-buckets per octave, relative error ≤ 1/32. */
+  val QsketchSubBits = 5
+  private val QsketchExact = 1L << (QsketchSubBits + 1) // 64: exact below this
+
+  /** Value → integer µ-units (exact for the corpus's ≤ 2-decimal values;
+    * the 0.5 offset makes the floor a round-half-up). */
+  def qsketchMicros(value: Column): Column =
+    floor(value * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** µ-units → bucket id. u < 64 → u (width-1 buckets); else octave e =
+    * bitlength(u) − 6 ≥ 1 and the top 6 bits pick the sub-bucket:
+    * id = 64 + (e−1)·32 + ((u >> e) − 32). Monotone in u, so bucket order
+    * IS value order and rank scans read the table in id order. */
+  def qsketchBucket(u: Column): Column = {
+    val bl = length(bin(u)).cast("long")
+    val e = bl - lit(QsketchSubBits + 1).cast("long")
+    // u >> e as exact double math: dividing by 2^e only shifts the
+    // exponent (u < 2^53), so floor(u / 2^e) is the exact integer shift
+    val top = floor(u.cast("double") / pow(lit(2.0), e.cast("double"))).cast("long")
+    when(u < lit(QsketchExact), u)
+      .otherwise(lit(QsketchExact) + (e - 1L) * lit(1L << QsketchSubBits) +
+        (top - lit(1L << QsketchSubBits)))
+  }
+
+  /** Bucket id → lower bound in µ-units (the quantile estimate, a certain
+    * LOWER bound of the true order statistic: the rank-r element lives in
+    * the crossing bucket because the id mapping is monotone). */
+  def qsketchLow(id: Column): Column = {
+    val off = id - lit(QsketchExact)
+    val e = (off / lit(1L << QsketchSubBits)).cast("long") + 1L
+    val sub = off % lit(1L << QsketchSubBits)
+    when(id < lit(QsketchExact), id)
+      .otherwise(((sub + lit(1L << QsketchSubBits)).cast("double") *
+        pow(lit(2.0), e.cast("double"))).cast("long"))
+  }
+
+  /** The sketch: per-(group, bucket) counts. One narrow pass with map-side
+    * partials; the shuffle carries ≤ buckets rows per group per partition. */
+  def qsketchCounts(df: DataFrame, value: Column, groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ qsketchBucket(qsketchMicros(value)).as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a (possibly merged) sketch table: for each q,
+    * the lower bound of the first bucket whose running count reaches
+    * ceil(q·N) (≥ 1). Integer window sum — exact under any association. */
+  def qsketchQuantiles(counts: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val targets = explode(lit(qs.toArray)).as("q")
+    cum.select(groupCols.map(col) :+ col("bucket") :+ col("cum") :+ col("n") :+ targets: _*)
+      .filter(col("cum") >= greatest(lit(1L),
+        ceil(col("q") * col("n").cast("double")).cast("long")))
+      .groupBy((groupCols :+ "q").map(col): _*)
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n_events"))
+      .select(groupCols.map(col) :+ col("q") :+ col("n_events") :+
+        (qsketchLow(col("bucket")).cast("double") / lit(1000000.0)).as("est"): _*)
+  }
 }

@@ -5772,6 +5772,69 @@ object OracleSql {
   /** Mirrors Analytics.eventsDispersion: dense hourly grid via per-type
     * range(), exact BIGINT power sums, identical double formula chain
     * (var = (k·s2 − s1²)/(k·(k−1)), vmr = var/mean, chi2 = vmr·(k−1)). */
+  /** Mirrors Analytics.aggQuantileSketch (Sketches.qsketch*): the same
+    * µ-unit quantization, bin()-bitlength bucket mapping (integer shifts
+    * are native here, exact double exponent-math on the Spark side),
+    * per-type + merged `__all` counts, integer running sums, and the
+    * ceil(q·N) crossing-bucket lower bound; exact order statistic by
+    * (value, event_id) as the yardstick. */
+  val aggQuantileSketch: String = {
+    val tg = "(VALUES (0.5), (0.9), (0.99)) tg(q0)"
+    s"""WITH q0 AS (
+       |  SELECT event_type, event_id, value,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+       |  FROM events
+       |), bk AS (
+       |  SELECT event_type,
+       |         CASE WHEN u < 64 THEN u
+       |              ELSE 64 + (CAST(length(bin(u)) AS BIGINT) - 7) * 32
+       |                   + ((u >> CAST(length(bin(u)) - 6 AS INT)) - 32) END AS bucket
+       |  FROM q0
+       |), c AS MATERIALIZED (
+       |  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY 1, 2
+       |), call AS (
+       |  SELECT event_type, bucket, cnt FROM c
+       |  UNION ALL
+       |  SELECT '__all' AS event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM c GROUP BY bucket
+       |), cm AS (
+       |  SELECT event_type, bucket, cnt,
+       |         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+       |         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM call
+       |), hit AS (
+       |  SELECT event_type, CAST(q0 AS DOUBLE) AS q, MIN(bucket) AS bucket, MAX(n) AS n_events
+       |  FROM cm CROSS JOIN $tg
+       |  WHERE cum >= GREATEST(CAST(1 AS BIGINT),
+       |          CAST(ceil(CAST(q0 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+       |  GROUP BY 1, 2
+       |), est AS (
+       |  SELECT event_type, q, n_events,
+       |         CASE WHEN bucket < 64 THEN bucket
+       |              ELSE (((bucket - 64) % 32) + 32) << CAST((bucket - 64) // 32 + 1 AS INT)
+       |         END AS lowu
+       |  FROM hit
+       |), rk AS (
+       |  SELECT event_type, value,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM (SELECT event_type, event_id, value FROM q0
+       |        UNION ALL
+       |        SELECT '__all', event_id, value FROM q0)
+       |), ex AS (
+       |  SELECT event_type, CAST(q0 AS DOUBLE) AS q, value AS exact
+       |  FROM rk CROSS JOIN $tg
+       |  WHERE rn = GREATEST(CAST(1 AS BIGINT),
+       |          CAST(ceil(CAST(q0 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+       |)
+       |SELECT est.event_type, est.q, est.n_events,
+       |       ${r("CAST(lowu AS DOUBLE) / 1000000.0")} AS est,
+       |       ${r("exact")} AS exact
+       |FROM est JOIN ex ON ex.event_type = est.event_type AND ex.q = est.q
+       |ORDER BY est.event_type, est.q""".stripMargin
+  }
+
   val eventsDispersion: String =
     s"""WITH e0 AS (
        |  SELECT event_type,

@@ -2458,6 +2458,48 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Mergeable rank sketch over event values ([[graft.analytics.Sketches]]
+    * qsketch*: HDR-style log2 histogram — exact µ-unit buckets below 64,
+    * 32 sub-buckets per octave above, relative error ≤ 1/32): p50/p90/p99
+    * estimates per event type PLUS the `__all` row computed by MERGING the
+    * per-type sketches (integer bucket-count addition — the union of
+    * sketches is the sketch of the union, exactly, which is why a 100 TB
+    * rollup can estimate any group-set's quantiles from per-partition
+    * sketch tables without rescanning). The exact order statistic rides
+    * along as the yardstick, so the ≤ 1/32 envelope is visible in the
+    * output (and PropSpec pins it on random inputs). Every step is integer
+    * arithmetic the oracle replays bit-for-bit. */
+  def aggQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Bars.readEvents(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    // persisted: the per-type sketch feeds both the per-type estimates and
+    // the merged __all row — one sketch pass, not two
+    val counts = graft.analytics.Sketches.qsketchCounts(ev, col("value"), Seq("event_type"))
+      .persist()
+    val merged = counts.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+      .select(lit("__all").as("event_type"), col("bucket"), col("cnt"))
+    val est = graft.analytics.Sketches.qsketchQuantiles(
+      counts.unionByName(merged), Seq("event_type"), qs)
+    // exact yardstick: the rank-ceil(q·N) order statistic by (value, id)
+    val ranked = ev.unionByName(
+        ev.select(lit("__all").as("event_type"), col("value"), col("event_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val exact = ranked
+      .select(col("event_type"), col("value"), col("rn"), col("n"),
+        explode(lit(qs.toArray)).as("q"))
+      .filter(col("rn") === greatest(lit(1L),
+        ceil(col("q") * col("n").cast("double")).cast("long")))
+      .select(col("event_type"), col("q"), col("value").as("exact"))
+    est.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n_events"),
+        r6(col("est")).as("est"), r6(col("exact")).as("exact"))
+      .orderBy("event_type", "q")
+  }
+
   /** Poisson overdispersion test per event type: hourly arrival counts
     * over the DENSE hour grid (zero-count hours are evidence — the
     * sequence-exploded grid is |types|·|hours|, metadata-sized), then the

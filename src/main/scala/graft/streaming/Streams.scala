@@ -129,6 +129,26 @@ object Streams {
       .select(col("w.start").cast("date").as("day"), col("bucket"), col("rho"))
   }
 
+  /** Streaming quantile-sketch maintenance — the incremental form of
+    * [[graft.analytics.Sketches.qsketchCounts]]: per (day-window, bucket)
+    * a running COUNT is the complete rank-sketch state (≤ a few hundred
+    * longs per day at any volume). Count is streaming-mergeable (integer
+    * addition), so the maintained table is bit-identical to the batch
+    * sketch — StreamingSpec proves it register-for-register and feeds the
+    * merged table through qsketchQuantiles for estimate parity. The
+    * watermark bounds state to open day windows; closed days' buckets land
+    * downstream ready to merge into weekly/monthly quantiles without
+    * rescanning — the rank companion of [[hllDailyRegisters]]. */
+  def qsketchDailyBuckets(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.analytics.Sketches
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        Sketches.qsketchBucket(Sketches.qsketchMicros(col("value"))).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("date").as("day"), col("bucket"), col("cnt"))
+  }
+
   /** Streaming exact dedup on the event key: state is bounded by the
     * watermark (a duplicate arriving later than the watermark delay is
     * passed through — the at-scale tradeoff that keeps the dedup state from

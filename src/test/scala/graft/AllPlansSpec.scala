@@ -53,8 +53,11 @@ class AllPlansSpec extends SparkSpec {
     // localCheckpoint during query construction, so the registered query's
     // executedPlan is an RDD scan — nothing to allowlist.
     // broadcast centroid / probe tables (16 / 10 rows by construction):
-    "sim_ann_ivf", "sim_neardup", "sim_label_centroids", "sim_topk",
-    "sim_ann_pq", "sim_mips", "sim_hard_negatives",
+    // sim_ann_ivf / sim_ann_pq / sim_neardup left this list when ivfAssign
+    // switched to trained (checkpointed) centroids — their crossJoins now
+    // materialize at construction time, outside the inspected plan
+    "sim_label_centroids", "sim_topk",
+    "sim_mips", "sim_hard_negatives",
     // sim_matryoshka is four sim_topk-class scans (10-row probe broadcast)
     "sim_matryoshka",
     // events_hll_sliding range-joins the O(calendar-days) broadcast day

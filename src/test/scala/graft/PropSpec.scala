@@ -576,4 +576,37 @@ class PropSpec extends SparkSpec {
         s"trial $trial: estimate $est vs exact $n beyond 5 sigma ($sigma)")
     }
   }
+
+  test("property: qsketch quantile is a certain lower bound within 1/32 relative of the exact order statistic") {
+    import graft.analytics.Sketches
+    val s = spark
+    import s.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    for (trial <- 1 to 4) {
+      val n = 100 + rnd.nextInt(3000)
+      // log-uniform magnitudes across ~6 decades plus planted zeros and
+      // sub-64µ values (the exact-bucket regime)
+      val xs = Seq.fill(n)(rnd.nextInt(10) match {
+        case 0 => 0.0
+        case 1 => rnd.nextInt(60) / 1e6
+        case _ => math.exp(rnd.nextDouble() * 14.0 - 7.0)
+      })
+      val df = xs.zipWithIndex.map { case (x, i) => ("g", x, i.toLong) }
+        .toDF("g", "value", "id")
+      val est = Sketches.qsketchQuantiles(
+          Sketches.qsketchCounts(df, col("value"), Seq("g")), Seq("g"), qs)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+      val sorted = xs.sorted
+      qs.foreach { q =>
+        val exact = sorted(math.max(1, math.ceil(q * n).toInt) - 1)
+        val e = est(q)
+        // quantization slack: |x − u/1e6| ≤ 0.5e-6 per row, plus the
+        // crossing bucket's ≤ 1/32 relative width (≤ 1µ below 64µ)
+        assert(e <= exact + 5e-7,
+          s"trial $trial q=$q: estimate $e above exact $exact")
+        assert(exact <= e * (1.0 + 1.0 / 32.0) + 1.5e-6,
+          s"trial $trial q=$q: exact $exact beyond the 1/32 envelope of $e")
+      }
+    }
+  }
 }

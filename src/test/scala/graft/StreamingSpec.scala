@@ -81,6 +81,37 @@ class StreamingSpec extends SparkSpec {
     assert(gEst.sameElements(wEst))
   }
 
+  test("streaming quantile-sketch buckets equal the batch sketch, merged estimates identical") {
+    import graft.analytics.Sketches
+    val stream = Streams.qsketchDailyBuckets(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("stream_qsketch")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_qsketch")
+    val ev = graft.source.Bars.readEvents(spark, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    val want = Sketches.qsketchCounts(ev, col("value"), Seq("day"))
+      .select(col("day").cast("date").as("day"), col("bucket"), col("cnt"))
+    assert(got.count() == want.count(), "bucket row counts diverge")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "maintained buckets must be bit-identical to the batch sketch")
+    // merge the streamed daily sketches into ONE corpus sketch and compare
+    // estimates against the batch sketch of the whole corpus — the
+    // union-of-sketches == sketch-of-the-union contract, end to end
+    def corpus(buckets: org.apache.spark.sql.DataFrame) =
+      Sketches.qsketchQuantiles(
+        buckets.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+          .select(lit("all").as("g"), col("bucket"), col("cnt")),
+        Seq("g"), Seq(0.5, 0.9, 0.99))
+        .orderBy("q").collect().map(r => (r.getDouble(1), r.getDouble(3)))
+    val direct = Sketches.qsketchQuantiles(
+      Sketches.qsketchCounts(ev.withColumn("g", lit("all")), col("value"), Seq("g")),
+      Seq("g"), Seq(0.5, 0.9, 0.99))
+      .orderBy("q").collect().map(r => (r.getDouble(1), r.getDouble(3)))
+    assert(corpus(got).sameElements(direct),
+      "estimates from merged streamed sketches diverge from the direct batch sketch")
+  }
+
   test("streaming sliding window counts equal the batch sliding aggregation") {
     val stream = Streams.slidingCounts(Streams.readEventStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("stream_sliding")
