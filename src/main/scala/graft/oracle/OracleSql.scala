@@ -4080,6 +4080,55 @@ object OracleSql {
        |JOIN nation n ON n.n_nationkey = s.s_nationkey
        |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Mirrors Analytics.q2MinUnitCost: the per-(part, supplier) exact
+    * integer rollup (cents / quantities), the one correctly-rounded
+    * division, and the (cost, suppkey) window argmin. */
+  val q2MinUnitCost: String =
+    s"""WITH pq AS (
+       |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+       |), pairs AS (
+       |  SELECT l.l_partkey, l.l_suppkey,
+       |         CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       |         CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+       |  FROM lineitem l JOIN pq ON pq.p_partkey = l.l_partkey
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE) AS unit_cost,
+       |         COUNT(*) OVER (PARTITION BY l_partkey) AS n_suppliers,
+       |         ROW_NUMBER() OVER (PARTITION BY l_partkey
+       |                            ORDER BY CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE), l_suppkey) AS rk
+       |  FROM pairs
+       |)
+       |SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+       |       ${r("unit_cost / 100.0")} AS min_unit_price,
+       |       CAST(n_suppliers AS BIGINT) AS n_suppliers
+       |FROM scored WHERE rk = 1 ORDER BY p_partkey""".stripMargin
+
+  /** Mirrors Analytics.q21SoleReturn: both correlated existence tests as
+    * window counts over the per-(order, supplier) rollup. */
+  val q21SoleReturn: String =
+    s"""WITH pairs AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+       |  FROM lineitem GROUP BY 1, 2
+       |), flagged AS (
+       |  SELECT l_suppkey, has_ret,
+       |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+       |         SUM(has_ret) OVER (PARTITION BY l_orderkey) AS n_ret_supp
+       |  FROM pairs
+       |), blamed AS (
+       |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+       |  FROM flagged
+       |  WHERE has_ret = 1 AND n_supp >= 2 AND n_ret_supp = 1
+       |  GROUP BY 1
+       |)
+       |SELECT s.s_suppkey, s.s_name, n.n_name, b.numwait
+       |FROM blamed b
+       |JOIN supplier s ON s.s_suppkey = b.l_suppkey
+       |JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |ORDER BY numwait DESC, s.s_suppkey""".stripMargin
+
   val q3Shipping: String =
     s"""SELECT l.l_orderkey, o.o_orderdate,
       |       ${r4("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
@@ -5834,6 +5883,65 @@ object OracleSql {
        |FROM est JOIN ex ON ex.event_type = est.event_type AND ex.q = est.q
        |ORDER BY est.event_type, est.q""".stripMargin
   }
+
+  /** Mirrors Analytics.eventsQuantileSliding: daily qsketch buckets,
+    * 7-day range-join merge (SUM of counts), the ceil(0.5·N) crossing
+    * bucket, exact windowed median yardstick. */
+  val eventsQuantileSliding: String =
+    s"""WITH q0 AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_id, value,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+       |  FROM events
+       |), bk AS (
+       |  SELECT day,
+       |         CASE WHEN u < 64 THEN u
+       |              ELSE 64 + (CAST(length(bin(u)) AS BIGINT) - 7) * 32
+       |                   + ((u >> CAST(length(bin(u)) - 6 AS INT)) - 32) END AS bucket
+       |  FROM q0
+       |), daily AS MATERIALIZED (
+       |  SELECT day, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY 1, 2
+       |), days AS (
+       |  SELECT DISTINCT day AS d FROM daily
+       |), m AS (
+       |  SELECT dd.d, daily.bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM daily JOIN days dd
+       |    ON daily.day >= dd.d - INTERVAL 6 DAY AND daily.day <= dd.d
+       |  GROUP BY 1, 2
+       |), cm AS (
+       |  SELECT d, bucket,
+       |         CAST(SUM(cnt) OVER (PARTITION BY d ORDER BY bucket) AS BIGINT) AS cum,
+       |         CAST(SUM(cnt) OVER (PARTITION BY d) AS BIGINT) AS n
+       |  FROM m
+       |), hit AS (
+       |  SELECT d, MIN(bucket) AS bucket, MAX(n) AS n_7d
+       |  FROM cm
+       |  WHERE cum >= GREATEST(CAST(1 AS BIGINT),
+       |          CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT))
+       |  GROUP BY 1
+       |), est AS (
+       |  SELECT d, n_7d,
+       |         CASE WHEN bucket < 64 THEN bucket
+       |              ELSE (((bucket - 64) % 32) + 32) << CAST((bucket - 64) // 32 + 1 AS INT)
+       |         END AS lowu
+       |  FROM hit
+       |), rk AS (
+       |  SELECT dd.d, value,
+       |         ROW_NUMBER() OVER (PARTITION BY dd.d ORDER BY value, event_id) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY dd.d) AS BIGINT) AS n
+       |  FROM q0 JOIN days dd ON q0.day >= dd.d - INTERVAL 6 DAY AND q0.day <= dd.d
+       |), ex AS (
+       |  SELECT d, value AS p50_exact
+       |  FROM rk
+       |  WHERE rn = GREATEST(CAST(1 AS BIGINT),
+       |          CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT))
+       |)
+       |SELECT est.d AS day, est.n_7d,
+       |       ${r("CAST(lowu AS DOUBLE) / 1000000.0")} AS p50_est_7d,
+       |       ${r("p50_exact")} AS p50_exact_7d,
+       |       ${r("(CAST(lowu AS DOUBLE) / 1000000.0 - p50_exact) / p50_exact")} AS rel_err
+       |FROM est JOIN ex ON ex.d = est.d
+       |ORDER BY day""".stripMargin
 
   val eventsDispersion: String =
     s"""WITH e0 AS (

@@ -444,6 +444,81 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q2-style minimum-cost supplier: the CORRELATED MIN SUBQUERY
+    * (the supplier whose unit cost equals that part's minimum),
+    * decorrelated as a per-(part, supplier) rollup + per-part argmin —
+    * never a per-row subquery, and the join-back the textbook rewrite
+    * needs disappears into a window rank over the rollup (part-supplier
+    * cardinality, not fact cardinality). The argmin is cross-engine
+    * deterministic by construction: unit cost divides an exact integer
+    * cent sum by an exact integer quantity sum (one correctly-rounded
+    * division on identical integers), and exact-equal costs tie-break on
+    * suppkey. Brand scope broadcasts into the single fact shuffle. */
+  def q2MinUnitCost(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pq = Tables.part(s, dir).filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("unit_cost", col("cents").cast("double") / col("qty").cast("double"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("unit_cost"), col("l_suppkey"))
+    pairs
+      .withColumn("n_suppliers", count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_suppkey").as("best_suppkey"),
+        r6(col("unit_cost") / lit(100.0)).as("min_unit_price"),
+        col("n_suppliers"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q21-style sole-blame suppliers: the EXISTS + NOT-EXISTS pair
+    * over the same fact (suppliers whose lineitems were returned on
+    * multi-supplier orders where NO OTHER supplier had a return),
+    * decorrelated the way the classic plan must run at 100 TB — both
+    * correlated existence tests collapse into ONE per-order aggregate
+    * (distinct-supplier count and returned-supplier count over the
+    * per-(order, supplier) rollup), the qualifying pairs are a row-local
+    * filter on that aggregate (n_supp ≥ 2, n_ret_supp = 1, pair returned),
+    * and supplier/nation dims broadcast onto the survivor counts. Two
+    * keyed shuffles total — the (order, supplier) rollup and the
+    * order-level re-aggregate — and never a per-row subquery or self-join
+    * of the raw fact. */
+  def q21SoleReturn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_returnflag") === "R").cast("int")).as("has_ret"))
+    // the order-level stats ride a window over the rollup (pairs-sized,
+    // not fact-sized) instead of a join-back that would re-scan lineitem
+    val blamed = pairs
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_ret_supp", sum(col("has_ret")).over(w))
+      .filter(col("has_ret") === 1 && col("n_supp") >= 2 &&
+        col("n_ret_supp") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+    val su = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    blamed
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
   /** TPC-H Q1-style pricing summary: multi-aggregate rollup per
     * (returnflag, linestatus) — partial+final hash agg, no join. */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
@@ -2627,6 +2702,47 @@ object Analytics {
         r6(col("hll_est")).as("hll_est_7d"),
         r6((col("hll_est") - col("n_exact_7d").cast("double")) /
           col("n_exact_7d").cast("double")).as("rel_err"))
+      .orderBy("day")
+  }
+
+  /** Sliding 7-day value quantiles per day via rank-sketch MERGE
+    * ([[aggQuantileSketch]]'s histogram): daily bucket counts (one narrow
+    * pass over events) range-join the tiny day list and re-SUM — the sum
+    * of sketches IS the sketch of the union, exactly, so the 7-day window
+    * never rescans events (the rank twin of [[eventsHllSliding]]'s
+    * register merge, and the streaming
+    * [[graft.streaming.Streams.qsketchDailyBuckets]] maintains the same
+    * daily table incrementally). The exact 7-day median (order statistic
+    * over the windowed rows) rides along as the yardstick with its
+    * relative error. Day list is O(calendar) and broadcast; the BNL range
+    * join is allowlisted scalar-side-only. */
+  def eventsQuantileSliding(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Sketches
+    import org.apache.spark.sql.expressions.Window
+    val ev = Bars.readEvents(s, dir).withColumn("day", to_date(col("ts")))
+    val daily = Sketches.qsketchCounts(ev, col("value"), Seq("day"))
+    val days = daily.select(col("day").as("d")).distinct()
+    val merged = daily.join(broadcast(days),
+        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .withColumnRenamed("d", "day")
+    val est = Sketches.qsketchQuantiles(merged, Seq("day"), Seq(0.5))
+      .select(col("day"), col("n_events").as("n_7d"), col("est").as("p50_est_7d"))
+    val exact = ev.select(col("day"), col("value"), col("event_id"))
+      .join(broadcast(days),
+        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("d").orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("d")))
+      .filter(col("rn") === greatest(lit(1L),
+        ceil(lit(0.5) * col("n").cast("double")).cast("long")))
+      .select(col("d").as("day"), col("value").as("p50_exact_7d"))
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("n_7d"),
+        r6(col("p50_est_7d")).as("p50_est_7d"),
+        r6(col("p50_exact_7d")).as("p50_exact_7d"),
+        r6((col("p50_est_7d") - col("p50_exact_7d")) /
+          col("p50_exact_7d")).as("rel_err"))
       .orderBy("day")
   }
 

@@ -62,7 +62,7 @@ class AllPlansSpec extends SparkSpec {
     "sim_matryoshka",
     // events_hll_sliding range-joins the O(calendar-days) broadcast day
     // list twice (register re-max + exact yardstick)
-    "events_hll_sliding",
+    "events_hll_sliding", "events_quantile_sliding",
     // corpus_vocab_overlap builds the source-pair grid (O(|sources|^2)
     // <= 400 rows) with a broadcast < self-join, like dedup_cross_source
     "corpus_vocab_overlap")
