@@ -4105,6 +4105,30 @@ object OracleSql {
        |       CAST(n_suppliers AS BIGINT) AS n_suppliers
        |FROM scored WHERE rk = 1 ORDER BY p_partkey""".stripMargin
 
+  /** Mirrors Analytics.q22WealthyIdle: exact integer-cents threshold by
+    * cross-multiplication, distinct recent-actives anti-joined, per-nation
+    * rollup. */
+  val q22WealthyIdle: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM customer
+       |), st AS (
+       |  SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+       |         CAST(COUNT(*) AS BIGINT) AS npos
+       |  FROM c WHERE cents > 0
+       |), act AS (
+       |  SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+       |)
+       |SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       |       ${r("CAST(SUM(cents) AS DOUBLE) / 100.0")} AS total_acctbal
+       |FROM c CROSS JOIN st
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |WHERE c.cents * st.npos > st.tot
+       |  AND c.c_custkey NOT IN (SELECT o_custkey FROM act)
+       |GROUP BY 1 ORDER BY n_name""".stripMargin
+
   /** Mirrors Analytics.q21SoleReturn: both correlated existence tests as
     * window counts over the per-(order, supplier) rollup. */
   val q21SoleReturn: String =

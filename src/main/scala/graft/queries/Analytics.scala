@@ -481,6 +481,37 @@ object Analytics {
       .orderBy("p_partkey")
   }
 
+  /** TPC-H Q22-style wealthy-idle customers: the SCALAR-AGGREGATE
+    * THRESHOLD + ANTI-JOIN pair (customers above the positive-balance
+    * average with no recent orders), per nation. Decorrelation shape: the
+    * global average is a 1-row aggregate crossJoined (broadcast) into the
+    * customer scan — and the threshold itself is EXACT, comparing
+    * cents·n_pos > total_cents as an integer cross-multiplication instead
+    * of a float average whose engine-dependent last ulp could flip a
+    * boundary customer — the recent-actives are a distinct projection of
+    * orders anti-joined in, and the survivors roll up per nation under a
+    * broadcast dim. One orders shuffle (the distinct), one customer-sized
+    * anti-join — no per-row subquery anywhere. */
+  def q22WealthyIdle(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+    val stats = c.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("tot"), count(lit(1)).as("npos"))
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    c.crossJoin(broadcast(stats))
+      .filter(col("cents") * col("npos") > col("tot"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        r6(sum(col("cents")).cast("double") / lit(100.0)).as("total_acctbal"))
+      .orderBy("n_name")
+  }
+
   /** TPC-H Q21-style sole-blame suppliers: the EXISTS + NOT-EXISTS pair
     * over the same fact (suppliers whose lineitems were returned on
     * multi-supplier orders where NO OTHER supplier had a return),

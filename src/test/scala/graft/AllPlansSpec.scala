@@ -24,6 +24,8 @@ class AllPlansSpec extends SparkSpec {
     "corpus_dsir",
     // 1-row cross side: chi2's (base total, current total) scalars
     "drift_chi2",
+    // 1-row cross side: q22's (positive-balance total, count) scalars
+    "q22_wealthy_idle",
     // 1-row cross side: arm totals (abtest), corpus min/max span (churn),
     // Σ√n normalizer (temperature), joint total (MI), score range (ROC)
     "abtest_ztest", "user_churn", "corpus_temperature", "events_mi", "ml_roc",
