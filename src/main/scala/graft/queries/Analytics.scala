@@ -45,7 +45,12 @@ object Analytics {
 
   /** PageRank authority over the symmetrized supplier↔part co-occurrence
     * graph, 10 damped iterations (see [[graft.analytics.Graph.pageRank]]).
-    * The oracle replays every iteration with chained CTEs. */
+    * The oracle replays every iteration with chained CTEs. Deliberately
+    * NOT on the [[graphPagerankDirected]] tol early exit: measured at all
+    * three SFs, this bipartite-symmetric graph contracts its L1 delta at
+    * exactly the damping rate (~0.85×/round — delta 1.54 → 0.36 over 10
+    * rounds), so no useful tol fires inside the budget; the fixed count IS
+    * the converged semantics here. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     Graph.pageRank(Graph.supplierPartEdges(s, dir))
       .select(col("node"), r6(col("rank")).as("rank"))
@@ -214,7 +219,12 @@ object Analytics {
     * parts score by seed proximity and non-BUILDING customers score
     * exactly 0.0 (unreachable ⇒ zero, the spec invariant). See
     * [[graft.analytics.Graph.personalizedPageRank]]; the oracle replays
-    * every round as chained CTEs with the seed-indicator teleport vector. */
+    * every round as chained CTEs with the seed-indicator teleport vector.
+    * Like [[graphPagerank]] (and unlike the 0.36×/round directed walk),
+    * the restart keeps recirculating mass through the seeds, so the L1
+    * delta contracts only at the damping rate (~0.85×/round, measured) —
+    * a tol early exit cannot fire inside the budget and the fixed round
+    * count is kept. */
   def graphPpr(s: SparkSession, dir: String): DataFrame = {
     val seeds = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING")
