@@ -90,13 +90,22 @@ object Graph {
     * float-fragile) into a loud failure. */
   val PrDirectedTol = 1.2e-3
 
+  /** First round at which the tol test runs (both engines): rounds below
+    * this never stop. The early rounds' deltas sit orders above tol
+    * (margin-guarded at the exit), so skipping their checks changes
+    * nothing semantically — but each skipped check is one fewer per-round
+    * driver action, which is the dominant cost of a round at small scale
+    * (the delta join itself is co-partitioned and tiny). */
+  val PrDirectedTolFrom = 6
+
   /** [[pageRank]] plus the number of rounds actually run and the per-round
     * L1 deltas (tol runs only; one Double per executed round) — the
     * observables the early-exit spec and the oracle-parity margin guard
     * pin (fewer rounds on a fast-converging graph, output bit-identical to
     * the fixed-round run of the same length). */
   private[graft] def pageRankWithRounds(edges: DataFrame, iters: Int = PrIters,
-      damping: Double = PrDamping, tol: Option[Double] = None): (DataFrame, Int, List[Double]) = {
+      damping: Double = PrDamping, tol: Option[Double] = None,
+      tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — partitioned by src once, reused all rounds
     val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
@@ -120,7 +129,10 @@ object Graph {
     while (round < iters && !converged) {
       val next = prRound(e, zeros, ranks, teleport, damping, n, dangOpt)
         .localCheckpoint()
-      tol.foreach { t =>
+      // checks before round `tolFrom` are skipped BY RULE (mirrored by the
+      // oracle replay): each check is a per-round driver action, and the
+      // early deltas sit orders above any useful tol
+      if (round + 1 >= tolFrom) tol.foreach { t =>
         // both sides are hash-partitioned on node (groupBy output /
         // checkpointed prior round) — the delta join needs no exchange
         val row = next
@@ -470,6 +482,9 @@ object Graph {
     * near-tol delta loud. */
   val HitsTol = 2e-5
 
+  /** First tol-checked HITS round — see [[PrDirectedTolFrom]]. */
+  val HitsTolFrom = 4
+
   def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame =
     hitsWithRounds(edges, iters, None)._1
 
@@ -477,7 +492,7 @@ object Graph {
     * — the stop test is on the hub side of each full round, matching the
     * oracle replay's per-round pass-through condition. */
   private[graft] def hitsWithRounds(edges: DataFrame, iters: Int = HitsIters,
-      tol: Option[Double] = None): (DataFrame, Int, List[Double]) = {
+      tol: Option[Double] = None, tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
     val e = edges.repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
@@ -507,7 +522,7 @@ object Graph {
     while (round < iters && !converged) {
       auth = half(hub, "hub", "src", "dst", "auth").localCheckpoint()
       val nextHub = half(auth, "auth", "dst", "src", "hub").localCheckpoint()
-      tol.foreach { t =>
+      if (round + 1 >= tolFrom) tol.foreach { t =>
         val row = nextHub
           .join(hub.select(col("node"), col("hub").as("_prev")), "node")
           .agg(sum(abs(col("hub") - col("_prev")))).head()

@@ -2838,10 +2838,15 @@ object OracleSql {
     // the fixed budget lands bit-for-bit on the early-exited run's ranks
     // at any SF. The Spark side's margin guard keeps the stop decision out
     // of float-noise range of tol.
+    val from = graft.analytics.Graph.PrDirectedTolFrom
     val rks = (1 to iters).map { k =>
+      // rounds <= tolFrom never stop, BY RULE on both engines (the Spark
+      // side skips those checks entirely — st$k tests round k−1's delta)
+      val stTest =
+        if (k <= from) "SELECT FALSE AS stop"
+        else s"SELECT COALESCE(SUM(ABS(rank - prev)) <= CAST('$tol' AS DOUBLE), FALSE) AS stop\n         |  FROM r${k - 1}"
       s"""st$k AS (
-         |  SELECT COALESCE(SUM(ABS(rank - prev)) <= CAST('$tol' AS DOUBLE), FALSE) AS stop
-         |  FROM r${k - 1}
+         |  $stTest
          |), dm$k AS (
          |  SELECT COALESCE(SUM(r.rank), 0.0) AS m
          |  FROM r${k - 1} r JOIN dangling g ON g.node = r.node
@@ -3573,10 +3578,14 @@ object OracleSql {
     // a stopped round copies hub AND auth forward unchanged — exact no-ops
     // — so the fixed budget lands on the early-exited run's scores at any
     // SF, margin-guarded on the Spark side.
+    val from = graft.analytics.Graph.HitsTolFrom
     val steps = (1 to iters).map { k =>
+      // rounds <= tolFrom never stop, BY RULE on both engines
+      val stTest =
+        if (k <= from) "SELECT FALSE AS stop"
+        else s"SELECT COALESCE(SUM(ABS(hub - phub)) <= CAST('$tol' AS DOUBLE), FALSE) AS stop\n         |  FROM hn${k - 1}"
       s"""st$k AS (
-         |  SELECT COALESCE(SUM(ABS(hub - phub)) <= CAST('$tol' AS DOUBLE), FALSE) AS stop
-         |  FROM hn${k - 1}
+         |  $stTest
          |), ar$k AS MATERIALIZED (
          |  SELECT nodes.node, COALESCE(c.s, 0.0) AS raw
          |  FROM nodes LEFT JOIN (

@@ -20,13 +20,12 @@ object Analytics {
     * loudly, instead of as a silent hash mismatch. */
   private def requireCleanExit(name: String, rounds: Int, budget: Int,
       deltas: List[Double], tol: Double): Unit = {
-    if (rounds < budget) {
-      val last = deltas(rounds - 1)
+    if (rounds < budget && deltas.nonEmpty) {
+      val last = deltas.last // the exit round's delta (checked rounds only)
       require(last <= tol * 0.9,
         s"$name: exit-round delta $last is within 10% of tol $tol — " +
           "cross-engine stop-round parity is float-fragile; move the tol")
-      if (rounds >= 2) {
-        val prev = deltas(rounds - 2)
+      deltas.dropRight(1).lastOption.foreach { prev =>
         require(prev >= tol * 1.1,
           s"$name: pre-exit delta $prev is within 10% of tol $tol — " +
             "cross-engine stop-round parity is float-fragile; move the tol")
@@ -68,7 +67,8 @@ object Analytics {
     * [[requireCleanExit]] makes a margin-violating delta loud. */
   def graphPagerankDirected(s: SparkSession, dir: String): DataFrame = {
     val (ranks, rounds, deltas) = Graph.pageRankWithRounds(
-      Graph.customerPartEdges(s, dir), tol = Some(Graph.PrDirectedTol))
+      Graph.customerPartEdges(s, dir), tol = Some(Graph.PrDirectedTol),
+      tolFrom = Graph.PrDirectedTolFrom)
     requireCleanExit("graphPagerankDirected", rounds, Graph.PrIters, deltas,
       Graph.PrDirectedTol)
     ranks
@@ -204,7 +204,8 @@ object Analytics {
     * margin guard as in [[graphPagerankDirected]]. */
   def graphHits(s: SparkSession, dir: String): DataFrame = {
     val (scores, rounds, deltas) = Graph.hitsWithRounds(
-      Graph.customerPartEdges(s, dir), tol = Some(Graph.HitsTol))
+      Graph.customerPartEdges(s, dir), tol = Some(Graph.HitsTol),
+      tolFrom = Graph.HitsTolFrom)
     requireCleanExit("graphHits", rounds, Graph.HitsIters, deltas,
       Graph.HitsTol)
     scores

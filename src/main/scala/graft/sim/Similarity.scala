@@ -275,14 +275,29 @@ object Similarity {
     * This is what [[ivfAssign]] buckets against: real cluster centers
     * instead of the first-N-vectors stand-in, same determinism contract
     * (the oracle replays the identical training chain). */
+  /** Trained-centroid memo: one training per (session, input plan, k,
+    * iters) — within a Verify/Bench session the whole sim_* family buckets
+    * against the same embedding corpus, and retraining the identical
+    * k×64-double table per query (twice inside sim_ann_recall: ivf + pq
+    * legs) is pure waste. Keyed by the ANALYZED plan's semantic hash, so a
+    * different corpus or projection trains fresh; values are
+    * localCheckpoint'ed (valid for the life of their session) and
+    * centroid-table-sized. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int, Int, Int), DataFrame]
+
   def kmeansCentroids(embeddings: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame = {
     require(k > 0 && iters > 0, s"kmeansCentroids: need k > 0, iters > 0 (got $k, $iters)")
-    val vecs = withNorm(embeddings, "vec_id", "v", "nv")
-    var cents = kmeansSeeds(vecs, k)
-    for (_ <- 1 until iters)
-      cents = kmeansUpdate(kmeansAssign(vecs, cents))
-    cents.localCheckpoint()
+    val key = (embeddings.sparkSession,
+      embeddings.queryExecution.analyzed.semanticHash(), k, iters)
+    centroidCache.getOrElseUpdate(key, {
+      val vecs = withNorm(embeddings, "vec_id", "v", "nv")
+      var cents = kmeansSeeds(vecs, k)
+      for (_ <- 1 until iters)
+        cents = kmeansUpdate(kmeansAssign(vecs, cents))
+      cents.localCheckpoint()
+    })
   }
 
   private def kmeansSeeds(vecs: DataFrame, k: Int): DataFrame =
