@@ -222,14 +222,19 @@ object Graph {
       .localCheckpoint()
     val nDangling = dangling.count()
     val nNodes = nodes.count()
-    val zeros = nodes.select(col("node"), lit(0.0).as("c"))
+    // the teleport vector rides the zero-contribution rows: every node
+    // appears in `zeros` exactly once, so max(tp) inside the SAME
+    // contribution aggregate recovers it and the round needs NO extra
+    // per-round join back to the node table (edge-side rows carry NULL)
+    val zeros = nodes.select(col("node"), lit(0.0).as("c"), col("tp"))
     var ranks = nodes.select(col("node"), col("tp").as("rank"))
     for (_ <- 1 to iters) {
       val r = if (nNodes <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
       val contribs = e.join(r, e("src") === r("node"))
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"),
+          lit(null).cast("double").as("tp"))
         .unionAll(zeros)
-        .groupBy("node").agg(sum(col("c")).as("_s"))
+        .groupBy("node").agg(sum(col("c")).as("_s"), max(col("tp")).as("tp"))
       val withDm =
         if (nDangling == 0L) contribs.withColumn("_dm", lit(0.0))
         else {
@@ -237,7 +242,7 @@ object Graph {
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
           contribs.crossJoin(broadcast(dm))
         }
-      ranks = withDm.join(nodes, Seq("node"))
+      ranks = withDm
         .select(col("node"),
           (lit(1.0 - damping) * col("tp") +
             lit(damping) * (col("_s") + col("_dm") * col("tp"))).as("rank"))
