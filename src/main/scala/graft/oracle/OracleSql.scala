@@ -4162,6 +4162,214 @@ object OracleSql {
        |JOIN nation n ON n.n_nationkey = s.s_nationkey
        |ORDER BY numwait DESC, s.s_suppkey""".stripMargin
 
+  /** Mirrors Analytics.q4PriorityCount: the correlated EXISTS replayed
+    * literally (DuckDB decorrelates it itself); 90-day lateness on
+    * integer-microsecond timestamps. */
+  val q4PriorityCount: String =
+    s"""SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       |FROM orders o
+       |WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mirrors Analytics.q7VolumeShipping: two-nation bidirectional flows,
+    * exact per-row integer cents, per (supp, cust, ship-year). */
+  val q7VolumeShipping: String =
+    s"""WITH f AS (
+       |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       |         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       |         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+       |  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+       |  WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |    AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+       |    AND ns.n_name IN ('NATION_3', 'NATION_8')
+       |    AND nc.n_name IN ('NATION_3', 'NATION_8')
+       |    AND ns.n_name <> nc.n_name)
+       |SELECT supp_nation, cust_nation, l_year, CAST(COUNT(*) AS BIGINT) AS n,
+       |       ${r("CAST(SUM(cents) AS DOUBLE) / 100.0")} AS revenue
+       |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Mirrors Analytics.q8MarketShare: NATION_3's share of STANDARD-part
+    * revenue into ASIA, per order year — one division of two exact
+    * integer-cent sums. */
+  val q8MarketShare: String =
+    s"""WITH f AS (
+       |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       |         ns.n_name AS supp_nation,
+       |         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+       |  JOIN region r ON r.r_regionkey = nc.n_regionkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+       |  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+       |    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |    AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00')
+       |SELECT o_year,
+       |       ${r("CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE)")} AS mkt_share,
+       |       ${r("CAST(SUM(cents) AS DOUBLE) / 100.0")} AS total_volume
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mirrors Analytics.q9ProductProfit: exact integer-cent profit
+    * (revenue cents − retail cents × integer quantity) per nation/year. */
+  val q9ProductProfit: String =
+    s"""WITH f AS (
+       |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       |         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+       |         - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+       |           * CAST(l.l_quantity AS BIGINT) AS profit_cents
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |  WHERE p.p_name LIKE '%bolt')
+       |SELECT nation, o_year, CAST(COUNT(*) AS BIGINT) AS n,
+       |       ${r("CAST(SUM(profit_cents) AS DOUBLE) / 100.0")} AS profit
+       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors Analytics.q10ReturnedItems: per-customer exact-cent return
+    * revenue, top-20 on (cents DESC, custkey). */
+  val q10ReturnedItems: String =
+    s"""WITH rev AS (
+       |  SELECT o.o_custkey,
+       |         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_returnflag = 'R'
+       |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+       |    AND o.o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       |       ${r("CAST(rev.cents AS DOUBLE) / 100.0")} AS revenue
+       |FROM rev
+       |JOIN customer c ON c.c_custkey = rev.o_custkey
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |ORDER BY rev.cents DESC, c.c_custkey LIMIT 20""".stripMargin
+
+  /** Mirrors Analytics.q11ImportantParts: the 1.5×-average threshold as
+    * an integer cross-multiplication against the 1-row global rollup. */
+  val q11ImportantParts: String =
+    s"""WITH v AS (
+       |  SELECT l_partkey,
+       |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(cents) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nparts FROM v
+       |)
+       |SELECT v.l_partkey AS p_partkey,
+       |       ${r("CAST(v.cents AS DOUBLE) / 100.0")} AS part_value
+       |FROM v CROSS JOIN t
+       |WHERE v.cents * t.nparts * 10 > 15 * t.tot
+       |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  /** Mirrors Analytics.q12ReturnPriority: urgent/high vs rest CASE counts
+    * per return flag over year-2000 shipments. */
+  val q12ReturnPriority: String =
+    s"""SELECT l.l_returnflag,
+       |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE l.l_returnflag IN ('A', 'R')
+       |  AND l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+       |  AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mirrors Analytics.q13CustomerDistribution: per-customer qualifying
+    * order counts (zeros kept via LEFT JOIN) histogrammed. */
+  val q13CustomerDistribution: String =
+    s"""WITH cnt AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1
+       |)
+       |SELECT CAST(COALESCE(cnt.n, 0) AS BIGINT) AS c_count,
+       |       CAST(COUNT(*) AS BIGINT) AS custdist
+       |FROM customer c LEFT JOIN cnt ON cnt.o_custkey = c.c_custkey
+       |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Mirrors Analytics.q14PromoEffect: PROMO share of May-2000 revenue as
+    * one division of exact integer-cent sums. */
+  val q14PromoEffect: String =
+    s"""WITH f AS (
+       |  SELECT p.p_type,
+       |         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |  WHERE l.l_shipdate >= TIMESTAMP '2000-05-01 00:00:00'
+       |    AND l.l_shipdate < TIMESTAMP '2000-06-01 00:00:00')
+       |SELECT ${r("100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE)")} AS promo_pct,
+       |       ${r("CAST(SUM(cents) AS DOUBLE) / 100.0")} AS total_revenue,
+       |       CAST(COUNT(*) AS BIGINT) AS n
+       |FROM f""".stripMargin
+
+  /** Mirrors Analytics.q15TopSupplier: exact-cent per-supplier revenue,
+    * bit-safe equality against the 1-row max. */
+  val q15TopSupplier: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+       |  GROUP BY 1
+       |), mx AS (SELECT CAST(MAX(cents) AS BIGINT) AS mx FROM rev)
+       |SELECT s.s_suppkey, s.s_name,
+       |       ${r("CAST(rev.cents AS DOUBLE) / 100.0")} AS total_revenue
+       |FROM rev CROSS JOIN mx
+       |JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+       |WHERE rev.cents = mx.mx ORDER BY s.s_suppkey""".stripMargin
+
+  /** Mirrors Analytics.q16PartVariety: distinct (bucket, supplier) pairs
+    * through the lineitem bridge, arrears suppliers excluded. */
+  val q16PartVariety: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |  WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+       |    AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+       |    AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+       |SELECT p_brand, p_type, p_size, CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+       |FROM pairs GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Mirrors Analytics.q18LargeOrders: HAVING on the exact integer-valued
+    * quantity sum, top-100 on stored o_totalprice with orderkey
+    * tie-break. */
+  val q18LargeOrders: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+       |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+       |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       |       o.o_totalprice, big.sum_qty
+       |FROM big
+       |JOIN orders o ON o.o_orderkey = big.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
+
+  /** Mirrors Analytics.q19DiscountedRevenue: the three-branch disjunction
+    * as a row-local predicate over the part-joined fact. */
+  val q19DiscountedRevenue: String =
+    s"""SELECT ${r("CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0")} AS revenue,
+       |       CAST(COUNT(*) AS BIGINT) AS n
+       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+       |       AND l.l_quantity BETWEEN 1 AND 11)
+       |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+       |       AND l.l_quantity BETWEEN 10 AND 20)
+       |   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val q3Shipping: String =
     s"""SELECT l.l_orderkey, o.o_orderdate,
       |       ${r4("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue

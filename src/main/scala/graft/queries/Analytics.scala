@@ -561,6 +561,355 @@ object Analytics {
       .orderBy(col("numwait").desc, col("s_suppkey"))
   }
 
+  /** TPC-H Q4-style priority check: orders placed in H1-2000 with at
+    * least one lineitem shipped >90 days after the order date, counted
+    * per priority. The classic correlated EXISTS decorrelates to a LEFT
+    * SEMI join on orderkey with the lateness test as the join's residual
+    * condition — one keyed shuffle, never a per-row subquery, and the
+    * probe side carries only (orderkey, shipdate). Date comparisons are
+    * integer-microsecond exact in both engines. */
+  def q4PriorityCount(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7-style volume shipping: cross-nation trade flows between two
+    * nations over two ship years, both directions. The two-nation scope
+    * broadcasts into BOTH fact legs (supplier keys prune lineitem before
+    * its only shuffle, customer keys prune the orders probe), revenue
+    * folds as exact integer cents per row (identical IEEE multiply+floor
+    * in both engines), and the bidirectional pair condition is the
+    * residual supp≠cust filter on two broadcast-joined nation names —
+    * one lineitem↔orders shuffle end to end. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("cents"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n"),
+        r6(sum(col("cents")).cast("double") / lit(100.0)).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-style national market share: of all STANDARD-part revenue
+    * sold into ASIA customers over 1999–2000, the fraction supplied from
+    * NATION_3, per order year. Every dimension (scoped parts, region-scoped
+    * customer keys, name-carrying suppliers) broadcasts into the single
+    * lineitem↔orders shuffle; the share is one correctly-rounded division
+    * of two exact integer-cent sums, so the ratio replays bit-for-bit
+    * cross-engine — the trap a float-sum numerator/denominator would hit. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val rg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nAll = Tables.nation(s, dir)
+    val custNat = nAll.join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(custNat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nAll.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", col("cents"))
+          .otherwise(lit(0L))).as("nat_cents"),
+        sum(col("cents")).as("tot_cents"))
+      .select(col("o_year"),
+        r6(col("nat_cents").cast("double") / col("tot_cents").cast("double"))
+          .as("mkt_share"),
+        r6(col("tot_cents").cast("double") / lit(100.0)).as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-style product-type profit: per supplier nation and order
+    * year, revenue minus part cost for '…bolt' parts (the testdata has no
+    * partsupp, so unit cost is the part's retail price — Q9's
+    * ps_supplycost stand-in). Profit is exact integer cents per row:
+    * cents(revenue) − cents(retail) × qty, with qty an integer-valued
+    * double, so the sum is order-free and the engines agree bit-for-bit
+    * even though profits go negative. Scoped parts, suppliers, and nations
+    * broadcast; lineitem↔orders is the one shuffle. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").endsWith("bolt"))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cost_cents"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("rev_cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("rev_cents") - col("cost_cents") * col("l_quantity").cast("long"))
+          .as("profit_cents"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        r6(sum(col("profit_cents")).cast("double") / lit(100.0)).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue
+    * lost to returns in Q1-2000. The per-customer rollup happens BEFORE
+    * the customer dim joins in (aggregate-below-join: the shuffle carries
+    * (custkey, cents), not fact rows × customer width), and the top-20 cut
+    * sorts the exact integer-cent revenue with a custkey tie-break, so the
+    * boundary row can't flip on float summation order. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2000-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("cents"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"),
+        r6(col("cents").cast("double") / lit(100.0)).as("revenue"))
+  }
+
+  /** TPC-H Q11-style important parts: parts whose lineitem gross value
+    * exceeds 1.5× the average per-part value — Q11's HAVING-against-a-
+    * scalar-subquery shape with lineitem as the partsupp stand-in. The
+    * global (total, part count) is a 1-row broadcast crossJoined into the
+    * per-part rollup (BNLJ-allowlisted), and the threshold compares
+    * cents·nparts·10 > 15·total as an integer cross-multiplication — no
+    * float average whose last ulp could flip a boundary part. Products
+    * stay far inside int64 up to ~10 PB of lineitem (cents·nparts·10
+    * ≈ 1e18 at 1e7 parts × $1e8/part); past that, promote to DECIMAL(38)
+    * like eventsDispersion. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    val tot = v.agg(sum(col("cents")).as("tot"), count(lit(1)).as("nparts"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("cents") * col("nparts") * lit(10L) > lit(15L) * col("tot"))
+      .select(col("l_partkey").as("p_partkey"),
+        r6(col("cents").cast("double") / lit(100.0)).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12-style shipping-priority audit: for returned-or-adjusted
+    * lineitems shipped in 2000, how many belong to urgent/high orders vs
+    * the rest, per return flag (the testdata has no l_shipmode; the return
+    * flag is the two-class stand-in). One fact shuffle (lineitem↔orders),
+    * integer CASE counts — exact by construction. */
+  def q12ReturnPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+          .otherwise(lit(0L))).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(0L))
+          .otherwise(lit(1L))).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q13-style customer order distribution: how many customers
+    * placed exactly k qualifying orders, INCLUDING the zero-order
+    * customers the inner join would drop. Aggregate-below-outer-join: the
+    * per-customer counts reduce orders first (one keyed shuffle), the LEFT
+    * join against the customer spine fills the zeros, and the second
+    * (tiny, count-domain-sized) aggregate builds the histogram. */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14-style promo effect: the share of May-2000 revenue carried
+    * by PROMO-type parts, as one conditional aggregate over the
+    * month-scoped scan (date filter pushed to the parquet scan, part dim
+    * broadcast). Numerator and denominator are exact integer-cent sums;
+    * the percentage is one correctly-rounded division. */
+  def q14PromoEffect(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2000-05-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-06-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("cents")).otherwise(lit(0L)))
+          .as("promo"),
+        sum(col("cents")).as("tot"),
+        count(lit(1)).as("n"))
+      .select(
+        r6(lit(100.0) * col("promo").cast("double") / col("tot").cast("double"))
+          .as("promo_pct"),
+        r6(col("tot").cast("double") / lit(100.0)).as("total_revenue"),
+        col("n"))
+  }
+
+  /** TPC-H Q15-style top supplier: the supplier(s) whose Q1-2000 revenue
+    * equals the maximum — Q15's view + scalar-max-subquery pair. The
+    * per-supplier rollup is the one fact shuffle; the max is a 1-row
+    * broadcast crossJoined back (BNLJ-allowlisted), and because revenue is
+    * an exact integer-cent sum the equality test is bit-safe (a float
+    * revenue could miss its own max by an ulp and return zero rows). */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+        + lit(0.5)).cast("long")).as("cents"))
+    val mx = rev.agg(max(col("cents")).as("mx"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("cents") === col("mx"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        r6(col("cents").cast("double") / lit(100.0)).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-style supplier variety: distinct suppliers per qualifying
+    * (brand, type, size) bucket, excluding a brand/type and suppliers in
+    * arrears (the complaints stand-in — s_acctbal < 0), with lineitem as
+    * the part↔supplier bridge. The scoped part dim and the (tiny)
+    * excluded-supplier list broadcast; the distinct pair set is the one
+    * fact shuffle and the bucket rollup reuses its partitioning. */
+  def q16PartVariety(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excl = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds 300 units, with customer attribution, top-100 by order
+    * value. The HAVING survivor set is ultra-selective, so it broadcasts
+    * back into orders (at 100 TB this stays a hash join either way — the
+    * hint just pins the small side); quantity sums are integer-valued
+    * doubles (exact), and the top-100 sort reads the STORED o_totalprice
+    * (identical bits in both engines) with an orderkey tie-break. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-style discounted revenue: three disjunctive
+    * brand/size/quantity branches over the part-joined fact, folded into
+    * ONE broadcast hash join + residual OR filter (the classic trap is
+    * three unioned scans or a nested-loop on the OR — here the equi-key
+    * join stays keyed and the disjunction is a row-local predicate).
+    * Revenue is an exact integer-cent sum. */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(r6(sum(col("cents")).cast("double") / lit(100.0)).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** TPC-H Q1-style pricing summary: multi-aggregate rollup per
     * (returnflag, linestatus) — partial+final hash agg, no join. */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =

@@ -26,6 +26,10 @@ class AllPlansSpec extends SparkSpec {
     "drift_chi2",
     // 1-row cross side: q22's (positive-balance total, count) scalars
     "q22_wealthy_idle",
+    // 1-row cross side: q11's (global value total, part count) scalars.
+    // q15's max-revenue crossJoin is NOT here: its equality filter
+    // collapses into an equi BroadcastHashJoin at planning time.
+    "q11_important_parts",
     // 1-row cross side: arm totals (abtest), corpus min/max span (churn),
     // Σ√n normalizer (temperature), joint total (MI), score range (ROC)
     "abtest_ztest", "user_churn", "corpus_temperature", "events_mi", "ml_roc",
