@@ -114,7 +114,7 @@ object Features {
       momCols ++ volCols): _*)
 
     val helper = s5.columns.filter(_.startsWith("_"))
-    Temporal.withTemporal(s5.drop(helper: _*))
+    Temporal.withTemporal(s5.drop(helper.toIndexedSeq: _*))
   }
 
   /** The 49 feature column names, mirroring the reference's exclusion rule

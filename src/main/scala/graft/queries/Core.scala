@@ -186,7 +186,10 @@ object Core {
     * `quantile_cont` — the agg_quantiles precedent); bin assignment is a
     * CASE over those identical doubles; target rate is an exact-integer
     * sum/count division. One unpivot + two feature-keyed aggregates; the
-    * 4-row threshold table broadcasts back onto the stream. */
+    * 4-row threshold table broadcasts back onto the stream. The stacked
+    * matrix is persisted: it feeds BOTH the threshold aggregate and the
+    * binning scan — without it the 49-feature pipeline underneath
+    * [[mlMatrix]] evaluates twice (once inside the broadcast subquery). */
   def mlFeatureBins(s: SparkSession, dir: String): DataFrame = {
     val feats = FeatureBinCols
     val stackExpr = s"stack(${feats.size}, " +
@@ -194,6 +197,7 @@ object Core {
       ") AS (feature, x)"
     val m = mlMatrix(s, dir)
       .select(expr(stackExpr), col("target").cast("long").as("y"))
+      .persist()
     val thresholds = m.groupBy("feature").agg(
       expr("percentile(x, 0.25)").as("p25"),
       expr("percentile(x, 0.5)").as("p50"),

@@ -267,7 +267,7 @@ object Lake {
       .filter(col(s"min_$column") <= value && value <= col(s"max_$column"))
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty) spark.read.parquet(path).filter(col(column) === value).limit(0)
-    else spark.read.parquet(files: _*).filter(col(column) === value)
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(col(column) === value)
   }
 
   /** SCD type 2: collapse a keyed event stream into validity intervals of

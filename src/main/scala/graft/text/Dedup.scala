@@ -623,7 +623,7 @@ object Dedup {
     // join-and-count against the previous labeling. decimal(38,0) so id
     // sums cannot overflow at any scale.
     def labelSum(l: DataFrame): java.math.BigDecimal = {
-      val d = l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      val d = l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d // empty graph
     }
     var prevSum = labelSum(labels)
@@ -720,7 +720,7 @@ object Dedup {
     // one cheap aggregate rather than letting a violation fan out duplicate
     // (id, label) rows silently
     val fanoutRow = edges.groupBy("u").agg(count(lit(1)).as("_n"))
-      .agg(max(col("_n"))).head
+      .agg(max(col("_n"))).head()
     val maxFanout = if (fanoutRow.isNullAt(0)) 0L else fanoutRow.getLong(0)
     if (maxFanout > 1) throw new IllegalStateException(
       s"connectedComponentsStar fixpoint is not star-shaped: a node keeps " +
