@@ -216,6 +216,42 @@ class PlanSpec extends SparkSpec {
     assert(windows <= 4, s"withAdx regressed to $windows window passes:\n${plan(df)}")
   }
 
+  test("TPC-H decorrelation block: keyed shuffles pinned, dims broadcast, no BNLJ outside q11") {
+    // Every classic correlated-subquery shape must stay decorrelated: a
+    // bounded number of keyed fact shuffles plus broadcast dimension
+    // probes. Ceilings are the measured counts at sf0.001 (deterministic
+    // planning at fixed input sizes/confs) — an extra Exchange appearing
+    // on any of these is a real plan regression, not noise.
+    val shapes = Seq(
+      // (query, max hash exchanges, min BroadcastHashJoins)
+      ("q4_priority_count", 1, 1),        // EXISTS → semi join + one agg
+      ("q7_volume_shipping", 3, 4),       // two-nation scope broadcast both legs
+      ("q8_market_share", 3, 6),          // full dim stack broadcast
+      ("q9_product_profit", 1, 4),        // profit rollup, one keyed shuffle
+      ("q10_returned_items", 1, 3),       // aggregate-below-join + top-k
+      ("q12_return_priority", 1, 1),
+      ("q13_customer_distribution", 2, 1),// agg-below-outer-join + histogram
+      ("q14_promo_effect", 0, 1),         // zero keyed shuffles: bcast join + 1-row agg
+      ("q15_top_supplier", 2, 2),         // max-equality collapses to equi BHJ
+      ("q16_part_variety", 2, 2),         // distinct pairs + bucket rollup
+      ("q18_large_orders", 1, 2),         // HAVING survivors broadcast back
+      ("q19_discounted_revenue", 0, 1))   // zero keyed shuffles: disjunction is row-local
+    for ((q, maxEx, minBhj) <- shapes) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val ex = countOp(df, "Exchange hashpartitioning")
+      assert(ex <= maxEx, s"$q: $ex hash exchanges (ceiling $maxEx):\n${plan(df)}")
+      assert(countOp(df, "BroadcastHashJoin") >= minBhj,
+        s"$q lost a broadcast probe:\n${plan(df)}")
+      assert(countOp(df, "BroadcastNestedLoop") == 0,
+        s"$q plans a nested-loop join:\n${plan(df)}")
+    }
+    // shape-specific operators
+    assert(countOp(SparkEntry.queries("q4_priority_count")(spark, dir), "LeftSemi") == 1)
+    assert(countOp(SparkEntry.queries("q16_part_variety")(spark, dir), "LeftAnti") == 1)
+    assert(countOp(SparkEntry.queries("q10_returned_items")(spark, dir), "TakeOrderedAndProject") == 1)
+    assert(countOp(SparkEntry.queries("q18_large_orders")(spark, dir), "TakeOrderedAndProject") == 1)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffled join") {
     // The 100 TB fact⋈selective-dim story when the dim is too big to
     // broadcast: Spark's InjectRuntimeFilter builds a bloom filter on the
