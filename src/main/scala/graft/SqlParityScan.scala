@@ -1,6 +1,14 @@
 package graft
 /** Dev scan: which oracle statements run verbatim on spark.sql and match
-  * the DataFrame plan. Prints one line per query. */
+  * the DataFrame plan. Prints one line per query. Round-11 result:
+  * 66/321 OK (the TPC-H block — pinned by SqlParitySpec — plus the plain
+  * join/agg/drift/dq families); PARSE_FAIL/EXEC_FAIL are the DuckDB-only
+  * constructs the oracle uses by design (recursive CTEs, list/md5
+  * family); the handful of MISMATCH entries are known dialect divergences
+  * run outside their contract — DuckDB's regexp_replace takes a flags
+  * argument where Spark takes a position, and tz-naive vs session-tz
+  * timestamp rendering — all of them hash-exact under the real DuckDB
+  * oracle gate. */
 object SqlParityScan {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("sql-parity-scan")
