@@ -106,17 +106,23 @@ object Graph {
   private[graft] def pageRankWithRounds(edges: DataFrame, iters: Int = PrIters,
       damping: Double = PrDamping, tol: Option[Double] = None,
       tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // the RAW edge list materializes first: deg, the degree join, the node
+    // set and the dangling set all derive from it, and without this
+    // checkpoint each derivation re-evaluates the caller's edge plan (a
+    // fact-table scan + distinct for every registered graph) — measured
+    // ~2 s of redundant scans per query at sf0.1
+    val e0 = edges.localCheckpoint()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — partitioned by src once, reused all rounds
-    val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node")))
+    val e = e0.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()
     // dangling = dst-only nodes (no outgoing edge); their per-round rank
     // sum is the redistribution term. Checkpointed once, reused all rounds.
     val dangling = nodes.join(
-        edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+        e0.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .localCheckpoint()
     val nDangling = dangling.count()
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
@@ -202,10 +208,14 @@ object Graph {
     * set on the driver. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = PrIters, damping: Double = PrDamping): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nodes0 = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node")))
+    // raw edges materialize first — same redundant-rescan fix as
+    // [[pageRankWithRounds]] (deg, the degree join, the node set and the
+    // dangling set all re-evaluate the caller's edge plan otherwise)
+    val e0 = edges.localCheckpoint()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nodes0 = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
       .distinct()
     val seedFlag = seeds.select(col("node")).distinct()
       .withColumn("_seed", lit(true))
@@ -218,7 +228,7 @@ object Graph {
         when(col("_seed").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("tp"))
       .repartition(col("node")).localCheckpoint()
     val dangling = nodes.select("node").join(
-        edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+        e0.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .localCheckpoint()
     val nDangling = dangling.count()
     val nNodes = nodes.count()
