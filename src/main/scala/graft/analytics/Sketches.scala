@@ -152,7 +152,17 @@ object Sketches {
     // u >> e as exact double math: dividing by 2^e only shifts the
     // exponent (u < 2^53), so floor(u / 2^e) is the exact integer shift
     val top = floor(u.cast("double") / pow(lit(2.0), e.cast("double"))).cast("long")
-    when(u < lit(QsketchExact), u)
+    // loud domain guard: past 2^53 µ-units (~9e9 in value units) the
+    // double shift above could round across a sub-bucket boundary where
+    // the oracle's exact integer `>>` does not — a silent cross-engine
+    // bucket divergence; negative values would produce garbage buckets on
+    // both engines. Neither belongs in the sketch: fail the row here,
+    // loudly, instead of as a far-away Verify hash mismatch.
+    when(u < lit(0L) || u >= lit(1L << 53),
+        raise_error(concat(
+          lit("qsketchBucket: micro-units outside [0, 2^53): "),
+          u.cast("string"))).cast("long"))
+      .when(u < lit(QsketchExact), u)
       .otherwise(lit(QsketchExact) + (e - 1L) * lit(1L << QsketchSubBits) +
         (top - lit(1L << QsketchSubBits)))
   }

@@ -25,7 +25,12 @@ object Analytics {
       require(last <= tol * 0.9,
         s"$name: exit-round delta $last is within 10% of tol $tol — " +
           "cross-engine stop-round parity is float-fragile; move the tol")
-      deltas.dropRight(1).lastOption.foreach { prev =>
+      // EVERY pre-exit checked round must clear tol by the margin, not
+      // just the immediately-preceding one: an early checked delta inside
+      // the band could stop the oracle's replay at a round Spark ran past
+      // (the engines' float-sum orders differ), which is exactly the
+      // silent hash mismatch this guard exists to make loud
+      deltas.dropRight(1).foreach { prev =>
         require(prev >= tol * 1.1,
           s"$name: pre-exit delta $prev is within 10% of tol $tol — " +
             "cross-engine stop-round parity is float-fragile; move the tol")
@@ -388,12 +393,14 @@ object Analytics {
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    // persisted: thr feeds BOTH the broadcast probe and the final left
-    // join — without it the plan re-scans lineitem a third time for the
-    // same brand-sized aggregate
+    // checkpointed (NOT persist): thr feeds BOTH the broadcast probe and
+    // the final left join — without it the plan re-scans lineitem a third
+    // time for the same brand-sized aggregate. localCheckpoint over
+    // persist for the same reason as aggQuantileSketch: no CacheManager
+    // entry to leak into later constructions or pin for the session.
     val thr = scoped.groupBy(col("l_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-      .persist()
+      .localCheckpoint()
     // revenue folds as EXACT integer cents (floor(x·100 + 0.5) per row —
     // the house power-sum recipe): a float sum here lands on .50 whole-
     // dollar boundaries at sf0.1 and the engines' sum orders disagree
@@ -2940,10 +2947,15 @@ object Analytics {
     val qs = Seq(0.5, 0.9, 0.99)
     val ev = Bars.readEvents(s, dir)
       .select(col("event_type"), col("value"), col("event_id"))
-    // persisted: the per-type sketch feeds both the per-type estimates and
-    // the merged __all row — one sketch pass, not two
+    // checkpointed (NOT persist): the per-type sketch feeds both the
+    // per-type estimates and the merged __all row — one sketch pass, not
+    // two. localCheckpoint keeps the reuse session-local: a persist here
+    // would register in CacheManager and silently serve this run's blocks
+    // to the NEXT construction of the same plan (Bench warm samples would
+    // measure a cache read), and nothing could unpersist it before the
+    // caller consumed the result.
     val counts = graft.analytics.Sketches.qsketchCounts(ev, col("value"), Seq("event_type"))
-      .persist()
+      .localCheckpoint()
     val merged = counts.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
       .select(lit("__all").as("event_type"), col("bucket"), col("cnt"))
     val est = graft.analytics.Sketches.qsketchQuantiles(

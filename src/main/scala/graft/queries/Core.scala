@@ -187,9 +187,13 @@ object Core {
     * CASE over those identical doubles; target rate is an exact-integer
     * sum/count division. One unpivot + two feature-keyed aggregates; the
     * 4-row threshold table broadcasts back onto the stream. The stacked
-    * matrix is persisted: it feeds BOTH the threshold aggregate and the
-    * binning scan — without it the 49-feature pipeline underneath
-    * [[mlMatrix]] evaluates twice (once inside the broadcast subquery). */
+    * matrix is checkpointed: it feeds BOTH the threshold aggregate and
+    * the binning scan — without it the 49-feature pipeline underneath
+    * [[mlMatrix]] evaluates twice (once inside the broadcast subquery).
+    * localCheckpoint, not persist: persist would register in CacheManager
+    * and serve this run's blocks to the next construction of the same
+    * plan (Bench warm samples would measure a cache read), with no
+    * unpersist point before the caller consumes the result. */
   def mlFeatureBins(s: SparkSession, dir: String): DataFrame = {
     val feats = FeatureBinCols
     val stackExpr = s"stack(${feats.size}, " +
@@ -197,7 +201,7 @@ object Core {
       ") AS (feature, x)"
     val m = mlMatrix(s, dir)
       .select(expr(stackExpr), col("target").cast("long").as("y"))
-      .persist()
+      .localCheckpoint()
     val thresholds = m.groupBy("feature").agg(
       expr("percentile(x, 0.25)").as("p25"),
       expr("percentile(x, 0.5)").as("p50"),

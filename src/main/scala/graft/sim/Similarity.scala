@@ -284,20 +284,34 @@ object Similarity {
     * localCheckpoint'ed (valid for the life of their session) and
     * centroid-table-sized. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int, Int, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[
+      (org.apache.spark.sql.SparkSession, Int, Int, Int),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
 
   def kmeansCentroids(embeddings: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame = {
     require(k > 0 && iters > 0, s"kmeansCentroids: need k > 0, iters > 0 (got $k, $iters)")
-    val key = (embeddings.sparkSession,
-      embeddings.queryExecution.analyzed.semanticHash(), k, iters)
-    centroidCache.getOrElseUpdate(key, {
+    // entries from stopped sessions are dead weight (their checkpointed
+    // blocks died with the session's block manager) — drop them before
+    // every lookup so a long-lived JVM cycling sessions cannot accumulate
+    // SparkSession object graphs in this process-global map
+    centroidCache.keySet.filter(_._1.sparkContext.isStopped)
+      .foreach(centroidCache.remove)
+    val plan = embeddings.queryExecution.analyzed.canonicalized
+    val key = (embeddings.sparkSession, plan.semanticHash(), k, iters)
+    def train(): (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame) = {
       val vecs = withNorm(embeddings, "vec_id", "v", "nv")
       var cents = kmeansSeeds(vecs, k)
       for (_ <- 1 until iters)
         cents = kmeansUpdate(kmeansAssign(vecs, cents))
-      cents.localCheckpoint()
-    })
+      (plan, cents.localCheckpoint())
+    }
+    val (cachedPlan, cents) = centroidCache.getOrElseUpdate(key, train())
+    // semanticHash is 32-bit: confirm true plan equality on every hit so a
+    // hash collision retrains instead of silently serving another
+    // corpus's centroids
+    if (cachedPlan == plan) cents
+    else { val fresh = train(); centroidCache.put(key, fresh); fresh._2 }
   }
 
   private def kmeansSeeds(vecs: DataFrame, k: Int): DataFrame =

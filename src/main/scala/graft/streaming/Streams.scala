@@ -159,16 +159,39 @@ object Streams {
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
-  case class SessState(lastTs: Long, sessions: Long, events: Long)
+  /** [[sessionCounts]] state: pending spans + counters for the spans
+    * already folded once the watermark finalized them. */
+  case class SessCountState(spans: Seq[SessSpan], nSessions: Long, nEvents: Long)
   /** One CLOSED session — the row shape of the batch
     * [[graft.analytics.Relational.sessionize]] twin. */
   case class SessionRow(user_id: Long, session_idx: Long, n_events: Long,
     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
-  /** Per-user sessionization state: the open session (if any) plus the
-    * session counter, which survives session flushes so `session_idx`
+  /** One not-yet-emitted session span: [startUs, endUs] with its event
+    * count. Spans in a user's state are disjoint and pairwise more than
+    * the gap apart. */
+  case class SessSpan(startUs: Long, endUs: Long, n: Long)
+
+  /** Merge event time `t` into a gap-disjoint span list: joins (and may
+    * BRIDGE — at most two, since spans sit > gap apart) every span within
+    * the gap, else opens a new one. Returns the list re-sorted by start.
+    * This is the order-insensitive core both sessionizers share: feeding
+    * events in ANY arrival order yields the same spans as the batch
+    * twin's global sort. */
+  private def mergeSpan(spans: List[SessSpan], t: Long, gapUs: Long): List[SessSpan] = {
+    val (touch, rest) = spans.partition(s =>
+      t >= s.startUs - gapUs && t <= s.endUs + gapUs)
+    val merged =
+      if (touch.isEmpty) SessSpan(t, t, 1L)
+      else SessSpan(
+        math.min(touch.map(_.startUs).min, t),
+        math.max(touch.map(_.endUs).max, t),
+        touch.map(_.n).sum + 1L)
+    (merged :: rest).sortBy(_.startUs)
+  }
+  /** Per-user sessionization state: the pending (unemitted) session spans
+    * plus the session counter, which survives emissions so `session_idx`
     * keeps counting exactly like the batch cumulative-sum index. */
-  case class SessOpenState(open: Boolean, startUs: Long, endUs: Long,
-    n: Long, idx: Long)
+  case class SessSpansState(spans: Seq[SessSpan], idx: Long)
 
   /** Stream-stream interval self-join: each purchase matched to the same
     * user's error events in the preceding hour. Both sides carry watermarks
@@ -843,23 +866,33 @@ object Streams {
       col("event_id"), col("ts"), col("value").as("close")).as[BarTick]
   }
 
-  /** Stateful gap-sessionization: per user, count sessions split on >30 min
-    * gaps. Demonstrates flatMapGroupsWithState with explicit state; events
-    * within a micro-batch are sorted in the group function (streaming
-    * iterators are unordered). [[streamingSessionize]] is the per-session
-    * variant: event-time timeout emits each closed session incrementally. */
+  /** Stateful gap-sessionization: per user, cumulative session/event
+    * counts split on >30 min gaps, exact under ANY within-watermark
+    * arrival order (the span-merge core is order-insensitive, so no
+    * per-batch sort is needed and cross-batch stragglers — including ones
+    * that bridge two provisional sessions — land exactly as the batch
+    * twin's global sort would). Watermark-final spans fold into counters,
+    * bounding state by the watermark horizon. [[streamingSessionize]] is
+    * the per-session variant: event-time timeout emits each closed
+    * session incrementally. */
   /** Streaming twin of the batch [[graft.analytics.Relational.sessionize]]:
-    * per user, gap-split sessions emitted as CLOSED rows in Append mode —
-    * by the successor event that breaks the gap, or by EVENT-TIME TIMEOUT
-    * once the watermark passes session_end + gap (no in-order event can
-    * extend the session past that point, so the flush is safe, and a
-    * later-than-watermark straggler would be dropped by the same watermark
-    * on the input side — the two rules agree by construction). State is
-    * one open session + the per-user session counter; the counter survives
-    * flushes so `session_idx` matches the batch cumulative-sum index row
-    * for row. At 100 TB the counter state is one row per user — TTL it
-    * with a second timeout horizon if the user universe is unbounded.
-    * Ordering contract within/across micro-batches as [[streamingRsi]]. */
+    * per user, gap-split sessions emitted as CLOSED rows in Append mode.
+    *
+    * State is the user's PENDING SESSION SPANS (disjoint, pairwise more
+    * than the gap apart) plus the session counter. Each event merges into
+    * the span set: it joins (and may BRIDGE) every span within the gap of
+    * it, or opens a new span. A span is emitted only once the WATERMARK
+    * passes its end + gap — at that point no admissible event can extend
+    * or bridge it, so the emission is final; before that point, nothing is
+    * emitted, because a within-watermark straggler may legally arrive
+    * out-of-order across micro-batches and extend a span backward, sit
+    * inside it, or merge two spans into one (an eager flush-on-successor —
+    * this function's previous design — breaks exactly there: it freezes a
+    * session the batch twin would still grow). Emission order is span
+    * order, so `session_idx` matches the batch cumulative-sum index row
+    * for row. Span count per user is bounded by the watermark horizon
+    * divided by the gap; the counter survives emissions — at 100 TB TTL
+    * it with a second timeout horizon if the user universe is unbounded. */
   def streamingSessionize(events: DataFrame, gapMinutes: Int = 30,
       watermark: String = "1 hour"): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
@@ -867,9 +900,9 @@ object Streams {
     events.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessOpenState, SessionRow](
+      .flatMapGroupsWithState[SessSpansState, SessionRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (uid, it, state: GroupState[SessOpenState]) =>
+        case (uid, it, state: GroupState[SessSpansState]) =>
           def micros(ts: java.sql.Timestamp): Long =
             (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
           def toTs(us: Long): java.sql.Timestamp = {
@@ -877,60 +910,59 @@ object Streams {
             t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
             t
           }
-          if (!it.hasNext) {
-            // timeout: watermark passed session_end + gap — flush the open
-            // session, keep the counter for the user's next session
-            val st = state.get
-            state.update(st.copy(open = false))
-            if (st.open)
-              Iterator(SessionRow(uid, st.idx, st.n, toTs(st.startUs), toTs(st.endUs)))
-            else Iterator.empty
-          } else {
-            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var st = state.getOption.getOrElse(SessOpenState(
-              open = false, 0L, 0L, 0L, 0L))
-            val closed = scala.collection.mutable.ListBuffer.empty[SessionRow]
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              if (st.open && t - st.endUs > gapUs) {
-                closed += SessionRow(uid, st.idx, st.n, toTs(st.startUs), toTs(st.endUs))
-                st = SessOpenState(open = true, t, t, 1L, st.idx + 1)
-              } else if (st.open) {
-                st = st.copy(endUs = t, n = st.n + 1)
-              } else {
-                st = SessOpenState(open = true, t, t, 1L, st.idx + 1)
-              }
-            }
-            state.update(st)
-            // fires strictly after the last µs that could extend the session
-            state.setTimeoutTimestamp(
-              Math.floorDiv(st.endUs + gapUs, 1000L) + 1L)
-            closed.iterator
+          val st = state.getOption.getOrElse(SessSpansState(Nil, 0L))
+          var spans = st.spans.toList
+          it.foreach(e => spans = mergeSpan(spans, micros(e.ts), gapUs))
+          // a span is final once the watermark strictly passes the last
+          // millisecond that could still reach it (floorDiv(end+gap, 1000)
+          // + 1) — the same instant its event-time timeout fires. Spans
+          // are start-sorted and disjoint, so ends are sorted too and the
+          // emitted set is always the oldest prefix.
+          val wmMs = state.getCurrentWatermarkMs()
+          def safeAt(s: SessSpan): Long = Math.floorDiv(s.endUs + gapUs, 1000L) + 1L
+          val (safe, pending) = spans.partition(s => safeAt(s) < wmMs)
+          state.update(SessSpansState(pending, st.idx + safe.size))
+          pending.headOption.foreach { oldest =>
+            // the set timestamp must sit past the current watermark; the
+            // bump only defers a boundary-ms flush to the next advance
+            state.setTimeoutTimestamp(math.max(safeAt(oldest), wmMs + 1L))
+          }
+          safe.sortBy(_.startUs).iterator.zipWithIndex.map { case (s, i) =>
+            SessionRow(uid, st.idx + 1L + i, s.n, toTs(s.startUs), toTs(s.endUs))
           }
       }
   }
 
-  def sessionCounts(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionSummary] = {
+  def sessionCounts(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    events.select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessionSummary](
+      .flatMapGroupsWithState[SessCountState, SessionSummary](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        case (uid, it, state: GroupState[SessState]) =>
+        case (uid, it, state: GroupState[SessCountState]) =>
           // full µs precision: getTime() alone truncates to ms, which would
           // disagree with the batch twin's unix_micros gap arithmetic
           def micros(ts: java.sql.Timestamp): Long =
             (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val t = micros(e.ts)
-            val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapUs
-            st = SessState(t, st.sessions + (if (newSession) 1 else 0), st.events + 1)
-          }
+          var st = state.getOption.getOrElse(SessCountState(Nil, 0L, 0L))
+          var spans = st.spans.toList
+          it.foreach(e => spans = mergeSpan(spans, micros(e.ts), gapUs))
+          // fold watermark-final spans into the flushed counters so state
+          // stays bounded by the watermark horizon, exactly like
+          // streamingSessionize's emission rule
+          val wmMs = state.getCurrentWatermarkMs()
+          val (safe, pending) = spans.partition(s =>
+            Math.floorDiv(s.endUs + gapUs, 1000L) + 1L < wmMs)
+          st = SessCountState(pending,
+            st.nSessions + safe.size, st.nEvents + safe.map(_.n).sum)
           state.update(st)
-          Iterator(SessionSummary(uid, st.sessions, st.events))
+          // totals INCLUDE the pending spans — the summary is the exact
+          // batch count at this point of the stream, not just the flushed
+          Iterator(SessionSummary(uid,
+            st.nSessions + pending.size, st.nEvents + pending.map(_.n).sum))
       }
   }
 }

@@ -562,11 +562,11 @@ class StreamingSpec extends SparkSpec {
       "expected >= 3 non-empty micro-batches")
     val gapUs = 30L * 60L * 1000000L
     val delayMs = 3600000L // streamingSessionize's default 1 h watermark
-    // the expected emission set, from the batch twin: a session flushes if
-    // a successor event closed it (any batch), or by event-time timeout —
-    // state written in batch <= 2 whose (end + gap) timeout precedes the
-    // watermark at batch 3's start (max event time of files 0+1 − delay);
-    // sessions whose last event is in file 2 have no later batch to flush.
+    // the expected emission set, from the batch twin: a session is emitted
+    // exactly when the watermark strictly passes its flush instant
+    // floorDiv(end + gap, 1000) + 1 — nothing is emitted eagerly (a
+    // within-watermark straggler may still extend or bridge an unflushed
+    // span), so the gate is the FINAL watermark for every session.
     val batch = Relational.sessionize(graft.source.Bars.readEvents(spark, dir))
       .withColumn("_end_us", unix_micros(col("session_end")))
       .withColumn("_last_idx",
@@ -581,8 +581,7 @@ class StreamingSpec extends SparkSpec {
     val cols = Seq("user_id", "session_idx", "n_events",
       "session_start", "session_end")
     val want = batch.filter(
-      col("session_idx") < col("_last_idx") || // closed by a successor event
-        (floor((col("_end_us") + lit(gapUs)) / 1000L) + 1L) < lit(wmFinalMs))
+      (floor((col("_end_us") + lit(gapUs)) / 1000L) + 1L) < lit(wmFinalMs))
       .select(cols.map(col): _*)
     val got = spark.table("stream_sessionize").select(cols.map(col): _*)
     assert(got.count() > 0, "no sessions emitted")
@@ -595,6 +594,61 @@ class StreamingSpec extends SparkSpec {
     assert(timeoutFlushed.count() > 0, "no watermark-expiry session flush observed")
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
       s"streaming sessions diverge from the batch twin: got ${got.count()} want ${want.count()}")
+  }
+
+  test("streaming sessionize stays batch-exact under cross-batch out-of-order arrivals") {
+    // The watermark ADMITS cross-batch disorder (an event up to 1 h older
+    // than the max seen so far), so the state design must absorb three
+    // legal straggler shapes the per-batch sort cannot: an event inside an
+    // open span (must not move session_end backward), an event that
+    // BRIDGES two spans into one batch session, and a span that must not
+    // flush until the watermark passes end + gap. Three mtime-ordered
+    // files force the batch boundaries.
+    val dirp = java.nio.file.Files.createTempDirectory("graft-sess-disorder-")
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    def us(min: Long) = baseUs + min * 60L * 1000000L
+    def ts(min: Long) = new java.sql.Timestamp(us(min) / 1000L)
+    import spark.implicits._
+    val files: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]] = Seq(
+      // u1: open span [0, 10]; u2: two spans [0] and [50] (gap 50 > 30)
+      Seq((1L, ts(0), 1L, "click", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}"),
+        (3L, ts(0), 2L, "click", 1.0, "{}"), (4L, ts(50), 2L, "click", 1.0, "{}")),
+      // u1 t=5 sits INSIDE [0, 10] (old design moved end back to 5);
+      // u1 t=180 opens a second span; u2 t=25 BRIDGES [0] and [50]
+      // (old design had already emitted [0] eagerly)
+      Seq((5L, ts(5), 1L, "click", 1.0, "{}"), (6L, ts(180), 1L, "click", 1.0, "{}"),
+        (7L, ts(25), 2L, "click", 1.0, "{}")),
+      // watermark advance: final wm = 360 − 60 = 300 min
+      Seq((8L, ts(360), 1L, "click", 1.0, "{}"), (9L, ts(360), 2L, "click", 1.0, "{}")))
+    files.zipWithIndex.foreach { case (rs, i) =>
+      val df = rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = s"$dirp/stage_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val tgt = dirp.resolve(s"$i.parquet")
+      java.nio.file.Files.move(f.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tgt.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val stream = Streams.streamingSessionize(
+      Streams.readEventStreamFrom(spark, dirp.toString, Some(1)))
+    val q = stream.writeStream.format("memory").queryName("stream_sess_disorder")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_sess_disorder")
+      .select("user_id", "session_idx", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).sortBy(t => (t._1, t._2)).toSeq
+    val ms = (min: Long) => us(min) / 1000L
+    // batch twin over ALL events: u1 [0,10] n3 / [180] / [360]; u2
+    // [0,50] n3 (bridged) / [360]. Final watermark 300 min flushes
+    // everything ending at or before 300 − 30 min.
+    val want = Seq(
+      (1L, 1L, 3L, ms(0), ms(10)),   // straggler absorbed, end NOT moved back
+      (1L, 2L, 1L, ms(180), ms(180)),
+      (2L, 1L, 3L, ms(0), ms(50)))   // bridged into one batch session
+    assert(got == want,
+      s"cross-batch disorder diverges from the batch twin:\n got=$got\nwant=$want")
   }
 
   test("streaming GARCH equals the batch feat_garch row for row") {
