@@ -177,7 +177,7 @@ object Streams {
     * This is the order-insensitive core both sessionizers share: feeding
     * events in ANY arrival order yields the same spans as the batch
     * twin's global sort. */
-  private def mergeSpan(spans: List[SessSpan], t: Long, gapUs: Long): List[SessSpan] = {
+  private[graft] def mergeSpan(spans: List[SessSpan], t: Long, gapUs: Long): List[SessSpan] = {
     val (touch, rest) = spans.partition(s =>
       t >= s.startUs - gapUs && t <= s.endUs + gapUs)
     val merged =

@@ -609,4 +609,33 @@ class PropSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: streaming span-merge is arrival-order-insensitive and equals the sorted gap split") {
+    // The invariant the streaming sessionizers stand on: folding events
+    // through mergeSpan in ANY arrival order yields exactly the sessions
+    // the batch twin's global sort produces. Random times with planted
+    // duplicates and near-gap boundaries, random permutations.
+    import graft.streaming.Streams.{mergeSpan, SessSpan}
+    val gapUs = 1000L
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(60)
+      val ts = Seq.fill(n)(rnd.nextInt(30) match {
+        case 0 => 0L // duplicates at the origin
+        case k if k < 5 => (k * gapUs) + rnd.nextInt(3) - 1L // boundary ±1
+        case _ => math.abs(rnd.nextLong()) % (20L * gapUs)
+      })
+      // reference: sort, split where the gap strictly exceeds gapUs
+      val sorted = ts.sorted
+      val ref = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, t) =>
+        if (t - acc.head.head > gapUs) List(t) :: acc
+        else (t :: acc.head) :: acc.tail
+      }.reverse.map(s => SessSpan(s.last, s.head, s.size.toLong))
+      for (_ <- 1 to 3) {
+        val got = rnd.shuffle(ts).foldLeft(List.empty[SessSpan])(
+          (sp, t) => mergeSpan(sp, t, gapUs))
+        assert(got == ref,
+          s"trial $trial: spans diverge for some arrival order\n got=$got\nref=$ref")
+      }
+    }
+  }
 }
