@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 
 /** Iterative graph centrality over entity co-occurrence — the authority
   * ranking a large-scale curation pipeline runs over its link/citation
@@ -111,19 +112,19 @@ object Graph {
     // checkpoint each derivation re-evaluates the caller's edge plan (a
     // fact-table scan + distinct for every registered graph) — measured
     // ~2 s of redundant scans per query at sf0.1
-    val e0 = edges.localCheckpoint()
+    val e0 = edges.pinned()
     val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — partitioned by src once, reused all rounds
-    val e = e0.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val e = e0.join(deg, "src").repartition(col("src")).pinned()
     val nodes = e0.select(col("src").as("node"))
       .unionAll(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().pinned()
     val n = nodes.count()
     // dangling = dst-only nodes (no outgoing edge); their per-round rank
     // sum is the redistribution term. Checkpointed once, reused all rounds.
     val dangling = nodes.join(
         e0.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .localCheckpoint()
+      .pinned()
     val nDangling = dangling.count()
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
     val zeros = nodes.select(col("node"), lit(0.0).as("c"))
@@ -134,7 +135,7 @@ object Graph {
     val dangOpt = if (nDangling == 0L) None else Some(dangling)
     while (round < iters && !converged) {
       val next = prRound(e, zeros, ranks, teleport, damping, n, dangOpt)
-        .localCheckpoint()
+        .pinned()
       // checks before round `tolFrom` are skipped BY RULE (mirrored by the
       // oracle replay): each check is a per-round driver action, and the
       // early deltas sit orders above any useful tol
@@ -211,9 +212,9 @@ object Graph {
     // raw edges materialize first — same redundant-rescan fix as
     // [[pageRankWithRounds]] (deg, the degree join, the node set and the
     // dangling set all re-evaluate the caller's edge plan otherwise)
-    val e0 = edges.localCheckpoint()
+    val e0 = edges.pinned()
     val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val e = e0.join(deg, "src").repartition(col("src")).pinned()
     val nodes0 = e0.select(col("src").as("node"))
       .unionAll(e0.select(col("dst").as("node")))
       .distinct()
@@ -226,10 +227,10 @@ object Graph {
     val nodes = nodes0.join(seedFlag, Seq("node"), "left")
       .select(col("node"),
         when(col("_seed").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("tp"))
-      .repartition(col("node")).localCheckpoint()
+      .repartition(col("node")).pinned()
     val dangling = nodes.select("node").join(
         e0.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .localCheckpoint()
+      .pinned()
     val nDangling = dangling.count()
     val nNodes = nodes.count()
     // the teleport vector rides the zero-contribution rows: every node
@@ -256,7 +257,7 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) * col("tp") +
             lit(damping) * (col("_s") + col("_dm") * col("tp"))).as("rank"))
-        .localCheckpoint()
+        .pinned()
     }
     ranks
   }
@@ -362,7 +363,7 @@ object Graph {
         }
       }(outEnc)
       .toDF("u", "v", "cn", "done")
-      .localCheckpoint() // both branches below read it; compute once
+      .pinned() // both branches below read it; compute once
     val fast = raw.filter(col("done")).select("u", "v", "cn")
     // hub-source remainder: complete the counts relationally, anti-join
     // existing edges, and hand the candidates straight to the global
@@ -384,7 +385,7 @@ object Graph {
   def linkPrediction(edges: DataFrame, k: Int = 100,
       maxCenterDegree: Int = LinkPredMaxCenterDegree,
       maxCounterEntries: Int = LinkPredMaxCounterEntries): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.pinned()
     val nb = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     // materialized once: feeds the wedge generator, both top-pair attach
@@ -393,7 +394,7 @@ object Graph {
     val adj = nb.groupBy("w")
       .agg(sort_array(collect_list(col("n"))).as("ns"))
       .withColumn("d", size(col("ns")))
-      .localCheckpoint()
+      .pinned()
     // Wedge counting, grouped at the wedge's LOWER endpoint u rather than
     // flattened to (u, v) rows: every neighbor w of u ships the
     // strictly-greater suffix of its sorted adjacency (so u < v and each
@@ -508,10 +509,10 @@ object Graph {
     * oracle replay's per-round pass-through condition. */
   private[graft] def hitsWithRounds(edges: DataFrame, iters: Int = HitsIters,
       tol: Option[Double] = None, tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
-    val e = edges.repartition(col("src")).localCheckpoint()
+    val e = edges.repartition(col("src")).pinned()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().pinned()
     val n = nodes.count()
     val zeros = nodes.select(col("node"), lit(0.0).as("x"))
     def l1(df: DataFrame, c: String): DataFrame = {
@@ -535,8 +536,8 @@ object Graph {
     var converged = false
     var deltas = List.empty[Double]
     while (round < iters && !converged) {
-      auth = half(hub, "hub", "src", "dst", "auth").localCheckpoint()
-      val nextHub = half(auth, "auth", "dst", "src", "hub").localCheckpoint()
+      auth = half(hub, "hub", "src", "dst", "auth").pinned()
+      val nextHub = half(auth, "auth", "dst", "src", "hub").pinned()
       if (round + 1 >= tolFrom) tol.foreach { t =>
         val row = nextHub
           .join(hub.select(col("node"), col("hub").as("_prev")), "node")
@@ -653,7 +654,7 @@ object Graph {
     // aggregate plus the edge-iterator scan — without the checkpoints the
     // whole upstream (e.g. the co-purchase distinct self-join) re-executes
     // per consumer. O(m) rows of 2 longs, executor-local blocks.
-    val e = edges.localCheckpoint()
+    val e = edges.pinned()
     val deg = e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -665,7 +666,7 @@ object Graph {
     val o = withDeg.select(
       when(fwd, col("a")).otherwise(col("b")).as("u"),
       when(fwd, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint()
+      .pinned()
     // materialized once (ObjectHashAggregate over collect_list is the
     // plan's most expensive stage — without the checkpoint it runs twice,
     // once per attach join); broadcast when the packed adjacency fits the
@@ -674,7 +675,7 @@ object Graph {
     // RankBroadcastMaxNodes / Dedup.HotKeyBroadcastMax.
     val adjRaw = o.groupBy("u")
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      .localCheckpoint()
+      .pinned()
     val adj =
       if (e.count() <= AdjBroadcastMaxEdges) broadcast(adjRaw) else adjRaw
     val tris = o
@@ -731,14 +732,14 @@ object Graph {
   def coreness(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
     val e = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst")).localCheckpoint()
+      .repartition(col("dst")).pinned()
     var c = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .pinned()
     val nNodes = c.count()
     var round = 0
     var converged = false
     while (round < maxIters && !converged) {
-      val next = hIndexRound(e, c, nNodes).localCheckpoint()
+      val next = hIndexRound(e, c, nNodes).pinned()
       // both sides partitioned on id (groupBy outputs) — no exchange
       val changed = next
         .join(c.select(col("id"), col("c").as("_prev")), "id")

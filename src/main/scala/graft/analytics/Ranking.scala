@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 
 /** Exact global ordering without a single-partition window.
   *
@@ -53,7 +54,7 @@ object Ranking {
     // sketch, the per-bucket counts, and the final numbered output), and
     // callers often pass expensive plans (the 49-feature matrix) that must
     // not be re-executed per consumer
-    val keyed = df.localCheckpoint().withColumn("_grn_key", sortKey.cast("double"))
+    val keyed = df.pinned().withColumn("_grn_key", sortKey.cast("double"))
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val boundaries =
       if (probs.isEmpty) Array.empty[Double]
@@ -113,7 +114,7 @@ object Ranking {
     val spark = df.sparkSession
     val nb = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val keyed = df.localCheckpoint()
+    val keyed = df.pinned()
       .withColumn("_grs_key", sortKey.cast("double"))
       .withColumn("_grs_w", weight.cast("long"))
     val probs = (1 until nb).map(_.toDouble / nb).toArray

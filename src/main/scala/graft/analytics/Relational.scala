@@ -185,8 +185,12 @@ object Relational {
     * instance and its oracle replay. */
   def weightedMedian(df: DataFrame, group: Column, value: Column,
       weight: Column, id: Column): DataFrame = {
+    // floor() before the cast: a bare double→long cast truncates toward
+    // zero in Spark but rounds half-to-even in DuckDB's CAST AS BIGINT,
+    // so a non-integral weight would silently diverge cross-engine; with
+    // floor on both sides the engines agree by construction
     val base = df.select(group.as("g"), value.as("v"),
-      weight.cast("long").as("qty"), id.as("id"))
+      floor(weight).cast("long").as("qty"), id.as("id"))
     val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy("g")

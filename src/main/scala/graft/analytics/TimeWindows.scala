@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 
 /** Event-time window aggregations over the events stream table, using
   * Spark's native `window()` — the same operator Structured Streaming uses,
@@ -163,7 +164,7 @@ object TimeWindows {
     val numbered = hourly
       .select(col("y"), row_number().over(Window.orderBy("hr"))
         .cast("long").as("rn"))
-      .localCheckpoint()
+      .pinned()
     val ex = numbered
       .select(col("rn"), col("y"), explode(expr(s"sequence(1, $maxLag)"))
         .as("lag"))

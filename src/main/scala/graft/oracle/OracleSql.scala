@@ -3008,7 +3008,7 @@ object OracleSql {
   val aggWeightedMedian: String =
     s"""WITH li AS (
        |  SELECT l_returnflag, l_extendedprice,
-       |         CAST(l_quantity AS BIGINT) AS qty,
+       |         CAST(floor(l_quantity) AS BIGINT) AS qty,
        |         l_orderkey * 8 + l_linenumber AS id
        |  FROM lineitem
        |), c AS (
@@ -4228,7 +4228,7 @@ object OracleSql {
        |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
        |         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
        |         - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
-       |           * CAST(l.l_quantity AS BIGINT) AS profit_cents
+       |           * CAST(floor(l.l_quantity) AS BIGINT) AS profit_cents
        |  FROM lineitem l
        |  JOIN part p ON p.p_partkey = l.l_partkey
        |  JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -4,6 +4,7 @@ import graft.analytics.{Graph, Relational, TimeWindows}
 import graft.source.{Bars, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 import Core.{r4, r6}
 
 /** Oracle-checked relational / event-time queries (north-star extensions,
@@ -128,7 +129,7 @@ object Analytics {
     * the Q window runs over the O(communities) aggregate only. */
   def graphModularity(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = Graph.coPurchaseEdgesSupported(s, dir).localCheckpoint()
+    val pairs = Graph.coPurchaseEdgesSupported(s, dir).pinned()
     val cc = graft.text.Dedup.connectedComponents(
       pairs.select(col("a").as("doc_a"), col("b").as("doc_b")))
     val deg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
@@ -400,7 +401,7 @@ object Analytics {
     // entry to leak into later constructions or pin for the session.
     val thr = scoped.groupBy(col("l_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-      .localCheckpoint()
+      .pinned()
     // revenue folds as EXACT integer cents (floor(x·100 + 0.5) per row —
     // the house power-sum recipe): a float sum here lands on .50 whole-
     // dollar boundaries at sf0.1 and the engines' sum orders disagree
@@ -674,8 +675,10 @@ object Analytics {
     * year, revenue minus part cost for '…bolt' parts (the testdata has no
     * partsupp, so unit cost is the part's retail price — Q9's
     * ps_supplycost stand-in). Profit is exact integer cents per row:
-    * cents(revenue) − cents(retail) × qty, with qty an integer-valued
-    * double, so the sum is order-free and the engines agree bit-for-bit
+    * cents(revenue) − cents(retail) × qty. qty is floor()ed to BIGINT on
+    * BOTH engines (a bare cast truncates in Spark but rounds half-to-even
+    * in DuckDB — silent divergence on a non-integral quantity), so the
+    * sum is order-free and the engines agree bit-for-bit
     * even though profits go negative. Scoped parts, suppliers, and nations
     * broadcast; lineitem↔orders is the one shuffle. */
   def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
@@ -693,7 +696,7 @@ object Analytics {
           + lit(0.5)).cast("long").as("rev_cents"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
-        (col("rev_cents") - col("cost_cents") * col("l_quantity").cast("long"))
+        (col("rev_cents") - col("cost_cents") * floor(col("l_quantity")).cast("long"))
           .as("profit_cents"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
@@ -1701,7 +1704,7 @@ object Analytics {
     val daily = Bars.readEvents(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
-      .localCheckpoint() // the materialized daily sketch table
+      .pinned() // the materialized daily sketch table
     val weekly = daily
       .groupBy(col("event_type"),
         to_date(date_trunc("week", col("day"))).as("bucket"))
@@ -1764,7 +1767,7 @@ object Analytics {
       ev, unix_micros(col("ts")), Seq(col("ts"), col("event_id")))
     // materialize once: the fold explode + the output sort's sampling pass
     // both read the numbered frame
-    val withRn = numbered.localCheckpoint()
+    val withRn = numbered.pinned()
     // one scan, not k: explode the fold index and keep (row, fold) pairs
     // where the row falls inside fold f's expanding window — the identical
     // per-fold boundary arithmetic the branch-per-fold union form used
@@ -2088,7 +2091,7 @@ object Analytics {
   def userPareto(s: SparkSession, dir: String): DataFrame = {
     val totals = Bars.readEvents(s, dir)
       .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
-      .localCheckpoint()
+      .pinned()
     val (ranked, nUsers) = graft.analytics.Ranking.withGlobalRowNumber(
       totals, -col("n_ev"), Seq(col("n_ev").desc, col("user_id")))
     val cum = graft.analytics.Ranking.withGlobalRunningSum(
@@ -2145,7 +2148,7 @@ object Analytics {
   def eventsUserOverlap(s: SparkSession, dir: String): DataFrame = {
     val tu = Bars.readEvents(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint()
+      .pinned()
     val totals = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
     val pairs = tu.select(col("event_type").as("type_a"), col("user_id"))
       .join(tu.select(col("event_type").as("type_b"), col("user_id")),
@@ -2955,7 +2958,7 @@ object Analytics {
     // measure a cache read), and nothing could unpersist it before the
     // caller consumed the result.
     val counts = graft.analytics.Sketches.qsketchCounts(ev, col("value"), Seq("event_type"))
-      .localCheckpoint()
+      .pinned()
     val merged = counts.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
       .select(lit("__all").as("event_type"), col("bucket"), col("cnt"))
     val est = graft.analytics.Sketches.qsketchQuantiles(

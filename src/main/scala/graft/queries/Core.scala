@@ -5,6 +5,7 @@ import graft.features._
 import graft.source.Bars
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 
 /** Oracle-checked core queries (SURVEY.md §2.2-2.5). Each returns a
   * deterministically-ordered DataFrame whose derived doubles are rounded to
@@ -54,7 +55,7 @@ object Core {
       round: Set[String]): DataFrame =
     df.select(col("symbol") +: col("event_id") +:
         names.map(n => (if (round(n)) r6(col(n)) else col(n)).as(n)): _*)
-      .localCheckpoint()
+      .pinned()
       .orderBy("event_id")
 
   def bars(s: SparkSession, dir: String): DataFrame = Bars.bars(s, dir)
@@ -201,7 +202,7 @@ object Core {
       ") AS (feature, x)"
     val m = mlMatrix(s, dir)
       .select(expr(stackExpr), col("target").cast("long").as("y"))
-      .localCheckpoint()
+      .pinned()
     val thresholds = m.groupBy("feature").agg(
       expr("percentile(x, 0.25)").as("p25"),
       expr("percentile(x, 0.5)").as("p50"),
@@ -741,7 +742,7 @@ object Core {
     val e = n / graft.Params.EmbargoFrac
     val start = expr(s"(fold - 1L) * ${n}L div ${k}L + 1L")
     val end = expr(s"fold * ${n}L div ${k}L")
-    numbered.localCheckpoint()
+    numbered.pinned()
       .select(col("rn"), col("event_id"),
         explode(expr(s"sequence(1L, ${k}L)")).as("fold"))
       .select(col("fold"), col("event_id"),
@@ -909,7 +910,7 @@ object Core {
     val (numbered, n) = graft.analytics.Ranking.withGlobalRowNumber(
       scored, col("fwd"), Seq(col("fwd"), col("event_id")))
     val graded = numbered.select(col("event_id"), col("score"),
-      expr(s"((rn - 1L) * 4L) div ${n}L").as("gain")).localCheckpoint()
+      expr(s"((rn - 1L) * 4L) div ${n}L").as("gain")).pinned()
     def dcgOf(top: DataFrame, order: Seq[Column], alias: String): DataFrame =
       top.limit(k)
         .select(col("gain"), row_number().over(Window.orderBy(order: _*))
@@ -1436,7 +1437,7 @@ object Core {
       // second time just to pick sort boundaries — 2x the query at ANY
       // scale. Checkpointing the (narrow, rounded) matrix makes the
       // sampling pass read materialized rows instead.
-      .localCheckpoint()
+      .pinned()
       .orderBy("event_id")
   }
 }

@@ -6,6 +6,7 @@ import graft.source.{Bars, Tables}
 import graft.text.{Corpus, Dedup, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 import Core.r6
 
 /** Oracle-checked text-analysis / dedup / similarity / multimodal queries
@@ -279,7 +280,7 @@ object TextSim {
     * float-sum caveat. */
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame =
     Dedup.thresholdSweep(
-        Dedup.minhashPairs(Tables.documents(s, dir)).localCheckpoint())
+        Dedup.minhashPairs(Tables.documents(s, dir)).pinned())
       .select(col("threshold"), col("n_pairs"), col("n_dup_docs"),
         r6(col("min_jaccard")).as("min_jaccard"),
         r6(col("max_jaccard")).as("max_jaccard"))
@@ -791,7 +792,7 @@ object TextSim {
     // two consumers follow (the band aggregate and the final join);
     // without the checkpoint the whole bigram chain evaluates twice
     val scored = nll.join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      .localCheckpoint()
+      .pinned()
     val bands = scored.groupBy("lang")
       .agg(min(col("_nll")).as("lo"), max(col("_nll")).as("hi"))
     scored.join(broadcast(bands), Seq("lang"))

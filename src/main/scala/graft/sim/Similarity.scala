@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 
 /** Similarity search over the embeddings table (`embedding: array<float>`):
   * brute-force cosine top-k as the exact baseline, and an IVF-style
@@ -279,14 +280,20 @@ object Similarity {
     * iters) — within a Verify/Bench session the whole sim_* family buckets
     * against the same embedding corpus, and retraining the identical
     * k×64-double table per query (twice inside sim_ann_recall: ivf + pq
-    * legs) is pure waste. Keyed by the ANALYZED plan's semantic hash, so a
-    * different corpus or projection trains fresh; values are
-    * localCheckpoint'ed (valid for the life of their session) and
-    * centroid-table-sized. */
+    * legs) is pure waste. Keyed by the CANONICALIZED ANALYZED PLAN itself
+    * (not its 32-bit semanticHash: two live corpora colliding on the hash
+    * would overwrite each other's entry and thrash-retrain on every call,
+    * and the collision re-check was racy across threads), so a different
+    * corpus or projection trains fresh; values are localCheckpoint'ed
+    * (valid for the life of their session) and centroid-table-sized.
+    * Canonicalized plans implement value equality/hashCode, which is all
+    * TrieMap needs; the map stays small (distinct corpora per session),
+    * so holding plan trees as keys costs nothing. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[
-      (org.apache.spark.sql.SparkSession, Int, Int, Int),
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+      DataFrame]
 
   def kmeansCentroids(embeddings: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame = {
@@ -298,20 +305,18 @@ object Similarity {
     centroidCache.keySet.filter(_._1.sparkContext.isStopped)
       .foreach(centroidCache.remove)
     val plan = embeddings.queryExecution.analyzed.canonicalized
-    val key = (embeddings.sparkSession, plan.semanticHash(), k, iters)
-    def train(): (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame) = {
+    val key = (embeddings.sparkSession, plan, k, iters)
+    def train(): DataFrame = {
       val vecs = withNorm(embeddings, "vec_id", "v", "nv")
       var cents = kmeansSeeds(vecs, k)
       for (_ <- 1 until iters)
         cents = kmeansUpdate(kmeansAssign(vecs, cents))
-      (plan, cents.localCheckpoint())
+      cents.pinned()
     }
-    val (cachedPlan, cents) = centroidCache.getOrElseUpdate(key, train())
-    // semanticHash is 32-bit: confirm true plan equality on every hit so a
-    // hash collision retrains instead of silently serving another
-    // corpus's centroids
-    if (cachedPlan == plan) cents
-    else { val fresh = train(); centroidCache.put(key, fresh); fresh._2 }
+    // the plan IS the key (value-equal canonicalized trees), so a cache
+    // hit is a true plan match by construction — no hash-collision
+    // re-check, no check-then-put race
+    centroidCache.getOrElseUpdate(key, train())
   }
 
   private def kmeansSeeds(vecs: DataFrame, k: Int): DataFrame =
@@ -330,7 +335,7 @@ object Similarity {
         col("cent_id"), col("v"), col("nv"))).as("_b"))
       .select(col("vec_id"), col("_b.v").as("v"), col("_b.nv").as("nv"),
         col("_b.cent_id").as("cluster"), col("_b.ccos").as("ccos"))
-      .localCheckpoint()
+      .pinned()
 
   /** One Lloyd centroid update: per-(cluster, dim) sequential-fold mean
     * (the oracle-replayable exact form — see [[kmeans]]); empty clusters
@@ -486,7 +491,7 @@ object Similarity {
         .filter(col("crank") === 1)
         .select(col("vec_id"), col("subspace"), col("sv"),
           col("cent_id").as("code"), col("d"))
-        .localCheckpoint()
+        .pinned()
       if (round < iters) {
         val comps = assigned
           .select(col("subspace"), col("code"), col("vec_id"),

@@ -857,6 +857,82 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup at INGESTION time — the production shape of the
+    * batch `dedup_exact_norm`: an LLM-corpus pipeline dedups documents as
+    * they arrive, not in a nightly rescan. Each document is reduced to the
+    * md5 of its C4-normalized text ([[graft.text.Dedup.normText]] — the
+    * identical normalizer the batch query and the oracle replay) and
+    * `dropDuplicatesWithinWatermark` keeps one representative per digest,
+    * with state BOUNDED by the watermark horizon: a digest's state is
+    * evicted once the watermark passes its event time + delay, so the
+    * operator runs forever on an unbounded stream (the batch operator's
+    * unbounded exact dedup is the `watermark → ∞` limit). The documented
+    * consequence: a duplicate arriving AFTER its original's state expired
+    * re-emits — within-horizon dedup is the contract, and StreamingSpec
+    * pins both sides of it (in-horizon duplicates dropped exactly;
+    * past-horizon repeat re-emitted).
+    *
+    * Input must carry an event-time `ts` column (arrival/crawl time).
+    * Output is the input row set minus within-horizon duplicates, plus the
+    * digest as `norm_md5`. */
+  def streamingDedupExact(docs: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("norm_md5", md5(graft.text.Dedup.normText))
+      .dropDuplicatesWithinWatermark("norm_md5")
+
+  /** Streaming decontamination — the stream-static twin of the batch
+    * [[graft.text.Dedup.crossCorpusPairs]], in the train-offline /
+    * detect-online shape of [[streamingBurst]]: the benchmark/eval corpus
+    * is banded ONCE offline ([[graft.text.Dedup.bandPrepared]], a static
+    * frame), and each arriving training document bands itself per-row
+    * (narrow MinHash-signature expression — no state, no shuffle on the
+    * stream side) and equi-joins the eval band index; band-collided pairs
+    * verify with the exact per-pair shingle intersection and emit
+    * (train_id, eval_id, jaccard) for every pair at or above `threshold`.
+    *
+    * Exactly-once pair emission WITHOUT streaming-side distinct (which
+    * would need watermark state): a pair sharing k > 1 bands would emit k
+    * times from the plain equi-join, so each match keeps only its FIRST
+    * shared band — band b survives iff no band b' < b also matches, a
+    * per-row array filter over the two carried band-value arrays. The
+    * emitted pair set is therefore exactly the batch candidate set (>= 1
+    * shared band, each pair once), and the verification arithmetic is the
+    * batch expressions verbatim — StreamingSpec asserts row equality
+    * against `crossCorpusPairs` over the same corpora.
+    *
+    * Scale shape: the eval index is the SMALL side (benchmarks are MBs
+    * against a 100 TB train stream) — broadcast, so the stream never
+    * shuffles; per-document work is O(len + matches). Append mode,
+    * stateless, no watermark required. */
+  def streamingDecontamPairs(train: DataFrame, evalDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.text.Dedup
+    val ev = Dedup.bandPrepared(evalDocs).select(
+      col("doc_id").as("eval_id"), col("sh").as("sh_e"),
+      col("n_sh").as("n_e"), col("bands").as("bands_e"))
+    val evBand = ev.select(col("eval_id"), col("sh_e"), col("n_e"),
+      col("bands_e"), posexplode(col("bands_e")).as(Seq("band_idx", "band_val")))
+    val tr = Dedup.bandPrepared(train).select(
+      col("doc_id").as("train_id"), col("sh").as("sh_t"),
+      col("n_sh").as("n_t"), col("bands").as("bands_t"))
+    val trBand = tr.select(col("train_id"), col("sh_t"), col("n_t"),
+      col("bands_t"), posexplode(col("bands_t")).as(Seq("band_idx", "band_val")))
+    trBand.join(broadcast(evBand), Seq("band_idx", "band_val"))
+      // first-shared-band gate: drop the match if any earlier band also
+      // collides (that occurrence already emitted the pair)
+      .filter(expr("band_idx = 0 OR size(filter(sequence(0, band_idx - 1), " +
+        "i -> bands_t[CAST(i AS INT)] = bands_e[CAST(i AS INT)])) = 0"))
+      .select(col("train_id"), col("eval_id"),
+        size(array_intersect(col("sh_t"), col("sh_e"))).cast("long").as("n_inter"),
+        col("n_t"), col("n_e"))
+      .filter(col("n_inter") >= 1)
+      .select(col("train_id"), col("eval_id"),
+        (col("n_inter").cast("double") /
+          (col("n_t") + col("n_e") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** events stream → per-symbol bar ticks (the narrow, streamable slice of
     * the bars adapter: symbol fold + close; the lag-based open/high/low are
     * batch-only). */
@@ -871,10 +947,15 @@ object Streams {
     * arrival order (the span-merge core is order-insensitive, so no
     * per-batch sort is needed and cross-batch stragglers — including ones
     * that bridge two provisional sessions — land exactly as the batch
-    * twin's global sort would). Watermark-final spans fold into counters,
-    * bounding state by the watermark horizon. [[streamingSessionize]] is
-    * the per-session variant: event-time timeout emits each closed
-    * session incrementally. */
+    * twin's global sort would). Beyond-watermark stragglers are DROPPED
+    * by hand inside the group function (NoTimeout means Spark does not
+    * pre-drop them the way it does for streamingSessionize's
+    * EventTimeTimeout; without the filter a too-late event would re-open
+    * a span already folded into the counters and over-count), so both
+    * functions see the identical admitted-row set. Watermark-final spans
+    * fold into counters, bounding state by the watermark horizon.
+    * [[streamingSessionize]] is the per-session variant: event-time
+    * timeout emits each closed session incrementally. */
   /** Streaming twin of the batch [[graft.analytics.Relational.sessionize]]:
     * per user, gap-split sessions emitted as CLOSED rows in Append mode.
     *
@@ -913,19 +994,26 @@ object Streams {
           val st = state.getOption.getOrElse(SessSpansState(Nil, 0L))
           var spans = st.spans.toList
           it.foreach(e => spans = mergeSpan(spans, micros(e.ts), gapUs))
-          // a span is final once the watermark strictly passes the last
-          // millisecond that could still reach it (floorDiv(end+gap, 1000)
-          // + 1) — the same instant its event-time timeout fires. Spans
-          // are start-sorted and disjoint, so ends are sorted too and the
-          // emitted set is always the oldest prefix.
+          // a span is final once the watermark REACHES the first
+          // millisecond no admissible event can extend it from:
+          // safeAt = floorDiv(end+gap, 1000) + 1. Spark admits only rows
+          // with event-time-ms ≥ watermark, and extending span s needs
+          // ts_us ≤ end+gap i.e. ts_ms ≤ safeAt−1 < wmMs — so emitting at
+          // safeAt ≤ wmMs (not the former strict <, which cost one extra
+          // watermark advance of boundary latency on a quiescing stream)
+          // is still final. Spans are start-sorted and disjoint, so ends
+          // are sorted too and the emitted set is always the oldest
+          // prefix.
           val wmMs = state.getCurrentWatermarkMs()
           def safeAt(s: SessSpan): Long = Math.floorDiv(s.endUs + gapUs, 1000L) + 1L
-          val (safe, pending) = spans.partition(s => safeAt(s) < wmMs)
+          val (safe, pending) = spans.partition(s => safeAt(s) <= wmMs)
           state.update(SessSpansState(pending, st.idx + safe.size))
           pending.headOption.foreach { oldest =>
-            // the set timestamp must sit past the current watermark; the
-            // bump only defers a boundary-ms flush to the next advance
-            state.setTimeoutTimestamp(math.max(safeAt(oldest), wmMs + 1L))
+            // timeout fires once wm > ts, so ts = safeAt−1 fires exactly
+            // when wm reaches safeAt — one advance, matching the emission
+            // rule. The set timestamp must still sit past the current
+            // watermark, hence the wmMs+1 floor.
+            state.setTimeoutTimestamp(math.max(safeAt(oldest) - 1L, wmMs + 1L))
           }
           safe.sortBy(_.startUs).iterator.zipWithIndex.map { case (s, i) =>
             SessionRow(uid, st.idx + 1L + i, s.n, toTs(s.startUs), toTs(s.endUs))
@@ -949,13 +1037,22 @@ object Streams {
             (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
           var st = state.getOption.getOrElse(SessCountState(Nil, 0L, 0L))
           var spans = st.spans.toList
-          it.foreach(e => spans = mergeSpan(spans, micros(e.ts), gapUs))
+          // Spark pre-drops beyond-watermark input ONLY under
+          // EventTimeTimeout; with NoTimeout a straggler older than the
+          // watermark still reaches this function AFTER its span was
+          // folded into the counters, re-opening a phantom span and
+          // over-counting. Apply the identical drop rule (event-time-ms
+          // below the watermark) by hand so the admit rule matches the
+          // fold rule — same admitted-row set as streamingSessionize.
+          val wmMs = state.getCurrentWatermarkMs()
+          it.filter(e => Math.floorDiv(micros(e.ts), 1000L) >= wmMs)
+            .foreach(e => spans = mergeSpan(spans, micros(e.ts), gapUs))
           // fold watermark-final spans into the flushed counters so state
           // stays bounded by the watermark horizon, exactly like
-          // streamingSessionize's emission rule
-          val wmMs = state.getCurrentWatermarkMs()
+          // streamingSessionize's emission rule (safeAt ≤ wm: extension
+          // needs ts_ms ≤ safeAt−1 < wm, which the drop rule excludes)
           val (safe, pending) = spans.partition(s =>
-            Math.floorDiv(s.endUs + gapUs, 1000L) + 1L < wmMs)
+            Math.floorDiv(s.endUs + gapUs, 1000L) + 1L <= wmMs)
           st = SessCountState(pending,
             st.nSessions + safe.size, st.nEvents + safe.map(_.n).sum)
           state.update(st)

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding merge learning (Sennrich et al. 2016, "Neural Machine
@@ -144,7 +145,7 @@ object Bpe {
   private[graft] def runWithStats(docs: DataFrame, merges: Int,
       collectStats: Boolean): (DataFrame, DataFrame, Seq[Long]) = {
     val spark = docs.sparkSession
-    var vocab = wordTypes(docs).localCheckpoint()
+    var vocab = wordTypes(docs).pinned()
     // the ONE full pair count; every later round folds ± deltas into it
     val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
     pairWeights(vocab, 1L).groupBy("a", "b").agg(sum(col("w")).as("w"))
@@ -173,7 +174,7 @@ object Bpe {
           when(hasPair, expr(mergeExpr(a, b))).otherwise(col("sym"))
             .as("sym"),
           hasPair.as("changed"))
-        .localCheckpoint()
+        .pinned()
       if (collectStats)
         touched += staged.filter(col("changed")).count()
       val changed = staged.filter(col("changed"))

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint.PinOps
 
 /** Deduplication operators over the documents table: exact, MinHash+LSH
   * banding with exact-Jaccard verification, SimHash with pigeonhole
@@ -73,9 +74,16 @@ object Dedup {
     * `n_variants` counts how many distinct raw texts each normalized group
     * absorbed. Same one-shuffle groupBy shape as [[exact]]; the normalizer
     * is a narrow per-row regex chain shared verbatim with the oracle. */
+  /** The C4-style text normalizer shared by [[exactNorm]],
+    * [[bloomDecontam]], and the streaming exact-dedup twin
+    * (graft.streaming.Streams.streamingDedupExact): lowercase, strip
+    * non-alphanumerics, collapse whitespace. Narrow per-row regex chain,
+    * replayed verbatim by the oracle. */
+  def normText: Column = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+
   def exactNorm(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val norm = normText
     docs.select(col("doc_id"), col("text"), norm.as("norm"))
       .groupBy(col("norm"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"),
@@ -145,7 +153,7 @@ object Dedup {
     // the signature branch is a narrow expression over the raw text; only
     // the verification branch needs the shingle-string arrays, and it reads
     // them twice (za/zb sides) — materialize once
-    val sized = shingled(docs).localCheckpoint()
+    val sized = shingled(docs).pinned()
       .withColumn("n_sh", size(col("sh")).cast("long"))
     verifyJaccard(candidatePairs(minhashSignatures(docs)), sized, sized)
       .filter(col("jaccard") >= threshold)
@@ -188,7 +196,7 @@ object Dedup {
     * for guaranteed containment recall over a corpus, the shared-ngram
     * index ([[sharedNgramPairs]]) is the primitive to compose. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sized = shingled(docs).localCheckpoint()
+    val sized = shingled(docs).pinned()
       .withColumn("n_sh", size(col("sh")).cast("long"))
     candidatePairs(minhashSignatures(docs))
       .join(sized.as("za"), col("doc_a") === col("za.doc_id"))
@@ -223,6 +231,31 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
 
+  /** Fully NARROW per-row band preparation — (doc_id, sh, n_sh,
+    * bands: array<string> of the [[Bands]] band values): the shingle set,
+    * its size, and the MinHash-signature band values all come out of one
+    * projection over the row's own text, no shuffle, no aggregation, no
+    * state. That makes this frame legal inside a STREAMING plan, which is
+    * exactly what the incremental decontamination twin
+    * (graft.streaming.Streams.streamingDecontamPairs) needs: the stream
+    * side bands each arriving document per-row and equi-joins the static
+    * trained corpus index. Values are identical to the batch pipeline's
+    * ([[shingled]] + [[minhashSignatures]] + [[banded]]) by construction —
+    * same expressions, same hash family. */
+  def bandPrepared(docs: DataFrame): DataFrame = {
+    val sig = graft.expr.MinHashSig.minhashSig(col("text"),
+      (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB), HashP)
+    docs.filter(col("text").isNotNull)
+      .withColumn("_w", split(col("text"), " "))
+      .withColumn("_sig", sig)
+      .select(col("doc_id"), shingleArray.as("sh"),
+        array((0 until Bands).map { b =>
+          concat_ws("|",
+            (0 until RowsPerBand).map(r => col("_sig")(b * RowsPerBand + r)): _*)
+        }: _*).as("bands"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+  }
+
   /** (doc_id, band_idx, band_val) — the LSH banding of a signature frame. */
   def banded(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
@@ -252,9 +285,9 @@ object Dedup {
     */
   def crossCorpusPairs(train: DataFrame, eval: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val szTrain = shingled(train).localCheckpoint()
+    val szTrain = shingled(train).pinned()
       .withColumn("n_sh", size(col("sh")).cast("long"))
-    val szEval = shingled(eval).localCheckpoint()
+    val szEval = shingled(eval).pinned()
       .withColumn("n_sh", size(col("sh")).cast("long"))
     val cand = banded(minhashSignatures(train)).as("x")
       .join(banded(minhashSignatures(eval)).as("y"), Seq("band_idx", "band_val"))
@@ -314,8 +347,7 @@ object Dedup {
     */
   def bloomDecontam(train: DataFrame, eval: DataFrame,
       m: Int = BloomBits): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val norm = normText
     val evalH = eval.select(md5(norm).as("h"))
     val bloom = evalH
       .select(explode(array(bloomPositions(col("h"), m): _*)).as("p"))
@@ -365,7 +397,7 @@ object Dedup {
     // the input plan (e.g. MinHashSig over every doc) feeds FIVE consumers
     // below (width count + both sides of both joins) — materialize it once
     // instead of recomputing the signatures per consumer
-    val rows = rowsIn.localCheckpoint()
+    val rows = rowsIn.pinned()
     val k = keys.map(col)
     def pairCols(x: String, y: String) =
       col(s"$x.doc_id").as("doc_a") +: col(s"$y.doc_id").as("doc_b") +:
@@ -377,7 +409,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
         .select(pairCols("x", "y"): _*)
     val hotKeys = rows.groupBy(k: _*).agg(count(lit(1)).as("_bw"))
-      .filter(col("_bw") > hotCap).drop("_bw").localCheckpoint()
+      .filter(col("_bw") > hotCap).drop("_bw").pinned()
     val nHot = hotKeys.count()
     if (nHot == 0) {
       // common case: no skew — the plain join, no extra stages beyond the
@@ -482,7 +514,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(toks) - ${w - 1}), " +
           s"i -> md5(array_join(slice(toks, i, $w), ' '))))")).as("g"))
-      .localCheckpoint() // feeds both the df count and the per-doc join
+      .pinned() // feeds both the df count and the per-doc join
     val df = grams.groupBy("g")
       .agg((count(lit(1)) >= 2).as("_dup")) // distinct docs per gram: the
     // construction is already (doc, gram)-distinct, so a plain count IS
@@ -520,7 +552,7 @@ object Dedup {
       .select(col("doc_id"), col("source"), explode(expr(
         s"array_distinct(transform(sequence(1, size(toks) - ${w - 1}), " +
           s"i -> md5(array_join(slice(toks, i, $w), ' '))))")).as("g"))
-      .localCheckpoint() // feeds both the df aggregate and the per-doc join
+      .pinned() // feeds both the df aggregate and the per-doc join
     val nDocs = docs
       .filter(size(split(col("text"), " ")) >= w)
       .groupBy("source").agg(count(lit(1)).as("_nd"))
@@ -609,13 +641,13 @@ object Dedup {
     // the RETURNED frame owns no cache entry the caller must unpersist —
     // checkpoint blocks are freed by the ContextCleaner when the RDD is
     // GC'd. (A prior version leaked the final labels cache.)
-    val p = pairs.localCheckpoint()
+    val p = pairs.pinned()
     // partitioned by the join key once; every round's label join reuses it
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst")).localCheckpoint()
+      .repartition(col("dst")).pinned()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).pinned()
     val nNodes = labels.count()
     // Labels only ever decrease under min-propagation, so the label sum is
     // a strictly decreasing convergence measure: unchanged sum == fixpoint.
@@ -631,7 +663,7 @@ object Dedup {
     var iters = 0
     while (!converged && iters < maxIters) {
       val next = ccRound(edges, labels, nNodes)
-        .localCheckpoint() // eager: one job per round, lineage truncated
+        .pinned() // eager: one job per round, lineage truncated
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -677,13 +709,13 @@ object Dedup {
     * two convergence-digest counts per round).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val p = pairs.localCheckpoint()
+    val p = pairs.pinned()
     val nodes = p.select(col("doc_a").as("id"))
       .union(p.select(col("doc_b").as("id"))).distinct()
     // canonical undirected edges, oriented (u > v), self-loops dropped
     var edges = p.select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().pinned()
     var converged = edges.isEmpty // all-self-loop input: nothing to rewire
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -701,7 +733,7 @@ object Dedup {
       val withM = ls.join(pm, "u")
       val next = withM.select(col("u"), col("m").as("v"))
         .union(withM.select(col("v").as("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct().pinned()
       // fixpoint test on the exact edge set: both sides are distinct
       // canonical sets, so equal cardinality + empty one-sided difference
       // ⇔ set equality — one anti-join shuffle per round instead of two

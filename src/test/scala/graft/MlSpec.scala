@@ -84,4 +84,20 @@ class MlSpec extends SparkSpec {
     val cm = MlPipeline.confusionMatrix(scored)
     assert(cm.agg(sum("count")).collect()(0).getLong(0) == scored.count())
   }
+
+  test("topk_importance is training-deterministic: two trainings, identical top-20") {
+    // the registry's single rows-only entry: GBT importances are not
+    // ORACLE-reproducible (no cross-engine tree twin), but with the seed
+    // pinned (42) and the same input partitioning, two trainings in one
+    // JVM must produce the identical ranked top-20 — feature NAMES, ORDER,
+    // and bit-exact importance values. This is the determinism proof the
+    // rows-only asterisk leans on.
+    def run() = graft.queries.Core.topkImportance(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val a = run()
+    val b = run()
+    assert(a.size == 20, s"expected 20 rows, got ${a.size}")
+    assert(a == b,
+      s"GBT top-20 importances unstable across identical trainings:\n a=$a\n b=$b")
+  }
 }

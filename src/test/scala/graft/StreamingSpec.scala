@@ -563,10 +563,12 @@ class StreamingSpec extends SparkSpec {
     val gapUs = 30L * 60L * 1000000L
     val delayMs = 3600000L // streamingSessionize's default 1 h watermark
     // the expected emission set, from the batch twin: a session is emitted
-    // exactly when the watermark strictly passes its flush instant
-    // floorDiv(end + gap, 1000) + 1 — nothing is emitted eagerly (a
-    // within-watermark straggler may still extend or bridge an unflushed
-    // span), so the gate is the FINAL watermark for every session.
+    // exactly when the watermark REACHES its flush instant
+    // floorDiv(end + gap, 1000) + 1 (admissible events have ts_ms ≥ wm,
+    // extension needs ts_ms ≤ flush−1, so at wm = flush the span is
+    // final) — nothing is emitted eagerly (a within-watermark straggler
+    // may still extend or bridge an unflushed span), so the gate is the
+    // FINAL watermark for every session.
     val batch = Relational.sessionize(graft.source.Bars.readEvents(spark, dir))
       .withColumn("_end_us", unix_micros(col("session_end")))
       .withColumn("_last_idx",
@@ -581,7 +583,7 @@ class StreamingSpec extends SparkSpec {
     val cols = Seq("user_id", "session_idx", "n_events",
       "session_start", "session_end")
     val want = batch.filter(
-      (floor((col("_end_us") + lit(gapUs)) / 1000L) + 1L) < lit(wmFinalMs))
+      (floor((col("_end_us") + lit(gapUs)) / 1000L) + 1L) <= lit(wmFinalMs))
       .select(cols.map(col): _*)
     val got = spark.table("stream_sessionize").select(cols.map(col): _*)
     assert(got.count() > 0, "no sessions emitted")
@@ -649,6 +651,170 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 3L, ms(0), ms(50)))   // bridged into one batch session
     assert(got == want,
       s"cross-batch disorder diverges from the batch twin:\n got=$got\nwant=$want")
+  }
+
+  test("sessionCounts drops beyond-watermark stragglers instead of re-opening folded spans") {
+    // NoTimeout means Spark does NOT pre-drop late rows for this operator
+    // (only EventTimeTimeout gets the input-side filter), so the hand
+    // filter inside the group function is the only thing standing between
+    // a too-late straggler and a phantom session: the span it belongs to
+    // was already folded into the counters, and re-merging it would
+    // over-count n_sessions and n_events.
+    val dirp = java.nio.file.Files.createTempDirectory("graft-sess-late-")
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    def us(min: Long) = baseUs + min * 60L * 1000000L
+    def ts(min: Long) = new java.sql.Timestamp(us(min) / 1000L)
+    import spark.implicits._
+    val files: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]] = Seq(
+      // u1 span [0, 10]
+      Seq((1L, ts(0), 1L, "click", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}")),
+      // watermark jumps to 600 − 60 = 540 min; [0, 10] folds into counters
+      Seq((3L, ts(600), 1L, "click", 1.0, "{}")),
+      // t=100 is far below wm=540: MUST be dropped (the old code merged it,
+      // re-opening a phantom span → 3 sessions / 5 events). t=610 extends
+      // the pending [600] span.
+      Seq((4L, ts(100), 1L, "click", 1.0, "{}"), (5L, ts(610), 1L, "click", 1.0, "{}")))
+    files.zipWithIndex.foreach { case (rs, i) =>
+      val df = rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = s"$dirp/stage_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val tgt = dirp.resolve(s"$i.parquet")
+      java.nio.file.Files.move(f.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tgt.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val stream = Streams.sessionCounts(
+      Streams.readEventStreamFrom(spark, dirp.toString, Some(1)))
+    val q = stream.writeStream.format("memory").queryName("stream_sess_late")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val fin = spark.table("stream_sess_late")
+      .groupBy("user_id").agg(max("n_sessions").as("ns"), max("n_events").as("ne"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // admitted rows: [0, 10] (folded, 2 events) + [600, 610] (pending,
+    // 2 events) = 2 sessions, 4 events; the dropped straggler adds nothing
+    assert(fin == Seq((1L, 2L, 4L)),
+      s"late straggler perturbed the session counters: $fin")
+  }
+
+  test("streamingDedupExact: in-horizon duplicates dropped exactly once, past-horizon repeat re-emits") {
+    val dirp = java.nio.file.Files.createTempDirectory("graft-dedup-stream-")
+    val baseUs = 1704067200000000L
+    def ts(min: Long) = new java.sql.Timestamp((baseUs + min * 60L * 1000000L) / 1000L)
+    import spark.implicits._
+    val textA = "The Quick, Brown Fox!"   // normalizes like "the quick brown fox"
+    val textA2 = "the  quick BROWN fox"   // same normalized digest, different raw text
+    val textB = "something else entirely"
+    val textC = "watermark driver document"
+    val files: Seq[Seq[(Long, String, java.sql.Timestamp)]] = Seq(
+      Seq((1L, textA, ts(0)), (2L, textB, ts(1))),
+      // same digest within the 1 h horizon: dropped (state still live)
+      Seq((3L, textA2, ts(10))),
+      // watermark driver: after this batch the wm computes to 540 min, but
+      // EVICTION in a batch uses the watermark advanced by the PREVIOUS
+      // batch — so digest-A state (expiry ≤ 10 + 60 min) survives this
+      // batch and dies in the next one
+      Seq((4L, textC, ts(600))),
+      // second driver batch: eviction now runs with wm = 540 min → digest-A
+      // state is gone by the end of this batch
+      Seq((6L, textC + " two", ts(601))),
+      // past-horizon repeat: state gone → re-emitted, by design
+      Seq((5L, textA, ts(605))))
+    files.zipWithIndex.foreach { case (rs, i) =>
+      val df = rs.toDF("doc_id", "text", "ts")
+      val tmp = s"$dirp/stage_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val tgt = dirp.resolve(s"$i.parquet")
+      java.nio.file.Files.move(f.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tgt.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = Streams.streamingDedupExact(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dirp.toString))
+    val q = stream.writeStream.format("memory").queryName("stream_dedup_exact")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_dedup_exact")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // doc 3 (in-horizon duplicate) is the ONLY drop; doc 5 re-emits because
+    // its original's state expired with the watermark — the bounded-state
+    // contract, not a bug
+    assert(got == Seq(1L, 2L, 4L, 5L, 6L),
+      s"within-watermark dedup emitted the wrong representative set: $got")
+  }
+
+  test("streamingDedupExact over the documents corpus equals batch distinct digests") {
+    // corpus-level equality: every document arrives within one horizon →
+    // the emitted digest SET equals the batch normalized-dedup group set,
+    // and each group emits exactly once
+    val docs = graft.source.Tables.documents(spark, dir)
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
+    val dirp = java.nio.file.Files.createTempDirectory("graft-dedup-corpus-")
+    (0 until 3).foreach { i =>
+      val tmp = s"$dirp/stage_$i"
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val tgt = java.nio.file.Paths.get(s"$dirp/$i.parquet")
+      java.nio.file.Files.move(f.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tgt.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = docs.schema
+    val stream = Streams.streamingDedupExact(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dirp.toString), watermark = "30 days")
+    val q = stream.writeStream.format("memory").queryName("stream_dedup_corpus")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("stream_dedup_corpus").select("norm_md5")
+    val want = graft.text.Dedup.exactNorm(docs).select("norm_md5")
+    assert(got.count() == got.distinct().count(), "a digest emitted twice in-horizon")
+    assert(got.distinct().exceptAll(want).count() == 0 &&
+      want.exceptAll(got.distinct()).count() == 0,
+      "streaming dedup digest set diverges from the batch normalized dedup")
+  }
+
+  test("streamingDecontamPairs equals batch crossCorpusPairs row for row") {
+    val docs = graft.source.Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    // stream the train corpus in 3 mtime-ordered files
+    val dirp = java.nio.file.Files.createTempDirectory("graft-decontam-stream-")
+    (0 until 3).foreach { i =>
+      val tmp = s"$dirp/stage_$i"
+      train.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val tgt = java.nio.file.Paths.get(s"$dirp/$i.parquet")
+      java.nio.file.Files.move(f.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tgt.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val stream = Streams.streamingDecontamPairs(
+      spark.readStream.schema(train.schema).option("maxFilesPerTrigger", 1)
+        .parquet(dirp.toString), eval)
+    val q = stream.writeStream.format("memory").queryName("stream_decontam")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected >= 3 non-empty micro-batches")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "eval_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val got = canon(spark.table("stream_decontam"))
+    val want = canon(graft.text.Dedup.crossCorpusPairs(train, eval))
+    assert(want.nonEmpty, "fixture produced no contamination pairs")
+    assert(got == want,
+      s"streaming decontamination diverges from batch:\n got=$got\nwant=$want")
   }
 
   test("streaming GARCH equals the batch feat_garch row for row") {
