@@ -112,6 +112,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     alias("list_min") { case Seq(l) => ArrayMin(l) }
     alias("list_max") { case Seq(l) => ArrayMax(l) }
+    // both engines: 1-based, first occurrence (DuckDB yields NULL when
+    // absent vs Spark's 0 — the corpus only probes present elements)
+    alias("list_position") { case Seq(l, x) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayPosition(l, x)
+    }
+    alias("list_reverse") { case Seq(l) =>
+      org.apache.spark.sql.catalyst.expressions.Reverse(l)
+    }
     alias("list_transform") { case Seq(l, f: LambdaFunction) => ArrayTransform(l, f) }
     alias("list_filter") { case Seq(l, f: LambdaFunction) => ArrayFilter(l, f) }
     alias("arg_min") { case Seq(v, o) => MinBy(v, o) }
@@ -132,7 +140,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scalar generate_series(a, b): INCLUSIVE ascending list (DuckDB); an
     // empty-range call (a > b) would descend in Spark's sequence — the
     // corpus never emits one, and the guard would need type plumbing
-    alias("generate_series") { case Seq(a, b) => new Sequence(a, b) }
+    alias("generate_series") {
+      case Seq(a, b) => new Sequence(a, b)
+      // inclusive end with an explicit step (e.g. INTERVAL '1 hour') —
+      // both engines include the end when the step lands on it
+      case Seq(a, b, s) => Sequence(a, b, Some(s))
+    }
+    // DuckDB list_slice(l, a, b): 1-based INCLUSIVE bounds → Spark's
+    // slice(l, start, length)
+    alias("list_slice") { case Seq(l, a, b) =>
+      org.apache.spark.sql.catalyst.expressions.Slice(
+        l, a, Add(Subtract(b, a), Literal(1)))
+    }
+    // DuckDB time_bucket(INTERVAL, ts): epoch-aligned flooring (DuckDB's
+    // default origin 2000-01-03 00:00 is itself epoch-aligned for the
+    // whole-minute buckets the corpus uses). Interval must be a literal.
+    alias("time_bucket") { case Seq(Literal(us: java.lang.Long,
+        _: org.apache.spark.sql.types.DayTimeIntervalType), ts) =>
+      val t = org.apache.spark.sql.catalyst.expressions.UnixMicros(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          ts, org.apache.spark.sql.types.TimestampType))
+      org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp(
+        Subtract(t, org.apache.spark.sql.catalyst.expressions.Pmod(
+          t, Literal(us.longValue()))))
+    }
+    // DuckDB epoch_us(ts): µs since epoch. Cast first so TIMESTAMP_NTZ
+    // inputs (raw parquet views) resolve — the session zone is UTC
+    // everywhere in this engine, so NTZ→TZ is value-preserving
+    alias("epoch_us") { case Seq(x) =>
+      org.apache.spark.sql.catalyst.expressions.UnixMicros(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          x, org.apache.spark.sql.types.TimestampType))
+    }
+    // hex-string → BIGINT (the dialect bridge rewrites DuckDB's
+    // ('0x' || hex)::BIGINT idiom to hex_to_long(hex); Spark's CAST does
+    // not parse 0x-prefixed strings, conv() is its hex decoder)
+    alias("hex_to_long") { case Seq(s) =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Conv(
+          s, Literal(16), Literal(10)),
+        org.apache.spark.sql.types.LongType)
+    }
+    // DuckDB scalar range(): EXCLUSIVE end — range(n) = [0, n), range(a, b)
+    // = [a, b), range(a, b, s) steps by s below b. Same empty-range caveat
+    // as generate_series above.
+    alias("range") {
+      case Seq(n) => new Sequence(Literal(0L), Subtract(n, Literal(1)))
+      case Seq(a, b) => new Sequence(a, Subtract(b, Literal(1)))
+      case Seq(a, b, s) => Sequence(a, Subtract(b, Literal(1)), Some(s))
+    }
     // table-valued generate_series(a, b) — `FROM generate_series(5, 9) t(x)`
     ext.injectTableFunction((
       FunctionIdentifier("generate_series"),

@@ -27,6 +27,10 @@ object SqlParityScan {
           // compare on the instant
           case t: java.time.LocalDateTime =>
             t.toEpochSecond(java.time.ZoneOffset.UTC).toString
+          // the engines may type the same exact value DECIMAL vs DOUBLE
+          // (e.g. a decimal-accumulated column divided out) — compare on
+          // the double value the DataFrame side carries
+          case d: java.math.BigDecimal => d.doubleValue().toString
           case x => x.toString
         }.mkString("|")).toSeq.sorted
     }
@@ -34,10 +38,12 @@ object SqlParityScan {
       if (args.isEmpty) _ => true else args.toSet
     // A DuckDB-shaped statement can plan pathologically on Spark (the
     // oracle never promises an efficient Spark plan) — bound each query
-    // with a watchdog so one degenerate plan can't stall the whole scan
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // with a watchdog so one degenerate plan can't stall the whole scan.
+    // The watchdog must INTERRUPT the worker thread, not just abandon it:
+    // cancelJobGroup stops cluster jobs, but a recursive-CTE replay keeps
+    // burning the DRIVER between jobs, and abandoned workers pile up until
+    // the JVM grinds (observed: 6 zombie recursions made ingest_bars_csv
+    // "time out").
     for ((q, _) <- SparkEntry.oracleSql.toSeq.sortBy(_._1) if wanted(q)) {
       val sql = graft.oracle.SparkSql.statement(q).get
       def attempt(): String = try {
@@ -45,18 +51,35 @@ object SqlParityScan {
         val viaSql = canon(spark.sql(sql))
         try {
           val viaDf = canon(SparkEntry.queries(q)(spark, dir))
-          if (viaDf == viaSql) "OK" else "MISMATCH"
+          if (viaDf == viaSql) "OK"
+          else {
+            val diff = viaDf.zipAll(viaSql, "<missing>", "<missing>")
+              .find { case (a, b) => a != b }
+            s"MISMATCH rows ${viaDf.size}/${viaSql.size} first-diff " +
+              diff.map { case (a, b) => s"df=[${a.take(120)}] sql=[${b.take(120)}]" }.getOrElse("")
+          }
         } catch { case e: Throwable => s"DF_FAIL ${e.getClass.getSimpleName}" }
       } catch {
         case e: org.apache.spark.sql.catalyst.parser.ParseException => "PARSE_FAIL"
         case e: Throwable => s"EXEC_FAIL ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(80)}"
       }
-      val res =
-        try Await.result(Future(attempt()), 90.seconds)
-        catch { case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(q); "TIMEOUT"
-        }
-      println(s"[parity] $q $res")
+      val t0 = System.nanoTime()
+      @volatile var out: String = "TIMEOUT"
+      val worker = new Thread(() => {
+        val r = try attempt() catch { case _: InterruptedException => "TIMEOUT"
+          case e: Throwable => s"EXEC_FAIL ${e.getClass.getSimpleName}" }
+        out = r
+      }, s"parity-$q")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(90000L)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(q)
+        worker.interrupt()
+        worker.join(10000L)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[parity] $q $out%s t=$sec%.1f")
     }
     spark.stop()
   }

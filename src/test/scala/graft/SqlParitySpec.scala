@@ -2,27 +2,28 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-/** SQL-surface parity over the TPC-H block: the ANSI oracle statements in
-  * [[graft.oracle.OracleSql]] are not just a DuckDB-side artifact — they
-  * run verbatim on the engine itself (`spark.sql` over registered star
-  * views) and agree with the registered DataFrame plans value-for-value.
-  * A user can therefore drive every TPC-H shape through either API.
+/** SQL-surface parity: the oracle statements are not just a DuckDB-side
+  * artifact — served through [[graft.oracle.SparkSql.statement]] (the
+  * mechanical dialect bridge + the DuckDB-compat function family
+  * registered by GraftExtensions) they run on the engine itself
+  * (`spark.sql` over registered views) and agree with the registered
+  * DataFrame plans value-for-value. A user can drive the engine through
+  * either API and get the same rows.
   *
-  * Exactness: the block's arithmetic is engineered order-free (exact
-  * integer cents / integer-valued quantity sums before any division, the
-  * guarded floor-round on outputs), so the two Spark plans must agree
-  * BIT-for-bit — the comparison is exact string equality on sorted rows,
-  * no tolerance. A disagreement here means one side's expression tree
-  * drifted (the same contract CORRECTNESS enforces against DuckDB).
+  * Exactness: exact string equality on sorted rows, no tolerance (the
+  * same contract CORRECTNESS enforces against DuckDB). A disagreement
+  * here means one side's expression tree drifted, or a dialect-bridge
+  * rule changed a value — both must fail loudly.
   *
-  * Scope: pinned to the TPC-H block, the flagship ANSI surface. A full
-  * registry scan (`graft.SqlParityScan`) shows 66/321 oracle statements
-  * are engine-portable (the 22 here plus the plain join/agg/drift/dq
-  * families); the rest use DuckDB-dialect features BY DESIGN — recursive
-  * CTEs replaying window recursions, the list/md5 function family — the
-  * oracle's job is to mirror Spark semantics in DuckDB, not to be
-  * dialect-neutral. The block below is the set a SQL user would actually
-  * port, and it stays exact.
+  * Scope (round 12): [[graft.oracle.SparkSql.covered]] — 241 queries
+  * (from 66 verbatim-portable at r11), every entry re-proven on every
+  * test run; 13 more are scan-certified but excluded from the per-run
+  * list for suite-time reasons (slow recursive-CTE replays — see the
+  * SqlParityScan log notes in SURVEY §8.3). The remainder use genuinely
+  * DuckDB-only constructs (recursive window-recurrence replays beyond
+  * Spark's recursion shape, list slicing, in-aggregate ORDER BY over
+  * expressions) — the oracle's job is to mirror Spark semantics in
+  * DuckDB, not to be dialect-neutral.
   */
 class SqlParitySpec extends SparkSpec {
 
@@ -47,28 +48,45 @@ class SqlParitySpec extends SparkSpec {
       .map(_.toSeq.map {
         case null => "∅"
         case t: java.sql.Timestamp => (t.getTime / 1000L).toString
-        case t: java.time.LocalDateTime => t.toString
+        // NTZ (raw parquet view) vs session-tz (engine reader) render
+        // differently but mean the same UTC instant in this engine —
+        // compare on the instant
+        case t: java.time.LocalDateTime =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC).toString
+        // the engines may type the same exact value DECIMAL vs DOUBLE —
+        // compare on the double value the DataFrame side carries
+        case d: java.math.BigDecimal => d.doubleValue().toString
         case x => x.toString
       }.mkString("|"))
       .toSeq.sorted
   }
 
-  test("every TPC-H oracle statement runs on spark.sql and matches the DataFrame plan exactly") {
+  private def registerViews(): Unit =
     for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
-        "nation", "region"))
+        "nation", "region", "events", "documents", "embeddings"))
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
-    val bad = tpch.flatMap { q =>
+
+  private def compare(qs: Seq[String]): Unit = {
+    registerViews()
+    val bad = qs.flatMap { q =>
       val viaDf = canon(SparkEntry.queries(q)(spark, dir))
-      // `AS MATERIALIZED` is DuckDB's CTE-inlining hint (q17 uses it to
-      // mirror the Spark side's persist) — a no-op semantically, and the
-      // only dialect token in the block; Spark's parser doesn't take it
-      val sql = SparkEntry.oracleSql(q).replace(" AS MATERIALIZED (", " AS (")
-      val viaSql = canon(spark.sql(sql))
+      val viaSql = canon(spark.sql(graft.oracle.SparkSql.statement(q).get))
       if (viaDf == viaSql) None
       else Some(s"$q: ${viaDf.size} df rows vs ${viaSql.size} sql rows; " +
         s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
           .find { case (a, b) => a != b }.getOrElse(("", ""))}")
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("every TPC-H oracle statement runs on spark.sql and matches the DataFrame plan exactly") {
+    compare(tpch)
+  }
+
+  test("the certified SQL-parity surface holds: every covered statement matches its DataFrame plan") {
+    val rest = graft.oracle.SparkSql.covered.filterNot(tpch.toSet)
+    assert(graft.oracle.SparkSql.covered.size >= 100,
+      s"certified SQL surface shrank to ${graft.oracle.SparkSql.covered.size} queries")
+    compare(rest)
   }
 }
