@@ -32,15 +32,18 @@ object HotBandBench {
 
     // near-identical: shared 40-word boilerplate + unique tail. The tail
     // changes ONE shingle out of ~40, so all 4 bands of the 16-hash
-    // signature almost surely agree across the cluster -> one viral bucket
+    // signature almost surely agree across the cluster -> one viral bucket.
+    // The benign corpus must be shingle-DIVERSE (every word doc-unique):
+    // a first cut gave each benign doc a shared 3-word prefix, whose
+    // shingle dominated the tiny MinHash sets and silently formed 65k-wide
+    // BENIGN buckets - the measurement drowned in their distinct shuffle.
     val boiler = (1 to 40).map(i => s"boilerplate$i").mkString(" ")
+    val benignWords = (0 until 12).map(j =>
+      md5(concat(col("id").cast("string"), lit(s"_$j"))))
     val docs = spark.range(viral + benign).select(
       col("id").as("doc_id"),
       when(col("id") < viral, concat(lit(boiler + " tail"), col("id").cast("string")))
-        .otherwise(concat(lit("unique document body "),
-          md5(col("id").cast("string")), lit(" "),
-          md5((col("id") * 7L).cast("string")), lit(" "),
-          md5((col("id") * 13L).cast("string")))).as("text"))
+        .otherwise(concat_ws(" ", benignWords: _*)).as("text"))
       .localCheckpoint()
 
     import graft.text.Dedup
