@@ -19,7 +19,9 @@ sbt -client "runMain graft.Smoke" 2>&1 | grep -F '[smoke] ALL OK'
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 #     sbt "runMain graft.Bench" ... > bench JSON -> bench_out_new.json).
 if [[ -f bench_out_new.json ]]; then
-  # advisory: a malformed/partial sweep file must not fail the gate
+  # HARD check (r12 verdict #8): probe-normalized warm-time regressions
+  # >2x fail the gate. The probe normalization makes a noisy-box sweep
+  # pass (both sides slow together) while a real plan regression fails.
   python3 scripts/bench_diff.py bench_out.json bench_out_new.json \
-    || echo "[gate] bench-diff errored (advisory step, continuing)"
+    --threshold 2.0 --fail
 fi

@@ -1,6 +1,9 @@
 package graft
 
-import graft.expr.{Cusum, DotProduct, Ewma}
+import graft.expr.{AHashChunk, Burst2, CharCounts, CharNGramCodes, CondProd,
+  Cusum, DotProduct, Ewma, Holt, Kama, LinearRec, MinGramMd5, MinHashSig,
+  PsarDir, PsarLine, Renko, SimHashSig, SupertrendDir, SupertrendLine,
+  ThresholdReset, TrigramCounts, TrigramTopK, ZigZag}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
@@ -73,6 +76,159 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: dot_product(array<double>, array<double>)")
       }))
 
+    // ---- graft window recursions as SQL functions (r13) ----
+    // Every custom AggregateWindowFunction the DataFrame API uses is also a
+    // SQL window function, so the Spark-dialect statements in
+    // graft.oracle.SparkSql can express the recurrence families:
+    //   SELECT ewma_span(close, 12, true) OVER (PARTITION BY symbol
+    //          ORDER BY datetime, event_id) ...
+    // Numeric parameters must be literals (the recursion coefficients are
+    // compile-time constants of the generated update tree). ewma_span
+    // computes alpha = 2/(span+1) in Scala — the SAME IEEE division the
+    // DataFrame-side Ewma.ewmaSpanOver performs — so SQL and DataFrame
+    // plans agree bit-for-bit.
+    def fnName(name: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    def dl(e: Expression, what: String): Double = doubleLit(e, what)
+
+    fnName("ewma_span") {
+      case Seq(x, span, adjust) =>
+        Ewma(x, 2.0 / (dl(span, "span") + 1.0), boolLit(adjust, "adjust"))
+      case Seq(x, span, adjust, ignoreNulls) =>
+        Ewma(x, 2.0 / (dl(span, "span") + 1.0), boolLit(adjust, "adjust"),
+          boolLit(ignoreNulls, "ignoreNulls"))
+      case _ => throw new IllegalArgumentException(
+        "usage: ewma_span(col, span, adjust[, ignoreNulls])")
+    }
+    fnName("holt") {
+      case Seq(x, a, b) => Holt(x, dl(a, "alpha"), dl(b, "beta"))
+      case _ => throw new IllegalArgumentException("usage: holt(col, alpha, beta)")
+    }
+    fnName("kama_rec") {
+      case Seq(x, alpha) => Kama(x, alpha)
+      case _ => throw new IllegalArgumentException("usage: kama_rec(col, alphaCol)")
+    }
+    fnName("linear_rec") {
+      case Seq(x, c0, c1, c2, base) =>
+        LinearRec(x, dl(c0, "c0"), dl(c1, "c1"), dl(c2, "c2"), dl(base, "base"))
+      case _ => throw new IllegalArgumentException(
+        "usage: linear_rec(col, c0, c1, c2, base)")
+    }
+    fnName("threshold_reset") {
+      case Seq(x, t) => ThresholdReset(x, dl(t, "threshold"))
+      case _ => throw new IllegalArgumentException(
+        "usage: threshold_reset(col, threshold)")
+    }
+    fnName("cond_prod") {
+      case Seq(c, f, base) => CondProd(c, f, dl(base, "base"))
+      case _ => throw new IllegalArgumentException(
+        "usage: cond_prod(condCol, factorCol, base)")
+    }
+    fnName("burst2") {
+      case Seq(gap, lam, ratio, gamma) =>
+        Burst2(gap, lam, dl(ratio, "ratio"), dl(gamma, "gamma"))
+      case _ => throw new IllegalArgumentException(
+        "usage: burst2(gapCol, lamCol, ratio, gamma)")
+    }
+    fnName("renko") {
+      case Seq(x, brick) => Renko(x, dl(brick, "brick"))
+      case _ => throw new IllegalArgumentException("usage: renko(col, brick)")
+    }
+    fnName("psar_line") {
+      case Seq(h, l, af0, inc, mx) =>
+        PsarLine(h, l, dl(af0, "af0"), dl(inc, "inc"), dl(mx, "afMax"))
+      case _ => throw new IllegalArgumentException(
+        "usage: psar_line(high, low, af0, inc, afMax)")
+    }
+    fnName("psar_dir") {
+      case Seq(h, l, af0, inc, mx) =>
+        PsarDir(h, l, dl(af0, "af0"), dl(inc, "inc"), dl(mx, "afMax"))
+      case _ => throw new IllegalArgumentException(
+        "usage: psar_dir(high, low, af0, inc, afMax)")
+    }
+    fnName("supertrend_line") {
+      case Seq(ub, lb, c, pc) => SupertrendLine(ub, lb, c, pc)
+      case _ => throw new IllegalArgumentException(
+        "usage: supertrend_line(ub, lb, close, prevClose)")
+    }
+    fnName("supertrend_dir") {
+      case Seq(ub, lb, c, pc) => SupertrendDir(ub, lb, c, pc)
+      case _ => throw new IllegalArgumentException(
+        "usage: supertrend_dir(ub, lb, close, prevClose)")
+    }
+    fnName("zigzag") {
+      case Seq(x, theta) => ZigZag(x, dl(theta, "theta"))
+      case _ => throw new IllegalArgumentException("usage: zigzag(col, theta)")
+    }
+
+    // ---- graft scalar expressions as SQL functions (r13) ----
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+    fnName("char_counts") {
+      case Seq(s) => CharCounts(s)
+      case _ => throw new IllegalArgumentException("usage: char_counts(str)")
+    }
+    fnName("char_ngram_codes") {
+      case Seq(s, n) => CharNGramCodes(s, intLit(n, "n"))
+      case _ => throw new IllegalArgumentException("usage: char_ngram_codes(str, n)")
+    }
+    fnName("trigram_topk") {
+      case Seq(s, k) => TrigramTopK(s, intLit(k, "k"))
+      case _ => throw new IllegalArgumentException("usage: trigram_topk(str, k)")
+    }
+    fnName("trigram_counts") {
+      case Seq(s) => TrigramCounts(s)
+      case _ => throw new IllegalArgumentException("usage: trigram_counts(str)")
+    }
+    fnName("min_gram_md5") {
+      case Seq(s, n) => MinGramMd5(s, intLit(n, "gramLen"))
+      case _ => throw new IllegalArgumentException("usage: min_gram_md5(str, gramLen)")
+    }
+    // the engine's MinHash signature with its production seed family
+    // (graft.text.Dedup.hashA/hashB/HashP) — SQL gets the same 16 minima
+    fnName("minhash_sig") {
+      case Seq(s) => MinHashSig(s,
+        (0 until graft.text.Dedup.NumHashes).map(graft.text.Dedup.hashA),
+        (0 until graft.text.Dedup.NumHashes).map(graft.text.Dedup.hashB),
+        graft.text.Dedup.HashP)
+      case _ => throw new IllegalArgumentException("usage: minhash_sig(str)")
+    }
+    fnName("simhash_sig") {
+      case Seq(s) => SimHashSig(s)
+      case _ => throw new IllegalArgumentException("usage: simhash_sig(str)")
+    }
+    fnName("ahash_chunk") {
+      case Seq(b) => AHashChunk(b)
+      case _ => throw new IllegalArgumentException("usage: ahash_chunk(binary)")
+    }
+    // DuckDB xor(a, b) — Spark spells it `a ^ b`; the corpus calls the
+    // function form
+    fnName("xor") {
+      case Seq(a, b) =>
+        org.apache.spark.sql.catalyst.expressions.BitwiseXor(a, b)
+      case _ => throw new IllegalArgumentException("usage: xor(a, b)")
+    }
+    // the engine's oracle-parity rounding (graft.queries.Core.r6/r4) as SQL
+    // functions — Spark-dialect statements round through the IDENTICAL
+    // codegen'd expression the DataFrame plans use
+    def dcast(x: Expression) = org.apache.spark.sql.catalyst.expressions.Cast(
+      x, org.apache.spark.sql.types.DoubleType)
+    fnName("r6") {
+      case Seq(x) => graft.expr.GuardedFloorRound(dcast(x), 1e6, 9.0e9)
+      case _ => throw new IllegalArgumentException("usage: r6(x)")
+    }
+    fnName("r4") {
+      case Seq(x) => graft.expr.GuardedFloorRound(dcast(x), 1e4, 9.0e11)
+      case _ => throw new IllegalArgumentException("usage: r4(x)")
+    }
+
     // ---- DuckDB-compat aliases (additive; none shadow a Spark builtin) ----
     import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate,
       ArrayFilter, ArrayJoin, ArrayMax, ArrayMin, ArrayTransform, Add,
@@ -128,6 +284,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     alias("quantile_cont") { case Seq(x, p) => new Percentile(x, p) }
     alias("array_to_string") { case Seq(l, sep) => ArrayJoin(l, sep, None) }
     alias("json_extract_string") { case Seq(j, p) => GetJsonObject(j, p) }
+    // DuckDB ord(): codepoint of the first character — Spark's ascii()
+    // (equal on the single-char ASCII probes the corpus feeds it)
+    alias("ord") { case Seq(s) =>
+      org.apache.spark.sql.catalyst.expressions.Ascii(s)
+    }
+    alias("list_contains") { case Seq(l, x) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayContains(l, x)
+    }
+    alias("list_sort") { case Seq(l) =>
+      org.apache.spark.sql.catalyst.expressions.SortArray(l, Literal(true))
+    }
+    alias("list_prepend") { case Seq(x, l) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayPrepend(l, x)
+    }
+    // DuckDB regexp_matches(s, p): true when the regex matches ANYWHERE —
+    // exactly Spark's RLIKE (not regexp_full_match semantics)
+    alias("regexp_matches") { case Seq(s, p) =>
+      org.apache.spark.sql.catalyst.expressions.RLike(s, p)
+    }
+    // DuckDB error(msg): throw — Spark's raise_error
+    alias("error") { case Seq(m) =>
+      org.apache.spark.sql.catalyst.expressions.RaiseError(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          m, org.apache.spark.sql.types.StringType))
+    }
+    // DuckDB list_reduce(l, f): NO initial value — the first element seeds
+    // the fold over the rest. Spark's aggregate() demands a zero; build
+    //   aggregate(slice(l, 2, size(l) - 1), l[1], f)
+    alias("list_reduce") { case Seq(l, f: LambdaFunction) =>
+      import org.apache.spark.sql.catalyst.expressions.{ElementAt, Size, Slice}
+      val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+      ArrayAggregate(
+        Slice(l, Literal(2), Subtract(Size(l, legacySizeOfNull = false), Literal(1))),
+        ElementAt(l, Literal(1)),
+        f,
+        LambdaFunction(fin, Seq(fin)))
+    }
     // DuckDB list(x) aggregate = collect_list (input order; statements
     // relying on a SPECIFIC order use `list(x ORDER BY y)`, which is a
     // parser-level construct Spark lacks — those need a hand override)

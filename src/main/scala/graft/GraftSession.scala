@@ -29,6 +29,17 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Reliable checkpoints (Checkpoint.pin on a cluster) must be GC'd
+      // once their RDD is unreferenced — the default (false) leaks one
+      // durable checkpoint dir PER ROUND of every iterative operator
+      // (BPE runs hundreds of rounds) on exactly the long-running cluster
+      // sessions the reliable mode targets.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // The SQL-parity surface serves deeply-chained unrolled-iteration
+      // statements (graph_* replays); the analyzer's default 100-iteration
+      // resolution budget is a LIMIT, not a cost — normal plans still fix-
+      // point early, only the deep chains need the headroom.
+      .config("spark.sql.analyzer.maxIterations", "1000")
       .config("spark.ui.enabled", "false")
     master.fold(b)(m => b.master(m))
   }

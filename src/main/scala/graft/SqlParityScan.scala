@@ -21,16 +21,23 @@ object SqlParityScan {
       df.select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
         .map(_.toSeq.map {
           case null => "∅"
-          case t: java.sql.Timestamp => (t.getTime / 1000L).toString
+          // microsecond resolution, same canon as SqlParitySpec — a bridge
+          // rule that shifts an instant sub-second must show up in the scan
+          case t: java.sql.Timestamp =>
+            (t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString
           // NTZ (raw parquet view) and session-tz (engine reader) render
           // differently but mean the same UTC instant in this engine —
           // compare on the instant
           case t: java.time.LocalDateTime =>
-            t.toEpochSecond(java.time.ZoneOffset.UTC).toString
+            (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              t.getNano / 1000L).toString
           // the engines may type the same exact value DECIMAL vs DOUBLE
           // (e.g. a decimal-accumulated column divided out) — compare on
-          // the double value the DataFrame side carries
-          case d: java.math.BigDecimal => d.doubleValue().toString
+          // the double value when exact, else fail loud via plain string
+          case d: java.math.BigDecimal =>
+            val dd = d.doubleValue()
+            if (new java.math.BigDecimal(dd).compareTo(d) == 0) dd.toString
+            else d.stripTrailingZeros.toPlainString
           case x => x.toString
         }.mkString("|")).toSeq.sorted
     }
@@ -45,7 +52,7 @@ object SqlParityScan {
     // the JVM grinds (observed: 6 zombie recursions made ingest_bars_csv
     // "time out").
     for ((q, _) <- SparkEntry.oracleSql.toSeq.sortBy(_._1) if wanted(q)) {
-      val sql = graft.oracle.SparkSql.statement(q).get
+      val sql = graft.oracle.SparkSql.candidate(q).get
       def attempt(): String = try {
         spark.sparkContext.setJobGroup(q, q, interruptOnCancel = true)
         val viaSql = canon(spark.sql(sql))
@@ -60,7 +67,9 @@ object SqlParityScan {
           }
         } catch { case e: Throwable => s"DF_FAIL ${e.getClass.getSimpleName}" }
       } catch {
-        case e: org.apache.spark.sql.catalyst.parser.ParseException => "PARSE_FAIL"
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          s"PARSE_FAIL ${Option(e.getMessage).getOrElse("").linesIterator
+            .filter(_.nonEmpty).take(3).mkString(" | ").take(220)}"
         case e: Throwable => s"EXEC_FAIL ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(80)}"
       }
       val t0 = System.nanoTime()
@@ -72,7 +81,7 @@ object SqlParityScan {
       }, s"parity-$q")
       worker.setDaemon(true)
       worker.start()
-      worker.join(90000L)
+      worker.join(sys.env.getOrElse("SPARK_GRAFT_PARITY_TIMEOUT_MS", "90000").toLong)
       if (worker.isAlive) {
         spark.sparkContext.cancelJobGroup(q)
         worker.interrupt()

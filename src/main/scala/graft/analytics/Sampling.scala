@@ -103,21 +103,36 @@ object Sampling {
     // 48-bit halves (hex chars 1-12 and 13-24) — the hash runs before the
     // second generator, so the per-row hash count is b/2, not b. The
     // oracle slices the same digest positions.
+    // Shape note (r13, A/B'd): the rows×B fan-out happens ONCE (the block
+    // explode) — both replica weights are computed INLINE on the block row
+    // and partial-aggregated per (grp, blk), so the pre-shuffle row count
+    // is rows×B/2, not rows×B, and no 12-char digest slices or struct
+    // arrays ever materialize into the aggregate's input. The per-replica
+    // rows only appear AFTER aggregation, at groups×B/2 — negligible. The
+    // draw scheme (md5 per block, two 48-bit halves) is unchanged, so the
+    // oracle replay and every emitted value stay identical.
+    def wOf(slice: Column): Column = {
+      val u = (conv(slice, 16, 10).cast("double") + lit(0.5)) /
+        lit(281474976710656.0) // 2^48
+      PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L)).reduce(_ + _)
+    }
     val blocks = df.select(group.as("grp"), key.cast("string").as("k"),
         x.cast("double").as("x"))
       .select(col("grp"), col("k"), col("x"),
         explode(expr(s"sequence(1, ${b / 2})")).as("blk"))
       .withColumn("_hex", md5(concat_ws(":", col("k"), col("blk"))))
-    val rep = blocks.select(col("grp"), col("x"),
-      explode(array(
-        struct((col("blk") * 2 - 1).as("rep"),
-          substring(col("_hex"), 1, 12).as("slice")),
-        struct((col("blk") * 2).as("rep"),
-          substring(col("_hex"), 13, 12).as("slice")))).as("e"))
-    val u = (conv(col("e.slice"), 16, 10).cast("double") + lit(0.5)) /
-      lit(281474976710656.0) // 2^48
-    val w = PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
-      .reduce(_ + _)
+      .select(col("grp"), col("x"), col("blk"),
+        wOf(substring(col("_hex"), 1, 12)).as("_w1"),
+        wOf(substring(col("_hex"), 13, 12)).as("_w2"))
+    val perBlk = blocks
+      .groupBy(col("grp"), col("blk"))
+      .agg(sum(col("_w1") * col("x")).as("sx1"), sum(col("_w1")).as("sw1"),
+        sum(col("_w2") * col("x")).as("sx2"), sum(col("_w2")).as("sw2"))
+    val rep = perBlk.select(col("grp"), explode(array(
+      struct((col("blk") * 2 - 1).as("rep"), col("sx1").as("sx"), col("sw1").as("sw")),
+      struct((col("blk") * 2).as("rep"), col("sx2").as("sx"), col("sw2").as("sw"))))
+      .as("e"))
+      .select(col("grp"), col("e.sx").as("sx"), col("e.sw").as("sw"))
     val point = df.select(group.as("grp"), x.cast("double").as("x"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n_rows"), avg(col("x")).as("mean"))
@@ -125,9 +140,7 @@ object Sampling {
     // groups): its mean is 0/0 = NaN, which sorts ABOVE every real mean
     // and would surface as ci_hi. Deterministic rule, mirrored in the
     // oracle: an empty resample reports the group's point mean.
-    val means = rep.withColumn("_w", w)
-      .groupBy(col("grp"), col("e.rep").as("rep"))
-      .agg(sum(col("_w") * col("x")).as("sx"), sum(col("_w")).as("sw"))
+    val means = rep
       .join(point.select(col("grp"), col("mean").as("_pm")), Seq("grp"))
       .select(col("grp"),
         when(col("sw") === 0L, col("_pm"))

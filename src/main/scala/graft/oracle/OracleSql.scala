@@ -2721,7 +2721,7 @@ object OracleSql {
   /** Self-contained RSI+MACD CTE chain for mlMatrix (names prefixed t* to
     * avoid clashing with the f* feature chain). Produces `tech(symbol,
     * event_id, rsi, macd, macd_signal, macd_histogram)`. */
-  private val techCtes: String = {
+  private[oracle] val techCtes: String = {
     val p = Params.RsiPeriod
     val f = Params.MacdFast
     val sl = Params.MacdSlow

@@ -38,6 +38,16 @@ object SparkSql {
     val textual = sql
       .replace(" AS MATERIALIZED (", " AS (")
     .replace(" AS VARCHAR)", " AS STRING)")
+    // DuckDB array-type spelling in casts: T[] → ARRAY<T>
+    .replace(" AS DOUBLE[])", " AS ARRAY<DOUBLE>)")
+    .replace(" AS VARCHAR[])", " AS ARRAY<STRING>)")
+    // typed empty-list literal (before bracketLiterals sees the `[]`)
+    .replace("[]::VARCHAR[]", "CAST(array() AS ARRAY<STRING>)")
+    // DuckDB double-quoted identifier (reserved-word alias) → backticks
+    .replace(""" AS "rank"""", " AS `rank`")
+    // DuckDB quoted datepart → Spark's unquoted unit keyword
+    .replace("date_diff('day', ", "date_diff(DAY, ")
+    .replace("datediff('day', ", "date_diff(DAY, ")
     .replace(" // ", " div ")
     .replace(" IGNORE NULLS)", ") IGNORE NULLS")
     // DuckDB hex decode: ('0x' || H)::BIGINT — Spark's CAST does not read
@@ -50,7 +60,12 @@ object SparkSql {
       // DuckDB's regexp_replace global flag — Spark's regexp_replace is
       // global already (its optional 4th arg means position, not flags)
       .replace(", 'g')", ")")
-    listLiterals(indexing(orderedLists(laterals(hexDigits(extracts(textual))))))
+    val enc = // DuckDB 1-arg encode(): VARCHAR → UTF-8 BLOB
+      raw"(?<![\w.])encode\((\w+)\)".r.replaceAllIn(textual,
+        m => java.util.regex.Matcher.quoteReplacement(
+          s"encode(${m.group(1)}, 'UTF-8')"))
+    listLiterals(parenIndexing(indexing(slices(
+      orderedLists(laterals(hexDigits(extracts(bracketLiterals(enc)))))))))
   }
 
   /** Field/function spellings with exact Spark twins: `isodow` (Mon=1) is
@@ -60,7 +75,7 @@ object SparkSql {
     val iso = raw"(?i)EXTRACT\(isodow FROM ([^)]+)\)".r
       .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
         s"(weekday(${m.group(1)}) + 1)"))
-    raw"grouping\(([^()]*,[^()]*)\)".r.replaceAllIn(iso,
+    raw"(?i)GROUPING\(([^()]*,[^()]*)\)".r.replaceAllIn(iso,
       m => java.util.regex.Matcher.quoteReplacement(s"grouping_id(${m.group(1)})"))
   }
 
@@ -83,15 +98,115 @@ object SparkSql {
       .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
         s" LATERAL VIEW explode(${m.group(1)}) ${m.group(2)} AS ${m.group(3)}"))
 
-  /** DuckDB's in-aggregate ORDER BY: `list(x ORDER BY y)` → sort structs,
-    * strip the key. Both engines break exact ties identically here because
-    * the struct comparison falls through to the VALUE after the key — and
-    * the corpus orders by keys that determine the value anyway. */
-  private def orderedLists(sql: String): String =
-    raw"list\(([A-Za-z0-9_. ]+?) ORDER BY ([A-Za-z0-9_. ]+?)\)".r
-      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-        s"transform(array_sort(collect_list(struct(${m.group(2)} AS _o, " +
-          s"${m.group(1)} AS _v))), s -> s._v)"))
+  /** Positions inside single-quoted SQL string literals ('' escapes) —
+    * every structural scanner below must ignore brackets/parens/keywords
+    * that sit inside literal text (regex char classes `'[a-z0-9 ]'`, JSON
+    * paths `'$[0]'`, paren characters in replace() targets). */
+  private def quotedMask(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var q = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!q && c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        // `--` line comment: mask to end of line (an apostrophe inside a
+        // comment must not open a string)
+        while (i < s.length && s.charAt(i) != '\n') { in(i) = true; i += 1 }
+      } else {
+        if (c == '\'') { in(i) = true; q = !q }
+        else in(i) = q
+        i += 1
+      }
+    }
+    in
+  }
+
+  /** First index of `needle` in `s` at paren depth 0 outside quotes, or -1. */
+  private def topLevelIndex(s: String, needle: String): Int = {
+    val quoted = quotedMask(s)
+    var depth = 0
+    var i = 0
+    while (i <= s.length - needle.length) {
+      val c = s.charAt(i)
+      if (!quoted(i)) {
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        if (depth == 0 && s.startsWith(needle, i)) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Rewrite every `fn(inner)` call whose TOP-LEVEL inner text contains
+    * ` ORDER BY ` — balanced-paren scan, because the corpus nests calls
+    * (`list(sqrt(CAST(x AS DOUBLE)) ORDER BY k)`) regexes can't see.
+    * `rw(valuePart, orderPart)` produces the replacement call text. */
+  private def rewriteOrderedCall(sql: String, fn: String)(
+      rw: (String, String) => String): String = {
+    val quoted = quotedMask(sql)
+    val token = fn + "("
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val j = sql.indexOf(token, i)
+      if (j < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (quoted(j) ||
+          (j > 0 && (sql.charAt(j - 1).isLetterOrDigit || sql.charAt(j - 1) == '_'))) {
+        out.append(sql.substring(i, j + token.length)); i = j + token.length
+      } else {
+        out.append(sql.substring(i, j))
+        var k = j + token.length
+        var depth = 1
+        while (depth > 0) {
+          val c = sql.charAt(k)
+          if (!quoted(k)) {
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          }
+          k += 1
+        }
+        val inner = sql.substring(j + token.length, k - 1)
+        val ob = topLevelIndex(inner, " ORDER BY ")
+        if (ob < 0) out.append(token).append(inner).append(")")
+        else out.append(rw(inner.substring(0, ob), inner.substring(ob + 10)))
+        i = k
+      }
+    }
+    out.toString
+  }
+
+  /** DuckDB's in-aggregate ORDER BY:
+    *  - `list(x ORDER BY k1, k2…)` → sort structs on the keys, strip them.
+    *    Both engines break exact ties identically here because the struct
+    *    comparison falls through to the VALUE after the keys — and the
+    *    corpus orders by keys that determine the value anyway.
+    *  - `string_agg(v, sep ORDER BY k)` → Spark 4's
+    *    `listagg(v, sep) WITHIN GROUP (ORDER BY k)` (same null-skipping).
+    * Applied to fixpoint so nested occurrences rewrite too. */
+  private def orderedLists(sql: String): String = {
+    val one = rewriteOrderedCall(sql, "list") { (v, keys) =>
+      val ks = splitTopLevel(keys).zipWithIndex
+        .map { case (k, n) => s"$k AS _o$n" }.mkString(", ")
+      s"transform(array_sort(collect_list(struct($ks, $v AS _v))), s -> s._v)"
+    }
+    val two = rewriteOrderedCall(one, "string_agg") { (args, key) =>
+      s"listagg($args) WITHIN GROUP (ORDER BY $key)"
+    }
+    if (two == sql) sql else orderedLists(two)
+  }
+
+  /** Split on top-level commas. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { parts += s.substring(start, i).trim; start = i + 1 }
+    }
+    parts += s.substring(start).trim
+    parts.toSeq
+  }
 
   /** DuckDB list indexing is 1-BASED (and -1 = last) — exactly Spark's
     * element_at, NOT Spark's 0-based `l[i]` subscript (which parses fine
@@ -102,29 +217,116 @@ object SparkSql {
     // BIGINT (and the compat range()/len() produce BIGINTs) — cast
     val qualified = raw"(\w+)\.(\w+)\[([^\]\[:]+)\]".r
     val bare = raw"(?<![\w.])(\w+)\[([^\]\[:]+)\]".r
+    val q1 = quotedMask(sql)
     val s1 = qualified.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-      s"element_at(${m.group(1)}.${m.group(2)}, CAST(${m.group(3)} AS INT))"))
+      if (q1(m.start)) m.matched
+      else s"element_at(${m.group(1)}.${m.group(2)}, CAST(${m.group(3)} AS INT))"))
+    val q2 = quotedMask(s1)
     bare.replaceAllIn(s1, m => java.util.regex.Matcher.quoteReplacement(
-      s"element_at(${m.group(1)}, CAST(${m.group(2)} AS INT))"))
+      if (q2(m.start)) m.matched
+      else s"element_at(${m.group(1)}, CAST(${m.group(2)} AS INT))"))
   }
 
-  /** DuckDB list literals: `['x']` → array('x'); `[]::VARCHAR[]` →
-    * a typed empty array. */
+  /** DuckDB bracket LIST LITERALS (vs subscripts): a `[` whose previous
+    * non-space char is not an identifier/close-bracket is a literal —
+    * convert the balanced `[…]` to `array(…)` (empty `[]` → `array()`).
+    * Subscripts/slices are left for [[indexing]]/[[slices]]. */
+  private def bracketLiterals(sql: String): String = {
+    val quoted = quotedMask(sql)
+    val out = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '[' && !quoted(i)) {
+        // a subscript's bracket is ADJACENT to its base — whitespace before
+        // `[` means a literal (e.g. `ELSE []`, `IN [...]`)
+        val prev = if (out.nonEmpty) out.charAt(out.length - 1) else ' '
+        val isSubscript = prev.isLetterOrDigit || prev == '_' || prev == ')' || prev == ']'
+        if (isSubscript) { out.append(c); i += 1 }
+        else {
+          var k = i + 1
+          var depth = 1
+          while (depth > 0) {
+            val ch = sql.charAt(k)
+            if (!quoted(k)) {
+              if (ch == '[') depth += 1 else if (ch == ']') depth -= 1
+            }
+            k += 1
+          }
+          out.append("array(").append(sql.substring(i + 1, k - 1)).append(")")
+          changed = true
+          i = k
+        }
+      } else { out.append(c); i += 1 }
+    }
+    if (changed) bracketLiterals(out.toString) else sql
+  }
+
+  /** DuckDB list slice `l[a:b]` (1-based, both bounds INCLUSIVE) →
+    * Spark's slice(l, a, (b)-(a)+1). */
+  private def slices(sql: String): String = {
+    val quoted = quotedMask(sql)
+    raw"(\w+(?:\.\w+)?)\[([^\]\[:]+):([^\]\[:]+)\]".r.replaceAllIn(sql,
+      m => java.util.regex.Matcher.quoteReplacement(
+        if (quoted(m.start)) m.matched
+        else s"slice(${m.group(1)}, ${m.group(2)}, (${m.group(3)}) - (${m.group(2)}) + 1)"))
+  }
+
+  /** Subscript on a PARENTHESIZED base — `(expr)[i]` → element_at:
+    * reverse-scan to the matching open paren (regexes can't balance). */
+  private def parenIndexing(sql: String): String = {
+    val quoted = quotedMask(sql)
+    val m = raw"\)\[([^\]\[:]+)\]".r.findAllMatchIn(sql).find(mm => !quoted(mm.start))
+    m match {
+      case None => sql
+      case Some(mm) =>
+        var depth = 1
+        var j = mm.start - 1 // char before the ')'
+        while (depth > 0) {
+          val c = sql.charAt(j)
+          if (!quoted(j)) {
+            if (c == ')') depth += 1 else if (c == '(') depth -= 1
+          }
+          if (depth > 0) j -= 1
+        }
+        val base = sql.substring(j, mm.start + 1)
+        parenIndexing(sql.substring(0, j) +
+          s"element_at($base, CAST(${mm.group(1)} AS INT))" +
+          sql.substring(mm.end))
+    }
+  }
+
+  /** Residual DuckDB string-list literals (defensive; [[bracketLiterals]]
+    * catches these structurally first). */
   private def listLiterals(sql: String): String =
-    raw"\[('[^']*')\]".r.replaceAllIn(
-      sql.replace("[]::VARCHAR[]", "CAST(array() AS ARRAY<STRING>)"),
+    raw"\[('[^']*'(?:,\s*'[^']*')*)\]".r.replaceAllIn(sql,
       m => java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
 
   /** Hand-written Spark statements for queries whose oracle text uses
     * DuckDB-only constructs. Keyed by registry name; each must produce
-    * the registered DataFrame plan's rows exactly. */
-  val overrides: Map[String, String] = Map.empty
+    * the registered DataFrame plan's rows exactly (see
+    * [[SparkSqlOverrides]]). */
+  def overrides: Map[String, String] = SparkSqlOverrides.all
 
-  /** The Spark-dialect statement for a registry query: the override when
-    * one exists, else the dialect-bridged oracle text. */
-  def statement(name: String): Option[String] =
+  /** The CANDIDATE Spark-dialect text for any registry query: the override
+    * when one exists, else the dialect-bridged oracle text. Dev-scan use
+    * only (SqlParityScan probes candidates to grow [[covered]]) — the
+    * textual bridge rules are corpus-tuned and may mangle statements
+    * outside the tested surface. */
+  def candidate(name: String): Option[String] =
     overrides.get(name)
       .orElse(graft.SparkEntry.oracleSql.get(name).map(dialect))
+
+  private lazy val coveredSet = covered.toSet
+
+  /** The Spark-dialect statement for a registry query — served ONLY for
+    * the certified [[covered]] surface (every entry value-proven against
+    * its DataFrame plan by SqlParitySpec on every run). Uncovered names
+    * return None rather than untested bridge output: a blind textual
+    * rewrite that never faced the value test must not escape. */
+  def statement(name: String): Option[String] =
+    if (coveredSet(name)) candidate(name) else None
 
   /** The CERTIFIED SQL-parity surface: queries whose [[statement]] runs on
     * `spark.sql` and matches the registered DataFrame plan value-for-value
@@ -132,6 +334,28 @@ object SparkSql {
     * list with the SqlParityScan dev tool after touching the bridge or an
     * oracle statement). */
   val covered: Seq[String] = Seq(
+    "agg_cube", "bars_imbalance", "corpus_curriculum",
+    "corpus_heaps", "corpus_mixture", "corpus_novelty",
+    "corpus_temperature", "corpus_token_budget", "corpus_zipf",
+    "decontam_bloom", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "dedup_spans", "dedup_spans_maximal", "emb_whiten",
+    "feat_adx", "feat_dema_tema", "feat_importance_corr",
+    "feat_klinger", "feat_macd", "feat_mass_index",
+    "feat_nvi_pvi", "feat_ppo", "feat_psar",
+    "feat_pvo", "feat_rsi", "feat_stoch_rsi",
+    "feat_supertrend", "feat_trix", "feat_tsi",
+    "feat_zigzag", "graph_linkpred", "graph_pagerank",
+    "ml_feature_bins", "ml_matrix", "multimodal_decode",
+    "multimodal_dedup", "multimodal_phash", "multimodal_phash_neighbors",
+    "multimodal_resize", "quality_gopher", "quality_quota",
+    "retention_cohorts", "sim_ann_ivf", "sim_ann_lsh",
+    "sim_ann_pq", "sim_ann_recall", "sim_hard_negatives",
+    "sim_kmeans", "sim_matryoshka", "sim_mips",
+    "sim_neardup", "sim_pq", "sim_quantize",
+    "sim_rproj", "sim_topk", "text_inverted_index",
+    "text_langid", "text_source_stats", "text_stats",
+    "user_ltv", "window_cusum", "window_ewm_vol",
+    "window_holt", "window_kama", "window_mad",
     "abtest_ztest", "agg_bootstrap", "agg_cms_topk",
     "agg_corr", "agg_distinct", "agg_gini",
     "agg_histogram", "agg_hll", "agg_mode",

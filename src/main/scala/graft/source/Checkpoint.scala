@@ -36,6 +36,21 @@ import org.apache.spark.sql.Dataset
 object Checkpoint {
   val ModeConf = "spark.graft.checkpoint"
 
+  /** Reliable `Dataset.checkpoint()` recomputes the plan a SECOND time to
+    * write the checkpoint files unless the result is already cached —
+    * persist first, checkpoint (reads the cached blocks), then drop the
+    * cache (the returned plan scans the durable files, not the cache).
+    * Without this every reliable pin costs ~2× the round's compute, on
+    * exactly the iterative operators (BPE: hundreds of rounds) that pin
+    * the most. The files themselves are GC'd by ContextCleaner because
+    * GraftSession sets spark.cleaner.referenceTracking.cleanCheckpoints. */
+  private def reliable[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinned = ds.checkpoint()
+    ds.unpersist(blocking = false)
+    pinned
+  }
+
   def pin[T](ds: Dataset[T]): Dataset[T] = {
     val session = ds.sparkSession
     val mode = session.conf.get(ModeConf, "auto")
@@ -48,8 +63,8 @@ object Checkpoint {
             "call SparkContext.setCheckpointDir(<durable path>) first " +
             "(a reliable checkpoint must outlive executor loss, so it " +
             "cannot silently fall back to local blocks)")
-        ds.checkpoint()
-      case "auto" => if (dirSet) ds.checkpoint() else ds.localCheckpoint()
+        reliable(ds)
+      case "auto" => if (dirSet) reliable(ds) else ds.localCheckpoint()
       case other => throw new IllegalArgumentException(
         s"$ModeConf must be auto|local|reliable, got '$other'")
     }

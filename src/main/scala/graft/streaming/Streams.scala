@@ -1062,4 +1062,88 @@ object Streams {
             st.nSessions + pending.size, st.nEvents + pending.map(_.n).sum))
       }
   }
+
+  /** Per-symbol RSI recurrence as a Spark 4 [[org.apache.spark.sql
+    * .streaming.StatefulProcessor]] — the transformWithState twin of
+    * [[streamingRsi]]. Why a second API for the same recurrence:
+    * flatMapGroupsWithState must be the ONLY stateful operator in its
+    * query, so the north-star ingestion chain (watermark dedup → featurize
+    * → sink in ONE query) is inexpressible with it; transformWithState
+    * COMPOSES with other stateful operators (and runs on the RocksDB state
+    * store, the 100-TB-cluster state backend). The fold is streamingRsi's
+    * arithmetic verbatim, so batch window expression, FMGWS, and TWS agree
+    * bit-for-bit — StreamingSpec proves the whole chain against the batch
+    * pipeline, including a mid-stream checkpoint restart. */
+  class RsiProcessor(period: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BarTick, RsiPoint] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[RsiState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[RsiState]("rsi",
+        org.apache.spark.sql.Encoders.product[RsiState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BarTick],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RsiPoint] = {
+      val alpha = 2.0 / (period + 1.0)
+      def micros(ts: java.sql.Timestamp): Long =
+        (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var s = Option(st.get()).getOrElse(
+        RsiState(hasPrev = false, 0.0, gSeen = false, 0.0, lSeen = false, 0.0))
+      val out = sorted.map { e =>
+        val rsi: Option[Double] =
+          if (!s.hasPrev) {
+            s = s.copy(hasPrev = true, prevClose = e.close)
+            None
+          } else {
+            val delta = e.close - s.prevClose
+            val gain = if (delta > 0) delta else 0.0
+            val loss = if (delta < 0) -delta else 0.0
+            val ag = if (!s.gSeen) gain else s.avgGain * (1.0 - alpha) + alpha * gain
+            val al = if (!s.lSeen) loss else s.avgLoss * (1.0 - alpha) + alpha * loss
+            s = RsiState(hasPrev = true, e.close, gSeen = true, ag, lSeen = true, al)
+            val rs = ag / (al + 1e-10)
+            Some(100.0 - 100.0 / (1.0 + rs))
+          }
+        RsiPoint(key, e.event_id, rsi)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** End-to-end streaming ingestion pipeline — the north star (Structured
+    * Streaming ingestion + DataFrame transformations) composed in ONE
+    * query: ingest → within-watermark exact dedup (redelivered ticks
+    * dropped while their original's state lives, the
+    * [[streamingDedupExact]] contract) → per-symbol RSI recurrence
+    * ([[RsiProcessor]] via transformWithState — the API that legally
+    * follows another stateful operator) → caller sinks with
+    * [[sinkUpsert]] for idempotent CDC merge. Input: (symbol, event_id,
+    * ts, close) rows with event-time `ts`.
+    *
+    * Scale shape: the dedup state is bounded by the watermark horizon; the
+    * RSI state is O(1) per symbol on RocksDB; the only shuffles are the
+    * dedup's digest exchange and the groupByKey(symbol) exchange — both
+    * would hash-partition across a 1000-executor cluster with no global
+    * ordering requirement (per-symbol order is restored inside the
+    * processor per micro-batch). */
+  def pipelineDedupRsi(raw: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val session = raw.sparkSession
+    import session.implicits._
+    val deduped = raw
+      .withWatermark("ts", watermark)
+      .withColumn("norm_md5",
+        md5(concat_ws(":", col("symbol"), col("event_id"), col("close"))))
+      .dropDuplicatesWithinWatermark("norm_md5")
+    deduped.select(col("symbol"), col("event_id"), col("ts"), col("close"))
+      .as[BarTick]
+      .groupByKey(_.symbol)
+      .transformWithState(new RsiProcessor(graft.Params.RsiPeriod),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
 }
