@@ -111,19 +111,36 @@ object Sampling {
     // rows only appear AFTER aggregation, at groups×B/2 — negligible. The
     // draw scheme (md5 per block, two 48-bit halves) is unchanged, so the
     // oracle replay and every emitted value stay identical.
-    def wOf(slice: Column): Column = {
-      val u = (conv(slice, 16, 10).cast("double") + lit(0.5)) /
+    // The uniforms get their OWN projection stage: the 16-breakpoint CDF
+    // fold references u 16 times, and building u's conv(substring(md5…))
+    // tree inline would copy it into every CASE branch (CaseWhen is
+    // excluded from codegen subexpression elimination) — measured 63 s at
+    // sf1 from pathological codegen once a downstream join fused the
+    // stage, vs 2 s with the barrier. As multi-referenced non-cheap
+    // aliases, _u1/_u2 survive CollapseProject (the window_mad precedent).
+    def uOf(slice: Column): Column =
+      (conv(slice, 16, 10).cast("double") + lit(0.5)) /
         lit(281474976710656.0) // 2^48
+    def wOf(u: Column): Column =
       PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L)).reduce(_ + _)
-    }
+    // Repartition the narrow 3-column projection by key BEFORE the ×B/2
+    // fan-out: the explode multiplies work ~50×, so the stage must be
+    // balanced across cores, not inherit the SCAN's split count — a
+    // compact parquet input (2 splits at sf1) otherwise throttles the
+    // whole query to 2 tasks (measured 66 s → 8 s at sf1 from this line).
+    // The shuffle moves only (grp, k, x) rows — 50× smaller than the
+    // stage it feeds; per-key hashing keeps the draw deterministic.
     val blocks = df.select(group.as("grp"), key.cast("string").as("k"),
         x.cast("double").as("x"))
+      .repartition(col("k"))
       .select(col("grp"), col("k"), col("x"),
         explode(expr(s"sequence(1, ${b / 2})")).as("blk"))
       .withColumn("_hex", md5(concat_ws(":", col("k"), col("blk"))))
       .select(col("grp"), col("x"), col("blk"),
-        wOf(substring(col("_hex"), 1, 12)).as("_w1"),
-        wOf(substring(col("_hex"), 13, 12)).as("_w2"))
+        uOf(substring(col("_hex"), 1, 12)).as("_u1"),
+        uOf(substring(col("_hex"), 13, 12)).as("_u2"))
+      .select(col("grp"), col("x"), col("blk"),
+        wOf(col("_u1")).as("_w1"), wOf(col("_u2")).as("_w2"))
     val perBlk = blocks
       .groupBy(col("grp"), col("blk"))
       .agg(sum(col("_w1") * col("x")).as("sx1"), sum(col("_w1")).as("sw1"),
