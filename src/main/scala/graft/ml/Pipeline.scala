@@ -75,15 +75,21 @@ object MlPipeline {
       .setSubsamplingRate(0.8).setFeatureSubsetStrategy("0.8")
       .setSeed(42)
 
-  /** Classification metrics (reference src/ml/evaluation.py:25-60). */
+  /** Classification metrics (reference src/ml/evaluation.py:25-60).
+    *
+    * The reference uses sklearn's `average='binary'` defaults, so
+    * precision/recall/F1 are POSITIVE-CLASS (label 1.0) numbers — the
+    * published 0.5161/0.8421/0.6400 are TP/(TP+FP), TP/(TP+FN) and their
+    * harmonic mean for the up-move class, not weighted multiclass averages
+    * (VERDICT r13 #3). */
   def evaluateClassifier(scored: DataFrame): Map[String, Double] = {
     def m(metric: String) = new MulticlassClassificationEvaluator()
-      .setMetricName(metric).evaluate(scored)
+      .setMetricName(metric).setMetricLabel(1.0).evaluate(scored)
     Map(
       "accuracy" -> m("accuracy"),
-      "precision" -> m("weightedPrecision"),
-      "recall" -> m("weightedRecall"),
-      "f1" -> m("f1"),
+      "precision" -> m("precisionByLabel"),
+      "recall" -> m("recallByLabel"),
+      "f1" -> m("fMeasureByLabel"),
       "roc_auc" -> new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").evaluate(scored))
   }

@@ -85,6 +85,31 @@ class MlSpec extends SparkSpec {
     assert(cm.agg(sum("count")).collect()(0).getLong(0) == scored.count())
   }
 
+  test("classifier metrics are positive-class (binary), matching sklearn defaults") {
+    // reference evaluation.py:50-52 uses sklearn average='binary':
+    // precision/recall/F1 are label-1.0 ratios, NOT weighted multiclass
+    // averages. Fixed scored frame: TP=2, FP=1, FN=3, TN=4 (10 rows).
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    def raw(p: Double) = Vectors.dense(1.0 - p, p)
+    val scored = Seq(
+      (1.0, 1.0, raw(0.9)), (1.0, 1.0, raw(0.8)),             // TP ×2
+      (0.0, 1.0, raw(0.7)),                                   // FP ×1
+      (1.0, 0.0, raw(0.4)), (1.0, 0.0, raw(0.3)), (1.0, 0.0, raw(0.2)), // FN ×3
+      (0.0, 0.0, raw(0.1)), (0.0, 0.0, raw(0.1)),             // TN ×4
+      (0.0, 0.0, raw(0.1)), (0.0, 0.0, raw(0.1))
+    ).toDF("label", "prediction", "rawPrediction")
+    val m = MlPipeline.evaluateClassifier(scored)
+    val (tp, fp, fn, tn) = (2.0, 1.0, 3.0, 4.0)
+    val prec = tp / (tp + fp)           // 2/3
+    val rec = tp / (tp + fn)            // 2/5
+    val f1 = 2 * prec * rec / (prec + rec)
+    assert(math.abs(m("accuracy") - (tp + tn) / 10.0) < 1e-12)
+    assert(math.abs(m("precision") - prec) < 1e-12, s"precision=${m("precision")} want $prec")
+    assert(math.abs(m("recall") - rec) < 1e-12, s"recall=${m("recall")} want $rec")
+    assert(math.abs(m("f1") - f1) < 1e-12, s"f1=${m("f1")} want $f1")
+  }
+
   test("topk_importance is training-deterministic: two trainings, identical top-20") {
     // the registry's single rows-only entry: GBT importances are not
     // ORACLE-reproducible (no cross-engine tree twin), but with the seed
