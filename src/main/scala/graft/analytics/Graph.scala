@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.source.Checkpoint
 import graft.source.Checkpoint.PinOps
 
 /** Iterative graph centrality over entity co-occurrence — the authority
@@ -112,20 +113,37 @@ object Graph {
     // checkpoint each derivation re-evaluates the caller's edge plan (a
     // fact-table scan + distinct for every registered graph) — measured
     // ~2 s of redundant scans per query at sf0.1
-    val e0 = edges.pinned()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) — partitioned by src once, reused all rounds
-    val e = e0.join(deg, "src").repartition(col("src")).pinned()
-    val nodes = e0.select(col("src").as("node"))
-      .unionAll(e0.select(col("dst").as("node")))
-      .distinct().pinned()
-    val n = nodes.count()
+    // round-stride pin policy for the iterated rank table (lazy leaf per
+    // round locally, durable every k-th round on a cluster) + tracked
+    // setup caches — persist, NOT checkpoint, because a checkpoint leaf
+    // drops the physical partitioning the rounds reuse (Spark 4.1,
+    // measured); Rounds.seal releases every cache at loop exit
+    val rounds = new Checkpoint.Rounds(edges.sparkSession)
+    val e0 = rounds.cache(edges)
+    // node table with a has_out flag: ONE pass derives the node set, the
+    // node count, the dangling set AND the dangling count (the r13 shape
+    // ran distinct + anti-join + two separate count actions — ~1 s of
+    // setup jobs per graph query at sf0.1 for the same four facts); the
+    // cnts action materializes nodeTab AND e0 in one chained job
+    val nodeTab = rounds.cache(
+      e0.select(col("src").as("node"), lit(1).as("o"))
+        .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
+        .groupBy("node").agg(max(col("o")).as("has_out")))
+    val cnts = nodeTab
+      .agg(count(lit(1)), sum((lit(1) - col("has_out")).cast("long"))).head()
+    val n = cnts.getLong(0)
+    val nDangling = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+    val nodes = nodeTab.select("node")
     // dangling = dst-only nodes (no outgoing edge); their per-round rank
-    // sum is the redistribution term. Checkpointed once, reused all rounds.
-    val dangling = nodes.join(
-        e0.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .pinned()
-    val nDangling = dangling.count()
+    // sum is the redistribution term — a filter over the cached node table
+    val dangling = nodeTab.filter(col("has_out") === 0).select("node")
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg): below the broadcast threshold the round joins a
+    // BROADCAST rank table and aggregates by dst, so partitioning e by DST
+    // makes the whole round exchange-free; above it the round is a
+    // co-partitioned shuffle join on src, so e partitions by SRC
+    val roundKey = if (n <= RankBroadcastMaxNodes) "dst" else "src"
+    val e = rounds.cache(e0.join(deg, "src").repartition(col(roundKey)))
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
     val zeros = nodes.select(col("node"), lit(0.0).as("c"))
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
@@ -134,8 +152,8 @@ object Graph {
     var deltas = List.empty[Double]
     val dangOpt = if (nDangling == 0L) None else Some(dangling)
     while (round < iters && !converged) {
-      val next = prRound(e, zeros, ranks, teleport, damping, n, dangOpt)
-        .pinned()
+      val next = rounds.pin(
+        prRound(e, zeros, nodes, ranks, teleport, damping, n, dangOpt))
       // checks before round `tolFrom` are skipped BY RULE (mirrored by the
       // oracle replay): each check is a per-round driver action, and the
       // early deltas sit orders above any useful tol
@@ -152,27 +170,51 @@ object Graph {
       ranks = next
       round += 1
     }
-    (ranks, round, deltas.reverse)
+    (rounds.seal(ranks), round, deltas.reverse)
   }
 
   /** One damped PageRank round. Exposed pre-checkpoint so PlanSpec can
-    * assert the physical shape: ONE wide shuffle (the contribution
-    * aggregate); the rank join broadcast below [[RankBroadcastMaxNodes]],
-    * co-partitioned above it. `dangling`, when present, is the
-    * checkpointed dangling-node set: its rank mass D/N is computed IN-PLAN
-    * as a 1-row aggregate crossJoined (broadcast) into the round, so a
-    * dangling graph still runs ONE job per round — no per-round driver
-    * scalar action. On dangling-free graphs (None) the addend is an exact
-    * +0.0 literal, preserving bit-parity with the historic round. */
-  private[graft] def prRound(e: DataFrame, zeros: DataFrame, ranks: DataFrame,
-      teleport: org.apache.spark.sql.Column, damping: Double, n: Long,
-      dangling: Option[DataFrame] = None): DataFrame = {
-    val r = if (n <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
-    val contribs = e.join(r, e("src") === r("node"))
-      .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
-      .unionAll(zeros) // teleport floor for nodes with no inbound mass
-      .groupBy("node")
-      .agg(sum(col("c")).as("_s"))
+    * assert the physical shape. Below [[RankBroadcastMaxNodes]] the round
+    * is EXCHANGE-FREE: the rank table broadcasts into the CACHED
+    * dst-partitioned edge list (the cache preserves the partitioning a
+    * checkpoint leaf would drop), the contribution aggregate groups by
+    * dst — already the partitioning key, no shuffle — and the teleport
+    * floor for nodes with no inbound mass comes from broadcasting the
+    * node-sized aggregate onto the node table instead of the historic
+    * zeros-union (which forced a shuffle to regroup). Above the threshold
+    * the round keeps the one-wide-shuffle shape: co-partitioned rank join
+    * on src + grouped sum. `dangling`, when present, is the dst-only node
+    * set: its rank mass D/N is computed IN-PLAN as a 1-row aggregate
+    * crossJoined (broadcast) into the round — no per-round driver scalar
+    * action.
+    *
+    * Float note: the two shapes (and the r13 zeros-union shape) sum the
+    * same contribution terms in different partial orders, so raw ranks
+    * drift at the ~1e-15 relative level between them — the same envelope
+    * the cross-engine DuckDB replay already tolerates; every registered
+    * output passes through the guarded r6 rounding, and the oracle gate +
+    * the partition-invariance gate (CPUS=7 vs 32) pin the equality. */
+  private[graft] def prRound(e: DataFrame, zeros: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, teleport: org.apache.spark.sql.Column, damping: Double,
+      n: Long, dangling: Option[DataFrame] = None): DataFrame = {
+    val contribs =
+      if (n <= RankBroadcastMaxNodes) {
+        val r = broadcast(ranks)
+        val agg = e.join(r, e("src") === r("node"))
+          .groupBy(e("dst").as("node"))
+          .agg(sum(col("rank") / col("outdeg")).as("_s"))
+        // agg is node-sized — the same size class already broadcast as
+        // `r` — so broadcasting it keeps the teleport-floor join
+        // exchange-free instead of re-shuffling both node-sized sides
+        nodes.join(broadcast(agg), Seq("node"), "left")
+          .select(col("node"), coalesce(col("_s"), lit(0.0)).as("_s"))
+      } else {
+        e.join(ranks, e("src") === ranks("node"))
+          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+          .unionAll(zeros) // teleport floor for nodes with no inbound mass
+          .groupBy("node")
+          .agg(sum(col("c")).as("_s"))
+      }
     dangling match {
       case None =>
         contribs.select(col("node"),
@@ -212,40 +254,58 @@ object Graph {
     // raw edges materialize first — same redundant-rescan fix as
     // [[pageRankWithRounds]] (deg, the degree join, the node set and the
     // dangling set all re-evaluate the caller's edge plan otherwise)
-    val e0 = edges.pinned()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(deg, "src").repartition(col("src")).pinned()
-    val nodes0 = e0.select(col("src").as("node"))
-      .unionAll(e0.select(col("dst").as("node")))
-      .distinct()
+    val rounds = new Checkpoint.Rounds(edges.sparkSession)
+    val e0 = rounds.cache(edges)
+    // fused node/dangling derivation — same one-pass shape as
+    // [[pageRankWithRounds]], with the seed teleport column attached
+    val baseTab = e0.select(col("src").as("node"), lit(1).as("o"))
+      .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
+      .groupBy("node").agg(max(col("o")).as("has_out"))
     val seedFlag = seeds.select(col("node")).distinct()
       .withColumn("_seed", lit(true))
-    val nSeeds = nodes0.join(seedFlag, Seq("node")).count()
+    val nodeTab = rounds.cache(baseTab.join(seedFlag, Seq("node"), "left")
+      .select(col("node"), col("has_out"), col("_seed").isNotNull.as("is_seed")))
+    val cnts = nodeTab.agg(count(lit(1)),
+      sum((lit(1) - col("has_out")).cast("long")),
+      sum(col("is_seed").cast("long"))).head()
+    val nNodes = cnts.getLong(0)
+    val nDangling = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+    val nSeeds = if (cnts.isNullAt(2)) 0L else cnts.getLong(2)
     require(nSeeds > 0, "personalizedPageRank: no seed appears in the graph")
-    // tp column rides the node table all rounds (repartitioned on node so
-    // every per-round join below it is co-partitioned)
-    val nodes = nodes0.join(seedFlag, Seq("node"), "left")
-      .select(col("node"),
-        when(col("_seed").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("tp"))
-      .repartition(col("node")).pinned()
-    val dangling = nodes.select("node").join(
-        e0.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .pinned()
-    val nDangling = dangling.count()
-    val nNodes = nodes.count()
-    // the teleport vector rides the zero-contribution rows: every node
-    // appears in `zeros` exactly once, so max(tp) inside the SAME
-    // contribution aggregate recovers it and the round needs NO extra
-    // per-round join back to the node table (edge-side rows carry NULL)
+    // tp column rides the node table all rounds (hash-partitioned on node
+    // by the groupBy, so every per-round join below it is co-partitioned)
+    val nodes = nodeTab.select(col("node"),
+      when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("tp"))
+    val dangling = nodeTab.filter(col("has_out") === 0).select("node")
+    val roundKey = if (nNodes <= RankBroadcastMaxNodes) "dst" else "src"
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = rounds.cache(e0.join(deg, "src").repartition(col(roundKey)))
+    // the teleport vector rides the zero-contribution rows on the big-graph
+    // path: every node appears in `zeros` exactly once, so max(tp) inside
+    // the SAME contribution aggregate recovers it; the broadcast path gets
+    // tp from the node-table left join instead (see [[prRound]])
     val zeros = nodes.select(col("node"), lit(0.0).as("c"), col("tp"))
     var ranks = nodes.select(col("node"), col("tp").as("rank"))
     for (_ <- 1 to iters) {
-      val r = if (nNodes <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
-      val contribs = e.join(r, e("src") === r("node"))
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"),
-          lit(null).cast("double").as("tp"))
-        .unionAll(zeros)
-        .groupBy("node").agg(sum(col("c")).as("_s"), max(col("tp")).as("tp"))
+      val contribs =
+        if (nNodes <= RankBroadcastMaxNodes) {
+          // exchange-free round: broadcast ranks into the CACHED
+          // dst-partitioned edge list, group by the partitioning key,
+          // broadcast the node-sized aggregate back onto the tp-carrying
+          // node table
+          val r = broadcast(ranks)
+          val agg = e.join(r, e("src") === r("node"))
+            .groupBy(e("dst").as("node"))
+            .agg(sum(col("rank") / col("outdeg")).as("_s"))
+          nodes.join(broadcast(agg), Seq("node"), "left")
+            .select(col("node"), coalesce(col("_s"), lit(0.0)).as("_s"), col("tp"))
+        } else {
+          e.join(ranks, e("src") === ranks("node"))
+            .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"),
+              lit(null).cast("double").as("tp"))
+            .unionAll(zeros)
+            .groupBy("node").agg(sum(col("c")).as("_s"), max(col("tp")).as("tp"))
+        }
       val withDm =
         if (nDangling == 0L) contribs.withColumn("_dm", lit(0.0))
         else {
@@ -253,13 +313,12 @@ object Graph {
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
           contribs.crossJoin(broadcast(dm))
         }
-      ranks = withDm
+      ranks = rounds.pin(withDm
         .select(col("node"),
           (lit(1.0 - damping) * col("tp") +
-            lit(damping) * (col("_s") + col("_dm") * col("tp"))).as("rank"))
-        .pinned()
+            lit(damping) * (col("_s") + col("_dm") * col("tp"))).as("rank")))
     }
-    ranks
+    rounds.seal(ranks)
   }
 
   /** Wedge centers above this degree are excluded from [[linkPrediction]]
@@ -509,10 +568,12 @@ object Graph {
     * oracle replay's per-round pass-through condition. */
   private[graft] def hitsWithRounds(edges: DataFrame, iters: Int = HitsIters,
       tol: Option[Double] = None, tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
-    val e = edges.repartition(col("src")).pinned()
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
-      .distinct().pinned()
+    val rounds = new Checkpoint.Rounds(edges.sparkSession)
+    val e = rounds.cache(edges.repartition(col("src")))
+    val nodes = rounds.cache(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node")))
+        .distinct())
     val n = nodes.count()
     val zeros = nodes.select(col("node"), lit(0.0).as("x"))
     def l1(df: DataFrame, c: String): DataFrame = {
@@ -536,8 +597,8 @@ object Graph {
     var converged = false
     var deltas = List.empty[Double]
     while (round < iters && !converged) {
-      auth = half(hub, "hub", "src", "dst", "auth").pinned()
-      val nextHub = half(auth, "auth", "dst", "src", "hub").pinned()
+      auth = rounds.pin(half(hub, "hub", "src", "dst", "auth"))
+      val nextHub = rounds.pin(half(auth, "auth", "dst", "src", "hub"))
       if (round + 1 >= tolFrom) tol.foreach { t =>
         val row = nextHub
           .join(hub.select(col("node"), col("hub").as("_prev")), "node")
@@ -555,7 +616,7 @@ object Graph {
       .select(col("node"),
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
-    (out, round, deltas.reverse)
+    (rounds.seal(out), round, deltas.reverse)
   }
 
   /** The customer→part endorsement graph: a genuinely DIRECTED edge per
@@ -730,17 +791,28 @@ object Graph {
     * Input: undirected edge list as (`a`, `b`) pairs, a < b, distinct.
     * Returns ((id, c) with c = exact coreness, rounds-executed). */
   def coreness(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
-    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst")).pinned()
-    var c = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
-      .pinned()
+    val rounds = new Checkpoint.Rounds(pairs.sparkSession)
+    val p = rounds.cache(pairs)
+    // degree table straight from the pair list (identical integer counts
+    // to grouping the symmetric edge list) so nNodes — and with it the
+    // round's partition key — is known BEFORE the edge cache is built
+    var c: DataFrame = rounds.cache(
+      p.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("c")))
     val nNodes = c.count()
+    // below the broadcast threshold the round broadcasts c and groups by
+    // src, so caching e partitioned by SRC makes the round exchange-free;
+    // above it the join on dst is the hot side, so partition by DST
+    val edgeKey = if (nNodes <= RankBroadcastMaxNodes) "src" else "dst"
+    val e = rounds.cache(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col(edgeKey)))
     var round = 0
     var converged = false
     while (round < maxIters && !converged) {
-      val next = hIndexRound(e, c, nNodes).pinned()
-      // both sides partitioned on id (groupBy outputs) — no exchange
+      val next = rounds.pin(hIndexRound(e, c, nNodes))
+      // this count is also the action that materializes the lazy pin
       val changed = next
         .join(c.select(col("id"), col("c").as("_prev")), "id")
         .filter(col("c") =!= col("_prev")).count()
@@ -748,7 +820,7 @@ object Graph {
       c = next
       round += 1
     }
-    (c, round)
+    (rounds.seal(c), round)
   }
 
   /** One h-index round. Exposed pre-checkpoint so PlanSpec can pin the
