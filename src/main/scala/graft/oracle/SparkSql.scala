@@ -157,13 +157,15 @@ object SparkSql {
         out.append(sql.substring(i, j))
         var k = j + token.length
         var depth = 1
-        while (depth > 0) {
+        while (depth > 0 && k < sql.length) {
           val c = sql.charAt(k)
           if (!quoted(k)) {
             if (c == '(') depth += 1 else if (c == ')') depth -= 1
           }
           k += 1
         }
+        if (depth > 0) throw new IllegalArgumentException(
+          s"unbalanced parens scanning $fn(...) near: ${sql.substring(j, math.min(j + 80, sql.length))}")
         val inner = sql.substring(j + token.length, k - 1)
         val ob = topLevelIndex(inner, " ORDER BY ")
         if (ob < 0) out.append(token).append(inner).append(")")
@@ -247,13 +249,15 @@ object SparkSql {
         else {
           var k = i + 1
           var depth = 1
-          while (depth > 0) {
+          while (depth > 0 && k < sql.length) {
             val ch = sql.charAt(k)
             if (!quoted(k)) {
               if (ch == '[') depth += 1 else if (ch == ']') depth -= 1
             }
             k += 1
           }
+          if (depth > 0) throw new IllegalArgumentException(
+            s"unbalanced brackets scanning list literal near: ${sql.substring(i, math.min(i + 80, sql.length))}")
           out.append("array(").append(sql.substring(i + 1, k - 1)).append(")")
           changed = true
           i = k
@@ -283,13 +287,15 @@ object SparkSql {
       case Some(mm) =>
         var depth = 1
         var j = mm.start - 1 // char before the ')'
-        while (depth > 0) {
+        while (depth > 0 && j >= 0) {
           val c = sql.charAt(j)
           if (!quoted(j)) {
             if (c == ')') depth += 1 else if (c == '(') depth -= 1
           }
           if (depth > 0) j -= 1
         }
+        if (depth > 0) throw new IllegalArgumentException(
+          s"unbalanced parens reverse-scanning (expr)[i] near: ${sql.substring(math.max(0, mm.start - 60), mm.end)}")
         val base = sql.substring(j, mm.start + 1)
         parenIndexing(sql.substring(0, j) +
           s"element_at($base, CAST(${mm.group(1)} AS INT))" +

@@ -12,19 +12,19 @@ object TextSimSql {
   // floor-form rounding (see graft.queries.Core.r6): identical IEEE ops in
   // both engines, immune to the round()-goes-through-decimal-string ties;
   // the |x| > 9e9 guard mirrors Spark's (long-returning floor would clamp)
-  private def r(e: String) =
+  private[oracle] def r(e: String) =
     s"CASE WHEN abs(($e)) > 9000000000.0 THEN ($e) " +
       s"ELSE floor(($e) * 1000000 + 0.5) / 1000000 END"
   private def list(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Raw quality-score expression over the s2 stats CTE (unrounded — the
     * curation filter compares it raw on both sides). */
-  private val qualityExpr: String =
+  private[oracle] val qualityExpr: String =
     "(1.0 - punct_ratio) * 0.4 + stopword_ratio * 0.3 + " +
       "CAST(least(ws_tokens, 100) AS DOUBLE) / 100 * 0.3"
 
   /** CTE body (no WITH prefix) ending in s2: per-doc token/ratio stats. */
-  private val statsCtesBody: String = {
+  private[oracle] val statsCtesBody: String = {
     val stop = list(TextStats.Stopwords)
     s"""s AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents

@@ -101,4 +101,27 @@ class SqlParitySpec extends SparkSpec {
       s"certified SQL surface shrank to ${graft.oracle.SparkSql.covered.size} queries")
     compare(rest)
   }
+
+  test("iterated-SQL parity: the CC + convergence-loop families run as engine SQL and match their DataFrame plans") {
+    // the ten iterate-to-convergence queries Spark SQL cannot express in
+    // ONE statement (no UNION-distinct recursion, no per-round stop test)
+    // run instead as a thin driver loop over spark.sql statements — the
+    // same loop the engine runs — and must produce the registered
+    // DataFrame plan's rows exactly
+    registerViews()
+    val expected = Set("curate_docs", "dedup_canonical", "dedup_clusters",
+      "graph_components", "graph_modularity", "sim_semantic_dedup",
+      "graph_pagerank_directed", "graph_ppr", "graph_hits", "graph_kcore")
+    assert(graft.oracle.SqlIterate.names.toSet == expected,
+      s"SqlIterate surface changed: ${graft.oracle.SqlIterate.names}")
+    val bad = graft.oracle.SqlIterate.names.flatMap { q =>
+      val viaDf = canon(SparkEntry.queries(q)(spark, dir))
+      val viaSql = canon(graft.oracle.SqlIterate.run(spark, q))
+      if (viaDf == viaSql) None
+      else Some(s"$q: ${viaDf.size} df rows vs ${viaSql.size} sql rows; " +
+        s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+          .find { case (a, b) => a != b }.getOrElse(("", ""))}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
