@@ -113,37 +113,25 @@ object Graph {
     // checkpoint each derivation re-evaluates the caller's edge plan (a
     // fact-table scan + distinct for every registered graph) — measured
     // ~2 s of redundant scans per query at sf0.1
-    // round-stride pin policy for the iterated rank table (lazy leaf per
-    // round locally, durable every k-th round on a cluster) + tracked
-    // setup caches — persist, NOT checkpoint, because a checkpoint leaf
-    // drops the physical partitioning the rounds reuse (Spark 4.1,
-    // measured); Rounds.seal releases every cache at loop exit
-    val rounds = new Checkpoint.Rounds(edges.sparkSession)
-    val e0 = rounds.cache(edges)
-    // node table with a has_out flag: ONE pass derives the node set, the
-    // node count, the dangling set AND the dangling count (the r13 shape
-    // ran distinct + anti-join + two separate count actions — ~1 s of
-    // setup jobs per graph query at sf0.1 for the same four facts); the
-    // cnts action materializes nodeTab AND e0 in one chained job
-    val nodeTab = rounds.cache(
-      e0.select(col("src").as("node"), lit(1).as("o"))
-        .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
-        .groupBy("node").agg(max(col("o")).as("has_out")))
+    val e0 = edges.pinned()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) — partitioned by src once, reused all rounds
+    val e = e0.join(deg, "src").repartition(col("src")).pinned()
+    // node table with a has_out flag: ONE pinned pass derives the node
+    // set, the node count, the dangling set AND the dangling count (the
+    // r13 shape ran distinct + anti-join + two separate count actions —
+    // ~1 s of setup jobs per graph query at sf0.1 for the same four facts)
+    val nodeTab = e0.select(col("src").as("node"), lit(1).as("o"))
+      .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
+      .groupBy("node").agg(max(col("o")).as("has_out")).pinned()
     val cnts = nodeTab
       .agg(count(lit(1)), sum((lit(1) - col("has_out")).cast("long"))).head()
     val n = cnts.getLong(0)
     val nDangling = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
     val nodes = nodeTab.select("node")
     // dangling = dst-only nodes (no outgoing edge); their per-round rank
-    // sum is the redistribution term — a filter over the cached node table
+    // sum is the redistribution term — a filter over the pinned node table
     val dangling = nodeTab.filter(col("has_out") === 0).select("node")
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg): below the broadcast threshold the round joins a
-    // BROADCAST rank table and aggregates by dst, so partitioning e by DST
-    // makes the whole round exchange-free; above it the round is a
-    // co-partitioned shuffle join on src, so e partitions by SRC
-    val roundKey = if (n <= RankBroadcastMaxNodes) "dst" else "src"
-    val e = rounds.cache(e0.join(deg, "src").repartition(col(roundKey)))
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
     val zeros = nodes.select(col("node"), lit(0.0).as("c"))
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
@@ -151,9 +139,12 @@ object Graph {
     var converged = false
     var deltas = List.empty[Double]
     val dangOpt = if (nDangling == 0L) None else Some(dangling)
+    // per-round pin via the stride policy: identical eager local
+    // checkpoint locally, k-th-round durable pins on a cluster
+    val rounds = new Checkpoint.Rounds(edges.sparkSession)
     while (round < iters && !converged) {
       val next = rounds.pin(
-        prRound(e, zeros, nodes, ranks, teleport, damping, n, dangOpt))
+        prRound(e, zeros, ranks, teleport, damping, n, dangOpt))
       // checks before round `tolFrom` are skipped BY RULE (mirrored by the
       // oracle replay): each check is a per-round driver action, and the
       // early deltas sit orders above any useful tol
@@ -174,47 +165,23 @@ object Graph {
   }
 
   /** One damped PageRank round. Exposed pre-checkpoint so PlanSpec can
-    * assert the physical shape. Below [[RankBroadcastMaxNodes]] the round
-    * is EXCHANGE-FREE: the rank table broadcasts into the CACHED
-    * dst-partitioned edge list (the cache preserves the partitioning a
-    * checkpoint leaf would drop), the contribution aggregate groups by
-    * dst — already the partitioning key, no shuffle — and the teleport
-    * floor for nodes with no inbound mass comes from broadcasting the
-    * node-sized aggregate onto the node table instead of the historic
-    * zeros-union (which forced a shuffle to regroup). Above the threshold
-    * the round keeps the one-wide-shuffle shape: co-partitioned rank join
-    * on src + grouped sum. `dangling`, when present, is the dst-only node
-    * set: its rank mass D/N is computed IN-PLAN as a 1-row aggregate
-    * crossJoined (broadcast) into the round — no per-round driver scalar
-    * action.
-    *
-    * Float note: the two shapes (and the r13 zeros-union shape) sum the
-    * same contribution terms in different partial orders, so raw ranks
-    * drift at the ~1e-15 relative level between them — the same envelope
-    * the cross-engine DuckDB replay already tolerates; every registered
-    * output passes through the guarded r6 rounding, and the oracle gate +
-    * the partition-invariance gate (CPUS=7 vs 32) pin the equality. */
-  private[graft] def prRound(e: DataFrame, zeros: DataFrame, nodes: DataFrame,
-      ranks: DataFrame, teleport: org.apache.spark.sql.Column, damping: Double,
-      n: Long, dangling: Option[DataFrame] = None): DataFrame = {
-    val contribs =
-      if (n <= RankBroadcastMaxNodes) {
-        val r = broadcast(ranks)
-        val agg = e.join(r, e("src") === r("node"))
-          .groupBy(e("dst").as("node"))
-          .agg(sum(col("rank") / col("outdeg")).as("_s"))
-        // agg is node-sized — the same size class already broadcast as
-        // `r` — so broadcasting it keeps the teleport-floor join
-        // exchange-free instead of re-shuffling both node-sized sides
-        nodes.join(broadcast(agg), Seq("node"), "left")
-          .select(col("node"), coalesce(col("_s"), lit(0.0)).as("_s"))
-      } else {
-        e.join(ranks, e("src") === ranks("node"))
-          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
-          .unionAll(zeros) // teleport floor for nodes with no inbound mass
-          .groupBy("node")
-          .agg(sum(col("c")).as("_s"))
-      }
+    * assert the physical shape: ONE wide shuffle (the contribution
+    * aggregate); the rank join broadcast below [[RankBroadcastMaxNodes]],
+    * co-partitioned above it. `dangling`, when present, is the
+    * checkpointed dangling-node set: its rank mass D/N is computed IN-PLAN
+    * as a 1-row aggregate crossJoined (broadcast) into the round, so a
+    * dangling graph still runs ONE job per round — no per-round driver
+    * scalar action. On dangling-free graphs (None) the addend is an exact
+    * +0.0 literal, preserving bit-parity with the historic round. */
+  private[graft] def prRound(e: DataFrame, zeros: DataFrame, ranks: DataFrame,
+      teleport: org.apache.spark.sql.Column, damping: Double, n: Long,
+      dangling: Option[DataFrame] = None): DataFrame = {
+    val r = if (n <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
+    val contribs = e.join(r, e("src") === r("node"))
+      .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+      .unionAll(zeros) // teleport floor for nodes with no inbound mass
+      .groupBy("node")
+      .agg(sum(col("c")).as("_s"))
     dangling match {
       case None =>
         contribs.select(col("node"),
@@ -254,17 +221,21 @@ object Graph {
     // raw edges materialize first — same redundant-rescan fix as
     // [[pageRankWithRounds]] (deg, the degree join, the node set and the
     // dangling set all re-evaluate the caller's edge plan otherwise)
-    val rounds = new Checkpoint.Rounds(edges.sparkSession)
-    val e0 = rounds.cache(edges)
-    // fused node/dangling derivation — same one-pass shape as
-    // [[pageRankWithRounds]], with the seed teleport column attached
-    val baseTab = e0.select(col("src").as("node"), lit(1).as("o"))
-      .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
-      .groupBy("node").agg(max(col("o")).as("has_out"))
+    val e0 = edges.pinned()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, "src").repartition(col("src")).pinned()
+    // fused node/seed/dangling derivation — ONE pinned pass + one 1-row
+    // action yields the node count, dangling count and seed count (the
+    // r13 shape ran a distinct, a seed-join count, an anti-join and two
+    // more count actions for the same facts)
     val seedFlag = seeds.select(col("node")).distinct()
       .withColumn("_seed", lit(true))
-    val nodeTab = rounds.cache(baseTab.join(seedFlag, Seq("node"), "left")
-      .select(col("node"), col("has_out"), col("_seed").isNotNull.as("is_seed")))
+    val nodeTab = e0.select(col("src").as("node"), lit(1).as("o"))
+      .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
+      .groupBy("node").agg(max(col("o")).as("has_out"))
+      .join(seedFlag, Seq("node"), "left")
+      .select(col("node"), col("has_out"), col("_seed").isNotNull.as("is_seed"))
+      .pinned()
     val cnts = nodeTab.agg(count(lit(1)),
       sum((lit(1) - col("has_out")).cast("long")),
       sum(col("is_seed").cast("long"))).head()
@@ -277,35 +248,20 @@ object Graph {
     val nodes = nodeTab.select(col("node"),
       when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("tp"))
     val dangling = nodeTab.filter(col("has_out") === 0).select("node")
-    val roundKey = if (nNodes <= RankBroadcastMaxNodes) "dst" else "src"
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = rounds.cache(e0.join(deg, "src").repartition(col(roundKey)))
-    // the teleport vector rides the zero-contribution rows on the big-graph
-    // path: every node appears in `zeros` exactly once, so max(tp) inside
-    // the SAME contribution aggregate recovers it; the broadcast path gets
-    // tp from the node-table left join instead (see [[prRound]])
+    // the teleport vector rides the zero-contribution rows: every node
+    // appears in `zeros` exactly once, so max(tp) inside the SAME
+    // contribution aggregate recovers it and the round needs NO extra
+    // per-round join back to the node table (edge-side rows carry NULL)
     val zeros = nodes.select(col("node"), lit(0.0).as("c"), col("tp"))
     var ranks = nodes.select(col("node"), col("tp").as("rank"))
+    val rounds = new Checkpoint.Rounds(edges.sparkSession)
     for (_ <- 1 to iters) {
-      val contribs =
-        if (nNodes <= RankBroadcastMaxNodes) {
-          // exchange-free round: broadcast ranks into the CACHED
-          // dst-partitioned edge list, group by the partitioning key,
-          // broadcast the node-sized aggregate back onto the tp-carrying
-          // node table
-          val r = broadcast(ranks)
-          val agg = e.join(r, e("src") === r("node"))
-            .groupBy(e("dst").as("node"))
-            .agg(sum(col("rank") / col("outdeg")).as("_s"))
-          nodes.join(broadcast(agg), Seq("node"), "left")
-            .select(col("node"), coalesce(col("_s"), lit(0.0)).as("_s"), col("tp"))
-        } else {
-          e.join(ranks, e("src") === ranks("node"))
-            .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"),
-              lit(null).cast("double").as("tp"))
-            .unionAll(zeros)
-            .groupBy("node").agg(sum(col("c")).as("_s"), max(col("tp")).as("tp"))
-        }
+      val r = if (nNodes <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
+      val contribs = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"),
+          lit(null).cast("double").as("tp"))
+        .unionAll(zeros)
+        .groupBy("node").agg(sum(col("c")).as("_s"), max(col("tp")).as("tp"))
       val withDm =
         if (nDangling == 0L) contribs.withColumn("_dm", lit(0.0))
         else {
@@ -568,12 +524,10 @@ object Graph {
     * oracle replay's per-round pass-through condition. */
   private[graft] def hitsWithRounds(edges: DataFrame, iters: Int = HitsIters,
       tol: Option[Double] = None, tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
-    val rounds = new Checkpoint.Rounds(edges.sparkSession)
-    val e = rounds.cache(edges.repartition(col("src")))
-    val nodes = rounds.cache(
-      e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node")))
-        .distinct())
+    val e = edges.repartition(col("src")).pinned()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().pinned()
     val n = nodes.count()
     val zeros = nodes.select(col("node"), lit(0.0).as("x"))
     def l1(df: DataFrame, c: String): DataFrame = {
@@ -591,6 +545,7 @@ object Graph {
         .groupBy("node").agg(sum(col("x")).as(outCol))
       l1(raw, outCol)
     }
+    val rounds = new Checkpoint.Rounds(edges.sparkSession)
     var hub = nodes.select(col("node"), lit(1.0 / n).as("hub"))
     var auth: DataFrame = null
     var round = 0
@@ -791,28 +746,18 @@ object Graph {
     * Input: undirected edge list as (`a`, `b`) pairs, a < b, distinct.
     * Returns ((id, c) with c = exact coreness, rounds-executed). */
   def coreness(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
-    val rounds = new Checkpoint.Rounds(pairs.sparkSession)
-    val p = rounds.cache(pairs)
-    // degree table straight from the pair list (identical integer counts
-    // to grouping the symmetric edge list) so nNodes — and with it the
-    // round's partition key — is known BEFORE the edge cache is built
-    var c: DataFrame = rounds.cache(
-      p.select(explode(array(col("a"), col("b"))).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("c")))
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst")).pinned()
+    var c = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+      .pinned()
     val nNodes = c.count()
-    // below the broadcast threshold the round broadcasts c and groups by
-    // src, so caching e partitioned by SRC makes the round exchange-free;
-    // above it the join on dst is the hot side, so partition by DST
-    val edgeKey = if (nNodes <= RankBroadcastMaxNodes) "src" else "dst"
-    val e = rounds.cache(
-      p.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col(edgeKey)))
     var round = 0
     var converged = false
+    val rounds = new Checkpoint.Rounds(pairs.sparkSession)
     while (round < maxIters && !converged) {
       val next = rounds.pin(hIndexRound(e, c, nNodes))
-      // this count is also the action that materializes the lazy pin
+      // both sides partitioned on id (groupBy outputs) — no exchange
       val changed = next
         .join(c.select(col("id"), col("c").as("_prev")), "id")
         .filter(col("c") =!= col("_prev")).count()

@@ -89,91 +89,55 @@ object Checkpoint {
   val StrideConf = "spark.graft.pinStride"
 
   /** Per-ROUND pin policy for iterative operators (PageRank/PPR/HITS
-    * rounds, k-core h-index rounds, k-means steps, …). Differs from the
-    * one-shot [[pin]] in two ways, both about the per-round constant:
+    * rounds, k-core h-index rounds, CC label rounds). LOCAL mode is
+    * exactly [[pin]] — an eager local checkpoint per round, the shape
+    * every bench number in BENCH.md is measured on. (Two alternatives
+    * were built and MEASURED SLOWER at sf0.1 in r14: lazy per-round
+    * checkpoints — materialization riding the next round's broadcast
+    * build — and persist-based setup caches that preserve partitioning
+    * for exchange-free broadcast rounds; the columnar cache scan cost
+    * more than the node-sized shuffle it saved, graph_hits 6.7→10.9 s.)
     *
-    *  - LOCAL mode: `localCheckpoint(eager = false)` — the returned plan
-    *    is the same LogicalRDD leaf (lineage truncated, no analyzer-depth
-    *    growth, no self-join ambiguity), but materialization rides the
-    *    FIRST job that touches the round — in every loop in this engine
-    *    that is the next round's broadcast build or the convergence
-    *    action, so the dedicated eager-checkpoint job per round
-    *    disappears.
-    *  - DURABLE mode: a reliable checkpoint every [[StrideConf]]-th round
-    *    and persist-only in between. The persisted rounds keep their
-    *    lineage back to the last durable leaf, so executor loss is still
-    *    recoverable (recompute ≤ stride-1 rounds); the durable write
-    *    volume drops stride×. [[seal]] closes the loop: the frame handed
-    *    back to the caller is always a durable leaf in durable mode, and
-    *    all intermediate round caches are released.
-    *
-    * [[cache]] handles the OTHER frame class an iterative operator owns:
-    * once-per-query SETUP frames (the partitioned edge list, the node
-    * table) reused by every round. Those must persist, not checkpoint:
-    * a checkpoint's LogicalRDD leaf DROPS the frame's physical
-    * partitioning in Spark 4.1 (measured — an eager or lazy
-    * localCheckpoint of a `repartition(col)` plan re-exchanges on the
-    * next groupBy over the same key), while `InMemoryRelation` reports
-    * the cached plan's outputPartitioning, so per-round aggregates
-    * grouped on the cache's partition key run EXCHANGE-FREE. The cache
-    * entries are released by [[seal]], which first materializes the
-    * final frame so the caller's later actions never re-derive a
-    * dropped cache (the final-labels-cache leak a prior round fixed is
-    * structurally impossible here: seal owns both steps).
-    *
-    * Results are bit-identical across policies (CheckpointSpec /
-    * CheckpointBench assert hash equality) — only materialization
-    * placement changes. */
+    * DURABLE mode is where Rounds earns its keep: a reliable checkpoint
+    * every [[StrideConf]]-th round (default 3) and persist-only rounds
+    * between. The persisted rounds keep lineage back to the last durable
+    * leaf, so executor loss is still recoverable (recompute ≤ stride-1
+    * rounds) while the durable write volume drops stride×. [[seal]]
+    * closes the loop: the frame handed back to the caller is always a
+    * durable leaf in durable mode, and intermediate round caches are
+    * released. Results are bit-identical across policies (CheckpointSpec
+    * / CheckpointBench assert hash equality in-run). */
   final class Rounds(session: org.apache.spark.sql.SparkSession) {
     private val stride = session.conf.get(StrideConf, "3").toInt
     private val mode = session.conf.get(ModeConf, "auto")
     private val durable = mode == "reliable" ||
       (mode == "auto" && session.sparkContext.getCheckpointDir.isDefined)
     private var sinceDurable = 0
-    private val roundCaches = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
-    private val setupCaches = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
-
-    /** Persist a once-per-query setup frame, preserving its physical
-      * partitioning for every round that follows. Lazy — the first
-      * round (or the operator's setup action) materializes it. */
-    def cache[T](ds: Dataset[T]): Dataset[T] = {
-      if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        setupCaches += ds
-      }
-      ds
-    }
+    private val caches = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
     def pin[T](ds: Dataset[T]): Dataset[T] =
-      if (!durable) ds.localCheckpoint(eager = false)
+      if (!durable) ds.localCheckpoint()
       else {
         sinceDurable += 1
-        if (sinceDurable >= stride) { val p = Checkpoint.pin(ds); releaseRounds(); p }
+        if (sinceDurable >= stride) { val p = Checkpoint.pin(ds); release(); p }
         else {
           ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          roundCaches += ds
+          caches += ds
           ds
         }
       }
 
-    /** Close the loop on its FINAL frame (the last pinned round, or a
-      * frame derived from it plus setup caches): eagerly checkpoint it —
-      * local blocks locally, a reliable leaf in durable mode — THEN drop
-      * every setup cache and intermediate round cache. Order matters: the
-      * checkpoint makes the returned frame self-contained, so the
-      * caller's later actions never re-derive through a dropped cache. */
-    def seal[T](ds: Dataset[T]): Dataset[T] = {
-      val out =
-        if (!durable) ds.localCheckpoint()
-        else { val p = Checkpoint.pin(ds); releaseRounds(); p }
-      setupCaches.foreach(_.unpersist(blocking = false))
-      setupCaches.clear()
-      out
-    }
+    /** Close the loop on its LAST pinned frame: in durable mode, force a
+      * reliable leaf if the loop exited between strides and drop the
+      * intermediate round caches; in local mode the frame is already an
+      * eager local-checkpoint leaf and passes through. */
+    def seal[T](ds: Dataset[T]): Dataset[T] =
+      if (!durable || (sinceDurable == 0 && caches.isEmpty)) ds
+      else { val p = Checkpoint.pin(ds); release(); p }
 
-    private def releaseRounds(): Unit = {
-      roundCaches.foreach(_.unpersist(blocking = false))
-      roundCaches.clear()
+    private def release(): Unit = {
+      caches.foreach(_.unpersist(blocking = false))
+      caches.clear()
       sinceDurable = 0
     }
   }

@@ -642,23 +642,13 @@ object Dedup {
     // checkpoint blocks are freed by the ContextCleaner when the RDD is
     // GC'd. (A prior version leaked the final labels cache.)
     val p = pairs.pinned()
-    var labels = p.select(col("doc_a").as("id"))
-      .union(p.select(col("doc_b").as("id"))).distinct()
+    // partitioned by the join key once; every round's label join reuses it
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")).pinned()
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).pinned()
     val nNodes = labels.count()
-    val rounds = new graft.source.Checkpoint.Rounds(pairs.sparkSession)
-    // CACHED (not checkpointed) by the round's key — a checkpoint leaf
-    // drops the partitioning (Spark 4.1, measured) and re-exchanges every
-    // round. Below the broadcast threshold the label join is a BROADCAST
-    // and the neighbor-min groups by SRC, the cache's partition key, so
-    // the whole round is exchange-free; above it the round joins labels
-    // on dst co-partitioned and pays the one regroup shuffle on the
-    // aggregate side (see [[ccRound]]). Rounds.seal releases the cache.
-    val edgeKey = if (nNodes <= HotKeyBroadcastMax) "src" else "dst"
-    val edges = rounds.cache(
-      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .repartition(col(edgeKey)))
     // Labels only ever decrease under min-propagation, so the label sum is
     // a strictly decreasing convergence measure: unchanged sum == fixpoint.
     // One tiny aggregate over the fresh checkpoint per round instead of a
@@ -671,8 +661,10 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
+    val rounds = new graft.source.Checkpoint.Rounds(pairs.sparkSession)
     while (!converged && iters < maxIters) {
-      // lazy round pin: the labelSum action right below materializes it
+      // eager local pin per round (one job, lineage truncated); durable
+      // stride pins on a cluster
       val next = rounds.pin(ccRound(edges, labels, nNodes))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -689,31 +681,18 @@ object Dedup {
   }
 
   /** One min-label propagation round. Exposed pre-checkpoint so PlanSpec
-    * can assert the shape. At or below [[HotKeyBroadcastMax]] nodes the
-    * round is EXCHANGE-FREE: the label table broadcasts into the
-    * src-partitioned edge list, the neighbor-min groups by src (already
-    * the partitioning key), and the node's own label folds in via a
-    * co-partitioned left join — `min` is an exact integer fold, so this
-    * shape is value-identical to the historic union+groupBy. Above the
-    * threshold: co-partitioned label join on dst + the one regroup
-    * shuffle (the scale path). */
+    * can assert the shape: the label table joins the dst-partitioned edge
+    * list broadcast at or below [[HotKeyBroadcastMax]] nodes (co-partitioned
+    * shuffle fallback above); the grouped min is the round's one wide
+    * shuffle. */
   private[graft] def ccRound(edges: DataFrame, labels: DataFrame,
-      nNodes: Long): DataFrame =
-    if (nNodes <= HotKeyBroadcastMax) {
-      val l = broadcast(labels)
-      val nmin = edges.join(l, edges("dst") === l("id"))
-        .groupBy(edges("src").as("id")).agg(min("label").as("_nmin"))
-      // nmin is node-sized — the same size class already broadcast as
-      // `l` — so broadcasting it keeps the fold-in join exchange-free
-      labels.join(broadcast(nmin), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
-    } else {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      labels.union(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
-    }
+      nNodes: Long): DataFrame = {
+    val l = if (nNodes <= HotKeyBroadcastMax) broadcast(labels) else labels
+    val viaNeighbor = edges.join(l, edges("dst") === l("id"))
+      .select(edges("src").as("id"), col("label"))
+    labels.union(viaNeighbor)
+      .groupBy("id").agg(min("label").as("label"))
+  }
 
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
