@@ -36,6 +36,62 @@ object Graph {
     * shuffles on u / v. */
   val AdjBroadcastMaxEdges = 8000000L
 
+  /** Target edge rows per task for the per-round edge scan on the
+    * broadcast-rank path. The pinned edge list inherits the setup
+    * shuffle's partition count — sized by AQE for the SETUP's bytes, not
+    * for the per-round join probe — so a 160k-edge graph at sf0.1 scanned
+    * 16+ blocks per round and paid 16 task constants ~10 times per query.
+    * The grain is MEASURED, not guessed: the string-keyed broadcast probe
+    * + partial agg runs ~3 µs/row here, and the r14 A/B showed 16 tasks
+    * of 10k rows cost 2.7 s of summed task time for work ONE task does in
+    * 0.55 s (per-task constants dominate below ~25k rows), while a single
+    * task serializes the round (wall 0.55 s vs 0.22 s). ~25k rows ≈ 75 ms
+    * of real work per task — small enough to parallelize every graph this
+    * path serves, large enough that task constants stay <20% — and the
+    * 4×parallelism cap, not this grain, is what sizes a billion-edge
+    * graph's scan. */
+  val RoundEdgeRowsPerTask = 25000L
+
+  /** Coalesce a pinned edge list to the fewest partitions its row count
+    * justifies ([[RoundEdgeRowsPerTask]]) for the per-round scans of the
+    * broadcast-rank path. Narrow (no shuffle): each scan just concatenates
+    * checkpoint blocks. Capped at 4× parallelism so a huge-but-broadcast-
+    * able graph keeps every core busy. */
+  private[graft] def roundSized(e: DataFrame, m: Long): DataFrame = {
+    val cores = e.sparkSession.sparkContext.defaultParallelism.toLong
+    val p = math.max(1L, math.min(cores * 4,
+      (m + RoundEdgeRowsPerTask - 1) / RoundEdgeRowsPerTask)).toInt
+    if (p < e.rdd.getNumPartitions) e.coalesce(p) else e
+  }
+
+  /** Edge rows per REDUCE partition for the iterative loops' shuffles.
+    * Every post-setup shuffle in the rank/coreness loops is a node-table
+    * aggregate whose input is map-side-combined, so per-reducer work is
+    * tiny and per-reducer CONSTANTS (map-status tracking, M×R shuffle
+    * blocks, AQE coalesce bookkeeping ×10 rounds) dominate on small
+    * graphs: the r14 sweep at sf0.1 (1.18M-edge graph) measured pagerank
+    * 6.1 s at the session's 32 shuffle partitions vs 4.1-4.3 s at 4-8,
+    * climbing again at 1 (serial reduce). ~150k edge rows per reducer
+    * puts a 1M-edge graph at ~8 partitions while any cluster-sized graph
+    * saturates the SESSION value, which stays the cap — so on a real
+    * deployment the override is a no-op and the knob only shrinks
+    * small-graph latency. */
+  val EdgeRowsPerShufflePartition = 150000L
+
+  /** Run `f` (an iterative loop: plans AND executes its rounds inside)
+    * with `spark.sql.shuffle.partitions` derived from the edge count `m`,
+    * restoring the session value after. Plans built lazily inside but
+    * executed later (the operator's final output) are unaffected — the
+    * conf is read at each action's planning. */
+  private[graft] def withRoundShuffle[T](session: SparkSession, m: Long)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = session.conf.get(key)
+    val p = math.max(1L, math.min(old.toLong,
+      (m + EdgeRowsPerShufflePartition - 1) / EdgeRowsPerShufflePartition))
+    session.conf.set(key, p.toString)
+    try f finally session.conf.set(key, old)
+  }
+
   /** PageRank with uniform teleport over an ARBITRARY directed edge list
     * (`src`, `dst` string columns). The node set is src ∪ dst, so a raw
     * link graph keeps its dst-only nodes (the web-corpus case: pages that
@@ -108,33 +164,53 @@ object Graph {
   private[graft] def pageRankWithRounds(edges: DataFrame, iters: Int = PrIters,
       damping: Double = PrDamping, tol: Option[Double] = None,
       tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
-    // the RAW edge list materializes first: deg, the degree join, the node
-    // set and the dangling set all derive from it, and without this
-    // checkpoint each derivation re-evaluates the caller's edge plan (a
-    // fact-table scan + distinct for every registered graph) — measured
-    // ~2 s of redundant scans per query at sf0.1
+    // the RAW edge list materializes first: the node table and every round
+    // derive from it, and without this checkpoint each derivation
+    // re-evaluates the caller's edge plan (a fact-table scan + distinct
+    // for every registered graph) — measured ~2 s of redundant scans per
+    // query at sf0.1
     val e0 = edges.pinned()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) — partitioned by src once, reused all rounds
-    val e = e0.join(deg, "src").repartition(col("src")).pinned()
-    // node table with a has_out flag: ONE pinned pass derives the node
-    // set, the node count, the dangling set AND the dangling count (the
-    // r13 shape ran distinct + anti-join + two separate count actions —
-    // ~1 s of setup jobs per graph query at sf0.1 for the same four facts)
-    val nodeTab = e0.select(col("src").as("node"), lit(1).as("o"))
-      .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
-      .groupBy("node").agg(max(col("o")).as("has_out")).pinned()
-    val cnts = nodeTab
-      .agg(count(lit(1)), sum((lit(1) - col("has_out")).cast("long"))).head()
+    // node table with outdeg: ONE pinned pass derives the node set, node
+    // count, out-degrees, dangling set/count AND the edge count (sum of
+    // outdeg). outdeg rides the union's src-marker (1 per outgoing edge,
+    // summed), so the r13 shape's SEPARATE groupBy("src") degree aggregate
+    // over the same edges — and the (src, dst, outdeg) edge-table join +
+    // repartition + second edge checkpoint it fed — disappear entirely:
+    // the division rank/outdeg is per-NODE constant, so it now happens on
+    // the node-sized rank side of the round join ([[prRound]]) and the
+    // rounds scan the RAW 2-column edge list.
+    val nodeTab = e0.select(col("src").as("node"), lit(1L).as("o"))
+      .unionAll(e0.select(col("dst").as("node"), lit(0L).as("o")))
+      .groupBy("node").agg(sum(col("o")).as("outdeg")).pinned()
+    val cnts = nodeTab.agg(count(lit(1)),
+      sum((col("outdeg") === 0L).cast("long")), sum(col("outdeg"))).head()
     val n = cnts.getLong(0)
     val nDangling = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
-    val nodes = nodeTab.select("node")
+    val m = if (cnts.isNullAt(2)) 0L else cnts.getLong(2)
     // dangling = dst-only nodes (no outgoing edge); their per-round rank
     // sum is the redistribution term — a filter over the pinned node table
-    val dangling = nodeTab.filter(col("has_out") === 0).select("node")
+    val dangling = nodeTab.filter(col("outdeg") === 0L).select("node")
+    // broadcast-path rounds scan the raw pinned edges (coalesced to the
+    // fewest tasks the row count justifies); above the broadcast gate the
+    // edges are hash-partitioned on src ONCE so every round's rank join is
+    // co-partitioned — the repartition is skipped on the broadcast path,
+    // where the rank side ships to the edges and e's partitioning is moot
+    val e =
+      if (n <= RankBroadcastMaxNodes) roundSized(e0, m)
+      else e0.repartition(col("src")).pinned()
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
-    val zeros = nodes.select(col("node"), lit(0.0).as("c"))
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    // outdeg rides the zero-contribution rows (every node appears in
+    // `zeros` exactly once, so max(outdeg) inside the contribution
+    // aggregate recovers it — the PPR tp-vector trick applied to the
+    // degree): each round's output then carries its own next-round
+    // contribution cpn = rank/outdeg, and the rounds need NO per-round
+    // rank-prep join at all. Map-side partial aggregation collapses the
+    // edge rows before the exchange, so the extra long column never
+    // inflates the wide shuffle beyond node-sized partials.
+    val zeros = nodeTab.select(col("node"), lit(0.0).as("c"), col("outdeg"))
+    var ranks = nodeTab.select(col("node"), lit(1.0 / n).as("rank"),
+      when(col("outdeg") > 0L, lit(1.0 / n) / col("outdeg"))
+        .otherwise(lit(0.0)).as("cpn"))
     var round = 0
     var converged = false
     var deltas = List.empty[Double]
@@ -142,57 +218,77 @@ object Graph {
     // per-round pin via the stride policy: identical eager local
     // checkpoint locally, k-th-round durable pins on a cluster
     val rounds = new Checkpoint.Rounds(edges.sparkSession)
-    while (round < iters && !converged) {
-      val next = rounds.pin(
-        prRound(e, zeros, ranks, teleport, damping, n, dangOpt))
-      // checks before round `tolFrom` are skipped BY RULE (mirrored by the
-      // oracle replay): each check is a per-round driver action, and the
-      // early deltas sit orders above any useful tol
-      if (round + 1 >= tolFrom) tol.foreach { t =>
-        // both sides are hash-partitioned on node (groupBy output /
-        // checkpointed prior round) — the delta join needs no exchange
-        val row = next
-          .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
-          .agg(sum(abs(col("rank") - col("_prev")))).head()
-        val d = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
-        deltas ::= d
-        converged = d <= t
+    // the loop's shuffles are all node-table-sized — run them at the
+    // edge-count-derived partition count (see EdgeRowsPerShufflePartition)
+    val sealedRanks = withRoundShuffle(edges.sparkSession, m) {
+      while (round < iters && !converged) {
+        val next = rounds.pin(
+          prRound(e, zeros, ranks, teleport, damping, n, dangOpt))
+        // checks before round `tolFrom` are skipped BY RULE (mirrored by the
+        // oracle replay): each check is a per-round driver action, and the
+        // early deltas sit orders above any useful tol
+        if (round + 1 >= tolFrom) tol.foreach { t =>
+          // both sides are hash-partitioned on node (groupBy output /
+          // checkpointed prior round) — the delta join needs no exchange
+          val row = next
+            .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
+            .agg(sum(abs(col("rank") - col("_prev")))).head()
+          val d = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+          deltas ::= d
+          converged = d <= t
+        }
+        ranks = next
+        round += 1
       }
-      ranks = next
-      round += 1
+      rounds.seal(ranks)
     }
-    (rounds.seal(ranks), round, deltas.reverse)
+    // the cpn carry column is round-internal; the contract stays (node, rank)
+    (sealedRanks.select("node", "rank"), round, deltas.reverse)
   }
 
   /** One damped PageRank round. Exposed pre-checkpoint so PlanSpec can
-    * assert the physical shape: ONE wide shuffle (the contribution
-    * aggregate); the rank join broadcast below [[RankBroadcastMaxNodes]],
-    * co-partitioned above it. `dangling`, when present, is the
-    * checkpointed dangling-node set: its rank mass D/N is computed IN-PLAN
-    * as a 1-row aggregate crossJoined (broadcast) into the round, so a
-    * dangling graph still runs ONE job per round — no per-round driver
-    * scalar action. On dangling-free graphs (None) the addend is an exact
-    * +0.0 literal, preserving bit-parity with the historic round. */
+    * assert the physical shape: ONE join (the rank table onto the raw
+    * 2-column edge list — broadcast below [[RankBroadcastMaxNodes]],
+    * co-partitioned above it) + ONE wide shuffle (the contribution
+    * aggregate). The per-edge contribution rank/outdeg is a per-NODE
+    * constant, so `ranks` carries it precomputed as `cpn` (each round's
+    * output derives the next round's cpn in the same projection — N
+    * divisions per round, not M), and `zeros` carries `outdeg` on the
+    * zero-contribution rows so max(outdeg) inside the contribution
+    * aggregate recovers it without any per-round join back to the node
+    * table. `dangling`, when present, is the checkpointed dangling-node
+    * set: its rank mass D/N is computed IN-PLAN as a 1-row aggregate
+    * crossJoined (broadcast) into the round, so a dangling graph still
+    * runs ONE job per round — no per-round driver scalar action. On
+    * dangling-free graphs (None) the addend is an exact +0.0 literal,
+    * preserving bit-parity with the historic round. */
   private[graft] def prRound(e: DataFrame, zeros: DataFrame, ranks: DataFrame,
       teleport: org.apache.spark.sql.Column, damping: Double, n: Long,
       dangling: Option[DataFrame] = None): DataFrame = {
-    val r = if (n <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
+    val rc = ranks.select(col("node"), col("cpn"))
+    val r = if (n <= RankBroadcastMaxNodes) broadcast(rc) else rc
     val contribs = e.join(r, e("src") === r("node"))
-      .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+      .select(col("dst").as("node"), col("cpn").as("c"),
+        lit(null).cast("long").as("outdeg"))
       .unionAll(zeros) // teleport floor for nodes with no inbound mass
       .groupBy("node")
-      .agg(sum(col("c")).as("_s"))
-    dangling match {
+      .agg(sum(col("c")).as("_s"), max(col("outdeg")).as("outdeg"))
+    val newRank = dangling match {
       case None =>
         contribs.select(col("node"),
-          (teleport + lit(damping) * (col("_s") + lit(0.0))).as("rank"))
+          (teleport + lit(damping) * (col("_s") + lit(0.0))).as("rank"),
+          col("outdeg"))
       case Some(dang) =>
         val dm = ranks.join(dang, "node")
           .agg((coalesce(sum(col("rank")), lit(0.0)) / lit(n.toDouble)).as("_dm"))
         contribs.crossJoin(broadcast(dm))
           .select(col("node"),
-            (teleport + lit(damping) * (col("_s") + col("_dm"))).as("rank"))
+            (teleport + lit(damping) * (col("_s") + col("_dm"))).as("rank"),
+            col("outdeg"))
     }
+    newRank.select(col("node"), col("rank"),
+      when(col("outdeg") > 0L, col("rank") / col("outdeg"))
+        .otherwise(lit(0.0)).as("cpn"))
   }
 
   /** Personalized PageRank (random walk with restart to a SEED set) over an
@@ -219,49 +315,63 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = PrIters, damping: Double = PrDamping): DataFrame = {
     // raw edges materialize first — same redundant-rescan fix as
-    // [[pageRankWithRounds]] (deg, the degree join, the node set and the
-    // dangling set all re-evaluate the caller's edge plan otherwise)
+    // [[pageRankWithRounds]] (the node table and every round re-evaluate
+    // the caller's edge plan otherwise)
     val e0 = edges.pinned()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(deg, "src").repartition(col("src")).pinned()
-    // fused node/seed/dangling derivation — ONE pinned pass + one 1-row
-    // action yields the node count, dangling count and seed count (the
-    // r13 shape ran a distinct, a seed-join count, an anti-join and two
+    // fused node/outdeg/seed/dangling derivation — ONE pinned pass + one
+    // 1-row action yields the node count, out-degrees, dangling count,
+    // seed count and edge count (the r13 shape ran a separate degree
+    // aggregate, an edge-table join + repartition + second edge
+    // checkpoint, a distinct, a seed-join count, an anti-join and two
     // more count actions for the same facts)
     val seedFlag = seeds.select(col("node")).distinct()
       .withColumn("_seed", lit(true))
-    val nodeTab = e0.select(col("src").as("node"), lit(1).as("o"))
-      .unionAll(e0.select(col("dst").as("node"), lit(0).as("o")))
-      .groupBy("node").agg(max(col("o")).as("has_out"))
+    val nodeTab = e0.select(col("src").as("node"), lit(1L).as("o"))
+      .unionAll(e0.select(col("dst").as("node"), lit(0L).as("o")))
+      .groupBy("node").agg(sum(col("o")).as("outdeg"))
       .join(seedFlag, Seq("node"), "left")
-      .select(col("node"), col("has_out"), col("_seed").isNotNull.as("is_seed"))
+      .select(col("node"), col("outdeg"), col("_seed").isNotNull.as("is_seed"))
       .pinned()
     val cnts = nodeTab.agg(count(lit(1)),
-      sum((lit(1) - col("has_out")).cast("long")),
-      sum(col("is_seed").cast("long"))).head()
+      sum((col("outdeg") === 0L).cast("long")),
+      sum(col("is_seed").cast("long")), sum(col("outdeg"))).head()
     val nNodes = cnts.getLong(0)
     val nDangling = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
     val nSeeds = if (cnts.isNullAt(2)) 0L else cnts.getLong(2)
+    val m = if (cnts.isNullAt(3)) 0L else cnts.getLong(3)
     require(nSeeds > 0, "personalizedPageRank: no seed appears in the graph")
-    // tp column rides the node table all rounds (hash-partitioned on node
-    // by the groupBy, so every per-round join below it is co-partitioned)
-    val nodes = nodeTab.select(col("node"),
-      when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("tp"))
-    val dangling = nodeTab.filter(col("has_out") === 0).select("node")
-    // the teleport vector rides the zero-contribution rows: every node
-    // appears in `zeros` exactly once, so max(tp) inside the SAME
-    // contribution aggregate recovers it and the round needs NO extra
-    // per-round join back to the node table (edge-side rows carry NULL)
-    val zeros = nodes.select(col("node"), lit(0.0).as("c"), col("tp"))
-    var ranks = nodes.select(col("node"), col("tp").as("rank"))
+    val tpCol = when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+    val dangling = nodeTab.filter(col("outdeg") === 0L).select("node")
+    // same scale-gated edge layout as [[pageRankWithRounds]]: raw pinned
+    // edges (coalesced) below the broadcast gate, src-partitioned above it
+    val e =
+      if (nNodes <= RankBroadcastMaxNodes) roundSized(e0, m)
+      else e0.repartition(col("src")).pinned()
+    // the teleport vector AND the out-degree ride the zero-contribution
+    // rows: every node appears in `zeros` exactly once, so max(tp) /
+    // max(outdeg) inside the SAME contribution aggregate recover both and
+    // the round needs NO extra per-round join back to the node table
+    // (edge-side rows carry NULL); each round's output then derives its
+    // own next-round contribution cpn = rank/outdeg in the same
+    // projection — see [[prRound]]'s note
+    val zeros = nodeTab.select(col("node"), lit(0.0).as("c"), tpCol.as("tp"),
+      col("outdeg"))
+    var ranks = nodeTab.select(col("node"), tpCol.as("rank"),
+      when(col("outdeg") > 0L, tpCol / col("outdeg"))
+        .otherwise(lit(0.0)).as("cpn"))
     val rounds = new Checkpoint.Rounds(edges.sparkSession)
+    // node-table-sized loop shuffles at the edge-count-derived partition
+    // count — see [[EdgeRowsPerShufflePartition]]
+    val sealedRanks = withRoundShuffle(edges.sparkSession, m) {
     for (_ <- 1 to iters) {
-      val r = if (nNodes <= RankBroadcastMaxNodes) broadcast(ranks) else ranks
+      val rc = ranks.select(col("node"), col("cpn"))
+      val r = if (nNodes <= RankBroadcastMaxNodes) broadcast(rc) else rc
       val contribs = e.join(r, e("src") === r("node"))
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"),
-          lit(null).cast("double").as("tp"))
+        .select(col("dst").as("node"), col("cpn").as("c"),
+          lit(null).cast("double").as("tp"), lit(null).cast("long").as("outdeg"))
         .unionAll(zeros)
-        .groupBy("node").agg(sum(col("c")).as("_s"), max(col("tp")).as("tp"))
+        .groupBy("node").agg(sum(col("c")).as("_s"), max(col("tp")).as("tp"),
+          max(col("outdeg")).as("outdeg"))
       val withDm =
         if (nDangling == 0L) contribs.withColumn("_dm", lit(0.0))
         else {
@@ -272,9 +382,16 @@ object Graph {
       ranks = rounds.pin(withDm
         .select(col("node"),
           (lit(1.0 - damping) * col("tp") +
-            lit(damping) * (col("_s") + col("_dm") * col("tp"))).as("rank")))
+            lit(damping) * (col("_s") + col("_dm") * col("tp"))).as("rank"),
+          col("outdeg"))
+        .select(col("node"), col("rank"),
+          when(col("outdeg") > 0L, col("rank") / col("outdeg"))
+            .otherwise(lit(0.0)).as("cpn")))
     }
     rounds.seal(ranks)
+    }
+    // the cpn carry column is round-internal; the contract stays (node, rank)
+    sealedRanks.select("node", "rank")
   }
 
   /** Wedge centers above this degree are excluded from [[linkPrediction]]
@@ -524,11 +641,27 @@ object Graph {
     * oracle replay's per-round pass-through condition. */
   private[graft] def hitsWithRounds(edges: DataFrame, iters: Int = HitsIters,
       tol: Option[Double] = None, tolFrom: Int = 1): (DataFrame, Int, List[Double]) = {
-    val e = edges.repartition(col("src")).pinned()
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
-      .distinct().pinned()
-    val n = nodes.count()
+    // raw edges pinned once; node set + node/edge counts from ONE grouped
+    // pass + one 1-row action (the r13 shape paid an unconditional
+    // repartition+pin of the edges plus a separate distinct + count)
+    val e0 = edges.pinned()
+    val nodeTab = e0.select(col("src").as("node"), lit(1L).as("o"))
+      .unionAll(e0.select(col("dst").as("node"), lit(0L).as("o")))
+      .groupBy("node").agg(sum(col("o")).as("outdeg")).pinned()
+    val cnts = nodeTab.agg(count(lit(1)), sum(col("outdeg"))).head()
+    val n = cnts.getLong(0)
+    val m = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+    val nodes = nodeTab.select("node")
+    // the half-steps join alternately ON src (auth step) and ON dst (hub
+    // step): on the broadcast path one coalesced raw copy serves both; on
+    // the co-partitioned path each key gets its own pinned layout so
+    // NEITHER half-step re-shuffles the edge list per round (the r13
+    // shape was src-partitioned only — every hub half-step above the
+    // broadcast gate would have paid an edge-sized exchange)
+    val (eSrc, eDst) =
+      if (n <= RankBroadcastMaxNodes) { val er = roundSized(e0, m); (er, er) }
+      else (e0.repartition(col("src")).pinned(),
+        e0.repartition(col("dst")).pinned())
     val zeros = nodes.select(col("node"), lit(0.0).as("x"))
     def l1(df: DataFrame, c: String): DataFrame = {
       val s = df.agg(sum(col(c)).as("_l1"))
@@ -537,6 +670,7 @@ object Graph {
     }
     def half(scores: DataFrame, inCol: String, joinKey: String,
         outKey: String, outCol: String): DataFrame = {
+      val e = if (joinKey == "src") eSrc else eDst
       val sc =
         if (n <= RankBroadcastMaxNodes) broadcast(scores) else scores
       val raw = e.join(sc, e(joinKey) === sc("node"))
@@ -551,27 +685,32 @@ object Graph {
     var round = 0
     var converged = false
     var deltas = List.empty[Double]
-    while (round < iters && !converged) {
-      auth = rounds.pin(half(hub, "hub", "src", "dst", "auth"))
-      val nextHub = rounds.pin(half(auth, "auth", "dst", "src", "hub"))
-      if (round + 1 >= tolFrom) tol.foreach { t =>
-        val row = nextHub
-          .join(hub.select(col("node"), col("hub").as("_prev")), "node")
-          .agg(sum(abs(col("hub") - col("_prev")))).head()
-        val d = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
-        deltas ::= d
-        converged = d <= t
+    // node-table-sized loop shuffles at the edge-count-derived partition
+    // count — see [[EdgeRowsPerShufflePartition]]
+    val sealedOut = withRoundShuffle(edges.sparkSession, m) {
+      while (round < iters && !converged) {
+        auth = rounds.pin(half(hub, "hub", "src", "dst", "auth"))
+        val nextHub = rounds.pin(half(auth, "auth", "dst", "src", "hub"))
+        if (round + 1 >= tolFrom) tol.foreach { t =>
+          val row = nextHub
+            .join(hub.select(col("node"), col("hub").as("_prev")), "node")
+            .agg(sum(abs(col("hub") - col("_prev")))).head()
+          val d = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+          deltas ::= d
+          converged = d <= t
+        }
+        hub = nextHub
+        round += 1
       }
-      hub = nextHub
-      round += 1
+      val out = nodes
+        .join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hub"), lit(0.0)).as("hub"),
+          coalesce(col("auth"), lit(0.0)).as("auth"))
+      rounds.seal(out)
     }
-    val out = nodes
-      .join(hub, Seq("node"), "left")
-      .join(auth, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("hub"), lit(0.0)).as("hub"),
-        coalesce(col("auth"), lit(0.0)).as("auth"))
-    (rounds.seal(out), round, deltas.reverse)
+    (sealedOut, round, deltas.reverse)
   }
 
   /** The customer→part endorsement graph: a genuinely DIRECTED edge per
@@ -746,26 +885,41 @@ object Graph {
     * Input: undirected edge list as (`a`, `b`) pairs, a < b, distinct.
     * Returns ((id, c) with c = exact coreness, rounds-executed). */
   def coreness(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
-    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+    // raw symmetrized edges pinned once; node and edge counts from one
+    // 1-row action over the initial degree table. The dst-repartition is
+    // scale-gated like [[pageRankWithRounds]]: skipped on the broadcast
+    // path (the value table ships to the edges), applied once above it so
+    // every round's join is co-partitioned.
+    val e0 = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst")).pinned()
-    var c = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
       .pinned()
-    val nNodes = c.count()
+    var c = e0.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+      .pinned()
+    val cnts = c.agg(count(lit(1)), sum(col("c"))).head()
+    val nNodes = cnts.getLong(0)
+    val m = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+    val e =
+      if (nNodes <= RankBroadcastMaxNodes) roundSized(e0, m)
+      else e0.repartition(col("dst")).pinned()
     var round = 0
     var converged = false
     val rounds = new Checkpoint.Rounds(pairs.sparkSession)
-    while (round < maxIters && !converged) {
-      val next = rounds.pin(hIndexRound(e, c, nNodes))
-      // both sides partitioned on id (groupBy outputs) — no exchange
-      val changed = next
-        .join(c.select(col("id"), col("c").as("_prev")), "id")
-        .filter(col("c") =!= col("_prev")).count()
-      converged = changed == 0L
-      c = next
-      round += 1
+    // node-table-sized loop shuffles at the edge-count-derived partition
+    // count — see [[EdgeRowsPerShufflePartition]]
+    val sealedC = withRoundShuffle(pairs.sparkSession, m) {
+      while (round < maxIters && !converged) {
+        val next = rounds.pin(hIndexRound(e, c, nNodes))
+        // both sides partitioned on id (groupBy outputs) — no exchange
+        val changed = next
+          .join(c.select(col("id"), col("c").as("_prev")), "id")
+          .filter(col("c") =!= col("_prev")).count()
+        converged = changed == 0L
+        c = next
+        round += 1
+      }
+      rounds.seal(c)
     }
-    (rounds.seal(c), round)
+    (sealedC, round)
   }
 
   /** One h-index round. Exposed pre-checkpoint so PlanSpec can pin the

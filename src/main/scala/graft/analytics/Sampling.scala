@@ -128,11 +128,19 @@ object Sampling {
     // balanced across cores, not inherit the SCAN's split count — a
     // compact parquet input (2 splits at sf1) otherwise throttles the
     // whole query to 2 tasks (measured 66 s → 8 s at sf1 from this line).
-    // The shuffle moves only (grp, k, x) rows — 50× smaller than the
-    // stage it feeds; per-key hashing keeps the draw deterministic.
+    // The partition COUNT must be pinned explicitly: AQE sizes a keyless-
+    // count exchange by its INPUT bytes, and this exchange's input is 50×
+    // smaller than the stage it feeds, so AQE coalesced it to ONE
+    // partition and serialized the whole md5 fan-out on one core
+    // (measured r14: 8.4 s single-task stage = the entire query floor at
+    // sf0.1). defaultParallelism — the session's core count locally, the
+    // cluster's total cores on a real deployment — is the right scale-
+    // adaptive size for a CPU-bound fan-out stage whose input bytes are
+    // always tiny. The shuffle moves only (grp, k, x) rows; per-key
+    // hashing keeps the draw deterministic.
     val blocks = df.select(group.as("grp"), key.cast("string").as("k"),
         x.cast("double").as("x"))
-      .repartition(col("k"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("k"))
       .select(col("grp"), col("k"), col("x"),
         explode(expr(s"sequence(1, ${b / 2})")).as("blk"))
       .withColumn("_hex", md5(concat_ws(":", col("k"), col("blk"))))

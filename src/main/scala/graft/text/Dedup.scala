@@ -642,13 +642,24 @@ object Dedup {
     // checkpoint blocks are freed by the ContextCleaner when the RDD is
     // GC'd. (A prior version leaked the final labels cache.)
     val p = pairs.pinned()
-    // partitioned by the join key once; every round's label join reuses it
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // raw symmetric edges pinned once; node set + node/edge counts come
+    // from ONE grouped pass + one 1-row action (the r13 shape paid an
+    // unconditional repartition+pin of the edges plus a separate distinct
+    // + count). The dst-repartition is scale-gated like the Graph loops:
+    // skipped on the broadcast-label path, applied once above it so every
+    // round's join is co-partitioned.
+    val e0 = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst")).pinned()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).pinned()
-    val nNodes = labels.count()
+      .pinned()
+    val deg = e0.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+      .pinned()
+    val cnts = deg.agg(count(lit(1)), sum(col("_d"))).head()
+    val nNodes = cnts.getLong(0)
+    val m = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+    var labels = deg.select(col("id"), col("id").as("label"))
+    val edges =
+      if (nNodes <= HotKeyBroadcastMax) graft.analytics.Graph.roundSized(e0, m)
+      else e0.repartition(col("dst")).pinned()
     // Labels only ever decrease under min-propagation, so the label sum is
     // a strictly decreasing convergence measure: unchanged sum == fixpoint.
     // One tiny aggregate over the fresh checkpoint per round instead of a
@@ -658,21 +669,25 @@ object Dedup {
       val d = l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d // empty graph
     }
-    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     val rounds = new graft.source.Checkpoint.Rounds(pairs.sparkSession)
-    while (!converged && iters < maxIters) {
-      // eager local pin per round (one job, lineage truncated); durable
-      // stride pins on a cluster
-      val next = rounds.pin(ccRound(edges, labels, nNodes))
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
-      iters += 1
+    // label-table-sized loop shuffles at the edge-count-derived partition
+    // count — see [[graft.analytics.Graph.EdgeRowsPerShufflePartition]]
+    labels = graft.analytics.Graph.withRoundShuffle(pairs.sparkSession, m) {
+      var prevSum = labelSum(labels)
+      while (!converged && iters < maxIters) {
+        // eager local pin per round (one job, lineage truncated); durable
+        // stride pins on a cluster
+        val next = rounds.pin(ccRound(edges, labels, nNodes))
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        labels = next
+        iters += 1
+      }
+      rounds.seal(labels)
     }
-    labels = rounds.seal(labels)
     // Per-hop propagation needs diameter-many rounds; a component deeper
     // than the cap (adversarial chain-shaped dup graphs) falls back to
     // large-star/small-star, which converges in O(log² n) rounds

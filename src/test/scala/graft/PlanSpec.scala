@@ -389,17 +389,26 @@ class PlanSpec extends SparkSpec {
     import graft.analytics.Graph
     val s = spark
     import s.implicits._
-    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
-      .toDF("src", "dst")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
-    val zeros = nodes.select(col("node"), lit(0.0).as("c"))
-    val ranks = nodes.select(col("node"), lit(1.0 / 3).as("rank"))
+    // inputs built the way pageRankWithRounds builds them: a raw pinned
+    // 2-column edge list, a zeros table carrying outdeg, and a rank table
+    // carrying the precomputed per-node contribution cpn (r14 — the
+    // per-edge division moved into each round's OUTPUT projection, so the
+    // rounds scan raw (src, dst), need no rank-prep join, and the old
+    // (src, dst, outdeg) edge table is gone)
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst").localCheckpoint()
+    val nodeTab = e.select(col("src").as("node"), lit(1L).as("o"))
+      .unionAll(e.select(col("dst").as("node"), lit(0L).as("o")))
+      .groupBy("node").agg(sum(col("o")).as("outdeg")).localCheckpoint()
+    val zeros = nodeTab.select(col("node"), lit(0.0).as("c"), col("outdeg"))
+    val ranks = nodeTab.select(col("node"), lit(1.0 / 3).as("rank"),
+      when(col("outdeg") > 0L, lit(1.0 / 3) / col("outdeg"))
+        .otherwise(lit(0.0)).as("cpn"))
       .localCheckpoint()
     val tp = lit(0.05)
-    // small-n path: rank table broadcast, contribution aggregate is the
-    // only wide shuffle, and no second join materializes the teleport term.
+    // small-n path: rank table broadcast onto the edges, contribution
+    // aggregate is the only wide shuffle, and no second join materializes
+    // the teleport term or the degrees (both ride the zeros rows).
     // (r14 note: an exchange-free broadcast round via persist-preserved
     // partitioning was built and MEASURED SLOWER at sf0.1 — columnar cache
     // scans cost more than the node-sized shuffle they saved — so this
@@ -410,7 +419,7 @@ class PlanSpec extends SparkSpec {
     assert(countOp(small, "Exchange hashpartitioning") == 1,
       s"round must have exactly ONE wide shuffle (the contrib agg):\n${plan(small)}")
     assert(countOp(small, "Join") == 1,
-      s"teleport term must fold into the aggregate, not a second join:\n${plan(small)}")
+      s"teleport + degree must fold into the aggregate, not a join:\n${plan(small)}")
     // large-n path: no forced broadcast hint — Catalyst still picks a
     // broadcast here because this test table is tiny (size stats), which is
     // the adaptive behavior we want; the guard is the single-join,
