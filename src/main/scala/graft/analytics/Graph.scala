@@ -663,23 +663,29 @@ object Graph {
       else (e0.repartition(col("src")).pinned(),
         e0.repartition(col("dst")).pinned())
     val zeros = nodes.select(col("node"), lit(0.0).as("x"))
+    // L1 normalization is a LAZY view over the pinned raw sums: the 1-row
+    // L1 aggregate scans the checkpoint blocks and the division rides the
+    // next consumer's scan, so each half-step materializes ONE frame (the
+    // raw grouped sums) instead of two — same sums, same divisions, same
+    // values (r13 pinned the normalized frame, paying an extra
+    // materialization per half-step for identical numbers).
     def l1(df: DataFrame, c: String): DataFrame = {
       val s = df.agg(sum(col(c)).as("_l1"))
       df.crossJoin(broadcast(s))
         .select(col("node"), (col(c) / col("_l1")).as(c))
     }
+    val rounds = new Checkpoint.Rounds(edges.sparkSession)
     def half(scores: DataFrame, inCol: String, joinKey: String,
         outKey: String, outCol: String): DataFrame = {
       val e = if (joinKey == "src") eSrc else eDst
       val sc =
         if (n <= RankBroadcastMaxNodes) broadcast(scores) else scores
-      val raw = e.join(sc, e(joinKey) === sc("node"))
+      val raw = rounds.pin(e.join(sc, e(joinKey) === sc("node"))
         .select(col(outKey).as("node"), col(inCol).as("x"))
         .unionAll(zeros)
-        .groupBy("node").agg(sum(col("x")).as(outCol))
+        .groupBy("node").agg(sum(col("x")).as(outCol)))
       l1(raw, outCol)
     }
-    val rounds = new Checkpoint.Rounds(edges.sparkSession)
     var hub = nodes.select(col("node"), lit(1.0 / n).as("hub"))
     var auth: DataFrame = null
     var round = 0
@@ -689,8 +695,8 @@ object Graph {
     // count — see [[EdgeRowsPerShufflePartition]]
     val sealedOut = withRoundShuffle(edges.sparkSession, m) {
       while (round < iters && !converged) {
-        auth = rounds.pin(half(hub, "hub", "src", "dst", "auth"))
-        val nextHub = rounds.pin(half(auth, "auth", "dst", "src", "hub"))
+        auth = half(hub, "hub", "src", "dst", "auth")
+        val nextHub = half(auth, "auth", "dst", "src", "hub")
         if (round + 1 >= tolFrom) tol.foreach { t =>
           val row = nextHub
             .join(hub.select(col("node"), col("hub").as("_prev")), "node")
