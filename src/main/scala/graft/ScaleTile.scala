@@ -59,7 +59,14 @@ object ScaleTile {
     }
 
     def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      // The tiled frame inherits the SOURCE's partition count (sf0.1 tables
+      // are single small files -> 1 split), so a naive write produced ONE
+      // 80 MB+ file per table and every downstream scan ran as ONE task —
+      // an artifact of the fixture, not of scale (a true sf-K arrives as
+      // many files). One output file per copy keeps scan parallelism
+      // proportional to the tiled volume, like real data.
+      df.repartition(math.max(8, copies))
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[tile] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
 
